@@ -1,0 +1,25 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable query: a Spark build function over an sf directory of
+  * parquet tables, plus (when SQL-expressible) an equivalent DuckDB oracle
+  * over the same tables. Column names and row ordering must match exactly —
+  * the driver sorts columns by name and hash-compares values.
+  *
+  * Conventions for oracle parity (see SURVEY.md §5):
+  *   - every query ends in a deterministic total ORDER BY;
+  *   - double aggregates go through exact DECIMAL sums, surfaced as DOUBLE;
+  *   - int-sum results are cast to BIGINT on the DuckDB side (DuckDB widens
+  *     integer sums to HUGEINT, Spark to LONG);
+  *   - timestamps used as keys are cast to DATE or via year()+CAST(... AS INT).
+  */
+final case class QueryDef(
+    name: String,
+    description: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+trait QueryFamily {
+  def defs: Seq[QueryDef]
+}
