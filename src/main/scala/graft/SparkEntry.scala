@@ -14,7 +14,7 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private def families: Seq[QueryFamily] = Seq(CompatQueries)
+  private def families: Seq[QueryFamily] = Seq(CompatQueries, ExtendedQueries)
 
   private lazy val allDefs: Seq[QueryDef] = families.flatMap(_.defs)
 
