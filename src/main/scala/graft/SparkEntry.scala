@@ -14,7 +14,8 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private def families: Seq[QueryFamily] = Seq(CompatQueries, ExtendedQueries)
+  private def families: Seq[QueryFamily] =
+    Seq(CompatQueries, ExtendedQueries, PipelineQueries)
 
   private lazy val allDefs: Seq[QueryDef] = families.flatMap(_.defs)
 

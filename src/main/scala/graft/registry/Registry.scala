@@ -1,0 +1,164 @@
+package graft.registry
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Cleaning
+
+/** Registry-driven endpoint catalog — the single source of truth for core
+  * schemas, primary keys, and mapping, mirroring the reference's in-code
+  * registry (/root/reference/etl/registry.py:37-167) and the data-driven
+  * redesign of its hand-written per-column mapper (SURVEY.md T6: one select
+  * built from (target, aliases, castType) triples).
+  */
+sealed trait CastKind
+object CastKind {
+  case object AsInt extends CastKind
+  case object AsDouble extends CastKind
+  case object AsString extends CastKind
+}
+
+/** One logical column: target name, candidate source keys in preference
+  * order (field names drift across years, directory.py:55-67), target type. */
+final case class ColumnSpec(target: String, aliases: Seq[String], kind: CastKind) {
+
+  def dataType: DataType = kind match {
+    case CastKind.AsInt => IntegerType
+    case CastKind.AsDouble => DoubleType
+    case CastKind.AsString => StringType
+  }
+
+  /** Mapping expression over a `MAP<STRING,STRING>` record column: clean each
+    * alias BEFORE coalescing (sentinel values are skipped, not kept), then
+    * safe-cast — the T1–T6 composition, fully codegen'd. */
+  def expr(record: Column): Column = {
+    val cols = aliases.map(a => element_at(record, a))
+    val picked = kind match {
+      case CastKind.AsInt => coalesce(cols.map(Cleaning.safeInt): _*)
+      case CastKind.AsDouble => coalesce(cols.map(Cleaning.safeDouble): _*)
+      case CastKind.AsString => coalesce(cols.map(Cleaning.cleanStr): _*)
+    }
+    picked.as(target)
+  }
+}
+
+final case class EndpointConfig(
+    name: String,
+    path: String,
+    columns: Seq[ColumnSpec],
+    primaryKey: Seq[String]) {
+
+  def schema: StructType = StructType(columns.map(c =>
+    StructField(c.target, c.dataType, nullable = !primaryKey.contains(c.target))))
+}
+
+object Registry {
+
+  private def i(target: String, aliases: String*) =
+    ColumnSpec(target, if (aliases.isEmpty) Seq(target) else aliases, CastKind.AsInt)
+  private def s(target: String, aliases: String*) =
+    ColumnSpec(target, if (aliases.isEmpty) Seq(target) else aliases, CastKind.AsString)
+  private def d(target: String, aliases: String*) =
+    ColumnSpec(target, if (aliases.isEmpty) Seq(target) else aliases, CastKind.AsDouble)
+
+  /** The IPEDS Directory endpoint: 90 typed columns, PK (unitid, year).
+    * Column contract from /root/reference/etl/registry.py:49-161; alias lists
+    * from /root/reference/etl/mappers/directory.py:126-238. */
+  val directory: EndpointConfig = EndpointConfig(
+    name = "directory",
+    path = "college-university/ipeds/directory",
+    primaryKey = Seq("unitid", "year"),
+    columns = Seq(
+      // primary key
+      i("unitid"),
+      i("year"),
+      // identity / contact
+      s("opeid"),
+      s("inst_name", "inst_name", "institution_name", "instnm", "name"),
+      s("inst_alias"),
+      s("address"),
+      s("city"),
+      s("state_abbr", "state_abbr", "stabbr", "state"),
+      s("zip", "zip", "zip5", "zip_code"),
+      s("phone_number", "phone_number", "phone"),
+      s("url_school", "url_school", "website", "web_address"),
+      s("url_fin_aid"),
+      s("url_application"),
+      s("url_netprice"),
+      s("url_veterans"),
+      s("url_athletes"),
+      s("url_disability_services"),
+      s("ein"),
+      s("duns"),
+      s("ueis"),
+      s("chief_admin_name"),
+      s("chief_admin_title"),
+      s("inst_system_name"),
+      // geography
+      i("fips"),
+      s("county_name"),
+      i("county_fips"),
+      i("region"),
+      i("urban_centric_locale", "urban_centric_locale", "locale"),
+      i("cbsa"),
+      i("cbsa_type"),
+      i("csa"),
+      i("necta"),
+      i("congress_district_id"),
+      d("latitude", "latitude", "lat"),
+      d("longitude", "longitude", "lon", "lng"),
+      // status / attributes
+      i("inst_status"),
+      i("sector", "sector", "sector_cd"),
+      i("inst_control", "inst_control", "control"),
+      i("institution_level", "institution_level", "level", "iclevel"),
+      i("inst_category"),
+      i("inst_size"),
+      i("degree_granting"),
+      i("title_iv_indicator"),
+      i("hbcu"),
+      i("tribal_college"),
+      i("land_grant"),
+      i("hospital"),
+      i("medical_degree"),
+      i("open_public"),
+      i("currently_active_ipeds"),
+      i("postsec_public_active"),
+      i("postsec_public_active_title_iv"),
+      i("primarily_postsecondary"),
+      i("offering_highest_degree"),
+      i("offering_highest_level"),
+      i("offering_undergrad"),
+      i("offering_grad"),
+      i("reporting_method"),
+      i("inst_system_flag"),
+      i("comparison_group"),
+      i("comparison_group_custom"),
+      // mergers / deletions / dates
+      i("newid"),
+      s("date_closed"), // deliberately TEXT (registry.py:120-122)
+      i("year_deleted"),
+      // Carnegie classifications
+      i("cc_basic_2000"), i("cc_basic_2010"), i("cc_basic_2015"),
+      i("cc_basic_2018"), i("cc_basic_2021"),
+      i("cc_instruc_undergrad_2010"), i("cc_instruc_undergrad_2015"),
+      i("cc_instruc_undergrad_2018"), i("cc_instruc_undergrad_2021"),
+      i("cc_instruc_grad_2010"), i("cc_instruc_grad_2015"),
+      i("cc_instruc_grad_2018"), i("cc_instruc_grad_2021"),
+      i("cc_undergrad_2010"), i("cc_undergrad_2015"),
+      i("cc_undergrad_2018"), i("cc_undergrad_2021"),
+      i("cc_enroll_2010"), i("cc_enroll_2015"),
+      i("cc_enroll_2018"), i("cc_enroll_2021"),
+      i("cc_size_setting_2010"), i("cc_size_setting_2015"),
+      i("cc_size_setting_2018"), i("cc_size_setting_2021")))
+
+  val endpoints: Map[String, EndpointConfig] = Map(directory.name -> directory)
+
+  /** Accessor with the reference's unknown-endpoint error contract
+    * (registry.py:170-181). */
+  def endpoint(name: String): EndpointConfig =
+    endpoints.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"Unknown endpoint '$name'. Known: ${endpoints.keys.mkString(", ")}"))
+}
