@@ -15,7 +15,7 @@ import graft.queries._
 object SparkEntry {
 
   private def families: Seq[QueryFamily] =
-    Seq(CompatQueries, ExtendedQueries, PipelineQueries)
+    Seq(CompatQueries, ExtendedQueries, PipelineQueries, DedupQueries)
 
   private lazy val allDefs: Seq[QueryDef] = families.flatMap(_.defs)
 

@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for large-scale text corpora — the training-data
+  * pipeline extensions (BASELINE.json north star), built as pure
+  * DataFrame transforms so every stage is one declarative plan:
+  *
+  *   - [[exactGroups]]: exact dedup by content hash (hash-groupBy).
+  *   - [[ngramJaccardPairs]]: exact pairwise n-gram Jaccard via a
+  *     shingle-inverted-index self-join (no cartesian product: only docs
+  *     sharing a shingle ever meet).
+  *   - [[minhashLshPairs]]: MinHash signatures + banded LSH bucketing +
+  *     exact-Jaccard verification of candidates. The scale path: candidate
+  *     generation touches only same-bucket docs; verification touches only
+  *     candidates.
+  *   - [[simhash64]] / [[simhashPairs]]: 64-bit SimHash with pigeonhole
+  *     band bucketing for hamming-distance candidates.
+  *
+  * Scale notes (100 TB): every join here is equi-keyed (shingle, bucket,
+  * pair) — hash-shuffleable, AQE-skew-splittable. Hot shingles (stopword
+  * runs) are the known skew source; [[ngramJaccardPairs]] takes an optional
+  * document-frequency cap that drops shingles appearing in more than
+  * `maxShingleDf` docs — ultra-common shingles contribute almost no Jaccard
+  * signal but dominate pair-generation cost.
+  */
+object Dedup {
+
+  /** Word n-gram shingle set per document: (id, shingle), distinct.
+    * Shingle i = words[i..i+n-1] joined by single spaces; documents shorter
+    * than n words produce no shingles. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val idxs = sequence(lit(1), size(toks) - (n - 1))
+    val grams = transform(idxs, i =>
+      concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
+    df.select(col(idCol),
+        explode(when(size(toks) >= n, array_distinct(grams))
+          .otherwise(array().cast(ArrayType(StringType)))).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact dedup: group identical content, keep the smallest id.
+    * Returns (keep_id, dup_count, content_hash). */
+  def exactGroups(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(md5(col(contentCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+      .select("keep_id", "dup_count", "content_hash")
+
+  /** Exact pairwise n-gram Jaccard over an inverted shingle index:
+    * (id_a < id_b, jaccard) for pairs with jaccard >= threshold. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.8,
+                        maxShingleDf: Option[Int] = None): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val shFiltered = maxShingleDf match {
+      case Some(cap) =>
+        val rare = sh.groupBy("shingle").count().where(col("count") <= cap)
+          .select("shingle")
+        sh.join(broadcast(rare), Seq("shingle"), "left_semi")
+      case None => sh
+    }
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val inter = shFiltered.as("a").join(shFiltered.as("b"),
+        col("a.shingle") === col("b.shingle")
+          && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    jaccardFilter(inter, sizes, idCol, threshold)
+  }
+
+  private def jaccardFilter(inter: DataFrame, sizes: DataFrame, idCol: String,
+                            threshold: Double): DataFrame = {
+    val sa = sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a"))
+    val sb = sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b"))
+    inter.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard",
+        col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Deterministic per-shingle base hash: first 7 md5 hex chars → 28-bit
+    * int. Small domain keeps a*x+b inside a long for any 31-bit a. */
+  private def baseHash(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast(LongType)
+
+  private val MersennePrime31 = 2147483647L // 2^31 - 1
+
+  /** Universal-hash coefficients, deterministic from `seed`. */
+  private def coeffs(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numHashes)(
+      (1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signature per document: (id, sig ARRAY<BIGINT> of length
+    * `numHashes`). One explode + one groupBy — map-side partial mins. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, numHashes: Int = 32,
+                        seed: Long = 42L): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+      .withColumn("__x", baseHash(col("shingle")))
+    val mins = coeffs(numHashes, seed).zipWithIndex.map { case ((a, b), i) =>
+      min((col("__x") * a + b) % MersennePrime31).as(s"__h$i")
+    }
+    sh.groupBy(idCol).agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
+  }
+
+  /** MinHash LSH near-dup pairs, verified with exact Jaccard.
+    *
+    * Bands of `rowsPerBand` signature slots; docs sharing any full band
+    * land in a bucket; same-bucket pairs are candidates; candidates are
+    * verified against the exact shingle Jaccard >= threshold. With
+    * numHashes=32, rowsPerBand=2 (16 bands), P(miss) at s=0.8 is
+    * (1-0.64)^16 ≈ 6e-8 — the verified output is the exact pair set with
+    * overwhelming probability, at a fraction of the all-pairs cost. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 2,
+                      threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    val numBands = numHashes / rowsPerBand
+    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes, seed)
+    val bands = sigs.select(col(idCol), posexplode(
+        array((0 until numBands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws(":", (0 until rowsPerBand).map(r =>
+              element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("key"))
+        }: _*)).as(Seq("__pos", "bk")))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+
+    val candidates = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key")
+          && col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+
+    // Exact verification of candidates only.
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val shA = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val shB = sh.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = candidates
+      .join(shA, "id_a").join(shB, Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    jaccardFilter(inter, sizes, idCol, threshold)
+  }
+
+  /** 64-bit SimHash per document over whitespace tokens weighted by
+    * frequency; xxhash64 token hashes (codegen'd, deterministic). */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .withColumn("__h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"__b$i")
+    }
+    tok.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(i =>
+          when(col(s"__b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Near-dup pairs with hamming(simhash) <= maxHamming, via pigeonhole
+    * banding: split 64 bits into `maxHamming+1` bands — any pair within
+    * the radius matches exactly on at least one band. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val numBands = maxHamming + 1
+    val width = 64 / numBands
+    val hashes = simhash64(df, idCol, textCol)
+    val bands = hashes.select(col(idCol), col("simhash"), posexplode(
+        array((0 until numBands).map { b =>
+          shiftright(col("simhash"), b * width)
+            .bitwiseAND((1L << width) - 1)
+        }: _*)).as(Seq("band", "key")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key")
+          && col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+      .distinct()
+    cand.withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Dedup
+
+/** North-star dedup surface over the `documents` table.
+  *
+  * Oracle strategy: exact dedup / fingerprint / pairwise Jaccard are fully
+  * SQL-expressible in DuckDB. The MinHash+LSH operator is verified against
+  * the SAME exact-Jaccard oracle: with 32 hashes in 16 bands of 2 the
+  * probability of missing a pair at the 0.8 threshold is ~6e-8, and every
+  * candidate is exactness-verified, so LSH output ≡ exact output. SimHash
+  * (engine-specific xxhash64 bits) is spec-tested in ScalaTest and
+  * rows-only here.
+  */
+object DedupQueries extends QueryFamily {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** documents plus injected exact duplicates (every 10th doc re-appears
+    * under doc_id+1000000) — the corpus has no natural exact dups. */
+  private def withInjected(d: DataFrame): DataFrame =
+    d.select("doc_id", "text").unionByName(
+      d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+
+  private val q20 = QueryDef(
+    "q20_dedup_exact",
+    "Exact dedup by content hash: identical texts grouped, smallest doc_id " +
+      "kept, group size reported. Duplicates injected deterministically " +
+      "(corpus has none).",
+    (s, dir) => Dedup.exactGroups(withInjected(docs(s, dir)), "doc_id", "text")
+      .orderBy("keep_id"),
+    Some("""
+      WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        WHERE doc_id % 10 = 0)
+      SELECT min(doc_id) AS keep_id, count(*) AS dup_count,
+             md5(text) AS content_hash
+      FROM aug
+      GROUP BY md5(text)
+      ORDER BY keep_id"""))
+
+  private val q21 = QueryDef(
+    "q21_dedup_fingerprint",
+    "Document fingerprinting: md5 over whitespace-normalized, lowercased " +
+      "text — the canonical-content digest form of exact dedup.",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), " +", " ")))
+          .as("fingerprint"))
+      .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+               AS fingerprint
+      FROM documents
+      ORDER BY doc_id"""))
+
+  private val jaccardOracle = """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(a) - 1, 1)),
+                 i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle
+             FROM toks),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (SELECT s1.doc_id AS id_a, s2.doc_id AS id_b,
+                       count(*) AS inter
+                FROM sh s1 JOIN sh s2
+                  ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+                GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             round(inter * 1.0 / (na.n + nb.n - inter), 6) AS jaccard
+      FROM pairs
+      JOIN sizes na ON id_a = na.doc_id
+      JOIN sizes nb ON id_b = nb.doc_id
+      WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.8
+      ORDER BY id_a, id_b"""
+
+  private val q22 = QueryDef(
+    "q22_ngram_jaccard_pairs",
+    "Exact near-dup pairs: 3-gram shingle Jaccard >= 0.8 via an inverted " +
+      "shingle index self-join (only docs sharing a shingle ever meet — " +
+      "no cartesian).",
+    (s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .orderBy("id_a", "id_b"),
+    Some(jaccardOracle))
+
+  private val q23 = QueryDef(
+    "q23_minhash_lsh_pairs",
+    "MinHash(32)+LSH(16 bands of 2) candidates, exact-Jaccard-verified at " +
+      "0.8 — output equals the exact pair set (miss prob ~6e-8) at bucketed " +
+      "cost. Same oracle as q22 by construction.",
+    (s, dir) => Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+        n = 3, numHashes = 32, rowsPerBand = 2, threshold = 0.8)
+      .orderBy("id_a", "id_b"),
+    Some(jaccardOracle))
+
+  private val q24 = QueryDef(
+    "q24_simhash_pairs",
+    "SimHash(64-bit, xxhash64 token bits) near-dup pairs at hamming<=3 via " +
+      "pigeonhole banding. Hash function is engine-specific → rows-only " +
+      "here; semantics pinned in DedupSpec.",
+    (s, dir) => Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+      .orderBy("id_a", "id_b"),
+    None)
+
+  override val defs: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24)
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Dedup operator semantics on constructed corpora where ground truth is
+  * known by hand: shingling edges, exact groups, jaccard values, LSH recall
+  * on high-similarity pairs, simhash robustness to small edits.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // 1-word change
+    (3L, "completely different text with other words entirely present"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "tiny")                                          // < 3 tokens
+  ).toDF("doc_id", "text")
+
+  test("shingles: n-gram count, distinctness, short-doc empty") {
+    val sh = Dedup.shingles(corpus, "doc_id", "text", 3)
+    val counts = sh.groupBy("doc_id").count().orderBy("doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(counts(1L) == 7) // 9 words → 7 trigrams
+    assert(!counts.contains(5L)) // too short → no shingles
+    val one = sh.where($"doc_id" === 1).select("shingle").as[String].collect()
+    assert(one.contains("the quick brown") && one.contains("the lazy dog"))
+  }
+
+  test("exactGroups: identical docs grouped, min id kept") {
+    val g = Dedup.exactGroups(corpus, "doc_id", "text")
+    val m = g.select("keep_id", "dup_count").as[(Long, Long)].collect().toMap
+    assert(m(1L) == 2) // docs 1+4
+    assert(m(2L) == 1 && m(3L) == 1 && m(5L) == 1)
+  }
+
+  test("ngramJaccardPairs: hand-computed jaccard for 1-word edit") {
+    // docs 1,2: 7 trigrams each; only the final trigram differs ("the lazy
+    // dog" vs "the lazy cat") → 6 shared / 8 union = 0.75.
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5)
+      .orderBy("id_a", "id_b")
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(pairs.exists { case (a, b, j) => a == 1 && b == 2 && j == 0.75 })
+    assert(pairs.exists { case (a, b, j) => a == 1 && b == 4 && j == 1.0 })
+    assert(pairs.exists { case (a, b, j) => a == 2 && b == 4 && j == 0.75 })
+    assert(pairs.length == 3) // doc 3 pairs with nothing
+  }
+
+  test("minhashLshPairs finds all exact-jaccard pairs on the fixture") {
+    val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text", 3,
+        numHashes = 32, rowsPerBand = 2, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+  }
+
+  test("minhash signatures: identical docs → identical signatures") {
+    val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text")
+      .where($"doc_id".isin(1, 4))
+      .select("sig").as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1))
+  }
+
+  test("simhash: exact dup → distance 0; near dup → small; distinct → large") {
+    val h = Dedup.simhash64(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(h(1L) == h(4L))
+    val near = java.lang.Long.bitCount(h(1L) ^ h(2L))
+    val far = java.lang.Long.bitCount(h(1L) ^ h(3L))
+    assert(near < far)
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+}
