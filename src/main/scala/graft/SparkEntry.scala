@@ -15,7 +15,8 @@ import graft.queries._
 object SparkEntry {
 
   private def families: Seq[QueryFamily] =
-    Seq(CompatQueries, ExtendedQueries, PipelineQueries, DedupQueries)
+    Seq(CompatQueries, ExtendedQueries, PipelineQueries, DedupQueries,
+      SimilarityQueries)
 
   private lazy val allDefs: Seq[QueryDef] = families.flatMap(_.defs)
 

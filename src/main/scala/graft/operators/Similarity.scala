@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.expressions.VectorExpressions
+
+/** Similarity search over an embedding column (ARRAY<FLOAT>).
+  *
+  *   - [[topKNeighbors]]: brute-force cosine top-k against one query vector
+  *     — the exactness baseline. One scan, no shuffle until the top-k
+  *     (TakeOrdered) reduction; the query vector travels as a literal.
+  *   - [[cosineNearDupPairs]]: exact all-pairs cosine >= threshold. The
+  *     all-pairs join is block-partitioned by construction (a.vec_id <
+  *     b.vec_id on a range-bucketed cross join); at 100 TB-scale this is
+  *     only sane AFTER bucketing — which [[lshNearDupPairs]] provides.
+  *   - [[lshNearDupPairs]]: random-hyperplane LSH — b bands of r sign bits;
+  *     same-band docs become candidates; candidates verified with exact
+  *     cosine. Recall at cos=c per band-hit prob p=(1-acos(c)/pi)^r:
+  *     1-(1-p)^b. Hyperplanes are deterministic from `seed`.
+  *
+  * All cosine math goes through the codegen'd [[graft.expressions.CosineSimilarity]]
+  * (double-widened, sequential accumulation — oracle-bit-compatible).
+  */
+object Similarity {
+
+  private def cos(spark: SparkSession, a: String, b: String): Column =
+    VectorExpressions.cosineSim(spark, a, b)
+
+  /** Top-k nearest by cosine to the vector of `queryId`. */
+  def topKNeighbors(spark: SparkSession, df: DataFrame, idCol: String,
+                    vecCol: String, queryId: Long, k: Int,
+                    roundTo: Int = 6): DataFrame = {
+    val q = df.where(col(idCol) === queryId)
+      .select(col(vecCol).as("__qv"))
+    df.crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(cos(spark, vecCol, "__qv"), roundTo).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Exact all-pairs cosine near-dup: (id_a < id_b, cosine >= threshold).
+    * Threshold compares the ROUNDED value so engine boundaries agree. */
+  def cosineNearDupPairs(spark: SparkSession, df: DataFrame, idCol: String,
+                         vecCol: String, threshold: Double,
+                         roundTo: Int = 6): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", round(cos(spark, "__va", "__vb"), roundTo))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Deterministic unit-free hyperplanes: coefficients from a seeded RNG. */
+  private def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Random-hyperplane LSH near-dup: bucketed candidates verified exactly.
+    * Approximate — misses a >=threshold pair with prob (1-p^r)^b. */
+  def lshNearDupPairs(spark: SparkSession, df: DataFrame, idCol: String,
+                      vecCol: String, threshold: Double, dim: Int,
+                      numPlanes: Int = 32, rowsPerBand: Int = 2,
+                      seed: Long = 42L, roundTo: Int = 6): DataFrame = {
+    require(numPlanes % rowsPerBand == 0)
+    val numBands = numPlanes / rowsPerBand
+    val planes = hyperplanes(numPlanes, dim, seed)
+
+    VectorExpressions.register(spark)
+    // Sign bit per plane: dot(v, plane) >= 0. Planes are literals — the
+    // whole signature computes in one codegen'd projection, no shuffle.
+    val planeCols = planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(call_function("dot_product", col(vecCol), planeLit) >= 0, 1)
+        .otherwise(0).as(s"__bit$i")
+    }
+    val withBits = df.select((col(idCol) +: col(vecCol) +: planeCols.toSeq): _*)
+
+    val bands = withBits.select(col(idCol), col(vecCol), posexplode(
+        array((0 until numBands).map { bnd =>
+          concat_ws("", (0 until rowsPerBand).map(r =>
+            col(s"__bit${bnd * rowsPerBand + r}")): _*)
+        }: _*)).as(Seq("band", "key")))
+
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key")
+          && col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        col(s"x.$vecCol").as("__va"), col(s"y.$vecCol").as("__vb"))
+      .distinct()
+
+    cand.withColumn("cosine", round(cos(spark, "__va", "__vb"), roundTo))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+}

@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.Tables
+import graft.operators.Similarity
+
+/** North-star similarity search over `embeddings` (ARRAY<FLOAT>, dim 64).
+  *
+  * Oracle parity: both engines widen floats to double and fold
+  * left-to-right (Spark: the fused codegen loop in CosineSimilarity;
+  * DuckDB: list_reduce over CAST(v AS DOUBLE[])), so cosines are
+  * bit-identical before the final round(6). Ordering and thresholds use
+  * the rounded value with id tie-breaks — fully deterministic in both.
+  */
+object SimilarityQueries extends QueryFamily {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** Sequential double fold of an elementwise product, DuckDB side. */
+  private def fold(a: String, b: String) =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  private val q25 = QueryDef(
+    "q25_ann_bruteforce_topk",
+    "Brute-force cosine top-k: the 10 nearest embeddings to vec_id=0 " +
+      "(exactness baseline for ANN). Fused single-pass codegen cosine; " +
+      "broadcast query vector; TakeOrdered top-k — no full sort.",
+    (s, dir) => Similarity.topKNeighbors(s, emb(s, dir), "vec_id", "embedding",
+      queryId = 0L, k = 10),
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+      SELECT e.vec_id,
+             round(${fold("e.v", "qv")} /
+               (sqrt(${fold("e.v", "e.v")}) * sqrt(${fold("qv", "qv")})), 6)
+               AS cosine
+      FROM e, q
+      ORDER BY cosine DESC, vec_id
+      LIMIT 10"""))
+
+  private val q26 = QueryDef(
+    "q26_cosine_neardup_pairs",
+    "Exact embedding near-dup: all pairs with cosine >= 0.42 (corpus max " +
+      "is ~0.48). The all-pairs form is the correctness baseline the LSH " +
+      "variant (q27) buckets.",
+    (s, dir) => Similarity.cosineNearDupPairs(s, emb(s, dir), "vec_id",
+        "embedding", threshold = 0.42)
+      .orderBy("id_a", "id_b"),
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      sc AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(${fold("a.v", "b.v")} /
+                 (sqrt(${fold("a.v", "a.v")}) * sqrt(${fold("b.v", "b.v")})), 6)
+                 AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      SELECT id_a, id_b, cosine
+      FROM sc
+      WHERE cosine >= 0.42
+      ORDER BY id_a, id_b"""))
+
+  private val q27 = QueryDef(
+    "q27_ann_lsh_neardup",
+    "Random-hyperplane LSH (32 planes, 16 bands of 2) near-dup at the same " +
+      "0.42 threshold, exact-verified candidates — the 100 TB scale path " +
+      "(bucketed candidate generation instead of all-pairs). Approximate " +
+      "recall by design → rows-only; recall vs q26 is pinned in " +
+      "SimilaritySpec.",
+    (s, dir) => Similarity.lshNearDupPairs(s, emb(s, dir), "vec_id",
+        "embedding", threshold = 0.42, dim = 64,
+        numPlanes = 32, rowsPerBand = 2)
+      .orderBy("id_a", "id_b"),
+    None)
+
+  override val defs: Seq[QueryDef] = Seq(q25, q26, q27)
+}

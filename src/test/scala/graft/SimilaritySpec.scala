@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.expressions.VectorExpressions
+import graft.operators.Similarity
+
+/** Vector expression semantics + similarity operator behavior, including
+  * measured LSH recall against the exact baseline on the real corpus.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(1.0f, 1.0f, 0.0f)),
+    (4L, Array(2.0f, 0.0f, 0.0f)),  // colinear with 1
+    (5L, Array(0.0f, 0.0f, 0.0f))   // zero vector
+  ).toDF("vec_id", "embedding")
+
+  test("cosine_sim: orthogonal=0, colinear=1, 45deg, zero-norm→null") {
+    VectorExpressions.register(spark)
+    def cosOf(a: Long, b: Long): Option[Double] = {
+      val l = vecs.where($"vec_id" === a).select($"embedding".as("x"))
+      val r = vecs.where($"vec_id" === b).select($"embedding".as("y"))
+      val row = l.crossJoin(r).select(expr("cosine_sim(x, y)").as("c")).collect()(0)
+      if (row.isNullAt(0)) None else Some(row.getDouble(0))
+    }
+    assert(cosOf(1, 2).contains(0.0))
+    assert(cosOf(1, 4).contains(1.0))
+    assert(math.abs(cosOf(1, 3).get - math.sqrt(0.5)) < 1e-12)
+    assert(cosOf(1, 5).isEmpty) // zero norm → null, never divide-by-zero
+  }
+
+  test("dot_product matches hand math incl. float→double widening") {
+    VectorExpressions.register(spark)
+    val d = vecs.where($"vec_id" === 3).select($"embedding".as("x"))
+      .crossJoin(vecs.where($"vec_id" === 4).select($"embedding".as("y")))
+      .select(expr("dot_product(x, y)").as("d")).as[Double].collect()(0)
+    assert(d == 2.0)
+  }
+
+  test("expression survives codegen (no fallback errors) on real data") {
+    val e = Tables.load(spark, sf(), "embeddings")
+    val out = Similarity.topKNeighbors(spark, e, "vec_id", "embedding", 0L, 5)
+      .collect()
+    assert(out.length == 5)
+    assert(out.head.getLong(0) == 0L) // self-similarity 1.0 ranks first
+    assert(out.head.getDouble(1) == 1.0)
+  }
+
+  test("exact near-dup pairs are symmetric-free and thresholded") {
+    val e = Tables.load(spark, sf(), "embeddings")
+    val pairs = Similarity.cosineNearDupPairs(spark, e, "vec_id", "embedding", 0.42)
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.42)
+    }
+  }
+
+  test("LSH near-dup achieves full recall vs exact at 32 planes / r=2") {
+    val e = Tables.load(spark, sf(), "embeddings")
+    val exact = Similarity.cosineNearDupPairs(spark, e, "vec_id", "embedding", 0.42)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshNearDupPairs(spark, e, "vec_id", "embedding",
+        0.42, dim = 64, numPlanes = 32, rowsPerBand = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // Candidates are exact-verified → no false positives ever.
+    assert(lsh.subsetOf(exact))
+    // Recall: at cos=0.42, P(band hit)=(1-acos(.42)/pi)^2≈0.40,
+    // P(miss)=(1-.40)^16≈2.6e-4 per pair — expect full recall here.
+    assert(lsh == exact, s"LSH missed ${(exact -- lsh).size} of ${exact.size}")
+  }
+}
