@@ -16,7 +16,7 @@ object SparkEntry {
 
   private def families: Seq[QueryFamily] =
     Seq(CompatQueries, ExtendedQueries, PipelineQueries, DedupQueries,
-      SimilarityQueries)
+      SimilarityQueries, TextQueries, StreamMultimodalQueries)
 
   private lazy val allDefs: Seq[QueryDef] = families.flatMap(_.defs)
 

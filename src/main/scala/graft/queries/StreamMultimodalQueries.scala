@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.multimodal.Multimodal
+import graft.streaming.EventsStreaming
+
+/** Streaming + multimodal surface: a real Structured Streaming query (file
+  * source → watermark → windowed agg → memory sink) checked against a batch
+  * DuckDB oracle, batch sessionization with an oracle, and the multimodal
+  * binary-column plumbing (stub codec → rows-only).
+  */
+object StreamMultimodalQueries extends QueryFamily {
+
+  private val q32 = QueryDef(
+    "q32_multimodal_features",
+    "Multimodal plumbing: documents' bytes as BINARY media with typed " +
+      "metadata, batched per-partition feature extraction (mapInPandas-" +
+      "style batch shape). Codec is a deterministic STUB (no image libs in " +
+      "container) → rows-only; schema/batching pinned in MultimodalSpec.",
+    (s, dir) => {
+      val media = Multimodal.attach(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes")),
+        "doc_id", "bytes", kind = "image", mime = "image/fake")
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          round(col("meanIntensity"), 6).as("mean_intensity"),
+          size(col("features")).as("feature_dim"))
+        .orderBy("media_id")
+    },
+    None)
+
+  private val q33 = QueryDef(
+    "q33_stream_windowed_agg",
+    "Structured Streaming: events replayed through a file-source stream " +
+      "(Trigger.AvailableNow) into 5-minute tumbling windows per event_type " +
+      "with watermark; memory sink. Oracle = the same aggregation in batch " +
+      "DuckDB (time_bucket aligns to the same epoch grid as Spark windows).",
+    (s, dir) => EventsStreaming.runWindowedAggAvailableNow(s, dir)
+      .orderBy("window_start", "event_type"),
+    Some("""
+      SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+             event_type, count(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY window_start, event_type"""))
+
+  private val q34 = QueryDef(
+    "q34_sessionize",
+    "Gap-based sessionization (30-min inactivity) per user via lag/cumsum " +
+      "windows; per-user session counts and sizes. The streaming twin " +
+      "(flatMapGroupsWithState) is equivalence-tested in StreamingSpec.",
+    (s, dir) => EventsStreaming.sessionStats(
+        Tables.load(s, dir, "events"), gapMinutes = 30)
+      .orderBy("user_id"),
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events),
+      s AS (
+        SELECT user_id, event_id,
+               SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                        THEN 1 ELSE 0 END) OVER
+                 (PARTITION BY user_id ORDER BY us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_idx
+        FROM e),
+      per_session AS (
+        SELECT user_id, session_idx, count(*) AS n_events
+        FROM s GROUP BY 1, 2)
+      SELECT user_id,
+             CAST(max(session_idx) AS INTEGER) AS n_sessions,
+             max(n_events) AS max_session_events,
+             CAST(SUM(n_events) AS BIGINT) AS n_events
+      FROM per_session
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
+  override val defs: Seq[QueryDef] = Seq(q32, q33, q34)
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table.
+  *
+  * The reference's paginated fetch loop is already micro-batch shaped
+  * (SURVEY §1.1); this module is the streaming face of the engine:
+  *   - [[windowedAgg]]: ONE transform used by both batch and streaming
+  *     callers (the unified Dataset API is the point — no dual codepath);
+  *   - [[runWindowedAggAvailableNow]]: bounded replay of the parquet events
+  *     through a real streaming query (file source → watermark → windowed
+  *     agg → memory sink, Trigger.AvailableNow);
+  *   - [[sessionizeBatch]]: gap-based sessionization via lag/cumsum windows.
+  *     The streaming twin (flatMapGroupsWithState) lives in the spec.
+  */
+object EventsStreaming {
+
+  /** events.parquet physical schema (ts = TIMESTAMP(NANOS) read as long). */
+  val eventsFileSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast(LongType)))
+
+  /** 5-minute tumbling windows per event_type: count + exact value sum.
+    * Works identically on a batch DataFrame and a streaming one. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(20, 6))).cast(DoubleType).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Drive the windowed agg as a real streaming query over the parquet file
+    * (AvailableNow = bounded ingest), returning the final result table. */
+  def runWindowedAggAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    val stream = spark.readStream
+      .schema(eventsFileSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val agg = windowedAgg(normalizeTs(stream).withWatermark("ts", "10 minutes"))
+    val name = s"events_windowed_${System.nanoTime()}"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Gap-based sessionization: a new session starts when the user's
+    * inter-event gap exceeds `gapMinutes`. Returns per-event session ids. */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    events
+      .withColumn("__prev", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("__new_session",
+        when(col("__prev").isNull
+          || unix_micros(col("ts")) - col("__prev") > gapUs, 1).otherwise(0))
+      .withColumn("session_idx",
+        sum(col("__new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev", "__new_session")
+  }
+
+  /** Per-user session stats from [[sessionize]]. */
+  def sessionStats(events: DataFrame, gapMinutes: Int): DataFrame =
+    sessionize(events, gapMinutes)
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(max(col("session_idx")).cast(IntegerType).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        sum(col("n_events")).as("n_events"))
+}

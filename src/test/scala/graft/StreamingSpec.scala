@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.core.Tables
+import graft.streaming.EventsStreaming
+
+case class Ev(user_id: Long, event_id: Long, us: Long)
+case class UserSessions(user_id: Long, n_sessions: Int,
+                        max_session_events: Long, n_events: Long)
+
+/** Streaming semantics: the streaming windowed agg must equal the batch
+  * computation of the same transform, and flatMapGroupsWithState
+  * sessionization must equal the batch lag/cumsum sessionization.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming windowed agg == batch windowed agg on the same data") {
+    val streamed = EventsStreaming.runWindowedAggAvailableNow(spark, sf())
+      .orderBy("window_start", "event_type").collect().toSeq
+    val batch = EventsStreaming.windowedAgg(Tables.load(spark, sf(), "events"))
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  /** Streaming twin of sessionStats: per-user state via
+    * flatMapGroupsWithState (AvailableNow → one bounded batch). */
+  private def streamingSessionStats(gapMinutes: Int) = {
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    val events = spark.readStream
+      .schema(EventsStreaming.eventsFileSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sf())
+      .select(col("user_id"), col("event_id"),
+        (col("ts") / 1000).cast("long").as("us"))
+      .as[Ev]
+
+    val sessions = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Ev], UserSessions](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[List[Ev]]) =>
+          val evs = it.toList.sortBy(e => (e.us, e.event_id))
+          var sessions = List.empty[Long]
+          var current = 0L
+          var prev = Long.MinValue
+          evs.foreach { e =>
+            if (prev == Long.MinValue || e.us - prev > gapUs) {
+              if (current > 0) sessions ::= current
+              current = 0
+            }
+            current += 1
+            prev = e.us
+          }
+          if (current > 0) sessions ::= current
+          Iterator.single(UserSessions(uid, sessions.size,
+            sessions.max, sessions.sum))
+      }
+
+    val name = s"sessions_${System.nanoTime()}"
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  test("flatMapGroupsWithState sessionization == batch lag/cumsum") {
+    val streaming = streamingSessionStats(30)
+      .orderBy("user_id")
+      .as[UserSessions].collect().toSeq
+    val batch = EventsStreaming.sessionStats(
+        Tables.load(spark, sf(), "events"), 30)
+      .orderBy("user_id")
+      .as[UserSessions].collect().toSeq
+    assert(streaming == batch)
+    assert(streaming.nonEmpty)
+  }
+}
