@@ -180,15 +180,15 @@ object Dedup {
           shiftright(col("simhash"), b * width)
             .bitwiseAND((1L << width) - 1)
         }: _*)).as(Seq("band", "key")))
-    val cand = bands.as("x").join(bands.as("y"),
+    // Hamming filter INSIDE the join: rejected pairs never reach the
+    // distinct, which otherwise dominates on clustered corpora where
+    // 16-bit band buckets get hot.
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key")
-          && col(s"x.$idCol") < col(s"y.$idCol"))
+          && col(s"x.$idCol") < col(s"y.$idCol")
+          && bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= maxHamming)
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
-        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .distinct()
-    cand.withColumn("hamming",
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
-      .where(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
   }
 }

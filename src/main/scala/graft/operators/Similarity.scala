@@ -80,7 +80,10 @@ object Similarity {
     }
     val withBits = df.select((col(idCol) +: col(vecCol) +: planeCols.toSeq): _*)
 
-    val bands = withBits.select(col(idCol), col(vecCol), posexplode(
+    // Bands travel WITHOUT the vectors (a 64-float payload through a
+    // 16-way explode + self-join would 16x the shuffle); vectors re-join
+    // only for the distinct candidate pairs.
+    val bands = withBits.select(col(idCol), posexplode(
         array((0 until numBands).map { bnd =>
           concat_ws("", (0 until rowsPerBand).map(r =>
             col(s"__bit${bnd * rowsPerBand + r}")): _*)
@@ -89,11 +92,13 @@ object Similarity {
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key")
           && col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
-        col(s"x.$vecCol").as("__va"), col(s"y.$vecCol").as("__vb"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
 
-    cand.withColumn("cosine", round(cos(spark, "__va", "__vb"), roundTo))
+    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cosine", round(cos(spark, "__va", "__vb"), roundTo))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
