@@ -100,13 +100,16 @@ object Dedup {
     * `numHashes`). One explode + one groupBy — map-side partial mins. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, numHashes: Int = 32,
-                        seed: Long = 42L): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
-      .withColumn("__x", baseHash(col("shingle")))
+                        seed: Long = 42L): DataFrame =
+    signaturesFromShingles(shingles(df, idCol, textCol, n), idCol, numHashes, seed)
+
+  private def signaturesFromShingles(sh: DataFrame, idCol: String,
+                                     numHashes: Int, seed: Long): DataFrame = {
+    val hashed = sh.withColumn("__x", baseHash(col("shingle")))
     val mins = coeffs(numHashes, seed).zipWithIndex.map { case ((a, b), i) =>
       min((col("__x") * a + b) % MersennePrime31).as(s"__h$i")
     }
-    sh.groupBy(idCol).agg(mins.head, mins.tail: _*)
+    hashed.groupBy(idCol).agg(mins.head, mins.tail: _*)
       .select(col(idCol),
         array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
   }
@@ -124,7 +127,10 @@ object Dedup {
                       threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
     val numBands = numHashes / rowsPerBand
-    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes, seed)
+    // One shingle pass feeds BOTH signature building and candidate
+    // verification (the two heaviest scans in the operator).
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val sigs = signaturesFromShingles(sh, idCol, numHashes, seed)
     val bands = sigs.select(col(idCol), posexplode(
         array((0 until numBands).map { b =>
           struct(lit(b).as("band"),
@@ -140,7 +146,6 @@ object Dedup {
       .distinct()
 
     // Exact verification of candidates only.
-    val sh = shingles(df, idCol, textCol, n).cache()
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     val shA = sh.select(col(idCol).as("id_a"), col("shingle"))
     val shB = sh.select(col(idCol).as("id_b"), col("shingle"))

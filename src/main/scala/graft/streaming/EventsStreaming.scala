@@ -43,21 +43,33 @@ object EventsStreaming {
         col("event_type"), col("n"), col("sum_value"))
 
   /** Drive the windowed agg as a real streaming query over the parquet file
-    * (AvailableNow = bounded ingest), returning the final result table. */
-  def runWindowedAggAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    * (AvailableNow = bounded ingest), returning the final result table.
+    *
+    * Streaming state partitioning: stateful queries pin one state store per
+    * shuffle partition for the life of the query and AQE cannot coalesce
+    * them — 32 stores for a bounded replay is pure overhead. The partition
+    * count is fixed at stream start, sized to the workload (a production
+    * always-on pipeline with large keyspaces would size it UP instead). */
+  def runWindowedAggAvailableNow(spark: SparkSession, sfDir: String,
+                                 statePartitions: Int = 8): DataFrame = {
     val stream = spark.readStream
       .schema(eventsFileSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
     val agg = windowedAgg(normalizeTs(stream).withWatermark("ts", "10 minutes"))
     val name = s"events_windowed_${System.nanoTime()}"
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, statePartitions.toString)
+    try {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
     spark.table(name)
   }
 
