@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.core.Settings
+import graft.flatten.PayloadExplode
+import graft.registry.EndpointConfig
+import graft.run.Runner
+import graft.store.{CoreStore, RawStore}
+
+/** Streaming EP2: raw pages stream into the typed core store via
+  * foreachBatch upsert (SURVEY §7 M4 — the reference's page loop is already
+  * micro-batch-shaped; this is its continuous form).
+  *
+  * Each micro-batch runs the same explode→map→PK-upsert as the batch path
+  * (CoreStore.upsert is idempotent last-write-wins, so replays and
+  * at-least-once delivery are safe — exactly the reference's rerun
+  * contract). Trigger.AvailableNow gives bounded catch-up runs; a real
+  * deployment would run ProcessingTime for continuous tailing.
+  */
+object StreamingIngest {
+
+  def coreLoadStream(spark: SparkSession, endpoint: EndpointConfig,
+                     settings: Settings,
+                     checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val rawPath = RawStore.path(settings.warehouseRoot, endpoint.name)
+    val pages = spark.readStream
+      .schema(Runner.rawPageSchema)
+      .parquet(rawPath)
+
+    pages.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val typed = PayloadExplode.toCore(batch, endpoint)
+        CoreStore.upsert(batch.sparkSession, typed, settings.warehouseRoot, endpoint)
+        ()
+      }
+      .start()
+  }
+}
