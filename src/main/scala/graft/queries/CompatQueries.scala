@@ -30,7 +30,10 @@ object CompatQueries extends QueryFamily {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_returnflag"),
         date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
-      .orderBy("l_orderkey", "l_linenumber"),
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+      // order by every output column for a total, engine-stable order.
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+        "ship_date"),
     Some("""
       SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
              strftime(l_shipdate, '%Y-%m-%d') AS ship_date
@@ -38,7 +41,7 @@ object CompatQueries extends QueryFamily {
       WHERE l_quantity BETWEEN 10 AND 20
         AND l_returnflag IN ('A','R')
         AND l_shipdate < TIMESTAMP '1997-01-01'
-      ORDER BY l_orderkey, l_linenumber"""))
+      ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag, ship_date"""))
 
   private val q02 = QueryDef(
     "q02_topk",
@@ -73,7 +76,12 @@ object CompatQueries extends QueryFamily {
       .agg(
         sum(col("l_quantity").cast(DecimalType(20, 4))).cast(DoubleType).as("sum_qty"),
         sum(col("l_extendedprice").cast(DecimalType(20, 4))).cast(DoubleType).as("sum_base_price"),
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(24, 8)))
+        // Cast FACTORS to decimal, not the double product: the data is
+        // exact 2dp, so factor casts are unambiguous in every engine,
+        // while double-product→decimal rounding differs at ~1e-8/row
+        // between Spark (shortest-string) and DuckDB (binary) semantics.
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
           .cast(DoubleType).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus"),
@@ -81,7 +89,9 @@ object CompatQueries extends QueryFamily {
       SELECT l_returnflag, l_linestatus,
              CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
-             CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS sum_disc_price,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                  AS DOUBLE) AS sum_disc_price,
              count(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
