@@ -16,7 +16,8 @@ object SparkEntry {
 
   private def families: Seq[QueryFamily] =
     Seq(CompatQueries, ExtendedQueries, PipelineQueries, DedupQueries,
-      SimilarityQueries, TextQueries, StreamMultimodalQueries)
+      SimilarityQueries, TextQueries, StreamMultimodalQueries,
+      StringCubeQueries)
 
   private lazy val allDefs: Seq[QueryDef] = families.flatMap(_.defs)
 
