@@ -17,7 +17,7 @@ object SparkEntry {
   private def families: Seq[QueryFamily] =
     Seq(CompatQueries, ExtendedQueries, PipelineQueries, DedupQueries,
       SimilarityQueries, TextQueries, StreamMultimodalQueries,
-      StringCubeQueries, SketchQueries, AsOfQueries)
+      StringCubeQueries, SketchQueries, AsOfQueries, RangeJoinQueries)
 
   private lazy val allDefs: Seq[QueryDef] = families.flatMap(_.defs)
 
