@@ -30,31 +30,38 @@ object Cleaning {
   /** True when a (string-typed) value is IPEDS-missing. */
   def isMissingStr(c: Column): Column = {
     val t = trim(c)
-    c.isNull || t === "" || t.isin(sentinelStrings: _*)
+    c.isNull || t.isin(("" +: sentinelStrings): _*)
   }
 
   /** Missing → NULL; otherwise the trimmed string.
-    * This is T1+T5: the canonical cleaner for string-typed raw fields. */
-  def cleanStr(c: Column): Column =
-    when(isMissingStr(c.cast(StringType)), lit(null).cast(StringType))
-      .otherwise(trim(c.cast(StringType)))
+    * This is T1+T5: the canonical cleaner for string-typed raw fields.
+    * Kept to ONE trim + ONE isin over the trimmed value: the 89-column
+    * mapper instantiates this tree hundreds of times (per alias), and
+    * expression-tree size is what pushes generated methods over janino's
+    * limit. (null input: trim(null) is null, isin(null) is null → otherwise
+    * branch yields trim(null) = null — still correct.) */
+  def cleanStr(c: Column): Column = {
+    val t = trim(c.cast(StringType))
+    when(t.isin(("" +: sentinelStrings): _*), lit(null).cast(StringType))
+      .otherwise(t)
+  }
 
   /** Numeric-typed sentinel cleaning: value in (-1,-2,-3) → NULL. */
   def cleanNum(c: Column): Column =
     when(c.isin(-1, -2, -3), lit(null)).otherwise(c)
 
   /** T3: safe int cast of a raw (string) field. Missing/malformed → NULL.
-    * The regex guard reproduces Python `int(...)` strictness ("12.5" → null). */
-  def safeInt(c: Column): Column = {
-    val s = cleanStr(c)
-    when(s.rlike(intPattern), s.cast(IntegerType)).otherwise(lit(null).cast(IntegerType))
-  }
+    * The regex guard reproduces Python `int(...)` strictness ("12.5" → null).
+    * Single-instance form: regexp_extract yields "" on no-match (and null
+    * on null input) and `cast("")` is null in non-ANSI mode — so one
+    * cleaned subtree serves both the guard and the value, halving the
+    * mapper's int-column expression trees. */
+  def safeInt(c: Column): Column =
+    regexp_extract(cleanStr(c), intPattern, 0).cast(IntegerType)
 
   /** Long variant of [[safeInt]] for 64-bit targets. */
-  def safeLong(c: Column): Column = {
-    val s = cleanStr(c)
-    when(s.rlike(intPattern), s.cast(LongType)).otherwise(lit(null).cast(LongType))
-  }
+  def safeLong(c: Column): Column =
+    regexp_extract(cleanStr(c), intPattern, 0).cast(LongType)
 
   /** T4: safe double cast. Missing → NULL; malformed → NULL (non-ANSI cast
     * semantics already return NULL for unparseable doubles). */
