@@ -73,6 +73,14 @@ object EventsStreaming {
     spark.table(name)
   }
 
+  /** Streaming exact dedup: at-least-once sources (the raw ingest, Kafka
+    * replays) deliver duplicate event_ids; dropDuplicates over a keyed
+    * state store with a watermark bounds that state — the streaming form
+    * of the Q7 upsert guarantee. Watermark = how late a duplicate may
+    * arrive and still be suppressed. */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
   /** Gap-based sessionization: a new session starts when the user's
     * inter-event gap exceeds `gapMinutes`. Returns per-event session ids. */
   def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {

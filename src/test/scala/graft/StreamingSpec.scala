@@ -67,6 +67,31 @@ class StreamingSpec extends SparkSpec {
     spark.table(name)
   }
 
+  test("streaming dedup suppresses replayed duplicates via keyed state") {
+    // Stream the events file TWICE (two copies in one source dir) — an
+    // at-least-once replay; dedup must restore exact-once counts.
+    val dir = tmpDir("graft-dedup-replay")
+    val src = new java.io.File(sf() + "/events.parquet")
+    java.nio.file.Files.copy(src.toPath,
+      new java.io.File(dir, "a.parquet").toPath)
+    java.nio.file.Files.copy(src.toPath,
+      new java.io.File(dir, "b.parquet").toPath)
+
+    val stream = spark.readStream
+      .schema(EventsStreaming.eventsFileSchema)
+      .parquet(dir)
+    val deduped = EventsStreaming.dedupStream(
+      EventsStreaming.normalizeTs(stream))
+    val name = s"dedup_${System.nanoTime()}"
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val exact = Tables.load(spark, sf(), "events").count()
+    assert(spark.table(name).count() == exact)
+    assert(spark.table(name).select("event_id").distinct().count() == exact)
+  }
+
   test("flatMapGroupsWithState sessionization == batch lag/cumsum") {
     val streaming = streamingSessionStats(30)
       .orderBy("user_id")
