@@ -40,8 +40,13 @@ object PayloadExplode {
     else exploded
   }
 
-  /** Full flatten+map: pages → typed rows matching `endpoint.schema`. */
-  def toCore(pages: DataFrame, endpoint: EndpointConfig): DataFrame = {
+  /** Full flatten+map: pages → typed rows matching `endpoint.schema`.
+    * With `withOrder=true`, appends `__page_number`/`__pos` provenance so
+    * callers can reproduce the reference's record-order semantics
+    * (executemany applies batch rows in order — the LAST record with a
+    * given PK wins, core_io.py:146-153). */
+  def toCore(pages: DataFrame, endpoint: EndpointConfig,
+             withOrder: Boolean = false): DataFrame = {
     val recs = records(pages)
     val mapped = endpoint.columns.map { spec =>
       if (spec.target == "year")
@@ -49,6 +54,10 @@ object PayloadExplode {
         coalesce(spec.expr(col("record")), col("__page_year")).as("year")
       else spec.expr(col("record"))
     }
-    recs.select(mapped: _*)
+    val ordered =
+      if (withOrder) mapped ++ Seq(col("page_number").as("__page_number"),
+        col("__pos").as("__pos"))
+      else mapped
+    recs.select(ordered: _*)
   }
 }

@@ -77,12 +77,15 @@ object Runner {
   }
 
   /** EP2: raw pages (optionally filtered to years) → typed core upsert.
-    * Returns (inserted, updated). */
+    * Page/record positions order the batch so intra-batch PK duplicates
+    * resolve last-record-wins, exactly like the reference's in-order
+    * executemany (core_io.py:146-153). Returns (inserted, updated). */
   def loadCoreFromRaw(spark: SparkSession, endpoint: EndpointConfig,
                       settings: Settings, years: Seq[Int] = Nil): (Long, Long) = {
     val raw = RawStore.read(spark, settings.warehouseRoot, endpoint.name, years)
-    val typed = PayloadExplode.toCore(raw, endpoint)
-    CoreStore.upsert(spark, typed, settings.warehouseRoot, endpoint)
+    val typed = PayloadExplode.toCore(raw, endpoint, withOrder = true)
+    CoreStore.upsert(spark, typed, settings.warehouseRoot, endpoint,
+      intraBatchOrder = Seq("__page_number", "__pos"))
   }
 
   /** Full pipeline for a year range, with lineage. */

@@ -1,6 +1,6 @@
 package graft.store
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Upsert
@@ -26,12 +26,17 @@ object CoreStore {
   def path(root: String, endpoint: String): String = s"$root/core/$endpoint"
 
   /** Upsert `rows` (already typed to `endpoint.schema`) into the store.
-    * Within a batch, later rows win by `intraBatchOrder` if given (the
-    * reference's executemany applies batch rows in order — last write wins).
-    * Returns (inserted, updated) counts, the load_log fields. */
+    *
+    * `intraBatchOrder` names extra columns on `rows` (e.g. page/record
+    * position from `PayloadExplode.toCore(withOrder=true)`) that order the
+    * batch: among duplicate PKs the HIGHEST order wins, reproducing the
+    * reference's executemany last-record-wins semantics
+    * (core_io.py:146-153). Without it, an arbitrary-but-single row per PK
+    * survives. Returns (inserted, updated), the load_log fields. */
   def upsert(spark: SparkSession, rows: DataFrame, root: String,
              endpoint: EndpointConfig,
-             sortWithin: Option[String] = Some("state_abbr")): (Long, Long) = {
+             sortWithin: Option[String] = Some("state_abbr"),
+             intraBatchOrder: Seq[String] = Nil): (Long, Long) = {
     val target = path(root, endpoint.name)
     val pk = endpoint.primaryKey
     require(pk.nonEmpty, s"endpoint ${endpoint.name} has no primary key")
@@ -45,25 +50,34 @@ object CoreStore {
       else None
 
     val dataCols = endpoint.columns.map(_.target)
+    val ordCols: Seq[Column] =
+      if (intraBatchOrder.nonEmpty) intraBatchOrder.map(col)
+      else Seq(monotonically_increasing_id())
 
     existing match {
       case None =>
-        val deduped = Upsert.dedupByKey(
-          incoming, pk, Seq(monotonically_increasing_id()))
+        val deduped = Upsert.dedupByKey(incoming, pk, ordCols)
           .select(dataCols.map(col): _*)
         write(deduped, target, sortWithin)
         (count(spark, target), 0L)
       case Some(old) =>
         val years = incoming.select("year").distinct()
         val oldAffected = old.join(years, Seq("year"), "left_semi")
-        val tagged = oldAffected.select(dataCols.map(col): _*)
+        // Old rows lose to ANY incoming row (__prec), so their order
+        // columns are constant placeholders.
+        val oldTagged = oldAffected.select(dataCols.map(col): _*)
           .withColumn("__prec", lit(0))
-          .unionByName(incoming.select(dataCols.map(col): _*)
-            .withColumn("__prec", lit(1)))
-        val merged = Upsert.dedupByKey(tagged, pk, Seq(col("__prec")))
-          .drop("__prec")
+        val oldWithOrd = intraBatchOrder.foldLeft(oldTagged)(
+          (df, c) => df.withColumn(c, lit(-1L)))
+        val newTagged = incoming
+          .select((dataCols ++ intraBatchOrder).map(col): _*)
+          .withColumn("__prec", lit(1))
+        val merged = Upsert.dedupByKey(
+            oldWithOrd.unionByName(newTagged), pk, col("__prec") +: ordCols)
+          .select(dataCols.map(col): _*)
         val updated = incoming.join(oldAffected, pk, "left_semi").count()
-        val inserted = incoming.join(oldAffected, pk, "left_anti").count()
+        val inserted = incoming.join(oldAffected, pk, "left_anti")
+          .select(pk.map(col): _*).distinct().count()
         write(merged, target, sortWithin)
         (inserted, updated)
     }

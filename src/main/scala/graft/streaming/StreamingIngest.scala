@@ -33,8 +33,9 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val typed = PayloadExplode.toCore(batch, endpoint)
-        CoreStore.upsert(batch.sparkSession, typed, settings.warehouseRoot, endpoint)
+        val typed = PayloadExplode.toCore(batch, endpoint, withOrder = true)
+        CoreStore.upsert(batch.sparkSession, typed, settings.warehouseRoot,
+          endpoint, intraBatchOrder = Seq("__page_number", "__pos"))
         ()
       }
       .start()

@@ -109,6 +109,26 @@ class PipelineSpec extends SparkSpec {
     assert(entry2.rows_inserted == 0 && entry2.rows_updated == 3)
   }
 
+  test("intra-batch PK duplicates: the LAST record in page order wins") {
+    import graft.flatten.PayloadExplode
+    import graft.store.CoreStore
+    import spark.implicits._
+    val root = tmpDir("graft-lastwins")
+    // Same (unitid, year) on page 1 and page 2 — reference executemany
+    // applies in order, so page 2's name must survive (core_io.py:146-153).
+    val pages = Seq(
+      (2020, 1, """[{"unitid":7,"year":2020,"inst_name":"first"},
+                    {"unitid":7,"year":2020,"inst_name":"second"}]"""),
+      (2020, 2, """[{"unitid":7,"year":2020,"inst_name":"third"}]"""))
+      .toDF("year", "page_number", "payload")
+    val typed = PayloadExplode.toCore(pages, Registry.directory, withOrder = true)
+    CoreStore.upsert(spark, typed, root, Registry.directory,
+      intraBatchOrder = Seq("__page_number", "__pos"))
+    val got = CoreStore.read(spark, root, "directory").collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[String]("inst_name") == "third")
+  }
+
   test("retry/backoff: transient failures recovered within maxRetries") {
     val root = tmpDir("graft-retry")
     val api = new FakeApi
