@@ -56,12 +56,20 @@ object Cleaning {
     * on null input) and `cast("")` is null in non-ANSI mode — so one
     * cleaned subtree serves both the guard and the value, halving the
     * mapper's int-column expression trees. */
-  def safeInt(c: Column): Column =
-    regexp_extract(cleanStr(c), intPattern, 0).cast(IntegerType)
+  def safeInt(c: Column): Column = castCleanInt(cleanStr(c))
 
   /** Long variant of [[safeInt]] for 64-bit targets. */
   def safeLong(c: Column): Column =
     regexp_extract(cleanStr(c), intPattern, 0).cast(LongType)
+
+  /** Int cast of an ALREADY-cleaned string (null or trimmed non-sentinel).
+    * Used by the registry mapper where the pick happens before the cast. */
+  private[graft] def castCleanInt(cleaned: Column): Column =
+    regexp_extract(cleaned, intPattern, 0).cast(IntegerType)
+
+  /** Double cast of an already-cleaned string. */
+  private[graft] def castCleanDouble(cleaned: Column): Column =
+    cleaned.cast(DoubleType)
 
   /** T4: safe double cast. Missing → NULL; malformed → NULL (non-ANSI cast
     * semantics already return NULL for unparseable doubles). */

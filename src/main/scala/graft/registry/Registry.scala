@@ -29,17 +29,20 @@ final case class ColumnSpec(target: String, aliases: Seq[String], kind: CastKind
     case CastKind.AsString => StringType
   }
 
-  /** Mapping expression over a `MAP<STRING,STRING>` record column: clean each
-    * alias BEFORE coalescing (sentinel values are skipped, not kept), then
-    * safe-cast — the T1–T6 composition, fully codegen'd. */
+  /** Mapping expression over a `MAP<STRING,STRING>` record column — the
+    * exact T1–T6 composition: clean each alias (sentinels → null) and pick
+    * the FIRST non-missing one, THEN cast. The cast applies only to the
+    * picked value: `_to_int(_pick(row, aliases))` in the reference
+    * (directory.py:132+) does NOT fall through to a later alias when the
+    * picked value is malformed — it returns NULL. */
   def expr(record: Column): Column = {
-    val cols = aliases.map(a => element_at(record, a))
-    val picked = kind match {
-      case CastKind.AsInt => coalesce(cols.map(Cleaning.safeInt): _*)
-      case CastKind.AsDouble => coalesce(cols.map(Cleaning.safeDouble): _*)
-      case CastKind.AsString => coalesce(cols.map(Cleaning.cleanStr): _*)
+    val picked = coalesce(aliases.map(a => Cleaning.cleanStr(element_at(record, a))): _*)
+    val cast = kind match {
+      case CastKind.AsInt => Cleaning.castCleanInt(picked)
+      case CastKind.AsDouble => Cleaning.castCleanDouble(picked)
+      case CastKind.AsString => picked
     }
-    picked.as(target)
+    cast.as(target)
   }
 }
 

@@ -109,6 +109,22 @@ class PipelineSpec extends SparkSpec {
     assert(entry2.rows_inserted == 0 && entry2.rows_updated == 3)
   }
 
+  test("pick-then-cast: malformed first alias does NOT fall through") {
+    import graft.flatten.PayloadExplode
+    import spark.implicits._
+    // Reference: _to_int(_pick(...)) picks "12.5" (non-missing), cast
+    // fails → NULL; it never consults sector_cd (directory.py:132+).
+    // A missing (-1) first alias IS skipped in favor of sector_cd.
+    val pages = Seq((2020, 1,
+      """[{"unitid":1,"year":2020,"sector":"12.5","sector_cd":"3"},
+          {"unitid":2,"year":2020,"sector":"-1","sector_cd":"4"}]"""))
+      .toDF("year", "page_number", "payload")
+    val rows = PayloadExplode.toCore(pages, Registry.directory)
+      .select("unitid", "sector").orderBy("unitid").collect()
+    assert(rows(0).isNullAt(1), "malformed pick must not fall through")
+    assert(rows(1).getInt(1) == 4, "sentinel pick must fall through")
+  }
+
   test("intra-batch PK duplicates: the LAST record in page order wins") {
     import graft.flatten.PayloadExplode
     import graft.store.CoreStore
