@@ -1,6 +1,6 @@
 package graft.flatten
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -44,15 +44,48 @@ object PayloadExplode {
     * With `withOrder=true`, appends `__page_number`/`__pos` provenance so
     * callers can reproduce the reference's record-order semantics
     * (executemany applies batch rows in order — the LAST record with a
-    * given PK wins, core_io.py:146-153). */
+    * given PK wins, core_io.py:146-153).
+    *
+    * The mapper is the native [[graft.expressions.MapRegistryRecord]]
+    * expression: one map traversal per record and a codegen footprint that
+    * keeps the stage inside whole-stage codegen (the composed-builtins
+    * form, kept as [[toCoreViaColumns]] for cross-checking, overflows
+    * janino's method limit at 89 columns). */
   def toCore(pages: DataFrame, endpoint: EndpointConfig,
              withOrder: Boolean = false): DataFrame = {
+    val spark = pages.sparkSession
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "map_registry_record",
+      exprs => graft.expressions.MapRegistryRecord(
+        exprs(0), exprs(1).eval().toString),
+      "built-in")
     val recs = records(pages)
+      .withColumn("__rec",
+        call_function("map_registry_record", col("record"), lit(endpoint.name)))
+    finish(recs, endpoint, withOrder, c => col(s"__rec.$c"))
+  }
+
+  /** Composed-builtins mapper (ColumnSpec.expr per column) — the reference
+    * implementation the expression path is equivalence-tested against. */
+  def toCoreViaColumns(pages: DataFrame, endpoint: EndpointConfig,
+                       withOrder: Boolean = false): DataFrame = {
+    val recs = records(pages)
+    finishWith(recs, endpoint, withOrder,
+      spec => spec.expr(col("record")))
+  }
+
+  private def finish(recs: DataFrame, endpoint: EndpointConfig,
+                     withOrder: Boolean, field: String => Column): DataFrame =
+    finishWith(recs, endpoint, withOrder, spec => field(spec.target).as(spec.target))
+
+  private def finishWith(recs: DataFrame, endpoint: EndpointConfig,
+                         withOrder: Boolean,
+                         mapCol: graft.registry.ColumnSpec => Column): DataFrame = {
     val mapped = endpoint.columns.map { spec =>
       if (spec.target == "year")
         // T7 year backfill: record year, else the page's year.
-        coalesce(spec.expr(col("record")), col("__page_year")).as("year")
-      else spec.expr(col("record"))
+        coalesce(mapCol(spec), col("__page_year")).as("year")
+      else mapCol(spec)
     }
     val ordered =
       if (withOrder) mapped ++ Seq(col("page_number").as("__page_number"),

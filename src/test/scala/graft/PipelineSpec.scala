@@ -109,6 +109,23 @@ class PipelineSpec extends SparkSpec {
     assert(entry2.rows_inserted == 0 && entry2.rows_updated == 3)
   }
 
+  test("expression mapper == column mapper on every dirty shape") {
+    import graft.flatten.PayloadExplode
+    import spark.implicits._
+    val pages = Seq(
+      (2011, 1, """[
+        {"unitid":100654,"instnm":"Alabama A & M University (renamed)","city":" Normal ","stabbr":"AL","sector_cd":1,"lat":"34.783368","lon":"-86.568502"},
+        {"unitid":100663,"year":2011,"instnm":"-1","name":"UAB","stabbr":"-2","state":"AL","sector":"-3","control":"1","fips":"12.5"},
+        {"unitid":999999,"year":2011,"inst_name":"   ","city":"","sector":-2,"fips":-1,"latitude":-3},
+        {"unitid":1,"year":2011,"sector":"12.5","sector_cd":"3","zip5":" 35762 ","phone":"256-372-5000"}]"""))
+      .toDF("year", "page_number", "payload")
+    val viaExpr = PayloadExplode.toCore(pages, Registry.directory)
+      .orderBy("unitid").collect().toSeq
+    val viaCols = PayloadExplode.toCoreViaColumns(pages, Registry.directory)
+      .orderBy("unitid").collect().toSeq
+    assert(viaExpr == viaCols)
+  }
+
   test("pick-then-cast: malformed first alias does NOT fall through") {
     import graft.flatten.PayloadExplode
     import spark.implicits._
