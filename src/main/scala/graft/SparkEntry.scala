@@ -17,7 +17,8 @@ object SparkEntry {
   private def families: Seq[QueryFamily] =
     Seq(CompatQueries, ExtendedQueries, PipelineQueries, DedupQueries,
       SimilarityQueries, TextQueries, StreamMultimodalQueries,
-      StringCubeQueries, SketchQueries, AsOfQueries, RangeJoinQueries)
+      StringCubeQueries, SketchQueries, AsOfQueries, RangeJoinQueries,
+      WinnowQueries)
 
   private lazy val allDefs: Seq[QueryDef] = families.flatMap(_.defs)
 
