@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.expressions.VectorExpressions
+
+/** IVF (inverted-file) ANN index over an embedding column — the
+  * partition-pruning scale path for similarity search (SURVEY.md §7 M4;
+  * complements the LSH path in [[Similarity.lshNearDupPairs]]).
+  *
+  * FAISS-style three-step shape, re-expressed Spark-first:
+  *
+  *   1. [[train]]: spherical k-means on a BOUNDED deterministic sample,
+  *      run on the driver (training never scans the corpus — FAISS trains
+  *      IVF on ~max(10k, 50*k) samples regardless of corpus size).
+  *   2. [[assign]]: one codegen'd projection adds the nearest-centroid id
+  *      to every row. Centroids travel as literals — no shuffle, no join.
+  *      At 100 TB the assigned table is written
+  *      `partitionBy("ivf_cluster")` so probing is PARTITION PRUNING:
+  *      a query touches nprobe/k of the files, not a full scan.
+  *   3. [[searchTopK]]: rank centroids against the query ON THE DRIVER
+  *      (k tiny), filter to the nprobe best clusters, exact cosine top-k
+  *      inside them (TakeOrdered — no global sort).
+  *
+  * Approximate by design: a true neighbor assigned to an unprobed cluster
+  * is missed. nprobe = k degenerates to exact brute force (pinned in
+  * IvfSpec); recall at nprobe < k is pinned empirically there too.
+  */
+object IvfIndex {
+
+  /** Trained coarse quantizer: unit-norm centroid vectors, id = array index. */
+  final case class Model(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+
+    /** Cluster ids ranked by cosine to `q` (descending), driver-side. */
+    def rankClusters(q: Array[Double]): Array[Int] = {
+      val qn = Model.normalize(q)
+      centroids.indices
+        .map(i => i -> Model.dot(centroids(i), qn))
+        .sortBy { case (i, d) => (-d, i) }
+        .map(_._1).toArray
+    }
+  }
+
+  object Model {
+    private[IvfIndex] def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+
+    private[IvfIndex] def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(dot(v, v))
+      if (n == 0.0) v.clone else v.map(_ / n)
+    }
+  }
+
+  /** Spherical k-means over a deterministic hash-ordered sample of at most
+    * `sampleN` vectors. Init = first k distinct sample vectors; `iters`
+    * Lloyd rounds (assign by max dot against unit centroids, update =
+    * renormalized mean). Fully deterministic for a given (data, seed).
+    */
+  def train(df: DataFrame, idCol: String, vecCol: String, k: Int,
+            iters: Int = 8, sampleN: Int = 4096, seed: Long = 42L): Model = {
+    val sample: Array[Array[Double]] = df
+      .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+      .where(col("__v").isNotNull)
+      .orderBy(abs(hash(col("__id"), lit(seed))), col("__id"))
+      .limit(sampleN)
+      .select("__v").collect()
+      .map(_.getSeq[Double](0).toArray)
+      .map(Model.normalize)
+      .filter(v => Model.dot(v, v) > 0.0)
+    require(sample.length >= k,
+      s"IVF train: need >= $k non-zero sample vectors, got ${sample.length}")
+
+    var centroids: Array[Array[Double]] = sample.take(k).map(_.clone)
+    var round = 0
+    while (round < iters) {
+      val dim = centroids(0).length
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          val d = Model.dot(centroids(c), v)
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c) // empty cluster: keep old centroid
+        else Model.normalize(sums(c))
+      }.toArray
+      round += 1
+    }
+    Model(centroids)
+  }
+
+  /** Add `outCol` = nearest-centroid id. Single codegen'd projection over
+    * literal centroids; zero/null vectors land in cluster 0. At scale,
+    * write the result `partitionBy(outCol)`. */
+  def assign(spark: SparkSession, df: DataFrame, vecCol: String, model: Model,
+             outCol: String = "ivf_cluster"): DataFrame = {
+    VectorExpressions.register(spark)
+    val cosines = array(model.centroids.map { c =>
+      coalesce(
+        call_function("cosine_sim", col(vecCol), array(c.map(lit).toSeq: _*)),
+        lit(-2.0))
+    }.toSeq: _*)
+    df.withColumn(outCol,
+      (array_position(cosines, array_max(cosines)) - 1).cast("int"))
+  }
+
+  /** Exact cosine top-k within the `nprobe` clusters nearest to `queryVec`.
+    * The cluster filter is the partition-pruning predicate at scale. */
+  def searchTopK(spark: SparkSession, indexed: DataFrame, idCol: String,
+                 vecCol: String, model: Model, queryVec: Array[Double],
+                 k: Int, nprobe: Int, clusterCol: String = "ivf_cluster",
+                 roundTo: Int = 6): DataFrame = {
+    val probes = model.rankClusters(queryVec).take(nprobe)
+    VectorExpressions.register(spark)
+    val qLit = array(queryVec.map(lit).toSeq: _*)
+    indexed
+      .where(col(clusterCol).isin(probes.map(Integer.valueOf).toSeq: _*))
+      .select(col(idCol),
+        round(call_function("cosine_sim", col(vecCol), qLit), roundTo)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.expressions.VectorExpressions
+import graft.expressions.{QuantizeExpressions, VectorExpressions}
 
 /** Similarity search over an embedding column (ARRAY<FLOAT>).
   *
@@ -49,6 +49,36 @@ object Similarity {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
     a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", round(cos(spark, "__va", "__vb"), roundTo))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Exact near-dup via an int8-quantized prefilter: identical OUTPUT to
+    * [[cosineNearDupPairs]], ~4x less shuffle. The all-pairs join moves
+    * (id, scale, 1-byte-per-dim codes) instead of 4-byte floats; the
+    * integer quantized_cosine kernel prefilters at `threshold - margin`;
+    * only survivors re-join the float vectors for exact verification.
+    * Sound whenever `margin` >= the quantization error on cosine
+    * (worst-case ~2*sqrt(dim)/127; QuantizeSpec pins the measured max on
+    * the real corpus at well under the 0.05 default).
+    */
+  def quantizedNearDupPairs(spark: SparkSession, df: DataFrame, idCol: String,
+                            vecCol: String, threshold: Double,
+                            margin: Double = 0.05,
+                            roundTo: Int = 6): DataFrame = {
+    QuantizeExpressions.register(spark)
+    val q = df.select(col(idCol),
+      call_function("quantize_int8", col(vecCol)).as("__q"))
+    val a = q.select(col(idCol).as("id_a"), col("__q").as("__qa"))
+    val b = q.select(col(idCol).as("id_b"), col("__q").as("__qb"))
+    val cand = a.join(b, col("id_a") < col("id_b"))
+      .where(call_function("quantized_cosine", col("__qa"), col("__qb"))
+        >= threshold - margin)
+      .select("id_a", "id_b")
+    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    cand.join(va, "id_a").join(vb, "id_b")
       .withColumn("cosine", round(cos(spark, "__va", "__vb"), roundTo))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

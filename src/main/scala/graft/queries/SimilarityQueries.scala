@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
-import graft.operators.Similarity
+import graft.operators.{IvfIndex, Similarity}
 
 /** North-star similarity search over `embeddings` (ARRAY<FLOAT>, dim 64).
   *
@@ -74,5 +74,37 @@ object SimilarityQueries extends QueryFamily {
       .orderBy("id_a", "id_b"),
     None)
 
-  override val defs: Seq[QueryDef] = Seq(q25, q26, q27)
+  private val q39 = QueryDef(
+    "q39_ann_ivf_topk",
+    "IVF ANN top-10 for vec_id=0: spherical k-means coarse quantizer " +
+      "(k=16, driver-trained on a bounded sample), nearest-centroid " +
+      "assignment in one codegen projection, search probes the 4 best " +
+      "clusters only — at scale the probe is partition pruning over a " +
+      "partitionBy(ivf_cluster) table, reading nprobe/k of the corpus. " +
+      "Approximate by design → rows-only; IvfSpec pins nprobe=k == exact " +
+      "brute force and measured recall at nprobe=4.",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val model = IvfIndex.train(e, "vec_id", "embedding", k = 16)
+      val indexed = IvfIndex.assign(s, e, "embedding", model)
+      val qv = e.where(org.apache.spark.sql.functions.col("vec_id") === 0L)
+        .select("embedding").head.getSeq[Float](0).map(_.toDouble).toArray
+      IvfIndex.searchTopK(s, indexed, "vec_id", "embedding", model, qv,
+        k = 10, nprobe = 4)
+    },
+    None)
+
+  private val q40 = QueryDef(
+    "q40_quantized_neardup",
+    "Int8-quantized near-dup prefilter + exact verify at the same 0.42 " +
+      "threshold: IDENTICAL output to q26 (same oracle) but the all-pairs " +
+      "shuffle moves 1-byte codes instead of floats (~4x less data) and " +
+      "the prefilter kernel is integer multiply-accumulate. Margin 0.05 " +
+      "covers the quantization error bound (QuantizeSpec).",
+    (s, dir) => Similarity.quantizedNearDupPairs(s, emb(s, dir), "vec_id",
+        "embedding", threshold = 0.42)
+      .orderBy("id_a", "id_b"),
+    q26.oracle)
+
+  override val defs: Seq[QueryDef] = Seq(q25, q26, q27, q39, q40)
 }

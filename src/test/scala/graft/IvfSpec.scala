@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{IvfIndex, Similarity}
+
+/** IVF coarse-quantizer behavior: determinism, full-coverage assignment,
+  * exactness at nprobe=k, and measured recall at realistic nprobe.
+  */
+class IvfSpec extends SparkSpec {
+
+  private lazy val emb = Tables.load(spark, sf(), "embeddings")
+
+  private lazy val model = IvfIndex.train(emb, "vec_id", "embedding", k = 16)
+
+  private def queryVec: Array[Double] =
+    emb.where(col("vec_id") === 0L).select("embedding").head
+      .getSeq[Float](0).map(_.toDouble).toArray
+
+  test("training is deterministic and produces k unit centroids") {
+    val again = IvfIndex.train(emb, "vec_id", "embedding", k = 16)
+    assert(model.k == 16)
+    assert(model.centroids.map(_.toSeq).toSeq ==
+      again.centroids.map(_.toSeq).toSeq)
+    model.centroids.foreach { c =>
+      val norm = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-9)
+    }
+  }
+
+  test("assignment covers every row with a valid cluster id") {
+    val indexed = IvfIndex.assign(spark, emb, "embedding", model)
+    val n = emb.count()
+    val inRange = indexed
+      .where(col("ivf_cluster").between(0, model.k - 1)).count()
+    assert(inRange == n)
+    // clusters are actually used (spherical k-means on this corpus should
+    // populate more than one cell)
+    val used = indexed.select("ivf_cluster").distinct().count()
+    assert(used > 1)
+  }
+
+  test("nprobe = k degenerates to exact brute-force top-k") {
+    val indexed = IvfIndex.assign(spark, emb, "embedding", model)
+    val ivf = IvfIndex.searchTopK(spark, indexed, "vec_id", "embedding",
+      model, queryVec, k = 10, nprobe = model.k).collect().toSeq
+    val exact = Similarity.topKNeighbors(spark, emb, "vec_id", "embedding",
+      queryId = 0L, k = 10).collect().toSeq
+    assert(ivf == exact)
+  }
+
+  test("nprobe=4/16 keeps the query's own cluster and reports real recall") {
+    val indexed = IvfIndex.assign(spark, emb, "embedding", model)
+    val got = IvfIndex.searchTopK(spark, indexed, "vec_id", "embedding",
+      model, queryVec, k = 10, nprobe = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = Similarity.topKNeighbors(spark, emb, "vec_id", "embedding",
+      queryId = 0L, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // The query vector itself is always in a probed cluster (its centroid
+    // is by definition the top-ranked probe) → self-match guaranteed.
+    assert(got.contains(0L))
+    // Probing 1/4 of the clusters must beat 1/4-of-corpus random recall by
+    // a wide margin; pin a conservative floor so the suite can't flake.
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall@10 at nprobe=4 was $recall")
+  }
+}
