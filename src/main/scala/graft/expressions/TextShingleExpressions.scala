@@ -1,0 +1,203 @@
+package graft.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expressions for the text-fingerprint hot paths (winnowing,
+  * word shingles).
+  *
+  * Why custom (SURVEY.md §7 M4 rationale): the array-lambda formulations
+  * (`transform(sequence(...), i -> ...)`) evaluate the FULL inner
+  * expression tree per element, interpreted, outside whole-stage codegen.
+  * Worse, a lambda body that references a derived outer array (e.g.
+  * `slice(grams, i, w)` where `grams` is itself a `transform`) recomputes
+  * that whole array per element — winnowing's window minima degrade to
+  * O(chars * window * chars) md5 calls per document. These expressions
+  * compute the same results in one O(chars) pass per row and stay inside
+  * whole-stage codegen (the generated code makes a single call on the
+  * referenced expression object).
+  *
+  * Semantics are pinned to the built-in formulations they replace (and to
+  * the DuckDB oracles): md5 hex is lowercase, and "minimum hash" is the
+  * lexicographic min of hex strings == unsigned byte order of the raw
+  * digests (hex encoding is monotone per nibble).
+  */
+object TextShingleHelpers {
+
+  /** Unsigned lexicographic compare of two equal-length digests. */
+  private def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < a.length) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    0
+  }
+
+  private val HEX = "0123456789abcdef".toCharArray
+
+  private def hex(d: Array[Byte]): String = {
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = HEX((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HEX(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Winnowing fingerprints of `text`: md5 each char k-gram, keep the min
+    * hash per sliding window of `w`, distinct (first-occurrence order).
+    * Sliding minima via a monotonic deque — O(numChars) total. Matches
+    * `transform(sequence(1, max(nGrams,1)), i -> md5(substr(text,i,k)))`
+    * + per-window `array_min(slice(...))` + `array_distinct` exactly.
+    */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val n = math.max(text.numChars() - (k - 1), 1)
+    val md = MessageDigest.getInstance("MD5")
+    val digests = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      digests(i) = md.digest(text.substringSQL(i + 1, k).getBytes)
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[String]
+    // deque of candidate indices, digests strictly increasing front→back
+    val dq = new Array[Int](n)
+    var head = 0; var tail = 0 // [head, tail)
+    i = 0
+    while (i < n) {
+      while (tail > head && cmp(digests(dq(tail - 1)), digests(i)) >= 0) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) out.add(hex(digests(dq(head))))
+      i += 1
+    }
+    if (n < w) out.add(hex(digests(dq(head)))) // single clamped window
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    i = 0
+    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** Distinct word n-gram shingles (first-occurrence order); fewer than n
+    * tokens → empty. Tokenization matches `split(text, " ")` (regex split,
+    * empty tokens kept) and shingle join matches `concat_ws(" ", ...)`. */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.LinkedHashSet[String]
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out.add(sb.toString)
+      i += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    i = 0
+    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+/** winnow_fingerprints(text, k, w) → ARRAY<STRING> of distinct window-min
+  * md5 hex fingerprints. k and w must be foldable ints. */
+case class WinnowFingerprintsExpr(first: Expression, second: Expression,
+                                  third: Expression) extends TernaryExpression {
+
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == StringType && second.dataType == IntegerType &&
+        third.dataType == IntegerType && second.foldable && third.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (STRING, foldable INT k, foldable INT w)")
+
+  @transient private lazy val k: Int =
+    second.eval(null).asInstanceOf[Int]
+  @transient private lazy val w: Int =
+    third.eval(null).asInstanceOf[Int]
+
+  /** Generated-code entry point (k/w baked in at plan time). */
+  def compute(text: UTF8String): ArrayData =
+    TextShingleHelpers.winnow(text, k, w)
+
+  override def nullSafeEval(text: Any, kv: Any, wv: Any): Any =
+    TextShingleHelpers.winnow(text.asInstanceOf[UTF8String],
+      kv.asInstanceOf[Int], wv.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (text, _, _) => {
+      val ref = ctx.addReferenceObj("winnowExpr", this, classOf[WinnowFingerprintsExpr].getName)
+      s"${ev.value} = $ref.compute($text);"
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** word_shingles(text, n) → ARRAY<STRING> of distinct word n-grams. */
+case class WordShinglesExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "word_shingles"
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType &&
+        right.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (STRING, foldable INT n)")
+
+  @transient private lazy val n: Int = right.eval(null).asInstanceOf[Int]
+
+  def compute(text: UTF8String): ArrayData = TextShingleHelpers.shingles(text, n)
+
+  override def nullSafeEval(text: Any, nv: Any): Any =
+    TextShingleHelpers.shingles(text.asInstanceOf[UTF8String],
+      nv.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (text, _) => {
+      val ref = ctx.addReferenceObj("shingleExpr", this, classOf[WordShinglesExpr].getName)
+      s"${ev.value} = $ref.compute($text);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object TextShingleExpressions {
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("winnow_fingerprints",
+      exprs => WinnowFingerprintsExpr(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction("word_shingles",
+      exprs => WordShinglesExpr(exprs(0), exprs(1)), "built-in")
+  }
+}

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.expressions.TextShingleExpressions
+
 /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's MOSS
   * scheme): hash every character k-gram, slide a window of `w` hashes, keep
   * the minimum per window — the selected hashes are a position-robust
@@ -19,22 +21,24 @@ import org.apache.spark.sql.types._
 object Winnowing {
 
   /** Per-document fingerprint rows: (id, fingerprint) distinct.
-    * Documents shorter than k+w-1 chars fingerprint their single window. */
+    * Documents shorter than k+w-1 chars fingerprint their single window.
+    *
+    * Fingerprinting runs as the native [[graft.expressions.WinnowFingerprintsExpr]]
+    * — one O(chars) pass per document (monotonic-deque sliding minima)
+    * inside whole-stage codegen. The earlier array-lambda formulation
+    * re-evaluated the full k-gram hash array per window position
+    * (interpreted, O(chars²·w) md5 calls per doc) — ~1000x slower at sf0.1.
+    * Small inputs that arrive in fewer partitions than cores are widened
+    * first so the hash scan uses the whole machine (at real scale the file
+    * count already provides parallelism and the repartition is skipped). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 16, w: Int = 8): DataFrame = {
-    val text = col(textCol)
-    val nGrams = length(text) - (k - 1)
-    val grams = transform(sequence(lit(1), greatest(nGrams, lit(1))),
-      i => md5(substring_index_safe(text, i, k)))
-    val nWindows = size(grams) - (w - 1)
-    val mins = transform(sequence(lit(1), greatest(nWindows, lit(1))),
-      i => array_min(slice(grams, i, least(lit(w), size(grams)))))
-    df.select(col(idCol), explode(array_distinct(mins)).as("fingerprint"))
+    TextShingleExpressions.register(df.sparkSession)
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val src = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    src.select(col(idCol),
+        explode(call_function("winnow_fingerprints",
+          col(textCol), lit(k), lit(w))).as("fingerprint"))
       .distinct()
   }
-
-  // substring(text, i, k) with a Column start index (builtin substring only
-  // takes literal ints; substr(Column, Column, Column) is the general form).
-  private def substring_index_safe(text: Column, i: Column, k: Int): Column =
-    text.substr(i, lit(k))
 }

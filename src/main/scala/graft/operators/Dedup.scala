@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.expressions.TextShingleExpressions
+
 /** Deduplication operators for large-scale text corpora — the training-data
   * pipeline extensions (BASELINE.json north star), built as pure
   * DataFrame transforms so every stage is one declarative plan:
@@ -30,15 +32,18 @@ object Dedup {
 
   /** Word n-gram shingle set per document: (id, shingle), distinct.
     * Shingle i = words[i..i+n-1] joined by single spaces; documents shorter
-    * than n words produce no shingles. */
+    * than n words produce no shingles.
+    *
+    * Runs as the native [[graft.expressions.WordShinglesExpr]] — one pass
+    * per document inside whole-stage codegen, instead of an interpreted
+    * array lambda that re-split the text per shingle position. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val idxs = sequence(lit(1), size(toks) - (n - 1))
-    val grams = transform(idxs, i =>
-      concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
-    df.select(col(idCol),
-        explode(when(size(toks) >= n, array_distinct(grams))
-          .otherwise(array().cast(ArrayType(StringType)))).as("shingle"))
+    TextShingleExpressions.register(df.sparkSession)
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val src = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    src.select(col(idCol),
+        explode(call_function("word_shingles", col(textCol), lit(n)))
+          .as("shingle"))
       .distinct()
   }
 
