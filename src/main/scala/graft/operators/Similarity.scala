@@ -91,11 +91,19 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH near-dup: bucketed candidates verified exactly.
-    * Approximate — misses a >=threshold pair with prob (1-p^r)^b. */
+    * Approximate — misses a >=threshold pair with prob (1-p^r)^b.
+    *
+    * Candidate pairs pass the int8 `quantized_cosine` prefilter (at
+    * `threshold - margin`, sound per QuantizeSpec's error bound) BEFORE
+    * the distinct: at moderate thresholds band buckets are big and the
+    * raw candidate stream is the dominant cost — filtering it with the
+    * integer kernel first means the distinct shuffle and the exact
+    * verify joins only ever see near-threshold survivors. */
   def lshNearDupPairs(spark: SparkSession, df: DataFrame, idCol: String,
                       vecCol: String, threshold: Double, dim: Int,
                       numPlanes: Int = 32, rowsPerBand: Int = 2,
-                      seed: Long = 42L, roundTo: Int = 6): DataFrame = {
+                      seed: Long = 42L, roundTo: Int = 6,
+                      margin: Double = 0.05): DataFrame = {
     require(numPlanes % rowsPerBand == 0)
     val numBands = numPlanes / rowsPerBand
     val planes = hyperplanes(numPlanes, dim, seed)
@@ -119,10 +127,20 @@ object Similarity {
             col(s"__bit${bnd * rowsPerBand + r}")): _*)
         }: _*)).as(Seq("band", "key")))
 
+    QuantizeExpressions.register(spark)
+    val codes = df.select(col(idCol),
+      call_function("quantize_int8", col(vecCol)).as("__q"))
+    val ca = codes.select(col(idCol).as("id_a"), col("__q").as("__qa"))
+    val cb = codes.select(col(idCol).as("id_b"), col("__q").as("__qb"))
+
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key")
           && col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .join(ca, "id_a").join(cb, "id_b")
+      .where(call_function("quantized_cosine", col("__qa"), col("__qb"))
+        >= threshold - margin)
+      .select("id_a", "id_b")
       .distinct()
 
     val va = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))

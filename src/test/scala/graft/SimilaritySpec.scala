@@ -62,19 +62,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("LSH near-dup achieves full recall vs exact at 32 planes / r=2") {
+  test("LSH near-dup recall vs exact at 16 planes / r=2 (q27 params)") {
     val e = Tables.load(spark, sf(), "embeddings")
     val exact = Similarity.cosineNearDupPairs(spark, e, "vec_id", "embedding", 0.42)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val lsh = Similarity.lshNearDupPairs(spark, e, "vec_id", "embedding",
-        0.42, dim = 64, numPlanes = 32, rowsPerBand = 2)
+        0.42, dim = 64, numPlanes = 16, rowsPerBand = 2)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    // Candidates are exact-verified → no false positives ever.
+    // Candidates pass a sound quantized prefilter then exact verification
+    // → no false positives ever.
     assert(lsh.subsetOf(exact))
     // Recall: at cos=0.42, P(band hit)=(1-acos(.42)/pi)^2≈0.40,
-    // P(miss)=(1-.40)^16≈2.6e-4 per pair. Full recall is expected but
-    // probabilistic — assert ≥90% so the suite can't flake (~1%/run odds
-    // of a single miss across ~34 pairs).
+    // P(miss)=(1-.40)^8≈1.5e-2 per pair (expected misses ~0.5 of ~34
+    // pairs). Assert ≥90% (allows 3 misses) so the suite can't flake:
+    // P(≥4 misses) ≈ 2e-4 by Poisson(0.5).
     assert(lsh.size >= exact.size * 9 / 10,
       s"LSH missed ${(exact -- lsh).size} of ${exact.size}")
   }
