@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.functions.{Curation, TextAnalysis}
+
+/** Dataset-curation queries over `documents` — the steps between "cleaned
+  * corpus" and "training batches": deterministic split assignment,
+  * PII-style redaction, per-document salient terms, and token-budget
+  * packing. Every formula is mirrored exactly in the DuckDB oracle
+  * (integer counts, explicit double coercions, round at the edge).
+  */
+object CurationQueries extends QueryFamily {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private val q41 = QueryDef(
+    "q41_hash_split",
+    "Deterministic 90/5/5 train/val/test split: md5(doc_id) bucket mod " +
+      "100 — stable across runs, engines, partitionings, and cluster " +
+      "sizes, so re-ingesting never moves a document between splits. " +
+      "Aggregated per (split, lang) with id ranges.",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        Curation.splitLabel(col("doc_id")).as("split"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("split", "lang"),
+    Some("""
+      WITH b AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                 % 100 AS bucket
+        FROM documents)
+      SELECT CASE WHEN bucket < 90 THEN 'train'
+                  WHEN bucket < 95 THEN 'val'
+                  ELSE 'test' END AS split,
+             lang, count(*) AS n,
+             min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM b
+      GROUP BY 1, 2
+      ORDER BY split, lang"""))
+
+  private val q42 = QueryDef(
+    "q42_pii_redact",
+    "PII-style redaction pass: digit runs of 3+ → <NUM>, email-shaped " +
+      "tokens counted, and a names-dictionary scrub (whole-word terms → " +
+      "<ENTITY>); per-doc redaction stats (match counts, length delta). " +
+      "Pure codegen'd regex — at scale this is a map-only stage with " +
+      "zero shuffle.",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"),
+        Curation.numberCount(col("text")).as("n_numbers"),
+        Curation.emailCount(col("text")).as("n_emails"),
+        Curation.entityCount(col("text")).as("n_entities"),
+        length(col("text")).as("len_raw"),
+        length(Curation.redactEntities(Curation.redactNumbers(col("text"))))
+          .as("len_redacted"))
+      .where(col("n_numbers") > 0 || col("n_emails") > 0
+        || col("n_entities") > 0)
+      .orderBy("doc_id"),
+    Some(s"""
+      WITH r AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '${Curation.numberPattern}'))
+                 AS INTEGER) AS n_numbers,
+               CAST(len(regexp_extract_all(text, '${Curation.emailPattern}'))
+                 AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(text, '${Curation.entityPattern}'))
+                 AS INTEGER) AS n_entities,
+               CAST(length(text) AS INTEGER) AS len_raw,
+               CAST(length(regexp_replace(regexp_replace(text,
+                 '${Curation.numberPattern}', '<NUM>', 'g'),
+                 '${Curation.entityPattern}', '<ENTITY>', 'g'))
+                 AS INTEGER) AS len_redacted
+        FROM documents)
+      SELECT * FROM r
+      WHERE n_numbers > 0 OR n_emails > 0 OR n_entities > 0
+      ORDER BY doc_id"""))
+
+  private val q43 = QueryDef(
+    "q43_tfidf_topterms",
+    "Top-3 salient terms per document by tf-idf (linear idf = N/df " +
+      "variant so the math is engine-exact without transcendental " +
+      "functions): token explode → per-doc tf, corpus df, score, " +
+      "partitioned-window top-k. The window partitions by doc_id — " +
+      "fully distributed at any scale.",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val toks = d.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df_ = toks.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df_, "token").crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * lit(1.0) * col("n_docs") / col("df"), 6))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token"))
+      scored.withColumn("rank", row_number().over(w).cast(IntegerType))
+        .where(col("rank") <= 3)
+        .select("doc_id", "rank", "token", "score")
+        .orderBy("doc_id", "rank")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+      tf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM toks GROUP BY doc_id, token),
+      df AS (
+        SELECT token, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.token,
+               round(((tf.tf * 1.0) * n.n_docs) / df.df, 6) AS score
+        FROM tf JOIN df USING (token) CROSS JOIN n),
+      ranked AS (
+        SELECT doc_id, token, score,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, token) AS INTEGER) AS rank
+        FROM scored)
+      SELECT doc_id, rank, token, score
+      FROM ranked
+      WHERE rank <= 3
+      ORDER BY doc_id, rank"""))
+
+  private val q44 = QueryDef(
+    "q44_seq_packing",
+    "Sequence packing: streaming-fill documents into 512-token packs " +
+      "within each language (pack = floor(preceding-tokens / 512) over a " +
+      "doc_id-ordered running sum). Per-pack doc counts and token totals. " +
+      "The window partitions by lang; a production pipeline would " +
+      "partition by (lang, shard) for unbounded corpora.",
+    (s, dir) => {
+      val withTok = docs(s, dir).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_tok"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      withTok
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("pack_id",
+          floor((col("cum") - col("n_tok")) / 512.0).cast(IntegerType))
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("pack_tokens"))
+        .orderBy("lang", "pack_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+               CASE WHEN length(text) = 0 THEN 0
+                    ELSE length(text) - length(replace(text, ' ', '')) + 1
+                    END AS n_tok
+        FROM documents),
+      c AS (
+        SELECT doc_id, lang, n_tok,
+               sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t)
+      SELECT lang,
+             CAST(floor((cum - n_tok) / 512.0) AS INTEGER) AS pack_id,
+             count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+      FROM c
+      GROUP BY lang, pack_id
+      ORDER BY lang, pack_id"""))
+
+  override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q44)
+}

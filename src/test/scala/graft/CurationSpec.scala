@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.Curation
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash split: deterministic, partition-invariant, ~90/5/5") {
+    val d = Tables.load(spark, sf(), "documents")
+    val split = d.select(col("doc_id"), Curation.splitLabel(col("doc_id")).as("s"))
+    val counts = split.groupBy("s").count().as[(String, Long)].collect().toMap
+    val n = counts.values.sum
+    assert(counts.keySet == Set("train", "val", "test"))
+    // 500 docs: expect ~450/25/25; allow generous tolerance for hash noise.
+    assert(counts("train") > n * 8 / 10 && counts("train") < n * 95 / 100)
+
+    // Same label regardless of physical layout (the property that matters:
+    // re-partitioning or re-ingesting must never move a doc across splits).
+    val reparted = d.repartition(7)
+      .select(col("doc_id"), Curation.splitLabel(col("doc_id")).as("s"))
+    assert(split.except(reparted).isEmpty && reparted.except(split).isEmpty)
+  }
+
+  test("redaction: digit runs / entity terms replaced, counts match, idempotent") {
+    val df = Seq(
+      (1L, "call 555123 or 42 now"),       // one 3+ digit run; 42 untouched
+      (2L, "reach a1@b2.com today"),       // one email
+      (3L, "customer departed the party"), // 1 whole-word entity; no substring hits
+      (4L, "nothing here")
+    ).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"),
+      Curation.numberCount(col("text")).as("nn"),
+      Curation.emailCount(col("text")).as("ne"),
+      Curation.entityCount(col("text")).as("nent"),
+      Curation.redactEntities(Curation.redactNumbers(col("text"))).as("red"))
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1)
+    assert(r(0) == ((1L, 1, 0, 0, "call <NUM> or 42 now")))
+    assert(r(1)._2 == 0 && r(1)._3 == 1)
+    // "departed"/"party" contain entity substrings but \b guards them.
+    assert(r(2) == ((3L, 0, 0, 1, "<ENTITY> departed the party")))
+    assert(r(3) == ((4L, 0, 0, 0, "nothing here")))
+    // Redacting an already-redacted text is a no-op.
+    val twice = df.select(
+      Curation.redactEntities(Curation.redactNumbers(
+        Curation.redactEntities(Curation.redactNumbers(col("text"))))).as("t"))
+      .as[String].collect().toSet
+    assert(twice == r.map(_._5).toSet)
+  }
+
+  test("q44 packing: packs respect the running-fill invariant") {
+    val q = graft.SparkEntry.queries("q44_seq_packing")(spark, sf())
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    // Every pack except possibly each lang's last must have crossed the
+    // 512-token budget (streaming fill only opens a new pack after the
+    // previous one is full).
+    val byLang = rows.groupBy(_.getString(0))
+    byLang.foreach { case (_, packs) =>
+      val sorted = packs.sortBy(_.getInt(1))
+      // A new pack only opens once the running total has crossed its
+      // 512-token boundary: prefix sum through pack p >= 512*(p+1) for
+      // every non-final pack.
+      val prefix = sorted.map(_.getLong(3)).scanLeft(0L)(_ + _).drop(1)
+      sorted.dropRight(1).zip(prefix).foreach { case (r, cum) =>
+        assert(cum >= 512L * (r.getInt(1) + 1),
+          s"pack ${r.getInt(1)} closed before its boundary")
+      }
+      // pack ids are dense from 0
+      assert(sorted.map(_.getInt(1)).toSeq == sorted.indices.map(identity))
+    }
+  }
+}
