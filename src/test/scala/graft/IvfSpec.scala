@@ -50,6 +50,29 @@ class IvfSpec extends SparkSpec {
     assert(ivf == exact)
   }
 
+  test("partitionBy(ivf_cluster) write → probe reads only probed partitions") {
+    val indexed = IvfIndex.assign(spark, emb, "embedding", model)
+    val dir = tmpDir("ivf")
+    indexed.write.mode("overwrite").partitionBy("ivf_cluster").parquet(dir)
+    val probes = model.rankClusters(queryVec).take(4)
+    val probed = spark.read.parquet(dir)
+      .where(col("ivf_cluster").isin(probes.map(Integer.valueOf).toSeq: _*))
+    // Every file actually read must come from a probed cluster directory —
+    // the nprobe filter IS partition pruning on the laid-out table.
+    val files = probed.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(files.nonEmpty)
+    val allowed = probes.map(c => s"ivf_cluster=$c/").toSet
+    assert(files.forall(f => allowed.exists(f.contains)),
+      s"scan touched non-probed partitions: ${files.filterNot(f => allowed.exists(f.contains))}")
+    // And the search over the pruned table equals the in-memory path.
+    val fromDisk = IvfIndex.searchTopK(spark, spark.read.parquet(dir),
+      "vec_id", "embedding", model, queryVec, k = 10, nprobe = 4).collect().toSeq
+    val inMem = IvfIndex.searchTopK(spark, indexed,
+      "vec_id", "embedding", model, queryVec, k = 10, nprobe = 4).collect().toSeq
+    assert(fromDisk == inMem)
+  }
+
   test("nprobe=4/16 keeps the query's own cluster and reports real recall") {
     val indexed = IvfIndex.assign(spark, emb, "embedding", model)
     val got = IvfIndex.searchTopK(spark, indexed, "vec_id", "embedding",
