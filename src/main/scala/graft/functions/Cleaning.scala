@@ -84,6 +84,14 @@ object Cleaning {
   def pickInt(cols: Column*): Column = coalesce(cols.map(safeInt): _*)
   def pickDouble(cols: Column*): Column = coalesce(cols.map(safeDouble): _*)
 
+  /** Optional suppression-flag column (architecture.md:182): TRUE when the
+    * raw value is the `-3` ("suppressed") sentinel specifically — the
+    * cleaning above folds it into NULL, and this flag preserves WHY the
+    * value is null for downstream disclosure-control analysis. False for
+    * every other shape, including the other sentinels. */
+  def suppressedFlag(c: Column): Column =
+    coalesce(trim(c.cast(StringType)) === "-3", lit(false))
+
   // Scala mirrors of the cleaning semantics, for the SQL-text UDF surface and
   // for driver-side (non-DataFrame) callers like the HTTP connector.
   private[graft] def missingScala(s: String): Boolean = {

@@ -224,8 +224,9 @@ object CompatQueries extends QueryFamily {
     "q10_sentinel_clean",
     "T1-T5: IPEDS sentinel-null cleaning + safe int cast " +
       "(directory.py:30-119): -1/-2/-3, blanks → NULL; malformed int " +
-      "('12.5') → NULL, not 12. Sentinels and malformed values are injected " +
-      "deterministically by doc_id.",
+      "('12.5') → NULL, not 12; plus the optional -3 suppression-flag " +
+      "column (architecture.md:182). Sentinels and malformed values are " +
+      "injected deterministically by doc_id.",
     (s, dir) => {
       val withDirty = t(s, dir, "documents").select(
         col("doc_id"),
@@ -238,7 +239,8 @@ object CompatQueries extends QueryFamily {
       withDirty.select(
           col("doc_id"),
           Cleaning.cleanStr(col("dirty_lang")).as("clean_lang"),
-          Cleaning.safeInt(col("dirty_chars")).as("clean_chars"))
+          Cleaning.safeInt(col("dirty_chars")).as("clean_chars"),
+          Cleaning.suppressedFlag(col("dirty_chars")).as("chars_suppressed"))
         .orderBy("doc_id")
     },
     Some("""
@@ -259,7 +261,8 @@ object CompatQueries extends QueryFamily {
                        OR trim(dirty_chars) IN ('-1','-2','-3') THEN NULL
                   WHEN regexp_matches(trim(dirty_chars), '^[+-]?[0-9]+$')
                        THEN CAST(trim(dirty_chars) AS INTEGER)
-                  ELSE NULL END AS clean_chars
+                  ELSE NULL END AS clean_chars,
+             coalesce(trim(dirty_chars) = '-3', false) AS chars_suppressed
       FROM dirty
       ORDER BY doc_id"""))
 

@@ -68,4 +68,12 @@ class CleaningSpec extends SparkSpec {
     for (v <- Seq("42", "12.5", "-1", " x ", "", null))
       assert(one(v, Cleaning.safeInt) == Cleaning.toIntScala(v))
   }
+
+  test("suppression flag: -3 only (architecture.md:182 optional column)") {
+    val df = Seq("-3", " -3 ", "-1", "-2", "", "42", null)
+      .toDF("v")
+    val got = df.select(Cleaning.suppressedFlag(col("v")).as("f"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(got == Seq(true, true, false, false, false, false, false))
+  }
 }
