@@ -88,4 +88,29 @@ object Multimodal {
                    everyNMillis: Int): DataFrame =
     df.withColumn("frame_offsets_ms",
       sequence(lit(0), col(durationMsCol).cast(LongType), lit(everyNMillis.toLong)))
+
+  final case class ResizedMedia(media_id: Long, kind: String,
+                                width: Int, height: Int, scale: Double,
+                                content: Array[Byte])
+
+  /** Resize-to-fit plumbing: cap the longest edge at `maxDim`, never
+    * upscale, preserve aspect ratio (floor rounding, min 1px). Batched
+    * per-partition like [[extractFeatures]]; the stub "re-encode" passes
+    * the original bytes through — a real codec swaps ONE line. */
+  def resizeToFit(media: Dataset[MediaRow],
+                  maxDim: Int, batchSize: Int = 64): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val (w, h, _, _) = MediaCodecStub.decode(m.content)
+          val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+          val nw = math.max(1, math.floor(w * scale).toInt)
+          val nh = math.max(1, math.floor(h * scale).toInt)
+          ResizedMedia(m.media_id, m.kind, nw, nh, scale, m.content)
+        }
+      }
+    }
+  }
 }

@@ -45,4 +45,22 @@ class MultimodalSpec extends SparkSpec {
       .select("frame_offsets_ms").as[Seq[Long]].collect()(0)
     assert(offs == Seq(0L, 250L, 500L, 750L, 1000L))
   }
+
+  test("resizeToFit: longest edge capped, aspect preserved, no upscale") {
+    val dims = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> (f.width, f.height)).toMap
+    val resized = Multimodal.resizeToFit(media, maxDim = 100).collect()
+    resized.foreach { r =>
+      val (w, h) = dims(r.media_id)
+      assert(math.max(r.width, r.height) <= 100)
+      assert(r.scale <= 1.0 && r.scale > 0.0)
+      if (math.max(w, h) <= 100) { // already small → untouched
+        assert(r.scale == 1.0 && (r.width, r.height) == ((w, h)))
+      } else { // aspect ratio preserved within floor rounding
+        val expW = math.max(1, math.floor(w * r.scale).toInt)
+        val expH = math.max(1, math.floor(h * r.scale).toInt)
+        assert((r.width, r.height) == ((expW, expH)))
+      }
+    }
+  }
 }
