@@ -35,7 +35,10 @@ object Winnowing {
                    k: Int = 16, w: Int = 8): DataFrame = {
     TextShingleExpressions.register(df.sparkSession)
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val src = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val src =
+      if (df.isStreaming) df // partition probing/repartition is batch-only
+      else if (df.rdd.getNumPartitions < par) df.repartition(par)
+      else df
     src.select(col(idCol),
         explode(call_function("winnow_fingerprints",
           col(textCol), lit(k), lit(w))).as("fingerprint"))

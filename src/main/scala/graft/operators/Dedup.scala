@@ -40,7 +40,10 @@ object Dedup {
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     TextShingleExpressions.register(df.sparkSession)
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val src = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val src =
+      if (df.isStreaming) df // partition probing/repartition is batch-only
+      else if (df.rdd.getNumPartitions < par) df.repartition(par)
+      else df
     src.select(col(idCol),
         explode(call_function("word_shingles", col(textCol), lit(n)))
           .as("shingle"))

@@ -1,0 +1,44 @@
+package graft
+
+/** Plan-regression gate over the ENTIRE query surface: every SparkEntry
+  * query is planned against sf0.001 and its physical plan checked for the
+  * shapes that do not survive scale.
+  *
+  *   - CartesianProduct: never. Pair generation must be inverted-index,
+  *     banded, or explicitly broadcast-bounded.
+  *   - BroadcastNestedLoopJoin: only in the queries that intentionally
+  *     broadcast a tiny side against a non-equi condition (the exact
+  *     all-pairs baselines and the broadcast-query-vector top-k). A new
+  *     query acquiring a BNL join fails here and must either justify
+  *     itself (add to the allowlist) or re-key its join.
+  *
+  * Streaming queries execute through their own harness (they cannot be
+  * planned by a bare explain) and are skipped.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  // Queries whose BroadcastNestedLoop is by design: a tiny broadcast side
+  // under a non-equi predicate.
+  private val bnlAllowed = Set(
+    "q25_ann_bruteforce_topk",   // broadcast single query vector
+    "q26_cosine_neardup_pairs",  // exact all-pairs correctness baseline
+    "q40_quantized_neardup",     // all-pairs over 1-byte codes (q26's fast twin)
+    "q37_range_join",            // banded join's unbucketed comparison arm
+    "q36_asof_join",             // tolerance probe on a bounded frame
+    "q43_tfidf_topterms")        // broadcast of the 1-row corpus-count agg
+
+  test("no cartesian products; nested-loop joins only where intended") {
+    val skip = Set("q33_stream_windowed_agg") // runs a streaming query
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, build) =>
+      if (!skip.contains(name)) {
+        val plan = build(spark, sf()).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct"))
+          offenders += s"$name: CartesianProduct"
+        if (plan.contains("BroadcastNestedLoopJoin") && !bnlAllowed(name))
+          offenders += s"$name: unexpected BroadcastNestedLoopJoin"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
