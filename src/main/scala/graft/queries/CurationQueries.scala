@@ -173,5 +173,49 @@ object CurationQueries extends QueryFamily {
       GROUP BY lang, pack_id
       ORDER BY lang, pack_id"""))
 
-  override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q44)
+  private val q47 = QueryDef(
+    "q47_chunk_windows",
+    "RAG-style context chunking: overlapping token windows (32 tokens, " +
+      "stride 24) per document, 1-based chunk ids, rejoined text. The " +
+      "token array is materialized in its OWN projection first, so the " +
+      "per-chunk slice reads an attribute — not a derived expression " +
+      "re-evaluated per element (the interpreted-lambda trap " +
+      "STATUS_r1.md documents). Map-only: zero shuffle before the " +
+      "output sort.",
+    (s, dir) => {
+      val win = 32; val stride = 24
+      val toks = docs(s, dir).select(col("doc_id"),
+        split(col("text"), " ").as("toks"))
+      val nChunks = greatest(
+        ceil((size(col("toks")) - win).cast(DoubleType) / stride)
+          .cast(IntegerType) + 1,
+        lit(1))
+      toks
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1), nChunks)).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          array_join(slice(col("toks"), (col("chunk_id") - 1) * stride + 1, lit(win)), " ")
+            .as("chunk_text"),
+          size(slice(col("toks"), (col("chunk_id") - 1) * stride + 1, lit(win)))
+            .as("n_tokens"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      c AS (
+        SELECT doc_id, toks,
+               unnest(range(1, greatest(
+                 CAST(ceil((len(toks) - 32) / 24.0) AS INTEGER) + 1, 1) + 1))
+                 AS chunk_id
+        FROM t)
+      SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+             array_to_string(toks[(chunk_id - 1) * 24 + 1 :
+                                  (chunk_id - 1) * 24 + 32], ' ') AS chunk_text,
+             CAST(len(toks[(chunk_id - 1) * 24 + 1 :
+                           (chunk_id - 1) * 24 + 32]) AS INTEGER) AS n_tokens
+      FROM c
+      ORDER BY doc_id, chunk_id"""))
+
+  override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q44, q47)
 }
