@@ -156,7 +156,35 @@ object Registry {
       i("cc_size_setting_2010"), i("cc_size_setting_2015"),
       i("cc_size_setting_2018"), i("cc_size_setting_2021")))
 
-  val endpoints: Map[String, EndpointConfig] = Map(directory.name -> directory)
+  /** The IPEDS Admissions endpoint — the reference documents this mapper
+    * but never ships it (`etl/mappers/admissions.py`, architecture.md:122;
+    * the `admissions_enriched` view at architecture.md:53-54 and the
+    * accept-rate/yield KPIs at architecture.md:56 define its required
+    * fields). Column set follows the public IPEDS ADM component: applicant
+    * / admitted / enrolled counts plus test-score percentiles; alias lists
+    * carry the survey's historical short names the same way the directory
+    * mapper does. PK (unitid, year) per architecture.md:41-44. */
+  val admissions: EndpointConfig = EndpointConfig(
+    name = "admissions",
+    path = "college-university/ipeds/admissions-enrollment",
+    primaryKey = Seq("unitid", "year"),
+    columns = Seq(
+      i("unitid"),
+      i("year"),
+      i("number_applied", "number_applied", "applicants_total", "applcn"),
+      i("number_admitted", "number_admitted", "admissions_total", "admssn"),
+      i("number_enrolled_total", "number_enrolled_total", "enrolled_total", "enrlt"),
+      i("number_enrolled_ft", "number_enrolled_ft", "enrlft"),
+      i("number_enrolled_pt", "number_enrolled_pt", "enrlpt"),
+      i("sat_reading_25_pctl", "sat_reading_25_pctl", "satvr25"),
+      i("sat_reading_75_pctl", "sat_reading_75_pctl", "satvr75"),
+      i("sat_math_25_pctl", "sat_math_25_pctl", "satmt25"),
+      i("sat_math_75_pctl", "sat_math_75_pctl", "satmt75"),
+      i("act_composite_25_pctl", "act_composite_25_pctl", "actcm25"),
+      i("act_composite_75_pctl", "act_composite_75_pctl", "actcm75")))
+
+  val endpoints: Map[String, EndpointConfig] =
+    Map(directory.name -> directory, admissions.name -> admissions)
 
   /** Accessor with the reference's unknown-endpoint error contract
     * (registry.py:170-181). */
