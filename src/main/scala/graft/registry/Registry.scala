@@ -183,8 +183,29 @@ object Registry {
       i("act_composite_25_pctl", "act_composite_25_pctl", "actcm25"),
       i("act_composite_75_pctl", "act_composite_75_pctl", "actcm75")))
 
-  val endpoints: Map[String, EndpointConfig] =
-    Map(directory.name -> directory, admissions.name -> admissions)
+  /** The IPEDS Completions endpoint — documented mapper + view
+    * (architecture.md:122, `completions_by_cip` at architecture.md:55)
+    * with the documented composite key (unitid, year, cipcode,
+    * award_level) (architecture.md:43) — the 4-column-PK case the upsert
+    * and index guidance (architecture.md:78-79) call out. Counts follow
+    * the public IPEDS C component short names. */
+  val completions: EndpointConfig = EndpointConfig(
+    name = "completions",
+    path = "college-university/ipeds/completions-cip-6",
+    primaryKey = Seq("unitid", "year", "cipcode", "award_level"),
+    columns = Seq(
+      i("unitid"),
+      i("year"),
+      s("cipcode", "cipcode", "cip6", "cip"),
+      i("award_level", "award_level", "awlevel"),
+      i("awards_total", "awards_total", "ctotalt", "awards"),
+      i("awards_men", "awards_men", "ctotalm"),
+      i("awards_women", "awards_women", "ctotalw")))
+
+  val endpoints: Map[String, EndpointConfig] = Map(
+    directory.name -> directory,
+    admissions.name -> admissions,
+    completions.name -> completions)
 
   /** Accessor with the reference's unknown-endpoint error contract
     * (registry.py:170-181). */
