@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.core.Tables
+import graft.operators.IvfIndex
+
+/** Incremental ANN indexing: IVF assignment is a stateless codegen
+  * projection, so it runs unchanged inside Structured Streaming — new
+  * embeddings stream in, get their nearest-centroid cluster from the
+  * (frozen) trained model, and append into the cluster-partitioned table
+  * that probes read with partition pruning. This is the "index new data
+  * as it arrives" path of the ANN story; training stays an offline
+  * driver-side step on a bounded sample.
+  */
+class StreamingIvfSpec extends SparkSpec {
+
+  test("streaming assign == batch assign; appended table stays searchable") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val model = IvfIndex.train(emb, "vec_id", "embedding", k = 8)
+
+    // Stage the corpus as parquet files (2 file-batches) for a file stream.
+    val srcDir = tmpDir("ivf-stream-src")
+    emb.where(col("vec_id") % 2 === 0).write.parquet(srcDir + "/b0")
+    emb.where(col("vec_id") % 2 === 1).write.parquet(srcDir + "/b1")
+
+    val outDir = tmpDir("ivf-stream-out")
+    val ckpt = tmpDir("ivf-stream-ckpt")
+    val stream = spark.readStream
+      .schema(emb.schema)
+      .option("maxFilesPerTrigger", 1) // two micro-batches, incremental
+      .parquet(srcDir + "/b*")
+    val assigned = IvfIndex.assign(spark, stream, "embedding", model)
+    val q = assigned.writeStream
+      .format("parquet")
+      .option("checkpointLocation", ckpt)
+      .option("path", outDir)
+      .partitionBy("ivf_cluster")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.read.parquet(outDir)
+    val batch = IvfIndex.assign(spark, emb, "embedding", model)
+    // identical assignment for every vector
+    assert(streamed.count() == emb.count())
+    assert(streamed.select("vec_id", "ivf_cluster")
+      .except(batch.select("vec_id", "ivf_cluster")).isEmpty)
+
+    // and the streamed table answers probes exactly like the batch index
+    val qv = emb.where(col("vec_id") === 0L)
+      .select("embedding").head.getSeq[Float](0).map(_.toDouble).toArray
+    val fromStream = IvfIndex.searchTopK(spark, streamed, "vec_id",
+      "embedding", model, qv, k = 5, nprobe = 3).collect().toSeq
+    val fromBatch = IvfIndex.searchTopK(spark, batch, "vec_id",
+      "embedding", model, qv, k = 5, nprobe = 3).collect().toSeq
+    assert(fromStream == fromBatch)
+  }
+}
