@@ -24,9 +24,16 @@ class DifferentialPropertySpec extends SparkSpec {
   private val textGen: Gen[String] =
     Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
 
+  // Shapes the generator can't produce: empty text, bare/consecutive/
+  // leading/trailing separators (empty tokens), sub-k and sub-window
+  // lengths, exact boundary lengths.
+  private val edgeTexts: Seq[String] = Seq(
+    "", " ", "  ", "a", "a  b", "  lead", "trail  ", "a b  c   d",
+    "abcd", "a" * 4, "a" * 5, "a" * 7, "a" * 8)
+
   test("native winnow_fingerprints == array-lambda formulation (random texts)") {
     TextShingleExpressions.register(spark)
-    val texts = Gen.listOfN(60, textGen).sample.get.zipWithIndex
+    val texts = (Gen.listOfN(60, textGen).sample.get ++ edgeTexts).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }
     val df = texts.toDF("id", "text")
     val k = 5; val w = 3
@@ -51,7 +58,7 @@ class DifferentialPropertySpec extends SparkSpec {
 
   test("native word_shingles == array-lambda formulation (random texts)") {
     TextShingleExpressions.register(spark)
-    val texts = Gen.listOfN(60, textGen).sample.get.zipWithIndex
+    val texts = (Gen.listOfN(60, textGen).sample.get ++ edgeTexts).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }
     val df = texts.toDF("id", "text")
     val n = 3
