@@ -30,7 +30,7 @@ object Hashing {
   private val mapper: ObjectMapper = {
     val m = new ObjectMapper()
     m.configure(SerializationFeature.ORDER_MAP_ENTRIES_BY_KEYS, true)
-    m.setNodeFactory(JsonNodeFactory.withExactBigDecimals(true))
+    m.setNodeFactory(new JsonNodeFactory(true)) // exact BigDecimals
     m
   }
 

@@ -77,6 +77,6 @@ object Chunker {
       .groupBy((partitionCols :+ "page_number").map(col): _*)
       .agg(
         count(lit(1)).cast(IntegerType).as("record_count"),
-        sort_array(collect_list(struct(dataCols: _*))).as("payload"))
+        sort_array(collect_list(struct(dataCols.toIndexedSeq: _*))).as("payload"))
   }
 }

@@ -112,7 +112,7 @@ object Similarity {
     // Sign bit per plane: dot(v, plane) >= 0. Planes are literals — the
     // whole signature computes in one codegen'd projection, no shuffle.
     val planeCols = planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
+      val planeLit = array(p.toIndexedSeq.map(lit): _*)
       when(call_function("dot_product", col(vecCol), planeLit) >= 0, 1)
         .otherwise(0).as(s"__bit$i")
     }

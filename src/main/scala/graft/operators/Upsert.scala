@@ -45,7 +45,7 @@ object Upsert {
     * Aggregation-based: `max_by` partial-aggregates map-side, so the shuffle
     * carries one row per key per input partition instead of every row. */
   def latestPerKey(df: DataFrame, keys: Seq[String], ord: Seq[Column]): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
     val ordKey = struct(ord: _*)
     df.groupBy(keys.map(col): _*)
       .agg(max_by(payload, ordKey).as("__row"))

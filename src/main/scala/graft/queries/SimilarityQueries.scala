@@ -89,7 +89,7 @@ object SimilarityQueries extends QueryFamily {
       val model = IvfIndex.train(e, "vec_id", "embedding", k = 16)
       val indexed = IvfIndex.assign(s, e, "embedding", model)
       val qv = e.where(org.apache.spark.sql.functions.col("vec_id") === 0L)
-        .select("embedding").head.getSeq[Float](0).map(_.toDouble).toArray
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
       IvfIndex.searchTopK(s, indexed, "vec_id", "embedding", model, qv,
         k = 10, nprobe = 4)
     },

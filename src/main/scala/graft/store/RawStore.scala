@@ -64,7 +64,7 @@ object RawStore {
           val keptOld = oldAffected.alias("o").join(changed.alias("n"),
             pageKey.map(k => col(s"o.$k") === col(s"n.$k")) reduce (_ && _),
             "left_anti")
-          val merged = keptOld.unionByName(changed.select(keptOld.columns.map(col): _*))
+          val merged = keptOld.unionByName(changed.select(keptOld.columns.toIndexedSeq.map(col): _*))
           merged.write.partitionBy("year").mode(SaveMode.Overwrite).parquet(target)
         }
         nChanged
