@@ -52,6 +52,36 @@ object GoldViews {
       (9, "Private for-profit less-than-2-year")).toDF("code", "label")
   }
 
+  /** Region (OBE/BEA) dimension — the second documented `ipeds_dim` lookup
+    * (architecture.md:46-48; `region` column registry.py-style). */
+  def regionDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0, "US Service schools"),
+      (1, "New England"),
+      (2, "Mid East"),
+      (3, "Great Lakes"),
+      (4, "Plains"),
+      (5, "Southeast"),
+      (6, "Southwest"),
+      (7, "Rocky Mountains"),
+      (8, "Far West"),
+      (9, "Outlying areas")).toDF("code", "label")
+  }
+
+  /** Urban-centric locale dimension (architecture.md:46-48; the
+    * `urban_centric_locale` directory column). Codes are the NCES 12-way
+    * classification. */
+  def localeDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (11, "City: Large"), (12, "City: Midsize"), (13, "City: Small"),
+      (21, "Suburb: Large"), (22, "Suburb: Midsize"), (23, "Suburb: Small"),
+      (31, "Town: Fringe"), (32, "Town: Distant"), (33, "Town: Remote"),
+      (41, "Rural: Fringe"), (42, "Rural: Distant"), (43, "Rural: Remote"))
+      .toDF("code", "label")
+  }
+
   /** Q11: yearly KPI rollup over the directory (yearly_kpis shape,
     * architecture.md:56): institution counts and attribute rates per year. */
   def yearlyKpis(directory: DataFrame): DataFrame =

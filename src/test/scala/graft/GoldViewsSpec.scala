@@ -50,6 +50,23 @@ class GoldViewsSpec extends SparkSpec {
     assert(labels(0).getString(0) == "Public 4-year or above")
   }
 
+  test("region + locale dims (architecture.md:46-48) decode like sector") {
+    import spark.implicits._
+    val facts = Seq((1, 5, 11), (2, 8, 43), (3, 99, 99))
+      .toDF("id", "region", "urban_centric_locale")
+    val decoded = GoldViews.decode(
+      GoldViews.decode(facts, GoldViews.regionDim(spark), "region", "region_label"),
+      GoldViews.localeDim(spark), "urban_centric_locale", "locale_label")
+      .orderBy("id").collect()
+    assert(decoded(0).getAs[String]("region_label") == "Southeast")
+    assert(decoded(0).getAs[String]("locale_label") == "City: Large")
+    assert(decoded(1).getAs[String]("region_label") == "Far West")
+    assert(decoded(1).getAs[String]("locale_label") == "Rural: Remote")
+    // unknown codes survive the left join as null labels
+    assert(decoded(2).isNullAt(decoded(2).fieldIndex("region_label")))
+    assert(decoded(2).isNullAt(decoded(2).fieldIndex("locale_label")))
+  }
+
   test("Q11 yearly_kpis: per-year counts and rates") {
     val kpis = GoldViews.yearlyKpis(core).collect()
     assert(kpis.length == 2)
