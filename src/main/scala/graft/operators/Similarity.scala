@@ -59,9 +59,14 @@ object Similarity {
     * (id, scale, 1-byte-per-dim codes) instead of 4-byte floats; the
     * integer quantized_cosine kernel prefilters at `threshold - margin`;
     * only survivors re-join the float vectors for exact verification.
-    * Sound whenever `margin` >= the quantization error on cosine
-    * (worst-case ~2*sqrt(dim)/127; QuantizeSpec pins the measured max on
-    * the real corpus at well under the 0.05 default).
+    *
+    * SOUNDNESS PRECONDITION: `margin` must dominate the corpus's actual
+    * quantization error on cosine. The 0.05 default holds for roughly
+    * isotropic embeddings (the test corpus measures < 0.02), but
+    * heavy-tailed per-vector coordinates — one dominant spike crushes
+    * every other code toward zero — can push the error past 0.13
+    * (QuantizeSpec pins both regimes). When the distribution is unknown,
+    * measure: pass `margin = measuredQuantizationMargin(...) * safety`.
     */
   def quantizedNearDupPairs(spark: SparkSession, df: DataFrame, idCol: String,
                             vecCol: String, threshold: Double,
@@ -82,6 +87,31 @@ object Similarity {
       .withColumn("cosine", round(cos(spark, "__va", "__vb"), roundTo))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+  }
+
+  /** Measured max |quantized_cosine − cosine| over all pairs of a bounded
+    * deterministic sample — the empirical basis for a SOUND prefilter
+    * margin when the embedding distribution is unknown (see the
+    * [[quantizedNearDupPairs]] precondition). Cost: sampleN² pair
+    * evaluations on `sampleN` (default 512) hash-chosen vectors — driver
+    * returns one double; the corpus is never fully paired. */
+  def measuredQuantizationMargin(spark: SparkSession, df: DataFrame,
+                                 idCol: String, vecCol: String,
+                                 sampleN: Int = 512): Double = {
+    QuantizeExpressions.register(spark)
+    VectorExpressions.register(spark)
+    val s = df
+      .orderBy(abs(hash(col(idCol))), col(idCol)).limit(sampleN)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        call_function("quantize_int8", col(vecCol)).as("q"))
+    val a = s.select(col("id").as("id_a"), col("v").as("va"), col("q").as("qa"))
+    val b = s.select(col("id").as("id_b"), col("v").as("vb"), col("q").as("qb"))
+    val err = a.join(b, col("id_a") < col("id_b"))
+      .select(abs(call_function("quantized_cosine", col("qa"), col("qb"))
+        - call_function("cosine_sim", col("va"), col("vb"))).as("err"))
+      .agg(max("err"))
+      .head()
+    if (err.isNullAt(0)) 0.0 else err.getDouble(0)
   }
 
   /** Deterministic unit-free hyperplanes: coefficients from a seeded RNG. */

@@ -58,6 +58,38 @@ class QuantizeSpec extends SparkSpec {
     assert(maxErr < 0.02, s"quantized cosine max error $maxErr")
   }
 
+  test("heavy-tailed vectors break the default margin; measured margin restores exactness") {
+    QuantizeExpressions.register(spark)
+    VectorExpressions.register(spark)
+    // Heavy-tailed magnitudes: one dominant coordinate crushes every other
+    // code toward 0 — the worst case for symmetric per-vector scaling.
+    val rnd = new scala.util.Random(7)
+    def vec(dim: Int, spike: Boolean): Seq[Float] = {
+      val v = Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+      if (spike) v.updated(rnd.nextInt(dim), (v.head.sign * 50).toFloat) else v
+    }
+    val rows = (0 until 40).map { i =>
+      (i.toLong, vec(if (i % 3 == 0) 8 else 64, spike = i % 2 == 0))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+
+    // 1. The documented hazard is real: error here exceeds the 0.05
+    //    default margin (the corpus itself stays under 0.02 — previous
+    //    test). This is WHY quantizedNearDupPairs states a precondition.
+    val measured = Similarity.measuredQuantizationMargin(
+      spark, df, "vec_id", "embedding")
+    assert(measured > 0.05, s"expected adversarial error > default margin, got $measured")
+
+    // 2. The measured-margin path restores exactness: prefilter at the
+    //    measured error (+ tiny slack) == exact all-pairs output.
+    val exact = Similarity.cosineNearDupPairs(spark, df, "vec_id",
+      "embedding", threshold = 0.3).collect().toSet
+    val quantized = Similarity.quantizedNearDupPairs(spark, df, "vec_id",
+      "embedding", threshold = 0.3, margin = measured + 1e-9)
+      .collect().toSet
+    assert(quantized == exact)
+  }
+
   test("quantized near-dup == exact near-dup (pairs AND cosines)") {
     val e = Tables.load(spark, sf(), "embeddings")
     val exact = Similarity.cosineNearDupPairs(spark, e, "vec_id", "embedding", 0.42)
