@@ -164,19 +164,29 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document over whitespace tokens weighted by
-    * frequency; xxhash64 token hashes (codegen'd, deterministic). */
+    * frequency. Token bits come from the 16 hex nibbles of md5(token)
+    * (bit j = bit j%4 of nibble j/4) — engine-portable, so a SQL oracle
+    * can derive the identical signature (md5 is the one cryptographic
+    * hash every engine exposes with identical output; xxhash64 is not). */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .where(col("tok") =!= "")
-      .withColumn("__h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"__b$i")
+      .withColumn("__md5", md5(col("tok")))
+    // Nibbles decode once; all 64 bit-sums reference the decoded columns.
+    val withNibs = (0 until 16).foldLeft(tok) { (d, i) =>
+      d.withColumn(s"__n$i",
+        conv(substring(col("__md5"), i + 1, 1), 16, 10).cast(IntegerType))
     }
-    tok.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col(s"__n${j / 4}"), j % 4).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"__b$j")
+    }
+    // Disjoint bit values: the sum is exact two's-complement assembly even
+    // when bit 63 (the sign bit) participates.
+    withNibs.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
       .select(col(idCol),
-        (0 until 64).map(i =>
-          when(col(s"__b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+        (0 until 64).map(j =>
+          when(col(s"__b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
   }
 

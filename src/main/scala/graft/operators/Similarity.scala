@@ -114,8 +114,10 @@ object Similarity {
     if (err.isNullAt(0)) 0.0 else err.getDouble(0)
   }
 
-  /** Deterministic unit-free hyperplanes: coefficients from a seeded RNG. */
-  private def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+  /** Deterministic unit-free hyperplanes: coefficients from a seeded RNG.
+    * `private[graft]` so the oracle-SQL generator can inject the IDENTICAL
+    * plane literals into DuckDB and replicate the band candidate set. */
+  private[graft] def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }

@@ -103,14 +103,42 @@ object DedupQueries extends QueryFamily {
       .orderBy("id_a", "id_b"),
     Some(jaccardOracle))
 
+  /** DuckDB twin of [[Dedup.simhash64]] + hamming<=3 pairing. The engine
+    * uses pigeonhole banding to FIND the pairs but banding is exact for
+    * the radius (any pair within hamming h matches on >= 1 of h+1 bands),
+    * so the oracle can pair all-ways: same signature bits (md5 nibbles),
+    * same pair set. Signature is a 64-char bit string on the SQL side —
+    * DuckDB BIGINT can't shift into bit 63 — and `hamming()` counts
+    * differing positions, which equals bit_count(xor) on the Spark side. */
+  private def simhashOracle: String = {
+    val bitSums = (0 until 64).map { j =>
+      val nib = s"(strpos('0123456789abcdef', substr(h, ${j / 4 + 1}, 1)) - 1)"
+      s"sum(CASE WHEN (($nib >> ${j % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(", ")
+    val sigChars = (0 until 64)
+      .map(j => s"CASE WHEN b$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      th AS (SELECT doc_id, md5(t) AS h FROM tok WHERE t != ''),
+      bits AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id),
+      sig AS (SELECT doc_id, $sigChars AS s FROM bits),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(hamming(a.s, b.s) AS INTEGER) AS hamming
+                FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+      ORDER BY id_a, id_b"""
+  }
+
   private val q24 = QueryDef(
     "q24_simhash_pairs",
-    "SimHash(64-bit, xxhash64 token bits) near-dup pairs at hamming<=3 via " +
-      "pigeonhole banding. Hash function is engine-specific → rows-only " +
-      "here; semantics pinned in DedupSpec.",
+    "SimHash(64-bit, md5-nibble token bits) near-dup pairs at hamming<=3 " +
+      "via pigeonhole banding (exact for the radius). Signature bits are " +
+      "md5-derived so the DuckDB oracle computes the identical signatures " +
+      "and pair set; semantics additionally pinned in DedupSpec.",
     (s, dir) => Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
       .orderBy("id_a", "id_b"),
-    None)
+    Some(simhashOracle))
 
   override val defs: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24)
 }

@@ -18,7 +18,12 @@ final case class QueryDef(
     name: String,
     description: String,
     build: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    /** Data-dependent oracle: generated at Verify time with session + sf
+      * dir in hand (e.g. q39 injects centroids of a model trained on the
+      * actual table — deterministic, but not writable as a static
+      * string). Merged into oracle_sql.json alongside static oracles. */
+    oracleGen: Option[(SparkSession, String) => String] = None)
 
 trait QueryFamily {
   def defs: Seq[QueryDef]

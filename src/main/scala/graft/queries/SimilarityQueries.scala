@@ -61,19 +61,56 @@ object SimilarityQueries extends QueryFamily {
       WHERE cosine >= 0.42
       ORDER BY id_a, id_b"""))
 
+  /** DuckDB twin of [[Similarity.lshNearDupPairs]]: the SAME hyperplane
+    * literals (seeded RNG, injected verbatim — Double.toString round-trips
+    * exactly) reproduce the identical sign bits, band keys, and candidate
+    * set; candidates are then exact-cosine-verified just like the engine.
+    * The engine's int8 prefilter runs at threshold−margin with a margin
+    * that dominates the measured quantization error (QuantizeSpec), so it
+    * never drops a >=threshold pair and the oracle can omit it. */
+  private def lshOracle(numPlanes: Int, rowsPerBand: Int, dim: Int,
+                        seed: Long, threshold: Double): String = {
+    val planes = Similarity.hyperplanes(numPlanes, dim, seed)
+    val planeRows = planes.zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+    s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      planes AS (SELECT * FROM (VALUES $planeRows) t(pid, p)),
+      bits AS (SELECT vec_id, pid,
+                 CASE WHEN ${fold("v", "p")} >= 0 THEN 1 ELSE 0 END AS bit
+               FROM e CROSS JOIN planes),
+      bands AS (SELECT vec_id, pid // $rowsPerBand AS band,
+                  string_agg(bit::VARCHAR, '' ORDER BY pid) AS bkey
+                FROM bits GROUP BY vec_id, pid // $rowsPerBand),
+      cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+               FROM bands x JOIN bands y
+                 ON x.band = y.band AND x.bkey = y.bkey
+                   AND x.vec_id < y.vec_id),
+      sc AS (SELECT id_a, id_b,
+               round(${fold("a.v", "b.v")} /
+                 (sqrt(${fold("a.v", "a.v")}) * sqrt(${fold("b.v", "b.v")})), 6)
+                 AS cosine
+             FROM cand JOIN e a ON id_a = a.vec_id JOIN e b ON id_b = b.vec_id)
+      SELECT id_a, id_b, cosine FROM sc WHERE cosine >= $threshold
+      ORDER BY id_a, id_b"""
+  }
+
   private val q27 = QueryDef(
     "q27_ann_lsh_neardup",
     "Random-hyperplane LSH (16 planes, 8 bands of 2) near-dup at the same " +
       "0.42 threshold: bucketed candidate generation, int8-quantized " +
       "prefilter BEFORE the candidate distinct (the dominant shuffle at " +
       "moderate thresholds), exact verify of survivors. Approximate " +
-      "recall by design (P(hit) ≈ 98.5% per pair at cos 0.42) → " +
-      "rows-only; recall vs q26 is pinned in SimilaritySpec.",
+      "recall by design (P(hit) ≈ 98.5% per pair at cos 0.42), but fully " +
+      "deterministic: the oracle replicates the banding with identical " +
+      "plane literals. Recall vs q26 additionally pinned in SimilaritySpec.",
     (s, dir) => Similarity.lshNearDupPairs(s, emb(s, dir), "vec_id",
         "embedding", threshold = 0.42, dim = 64,
         numPlanes = 16, rowsPerBand = 2)
       .orderBy("id_a", "id_b"),
-    None)
+    Some(lshOracle(numPlanes = 16, rowsPerBand = 2, dim = 64,
+      seed = 42L, threshold = 0.42)))
 
   private val q39 = QueryDef(
     "q39_ann_ivf_topk",
