@@ -35,4 +35,15 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     allDefs.flatMap(d => d.oracle.map(sql => d.name -> sql.trim)).toMap
+
+  /** Data-dependent oracle generators (e.g. q39 injects centroids of a
+    * deterministic model trained on the actual table at Verify time).
+    * [[Verify]] merges the generated SQL into oracle_sql.json. */
+  def oracleGen: Map[String, (SparkSession, String) => String] =
+    allDefs.flatMap(d => d.oracleGen.map(g => d.name -> g)).toMap
+
+  /** Declared rows-only queries: name → why the oracle omission is by
+    * design and which spec covers correctness instead. */
+  def oracleOmitted: Map[String, String] =
+    allDefs.flatMap(d => d.omittedReason.map(r => d.name -> r)).toMap
 }

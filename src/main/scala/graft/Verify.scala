@@ -28,6 +28,28 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
+    // Oracle-soundness gate: the q27/q40 DuckDB oracles omit the int8
+    // prefilter on the premise that the fixed 0.05 margin dominates the
+    // corpus's actual quantization error on cosine (see
+    // Similarity.quantizedNearDupPairs). That premise is data-dependent —
+    // heavy-tailed embeddings can push the error past 0.13 — so measure it
+    // against THIS corpus and fail loudly rather than let the engine drop
+    // pairs the oracle keeps. Skipped only when a local `only` filter
+    // excludes every quantized-prefilter query.
+    val needsMargin = only.forall(_.exists(Set(
+      "q27_ann_lsh_neardup", "q40_quantized_neardup")))
+    if (needsMargin) {
+      val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+      val measured = graft.operators.Similarity
+        .measuredQuantizationMargin(spark, emb, "vec_id", "embedding")
+      val safety = 2.0
+      require(measured * safety < 0.05,
+        f"q27/q40 oracle unsound on this corpus: measured quantization " +
+          f"margin $measured%.4f x safety $safety%.1f >= 0.05 prefilter " +
+          f"margin — regenerate oracles with a measured margin")
+      println(f"[verify] quantization margin ok: measured=$measured%.4f " +
+        f"(x$safety%.1f < 0.05)")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -40,9 +62,24 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    def writeJson(path: String, m: Map[String, String]): Unit =
+      Files.writeString(Paths.get(path),
+        m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // Data-dependent oracles are generated HERE, with session + sf dir in
+    // hand (e.g. q39 trains its deterministic IVF model on the actual
+    // table and injects centroid literals). Generated wins on collision.
+    val generated = SparkEntry.oracleGen
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, gen) =>
+        name -> (try gen(spark, sfDir).trim catch { case e: Throwable =>
+          System.err.println(s"[verify] oracleGen $name failed: ${e.getMessage}")
+          throw e
+        })
+      }
+    writeJson(s"$outDir/oracle_sql.json", SparkEntry.oracleSql ++ generated)
+    // Declared rows-only queries: omission is by design, with the covering
+    // spec named — lets the driver distinguish these from broken oracles.
+    writeJson(s"$outDir/oracle_omitted.json", SparkEntry.oracleOmitted)
     spark.stop()
   }
 }

@@ -22,8 +22,15 @@ final case class QueryDef(
     /** Data-dependent oracle: generated at Verify time with session + sf
       * dir in hand (e.g. q39 injects centroids of a model trained on the
       * actual table — deterministic, but not writable as a static
-      * string). Merged into oracle_sql.json alongside static oracles. */
-    oracleGen: Option[(SparkSession, String) => String] = None)
+      * string). [[graft.Verify]] merges these into oracle_sql.json
+      * alongside static oracles (generated wins on name collision). */
+    oracleGen: Option[(SparkSession, String) => String] = None,
+    /** For queries with NO oracle (neither static nor generated): the
+      * machine-readable reason the omission is by design, plus the spec
+      * that covers correctness instead. [[graft.Verify]] emits these as
+      * oracle_omitted.json so the driver can distinguish "rows-only by
+      * design" from "broken". */
+    omittedReason: Option[String] = None)
 
 trait QueryFamily {
   def defs: Seq[QueryDef]

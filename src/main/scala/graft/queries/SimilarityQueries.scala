@@ -112,6 +112,50 @@ object SimilarityQueries extends QueryFamily {
     Some(lshOracle(numPlanes = 16, rowsPerBand = 2, dim = 64,
       seed = 42L, threshold = 0.42)))
 
+  /** DuckDB twin of the q39 IVF pipeline, generated at Verify time: train
+    * the SAME deterministic model (hash-ordered 4k sample, seed 42) on the
+    * actual table, then inject centroid literals (Double.toString
+    * round-trips exactly, like q27's planes) and the driver-side probe
+    * list. Assignment parity: Spark's argmax is
+    * array_position(max) - 1 — FIRST index achieving the max — replicated
+    * as row_number() ORDER BY cs DESC, cid; null cosines (zero-norm)
+    * coalesce to -2.0 on both sides. The probed-cluster filter is the
+    * partition-pruning predicate, expressed as a literal IN list. */
+  private def ivfOracle(s: SparkSession, dir: String): String = {
+    val e = emb(s, dir)
+    val model = IvfIndex.train(e, "vec_id", "embedding", k = 16)
+    val qv = e.where(org.apache.spark.sql.functions.col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val probes = model.rankClusters(qv).take(4)
+    val centRows = model.centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+    s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cents AS (SELECT * FROM (VALUES $centRows) t(cid, c)),
+      scored AS (
+        SELECT e.vec_id, e.v, cents.cid,
+               COALESCE(${fold("e.v", "c")} /
+                 (sqrt(${fold("e.v", "e.v")}) * sqrt(${fold("c", "c")})), -2.0)
+                 AS cs
+        FROM e CROSS JOIN cents),
+      asg AS (
+        SELECT vec_id, v FROM (
+          SELECT vec_id, v, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cs DESC, cid) AS rn
+          FROM scored)
+        WHERE rn = 1 AND cid IN (${probes.mkString(", ")})),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+      SELECT a.vec_id,
+             round(${fold("a.v", "qv")} /
+               (sqrt(${fold("a.v", "a.v")}) * sqrt(${fold("qv", "qv")})), 6)
+               AS cosine
+      FROM asg a, q
+      ORDER BY cosine DESC, vec_id
+      LIMIT 10"""
+  }
+
   private val q39 = QueryDef(
     "q39_ann_ivf_topk",
     "IVF ANN top-10 for vec_id=0: spherical k-means coarse quantizer " +
@@ -119,8 +163,10 @@ object SimilarityQueries extends QueryFamily {
       "assignment in one codegen projection, search probes the 4 best " +
       "clusters only — at scale the probe is partition pruning over a " +
       "partitionBy(ivf_cluster) table, reading nprobe/k of the corpus. " +
-      "Approximate by design → rows-only; IvfSpec pins nprobe=k == exact " +
-      "brute force and measured recall at nprobe=4.",
+      "Approximate by design, but fully deterministic: the oracle retrains " +
+      "the identical model at Verify time and replicates assignment + " +
+      "probing with injected centroid literals. IvfSpec additionally pins " +
+      "nprobe=k == exact brute force and measured recall at nprobe=4.",
     (s, dir) => {
       val e = emb(s, dir)
       val model = IvfIndex.train(e, "vec_id", "embedding", k = 16)
@@ -130,7 +176,8 @@ object SimilarityQueries extends QueryFamily {
       IvfIndex.searchTopK(s, indexed, "vec_id", "embedding", model, qv,
         k = 10, nprobe = 4)
     },
-    None)
+    None,
+    oracleGen = Some((s, dir) => ivfOracle(s, dir)))
 
   private val q40 = QueryDef(
     "q40_quantized_neardup",

@@ -23,7 +23,11 @@ object SketchQueries extends QueryFamily {
         percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_value"),
         percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99_value"))
       .orderBy("event_type"),
-    None)
+    None,
+    omittedReason = Some("rows-only by design: HLL++/KLL sketch estimates " +
+      "are engine-specific (DuckDB's approx_count_distinct/approx_quantile " +
+      "use different sketches, so values legitimately differ); accuracy " +
+      "bounds vs exact answers are pinned in SketchSpec"))
 
   override val defs: Seq[QueryDef] = Seq(q35)
 }

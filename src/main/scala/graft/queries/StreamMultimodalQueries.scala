@@ -31,7 +31,11 @@ object StreamMultimodalQueries extends QueryFamily {
           size(col("features")).as("feature_dim"))
         .orderBy("media_id")
     },
-    None)
+    None,
+    omittedReason = Some("rows-only by design: features come from the " +
+      "in-engine media codec (imageio decode + stub fallback), which DuckDB " +
+      "cannot replicate in SQL; decode goldens + batch shape are pinned in " +
+      "MultimodalSpec"))
 
   private val q33 = QueryDef(
     "q33_stream_windowed_agg",
