@@ -181,15 +181,24 @@ object SimilarityQueries extends QueryFamily {
 
   private val q40 = QueryDef(
     "q40_quantized_neardup",
-    "Int8-quantized near-dup prefilter + exact verify at the same 0.42 " +
-      "threshold: IDENTICAL output to q26 (same oracle) but the all-pairs " +
-      "shuffle moves 1-byte codes instead of floats (~4x less data) and " +
-      "the prefilter kernel is integer multiply-accumulate. Margin 0.05 " +
-      "covers the quantization error bound (QuantizeSpec).",
-    (s, dir) => Similarity.quantizedNearDupPairs(s, emb(s, dir), "vec_id",
-        "embedding", threshold = 0.42)
+    "Near-exhaustive banded near-dup at the same 0.42 threshold: dense " +
+      "LSH banding (48 planes, 24 bands of 2 — miss prob ~3.5e-6 per " +
+      ">=0.42 pair, vs 1.5e-2 for q27's 8 bands) generates candidates " +
+      "through EQUI-KEYED joins (no O(n^2) nested loop anywhere in the " +
+      "plan), the int8 quantized prefilter prunes them before the " +
+      "distinct, survivors are exact-verified. Empirically identical " +
+      "output to the exact all-pairs q26 (pinned in SimilaritySpec); the " +
+      "oracle replicates the banding with injected plane literals so it " +
+      "is sound by construction. The banded shape is the one that " +
+      "survives 100 TB — band selectivity grows with the threshold-to-" +
+      "background cosine gap, which this test corpus deliberately " +
+      "minimizes.",
+    (s, dir) => Similarity.lshNearDupPairs(s, emb(s, dir), "vec_id",
+        "embedding", threshold = 0.42, dim = 64,
+        numPlanes = 48, rowsPerBand = 2)
       .orderBy("id_a", "id_b"),
-    q26.oracle)
+    Some(lshOracle(numPlanes = 48, rowsPerBand = 2, dim = 64,
+      seed = 42L, threshold = 0.42)))
 
   override val defs: Seq[QueryDef] = Seq(q25, q26, q27, q39, q40)
 }

@@ -22,7 +22,6 @@ class PlanGuardSpec extends SparkSpec {
   private val bnlAllowed = Set(
     "q25_ann_bruteforce_topk",   // broadcast single query vector
     "q26_cosine_neardup_pairs",  // exact all-pairs correctness baseline
-    "q40_quantized_neardup",     // all-pairs over 1-byte codes (q26's fast twin)
     "q37_range_join",            // banded join's unbucketed comparison arm
     "q36_asof_join",             // tolerance probe on a bounded frame
     "q43_tfidf_topterms")        // broadcast of the 1-row corpus-count agg

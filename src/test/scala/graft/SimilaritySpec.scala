@@ -79,4 +79,19 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.size >= exact.size * 9 / 10,
       s"LSH missed ${(exact -- lsh).size} of ${exact.size}")
   }
+
+  test("dense banding (q40 params: 48 planes / r=2) == exact all-pairs") {
+    // q40's claim: at 24 bands the banded candidate generation is
+    // effectively exhaustive for >=0.42 pairs (miss prob 0.593^24 ≈
+    // 3.5e-6 per pair) — its output must EQUAL the exact O(n^2) baseline
+    // on this corpus, while the plan stays equi-keyed (PlanGuardSpec).
+    val e = Tables.load(spark, sf(), "embeddings")
+    val exact = Similarity.cosineNearDupPairs(spark, e, "vec_id", "embedding", 0.42)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    val banded = Similarity.lshNearDupPairs(spark, e, "vec_id", "embedding",
+        0.42, dim = 64, numPlanes = 48, rowsPerBand = 2)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    assert(banded == exact,
+      s"banded missed ${(exact -- banded).size}, extra ${(banded -- exact).size}")
+  }
 }
