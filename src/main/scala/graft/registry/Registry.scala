@@ -202,10 +202,42 @@ object Registry {
       i("awards_men", "awards_men", "ctotalm"),
       i("awards_women", "awards_women", "ctotalw")))
 
+  /** The IPEDS Finance endpoint — the last of the mappers the reference
+    * names but never ships ("plus others (finance, completions, etc.)",
+    * architecture.md:122). Revenue/expense/endowment totals follow the
+    * public IPEDS F component's harmonized names, with the survey-form
+    * short names (F1A GASB / F2 FASB items) as drifting aliases, exactly
+    * like the directory mapper's instnm/stabbr pairs. Dollar amounts are
+    * doubles, NOT ints: large-system totals exceed the 32-bit range, and
+    * the reference's float cast (T4) is the documented money path. PK
+    * (unitid, year) per architecture.md:41-44. */
+  val finance: EndpointConfig = EndpointConfig(
+    name = "finance",
+    path = "college-university/ipeds/finance",
+    primaryKey = Seq("unitid", "year"),
+    columns = Seq(
+      i("unitid"),
+      i("year"),
+      s("accounting_standard", "accounting_standard", "gasb_fasb", "acctstd"),
+      d("rev_total", "rev_total", "rev_total_current", "total_revenues"),
+      d("rev_tuition_fees", "rev_tuition_fees", "rev_tuition_fees_net",
+        "tuition_fees"),
+      d("rev_federal_approps", "rev_federal_approps", "federal_approps"),
+      d("rev_state_local_approps", "rev_state_local_approps",
+        "state_local_approps"),
+      d("rev_investment_return", "rev_investment_return", "investment_return"),
+      d("exp_total", "exp_total", "exp_total_current", "total_expenses"),
+      d("exp_instruction", "exp_instruction", "exp_instruc_total",
+        "instruction_exp"),
+      d("exp_research", "exp_research", "research_exp"),
+      d("exp_student_services", "exp_student_services", "student_services_exp"),
+      d("endowment_assets", "endowment_assets", "endowment_eoy")))
+
   val endpoints: Map[String, EndpointConfig] = Map(
     directory.name -> directory,
     admissions.name -> admissions,
-    completions.name -> completions)
+    completions.name -> completions,
+    finance.name -> finance)
 
   /** Accessor with the reference's unknown-endpoint error contract
     * (registry.py:170-181). */
