@@ -18,8 +18,9 @@ object StreamMultimodalQueries extends QueryFamily {
     "q32_multimodal_features",
     "Multimodal plumbing: documents' bytes as BINARY media with typed " +
       "metadata, batched per-partition feature extraction (mapInPandas-" +
-      "style batch shape). Codec is a deterministic STUB (no image libs in " +
-      "container) → rows-only; schema/batching pinned in MultimodalSpec.",
+      "style batch shape). Real imageio decode for PNG/JPEG; these " +
+      "synthetic text-bytes take the deterministic stub fallback → " +
+      "rows-only; decode goldens + batching pinned in MultimodalSpec.",
     (s, dir) => {
       val media = Multimodal.attach(
         Tables.load(s, dir, "documents")

@@ -46,6 +46,68 @@ class MultimodalSpec extends SparkSpec {
     assert(offs == Seq(0L, 250L, 500L, 750L, 1000L))
   }
 
+  // ---- real-codec goldens on synthetic PNGs --------------------------
+
+  /** PNG bytes for a w x h image painted by (x, y) => rgb. */
+  private def png(w: Int, h: Int)(paint: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, paint(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def lum(rgb: Int): Double =
+    0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+      0.114 * (rgb & 0xff)
+
+  test("imageio codec: true dimensions + luminance from decoded pixels") {
+    val grey = 0x808080 // r=g=b=128 → luminance exactly formula(128)
+    val mediaPng = Multimodal.attach(
+      Seq((10L, png(20, 10)((_, _) => grey))).toDF("id", "bytes"),
+      "id", "bytes", kind = "image", mime = "image/png")
+    val f = Multimodal.extractFeatures(mediaPng).collect()(0)
+    assert((f.width, f.height) == ((20, 10)))
+    assert(f.meanIntensity == lum(grey))
+    // uniform image → every 4x4 grid cell carries the same normalized value
+    assert(f.features.toSeq == Seq.fill(16)((lum(grey) / 255.0).toFloat))
+  }
+
+  test("imageio codec: grid features localize a half-black half-white image") {
+    val bytes = png(16, 16)((x, _) => if (x < 8) 0x000000 else 0xffffff)
+    val m = Multimodal.attach(Seq((11L, bytes)).toDF("id", "bytes"),
+      "id", "bytes", kind = "image", mime = "image/png")
+    val f = Multimodal.extractFeatures(m).collect()(0)
+    assert(f.meanIntensity == lum(0xffffff) / 2)
+    // left two grid columns black, right two white, every row band
+    val feats = f.features
+    for (cy <- 0 until 4; cx <- 0 until 4) {
+      val expected = if (cx < 2) 0.0f else (lum(0xffffff) / 255.0).toFloat
+      assert(feats(cy * 4 + cx) == expected, s"cell ($cx,$cy)")
+    }
+  }
+
+  test("imageio codec: undecodable bytes fall back to the stub, not an error") {
+    val junk = "not an image".getBytes("UTF-8")
+    val (w, h, mean, feats) = Multimodal.ImageIoCodec.decode(junk)
+    assert((w, h, mean, feats.toSeq) == {
+      val (sw, sh, sm, sf) = Multimodal.MediaCodecStub.decode(junk)
+      (sw, sh, sm, sf.toSeq)
+    })
+  }
+
+  test("resizeToFit really resizes decodable images (re-decoded dims match)") {
+    val bytes = png(200, 100)((_, _) => 0x406080)
+    val m = Multimodal.attach(Seq((12L, bytes)).toDF("id", "bytes"),
+      "id", "bytes", kind = "image", mime = "image/png")
+    val r = Multimodal.resizeToFit(m, maxDim = 50).collect()(0)
+    assert((r.width, r.height) == ((50, 25)))
+    val redecoded = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.content))
+    assert((redecoded.getWidth, redecoded.getHeight) == ((50, 25)))
+  }
+
   test("resizeToFit: longest edge capped, aspect preserved, no upscale") {
     val dims = Multimodal.extractFeatures(media).collect()
       .map(f => f.media_id -> (f.width, f.height)).toMap
