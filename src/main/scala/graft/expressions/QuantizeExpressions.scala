@@ -169,9 +169,12 @@ object QuantizeExpressions {
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("quantize_int8",
-      exprs => QuantizeInt8(exprs(0)), "built-in")
-    reg.createOrReplaceTempFunction("quantized_cosine",
-      exprs => QuantizedCosine(exprs(0), exprs(1)), "built-in")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("quantize_int8"))) {
+      reg.createOrReplaceTempFunction("quantize_int8",
+        exprs => QuantizeInt8(exprs(0)), "built-in")
+      reg.createOrReplaceTempFunction("quantized_cosine",
+        exprs => QuantizedCosine(exprs(0), exprs(1)), "built-in")
+    }
   }
 }

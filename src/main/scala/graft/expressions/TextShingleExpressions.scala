@@ -195,9 +195,12 @@ object TextShingleExpressions {
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("winnow_fingerprints",
-      exprs => WinnowFingerprintsExpr(exprs(0), exprs(1), exprs(2)), "built-in")
-    reg.createOrReplaceTempFunction("word_shingles",
-      exprs => WordShinglesExpr(exprs(0), exprs(1)), "built-in")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst
+        .FunctionIdentifier("winnow_fingerprints"))) {
+      reg.createOrReplaceTempFunction("winnow_fingerprints",
+        exprs => WinnowFingerprintsExpr(exprs(0), exprs(1), exprs(2)), "built-in")
+      reg.createOrReplaceTempFunction("word_shingles",
+        exprs => WordShinglesExpr(exprs(0), exprs(1)), "built-in")
+    }
   }
 }

@@ -133,10 +133,15 @@ object VectorExpressions {
     * function registry so both `expr(...)` and SQL text can use them. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("cosine_sim",
-      exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("dot_product",
-      exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    // Register once per session: createOrReplace on every query build
+    // spams "replaced a previously registered function" warnings.
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"))) {
+      reg.createOrReplaceTempFunction("cosine_sim",
+        exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("dot_product",
+        exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    }
   }
 
   /** Column API via the registered SQL functions (avoids private Column

@@ -110,9 +110,11 @@ object Cleaning {
   /** Register SQL-callable forms so `spark.sql` text queries can use the
     * cleaning, mirroring the reference's SQL-layer ergonomics. The Column API
     * above is the hot path (codegen'd); these UDFs are the convenience form. */
-  def registerSql(spark: SparkSession): Unit = {
-    spark.udf.register("ipeds_null", cleanStrScala _)
-    spark.udf.register("ipeds_int", toIntScala _)
-    spark.udf.register("ipeds_double", toDoubleScala _)
-  }
+  def registerSql(spark: SparkSession): Unit =
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("ipeds_null"))) {
+      spark.udf.register("ipeds_null", cleanStrScala _)
+      spark.udf.register("ipeds_int", toIntScala _)
+      spark.udf.register("ipeds_double", toDoubleScala _)
+    }
 }

@@ -69,8 +69,11 @@ object Hashing {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.udf.register("canonical_sha1",
-      (s: String) => if (s == null) null else canonicalSha1String(s))
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("canonical_sha1"))) {
+      spark.udf.register("canonical_sha1",
+        (s: String) => if (s == null) null else canonicalSha1String(s))
+    }
 
   /** Codegen path: digest of a struct of columns in declared (schema) order. */
   def structSha1(cols: Column*): Column = sha1(to_json(struct(cols: _*)))

@@ -42,7 +42,9 @@ object Dedup {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val src =
       if (df.isStreaming) df // partition probing/repartition is batch-only
-      else if (df.rdd.getNumPartitions < par) df.repartition(par)
+      // toRdd (internal rows) probes the partition count without the
+      // encoder-mapped lineage df.rdd would build on every call.
+      else if (df.queryExecution.toRdd.getNumPartitions < par) df.repartition(par)
       else df
     src.select(col(idCol),
         explode(call_function("word_shingles", col(textCol), lit(n)))

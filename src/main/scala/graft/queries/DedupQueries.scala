@@ -13,8 +13,8 @@ import graft.operators.Dedup
   * the SAME exact-Jaccard oracle: with 32 hashes in 16 bands of 2 the
   * probability of missing a pair at the 0.8 threshold is ~6e-8, and every
   * candidate is exactness-verified, so LSH output ≡ exact output. SimHash
-  * (engine-specific xxhash64 bits) is spec-tested in ScalaTest and
-  * rows-only here.
+  * derives its bits from md5 nibbles, which DuckDB reproduces exactly —
+  * q24 is fully DuckDB-oracled (banding + in-join hamming filter).
   */
 object DedupQueries extends QueryFamily {
 

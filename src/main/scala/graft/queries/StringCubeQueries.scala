@@ -12,8 +12,8 @@ import graft.core.Tables
   */
 object StringCubeQueries extends QueryFamily {
 
-  private val q19a = QueryDef(
-    "q19_string_funcs",
+  private val q48 = QueryDef(
+    "q48_string_funcs",
     "Q1/string surface: LIKE filters (schema_name LIKE 'ipeds_%' pattern, " +
       "db.py:124-129), substr/upper/replace/concat/length/regexp_extract " +
       "projections.",
@@ -40,7 +40,7 @@ object StringCubeQueries extends QueryFamily {
       WHERE p_name LIKE '%widget%' AND p_brand LIKE 'Brand#1%'
       ORDER BY p_partkey"""))
 
-  private val q19b = QueryDef(
+  private val q19 = QueryDef(
     "q19_cube",
     "CUBE aggregation over (l_returnflag, l_linestatus): all four grouping " +
       "combinations with coalesced subtotal keys (completes the rollup/" +
@@ -63,5 +63,5 @@ object StringCubeQueries extends QueryFamily {
       GROUP BY CUBE (l_returnflag, l_linestatus)
       ORDER BY rf, ls"""))
 
-  override val defs: Seq[QueryDef] = Seq(q19a, q19b)
+  override val defs: Seq[QueryDef] = Seq(q48, q19)
 }

@@ -65,7 +65,7 @@ object Registry {
   private def d(target: String, aliases: String*) =
     ColumnSpec(target, if (aliases.isEmpty) Seq(target) else aliases, CastKind.AsDouble)
 
-  /** The IPEDS Directory endpoint: 90 typed columns, PK (unitid, year).
+  /** The IPEDS Directory endpoint: 89 typed columns, PK (unitid, year).
     * Column contract from /root/reference/etl/registry.py:49-161; alias lists
     * from /root/reference/etl/mappers/directory.py:126-238. */
   val directory: EndpointConfig = EndpointConfig(
