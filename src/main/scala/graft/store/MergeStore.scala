@@ -1,0 +1,180 @@
+package graft.store
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Upsert
+
+/** Record-level MERGE sink: file-granular copy-on-write with a versioned
+  * manifest — the scale path past [[CoreStore]]'s partition-rewrite upsert.
+  *
+  * CoreStore reproduces the reference's write unit (rewrite the year
+  * partitions a batch touches — fine for its yearly full loads). At 100 TB
+  * a trickle of updates against a year holding thousands of files would
+  * rewrite all of them; the industry fix (Delta/Iceberg COW, both public
+  * OSS designs) is to rewrite only the FILES containing matched keys and
+  * commit the new file set atomically through a manifest. Those table
+  * formats aren't on this classpath, so this is the same design in
+  * miniature:
+  *
+  *   - `<target>/data/` holds immutable parquet files.
+  *   - `<target>/_manifest/v<N>.list` names the live files of version N
+  *     (one relative path per line). Readers list the manifest dir, take
+  *     the highest N, and read exactly those files — never a raw glob of
+  *     data/, so concurrent merges and un-vacuumed garbage are invisible.
+  *   - A merge: (1) semi-join updates against the live rows to find the
+  *     files holding matched PKs; (2) rewrite ONLY those files, anti-join
+  *     dropping the superseded row versions, union the deduped batch;
+  *     (3) publish v<N+1> via write-temp + atomic rename. Crash before
+  *     (3) leaves orphan data files (removed by [[vacuum]]) and readers
+  *     never see a partial commit. Single writer, like the reference's
+  *     batch ETL — multi-writer needs a log with conflict detection
+  *     (Delta's optimistic protocol), out of scope for a sink prototype.
+  *
+  * Scale notes: the affected-file list travels to the driver — it is
+  * O(files-with-matches), bounded by the update batch's key spread, not
+  * by table size. Write amplification is measured in MergeStoreSpec and
+  * recorded in SCALE.md §MERGE.
+  */
+object MergeStore {
+
+  final case class MergeStats(filesTotal: Int, filesRewritten: Int,
+                              rowsInserted: Long, rowsUpdated: Long)
+
+  private def dataDir(target: String): Path = Paths.get(target, "data")
+  private def manifestDir(target: String): Path = Paths.get(target, "_manifest")
+
+  private def currentVersion(target: String): Option[Int] = {
+    val dir = manifestDir(target)
+    if (!Files.isDirectory(dir)) None
+    else {
+      val vs = Files.list(dir).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") && s.endsWith(".list") =>
+          s.stripPrefix("v").stripSuffix(".list").toInt
+        }.toSeq
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  /** Live relative file names of the newest committed version. */
+  def liveFiles(target: String): Seq[String] = currentVersion(target) match {
+    case None => Seq.empty
+    case Some(v) =>
+      Files.readAllLines(manifestDir(target).resolve(s"v$v.list"))
+        .asScala.toSeq.filter(_.nonEmpty)
+  }
+
+  /** Atomically publish `files` as the next manifest version. */
+  private def commit(target: String, files: Seq[String]): Int = {
+    val next = currentVersion(target).getOrElse(-1) + 1
+    val dir = manifestDir(target)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".v$next.tmp")
+    Files.write(tmp, files.sorted.mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, dir.resolve(s"v$next.list"),
+      StandardCopyOption.ATOMIC_MOVE)
+    next
+  }
+
+  /** Write `df` as new immutable parquet files under data/, returning
+    * their relative names. Files are born under a unique staging name and
+    * moved in — a crashed writer never leaves a half-written file behind
+    * a name a manifest could reference. */
+  private def writeFiles(df: DataFrame, target: String): Seq[String] = {
+    val stage = Files.createTempDirectory(
+      Paths.get(target).getParent, ".stage-")
+    df.write.mode("overwrite").parquet(stage.toString)
+    Files.createDirectories(dataDir(target))
+    val batch = java.util.UUID.randomUUID().toString.take(8)
+    val parts = Files.list(stage).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    val named = parts.zipWithIndex.map { case (p, i) =>
+      val name = s"part-$batch-$i.parquet"
+      Files.move(p, dataDir(target).resolve(name))
+      name
+    }
+    Files.list(stage).iterator().asScala.foreach(Files.deleteIfExists)
+    Files.deleteIfExists(stage)
+    named
+  }
+
+  /** Create the table from `df` (replacing any prior version). `numFiles`
+    * controls the physical file count — at scale you'd size files to
+    * ~128 MB–1 GB; here it lets tests pin amplification. `clusterBy`
+    * range-partitions on a column so each file owns a contiguous key
+    * range — the layout that makes a key-local update batch touch few
+    * files (and parquet min/max stats prune scans). */
+  def init(spark: SparkSession, df: DataFrame, target: String,
+           numFiles: Int, clusterBy: Option[String] = None): Unit = {
+    val arranged = clusterBy match {
+      case Some(c) => df.repartitionByRange(numFiles, col(c))
+      case None => df.repartition(numFiles)
+    }
+    val files = writeFiles(arranged, target)
+    commit(target, files)
+  }
+
+  /** Read the newest committed version — exactly the manifest's files. */
+  def read(spark: SparkSession, target: String): DataFrame = {
+    val files = liveFiles(target)
+    require(files.nonEmpty, s"no committed version at $target")
+    spark.read.parquet(files.map(f => dataDir(target).resolve(f).toString): _*)
+  }
+
+  /** MERGE `updates` into the table on `pk` (incoming wins; within the
+    * batch the highest `ordCols` wins, like CoreStore's intra-batch
+    * order). Rewrites only the files containing matched keys. */
+  def merge(spark: SparkSession, updates: DataFrame, target: String,
+            pk: Seq[String], ordCols: Seq[String] = Nil): MergeStats = {
+    val before = liveFiles(target)
+    require(before.nonEmpty, s"no committed version at $target")
+    val ord = if (ordCols.nonEmpty) ordCols.map(col)
+      else Seq(monotonically_increasing_id())
+    val incoming = Upsert.dedupByKey(
+      updates.where(pk.map(col(_).isNotNull).reduce(_ && _)), pk, ord)
+      .select(read(spark, target).columns.map(col).toIndexedSeq: _*)
+      .cache()
+
+    val live = read(spark, target)
+      .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
+    // Files holding at least one matched PK — the COW rewrite set.
+    val affected = live.join(incoming, pk, "left_semi")
+      .select("__file").distinct()
+      .collect().map(_.getString(0)).toSet
+
+    val rowsUpdated = live.join(incoming, pk, "left_semi").count()
+    val rowsInserted = incoming.join(
+      read(spark, target), pk, "left_anti").count()
+
+    // Survivors of the affected files (their non-matched rows) plus the
+    // incoming batch become the replacement files; untouched files are
+    // carried into the next manifest as-is.
+    val survivors = live
+      .where(col("__file").isin(affected.toSeq: _*))
+      .join(incoming, pk, "left_anti")
+      .drop("__file")
+    val replacement = survivors.unionByName(incoming)
+    val newFiles =
+      if (affected.isEmpty) writeFiles(incoming, target)
+      else writeFiles(replacement.repartition(math.max(1, affected.size)), target)
+    commit(target, (before.filterNot(affected) ++ newFiles).distinct)
+    incoming.unpersist()
+    MergeStats(before.size, affected.size, rowsInserted, rowsUpdated)
+  }
+
+  /** Delete data files no manifest version references... in this
+    * prototype, files the NEWEST version no longer references (time
+    * travel is not kept). Safe any time for a single writer. */
+  def vacuum(target: String): Int = {
+    val live = liveFiles(target).toSet
+    val orphans = Files.list(dataDir(target)).iterator().asScala
+      .filter(p => !live.contains(p.getFileName.toString)).toSeq
+    orphans.foreach(Files.deleteIfExists)
+    orphans.size
+  }
+}

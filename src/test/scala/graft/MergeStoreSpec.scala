@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.store.MergeStore
+
+/** File-granular COW MERGE contract: only files holding matched keys are
+  * rewritten, commits are manifest-atomic, reruns are idempotent, vacuum
+  * drops superseded files without disturbing readers of the new version.
+  * The measured write amplification lands in SCALE.md §MERGE.
+  */
+class MergeStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val N = 10000
+  private val FILES = 16
+
+  private def base = spark.range(N.toLong)
+    .select(col("id"), (col("id") % 97).cast("int").as("grp"),
+      concat(lit("v1-"), col("id")).as("payload"))
+
+  private def freshTable(): String = {
+    val target = tmpDir("merge-store") + "/tbl"
+    MergeStore.init(spark, base, target, FILES, clusterBy = Some("id"))
+    target
+  }
+
+  test("init + read: manifest-committed files roundtrip the data") {
+    val t = freshTable()
+    val back = MergeStore.read(spark, t)
+    assert(back.count() == N)
+    assert(back.columns.toSeq == Seq("id", "grp", "payload"))
+    assert(MergeStore.liveFiles(t).size == FILES)
+  }
+
+  test("merge rewrites ONLY the files containing matched keys") {
+    val t = freshTable()
+    // 10 keys from one narrow range → they live in 1-2 of the 16
+    // range-clustered files.
+    val updates = spark.range(100L, 110L)
+      .select(col("id"), lit(7).cast("int").as("grp"),
+        concat(lit("v2-"), col("id")).as("payload"))
+    val stats = MergeStore.merge(spark, updates, t, Seq("id"))
+    assert(stats.filesTotal == FILES)
+    assert(stats.filesRewritten >= 1 && stats.filesRewritten <= 2,
+      s"expected 1-2 affected files, got ${stats.filesRewritten}")
+    assert(stats.rowsUpdated == 10 && stats.rowsInserted == 0)
+    val after = MergeStore.read(spark, t)
+    assert(after.count() == N) // pure update: no growth
+    assert(after.where(col("id") === 105L).select("payload")
+      .as[String].head() == "v2-105")
+    assert(after.where(col("id") === 9000L).select("payload")
+      .as[String].head() == "v1-9000") // untouched file carried over
+    assert(after.where(col("payload").startsWith("v2-")).count() == 10)
+  }
+
+  test("merge inserts unmatched keys; idempotent rerun is a no-op update") {
+    val t = freshTable()
+    val batch = Seq(
+      (N.toLong + 1, 3, "new-a"), (N.toLong + 2, 4, "new-b"),
+      (42L, 42, "v2-42")).toDF("id", "grp", "payload")
+    val s1 = MergeStore.merge(spark, batch, t, Seq("id"))
+    assert(s1.rowsInserted == 2 && s1.rowsUpdated == 1)
+    assert(MergeStore.read(spark, t).count() == N + 2)
+    val s2 = MergeStore.merge(spark, batch, t, Seq("id"))
+    assert(s2.rowsInserted == 0 && s2.rowsUpdated == 3)
+    val after = MergeStore.read(spark, t)
+    assert(after.count() == N + 2)
+    assert(after.where(col("id") === 42L).select("payload")
+      .as[String].head() == "v2-42")
+  }
+
+  test("intra-batch order: highest ordCol wins a duplicate-PK batch") {
+    val t = freshTable()
+    val dup = Seq((7L, 0, "stale", 1L), (7L, 0, "fresh", 2L))
+      .toDF("id", "grp", "payload", "load_seq")
+    MergeStore.merge(spark, dup, t, Seq("id"), ordCols = Seq("load_seq"))
+    assert(MergeStore.read(spark, t).where(col("id") === 7L)
+      .select("payload").as[String].head() == "fresh")
+  }
+
+  test("vacuum removes superseded files; the committed version is intact") {
+    val t = freshTable()
+    val updates = spark.range(0L, 5L)
+      .select(col("id"), lit(0).cast("int").as("grp"),
+        concat(lit("v2-"), col("id")).as("payload"))
+    val stats = MergeStore.merge(spark, updates, t, Seq("id"))
+    val removed = MergeStore.vacuum(t)
+    assert(removed == stats.filesRewritten) // exactly the replaced files
+    val after = MergeStore.read(spark, t)
+    assert(after.count() == N)
+    assert(after.where(col("id") === 3L).select("payload")
+      .as[String].head() == "v2-3")
+  }
+}
