@@ -150,29 +150,27 @@ object Similarity {
     }
     val withBits = df.select((col(idCol) +: col(vecCol) +: planeCols.toSeq): _*)
 
-    // Bands travel WITHOUT the vectors (a 64-float payload through a
-    // 16-way explode + self-join would 16x the shuffle); vectors re-join
-    // only for the distinct candidate pairs.
-    val bands = withBits.select(col(idCol), posexplode(
+    // Bands travel WITHOUT the float vectors (a 64-float payload through
+    // a numBands-way explode + self-join would multiply the dominant
+    // shuffle) but WITH the int8 codes: ~72 bytes/row buys evaluating the
+    // quantized prefilter INSIDE the band self-join, so the raw collision
+    // stream — the largest intermediate at moderate thresholds — is never
+    // shuffled again through code-lookup joins before the distinct.
+    QuantizeExpressions.register(spark)
+    val bands = withBits
+      .withColumn("__q", call_function("quantize_int8", col(vecCol)))
+      .select(col(idCol), col("__q"), posexplode(
         array((0 until numBands).map { bnd =>
           concat_ws("", (0 until rowsPerBand).map(r =>
             col(s"__bit${bnd * rowsPerBand + r}")): _*)
         }: _*)).as(Seq("band", "key")))
 
-    QuantizeExpressions.register(spark)
-    val codes = df.select(col(idCol),
-      call_function("quantize_int8", col(vecCol)).as("__q"))
-    val ca = codes.select(col(idCol).as("id_a"), col("__q").as("__qa"))
-    val cb = codes.select(col(idCol).as("id_b"), col("__q").as("__qb"))
-
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key")
-          && col(s"x.$idCol") < col(s"y.$idCol"))
+          && col(s"x.$idCol") < col(s"y.$idCol")
+          && call_function("quantized_cosine", col("x.__q"), col("y.__q"))
+            >= threshold - margin)
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
-      .join(ca, "id_a").join(cb, "id_b")
-      .where(call_function("quantized_cosine", col("__qa"), col("__qb"))
-        >= threshold - margin)
-      .select("id_a", "id_b")
       .distinct()
 
     val va = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
