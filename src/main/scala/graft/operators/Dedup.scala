@@ -59,6 +59,56 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
       .select("keep_id", "dup_count", "content_hash")
 
+  /** Duplicate-cluster resolution: connected components over an undirected
+    * pair list — the step that turns pairwise near-dup output (q22/q23/
+    * q24/q27 shapes) into "keep one representative per duplicate cluster".
+    * Returns (id, comp) where comp = the smallest id in the component,
+    * for every id that appears in a pair.
+    *
+    * Iterative min-label propagation: each round pushes labels across
+    * edges and takes the per-vertex min — ONE shuffle per round,
+    * converging in O(component diameter) rounds (near-dup clusters are
+    * shallow; transitive chains longer than a handful of hops are rare by
+    * construction of a similarity threshold). Scale mechanics:
+    * lineage is truncated each round (localCheckpoint) so the plan does
+    * not grow with iterations, and early stop uses the monotone
+    * sum-of-labels invariant — labels only ever decrease, so an unchanged
+    * sum IS the fixpoint; that check is one scalar action per round, no
+    * driver-side data. maxIters bounds pathological chains; hitting the
+    * bound throws rather than silently returning unconverged clusters. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 25): DataFrame = {
+    val a = col(aCol).cast(LongType)
+    val b = col(bCol).cast(LongType)
+    val edges = pairs.select(a.as("src"), b.as("dst"))
+      .union(pairs.select(b.as("src"), a.as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    var prevSum: java.math.BigDecimal = null
+    var round = 0
+    var converged = false
+    while (!converged) {
+      require(round < maxIters,
+        s"connectedComponents: no fixpoint after $maxIters rounds")
+      val prop = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("comp"))
+        .union(labels)
+        .groupBy("id").agg(min(col("comp")).as("comp"))
+        .localCheckpoint(true)
+      val s = prop.agg(sum(col("comp").cast(DecimalType(38, 0))))
+        .head().getDecimal(0)
+      converged = s == prevSum
+      prevSum = s
+      labels = prop
+      round += 1
+    }
+    labels
+  }
+
   /** Exact pairwise n-gram Jaccard over an inverted shingle index:
     * (id_a < id_b, jaccard) for pairs with jaccard >= threshold. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,

@@ -140,5 +140,55 @@ object DedupQueries extends QueryFamily {
       .orderBy("id_a", "id_b"),
     Some(simhashOracle))
 
-  override val defs: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24)
+  /** DuckDB twin of [[Dedup.connectedComponents]] over the q22 pair set:
+    * a recursive CTE floods labels along the (symmetric) dup edges, and
+    * min(label) per vertex is the component minimum — the same fixpoint
+    * the engine's min-label propagation reaches. */
+  private val clustersOracle = """
+      WITH RECURSIVE
+      toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(a) - 1, 1)),
+                 i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle
+             FROM toks),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (SELECT s1.doc_id AS id_a, s2.doc_id AS id_b,
+                       count(*) AS inter
+                FROM sh s1 JOIN sh s2
+                  ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+                GROUP BY 1, 2),
+      dup AS (SELECT id_a, id_b
+              FROM pairs
+              JOIN sizes na ON id_a = na.doc_id
+              JOIN sizes nb ON id_b = nb.doc_id
+              WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.8),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM dup),
+      walk(id, comp) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id)
+      SELECT id AS doc_id, min(comp) AS cluster_id
+      FROM walk
+      GROUP BY id
+      ORDER BY doc_id"""
+
+  private val q49 = QueryDef(
+    "q49_dup_clusters",
+    "Duplicate-cluster resolution: connected components over the exact " +
+      "3-gram-Jaccard pair set (q22) via iterative min-label propagation " +
+      "— one shuffle per round, O(cluster diameter) rounds, checkpoint-" +
+      "truncated lineage, monotone-sum early stop. cluster_id = smallest " +
+      "doc_id in the component; the DuckDB oracle reaches the same " +
+      "fixpoint with a recursive CTE.",
+    (s, dir) => Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.8),
+        "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      .orderBy("doc_id"),
+    Some(clustersOracle))
+
+  override val defs: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q49)
 }

@@ -81,4 +81,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L)))
     assert(!pairs.contains((1L, 3L)))
   }
+
+  test("connectedComponents: min-label fixpoint over chains and islands") {
+    // components: {1,2,3,4} (a 3-hop chain — needs >1 propagation round),
+    // {10,11}, and a self-contained triangle {20,21,22}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents: maxIters guard throws instead of wrong output") {
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, "id_a", "id_b", maxIters = 2)
+    }
+    // and with room it converges to one component rooted at 1
+    val ok = Dedup.connectedComponents(chain, "id_a", "id_b")
+      .as[(Long, Long)].collect()
+    assert(ok.forall(_._2 == 1L) && ok.length == 12)
+  }
 }
