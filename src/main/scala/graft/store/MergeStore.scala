@@ -61,13 +61,16 @@ object MergeStore {
     }
   }
 
-  /** Live relative file names of the newest committed version. */
-  def liveFiles(target: String): Seq[String] = currentVersion(target) match {
-    case None => Seq.empty
-    case Some(v) =>
-      Files.readAllLines(manifestDir(target).resolve(s"v$v.list"))
-        .asScala.toSeq.filter(_.nonEmpty)
-  }
+  /** Live relative file names of a committed version (newest by default).
+    * Old manifests stay readable until [[vacuum]] reclaims their files —
+    * cheap time travel for debugging a bad merge. */
+  def liveFiles(target: String, version: Option[Int] = None): Seq[String] =
+    version.orElse(currentVersion(target)) match {
+      case None => Seq.empty
+      case Some(v) =>
+        Files.readAllLines(manifestDir(target).resolve(s"v$v.list"))
+          .asScala.toSeq.filter(_.nonEmpty)
+    }
 
   /** Atomically publish `files` as the next manifest version. */
   private def commit(target: String, files: Seq[String]): Int = {
@@ -119,9 +122,11 @@ object MergeStore {
     commit(target, files)
   }
 
-  /** Read the newest committed version — exactly the manifest's files. */
-  def read(spark: SparkSession, target: String): DataFrame = {
-    val files = liveFiles(target)
+  /** Read a committed version (newest by default) — exactly the
+    * manifest's files. */
+  def read(spark: SparkSession, target: String,
+           version: Option[Int] = None): DataFrame = {
+    val files = liveFiles(target, version)
     require(files.nonEmpty, s"no committed version at $target")
     spark.read.parquet(files.map(f => dataDir(target).resolve(f).toString): _*)
   }
@@ -165,6 +170,22 @@ object MergeStore {
     commit(target, (before.filterNot(affected) ++ newFiles).distinct)
     incoming.unpersist()
     MergeStats(before.size, affected.size, rowsInserted, rowsUpdated)
+  }
+
+  /** Compact: bin-pack the live rows into `targetFiles` files and commit
+    * the result as the next version — pure layout rewrite, content
+    * unchanged. A long run of trickle merges accretes small replacement
+    * files (every scan pays a per-file open); periodic compaction is the
+    * standard table-format answer. `clusterBy` restores range clustering
+    * so future merges stay few-file again. */
+  def compact(spark: SparkSession, target: String, targetFiles: Int,
+              clusterBy: Option[String] = None): Int = {
+    val df = read(spark, target)
+    val arranged = clusterBy match {
+      case Some(c) => df.repartitionByRange(targetFiles, col(c))
+      case None => df.repartition(targetFiles)
+    }
+    commit(target, writeFiles(arranged, target))
   }
 
   /** Delete data files no manifest version references... in this

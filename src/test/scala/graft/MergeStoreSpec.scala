@@ -92,4 +92,31 @@ class MergeStoreSpec extends SparkSpec {
     assert(after.where(col("id") === 3L).select("payload")
       .as[String].head() == "v2-3")
   }
+
+  test("time travel + compaction: old versions readable until vacuum") {
+    val t = freshTable() // v0
+    val updates = spark.range(50L, 55L)
+      .select(col("id"), lit(1).cast("int").as("grp"),
+        concat(lit("v2-"), col("id")).as("payload"))
+    MergeStore.merge(spark, updates, t, Seq("id")) // v1
+    // pre-merge version still shows the original payloads
+    val v0 = MergeStore.read(spark, t, version = Some(0))
+    assert(v0.where(col("id") === 52L).select("payload")
+      .as[String].head() == "v1-52")
+    assert(MergeStore.read(spark, t).where(col("id") === 52L)
+      .select("payload").as[String].head() == "v2-52")
+    // compaction: pure layout rewrite into 4 files, content unchanged
+    MergeStore.compact(spark, t, targetFiles = 4, clusterBy = Some("id")) // v2
+    assert(MergeStore.liveFiles(t).size == 4)
+    val after = MergeStore.read(spark, t)
+    assert(after.count() == N)
+    assert(after.where(col("id") === 52L).select("payload")
+      .as[String].head() == "v2-52")
+    // vacuum reclaims every file only older versions referenced
+    assert(MergeStore.vacuum(t) > 0)
+    assert(MergeStore.read(spark, t).count() == N)
+    intercept[Exception] { // time travel is gone after vacuum, loudly
+      MergeStore.read(spark, t, version = Some(0)).count()
+    }
+  }
 }
