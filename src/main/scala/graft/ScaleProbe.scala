@@ -60,10 +60,35 @@ object ScaleProbe {
       val (_, tSig) = time {
         Dedup.minhashSignatures(docs, "doc_id", "text").count()
       }
+      // Cluster resolution on a synthetic chain graph (every 4 ids form a
+      // 4-chain): edge count scales with the corpus, diameter stays 3 —
+      // so rounds are constant and the curve isolates per-round cost.
+      val (_, tCc) = time {
+        val pairs = docs.select(col("doc_id").as("id_a"))
+          .where(col("id_a") % 4 =!= 3)
+          .select(col("id_a"), (col("id_a") + 1).as("id_b"))
+        Dedup.connectedComponents(pairs, "id_a", "id_b").count()
+      }
+      // MERGE of a fixed 100-key batch into an m-scaled table: the scan
+      // side grows with the table, the rewrite side stays bounded by the
+      // batch's key spread — both visible in (time, files_rewritten).
+      val mergeDir = java.nio.file.Files
+        .createTempDirectory("scaleprobe-merge").toString + "/tbl"
+      graft.store.MergeStore.init(spark,
+        docs.select(col("doc_id").as("id"), col("text")),
+        mergeDir, numFiles = 32, clusterBy = Some("id"))
+      val updates = docs.select(col("doc_id").as("id"),
+          concat(lit("updated "), col("text")).as("text"))
+        .where(col("id") < 100)
+      val (mergeStats, tMerge) = time {
+        graft.store.MergeStore.merge(spark, updates, mergeDir, Seq("id"))
+      }
       docs.unpersist()
       println(s"""{"metric":"scaleprobe","multiple":$m,"docs":$n,""" +
         s""""winnow_sec":${f"$tWinnow%.2f"},"shingle_sec":${f"$tShingle%.2f"},""" +
-        s""""exact_dedup_sec":${f"$tExact%.2f"},"minhash_sig_sec":${f"$tSig%.2f"}}""")
+        s""""exact_dedup_sec":${f"$tExact%.2f"},"minhash_sig_sec":${f"$tSig%.2f"},""" +
+        s""""cc_sec":${f"$tCc%.2f"},"merge_sec":${f"$tMerge%.2f"},""" +
+        s""""merge_files_rewritten":${mergeStats.filesRewritten}}""")
     }
     spark.stop()
   }
