@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.core.Tables
 import graft.operators.{IvfIndex, Similarity}
@@ -200,5 +201,63 @@ object SimilarityQueries extends QueryFamily {
     Some(lshOracle(numPlanes = 48, rowsPerBand = 2, dim = 64,
       seed = 42L, threshold = 0.42)))
 
-  override val defs: Seq[QueryDef] = Seq(q25, q26, q27, q39, q40)
+  /** Semantic-dedup clusters: [[lshOracle]]'s candidate+verify chain as
+    * CTEs, then a recursive flood over the symmetric dup edges — the same
+    * fixpoint [[graft.operators.Dedup.connectedComponents]] reaches. */
+  private def clusterOracle(numPlanes: Int, rowsPerBand: Int, dim: Int,
+                            seed: Long, threshold: Double): String = {
+    val planes = Similarity.hyperplanes(numPlanes, dim, seed)
+    val planeRows = planes.zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+    s"""
+      WITH RECURSIVE
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      planes AS (SELECT * FROM (VALUES $planeRows) t(pid, p)),
+      bits AS (SELECT vec_id, pid,
+                 CASE WHEN ${fold("v", "p")} >= 0 THEN 1 ELSE 0 END AS bit
+               FROM e CROSS JOIN planes),
+      bands AS (SELECT vec_id, pid // $rowsPerBand AS band,
+                  string_agg(bit::VARCHAR, '' ORDER BY pid) AS bkey
+                FROM bits GROUP BY vec_id, pid // $rowsPerBand),
+      cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+               FROM bands x JOIN bands y
+                 ON x.band = y.band AND x.bkey = y.bkey
+                   AND x.vec_id < y.vec_id),
+      dup AS (SELECT id_a, id_b
+              FROM cand JOIN e a ON id_a = a.vec_id JOIN e b ON id_b = b.vec_id
+              WHERE round(${fold("a.v", "b.v")} /
+                (sqrt(${fold("a.v", "a.v")}) * sqrt(${fold("b.v", "b.v")})), 6)
+                >= $threshold),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM dup),
+      walk(id, comp) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT g.dst, w.comp FROM walk w JOIN edges g ON g.src = w.id)
+      SELECT id AS vec_id, min(comp) AS cluster_id
+      FROM walk
+      GROUP BY id
+      ORDER BY vec_id"""
+  }
+
+  private val q50 = QueryDef(
+    "q50_semantic_clusters",
+    "Semantic dedup: connected components over the LSH embedding near-dup " +
+      "pairs (q27 params) — groups of mutually/transitively similar " +
+      "embeddings collapse to one cluster_id (smallest member id), the " +
+      "form a training pipeline consumes to keep one representative per " +
+      "semantic duplicate group. Same min-label propagation as q49; the " +
+      "oracle floods the identical banded pair set with a recursive CTE.",
+    (s, dir) => graft.operators.Dedup.connectedComponents(
+        Similarity.lshNearDupPairs(s, emb(s, dir), "vec_id", "embedding",
+          threshold = 0.42, dim = 64, numPlanes = 16, rowsPerBand = 2),
+        "id_a", "id_b")
+      .select(col("id").as("vec_id"), col("comp").as("cluster_id"))
+      .orderBy("vec_id"),
+    Some(clusterOracle(numPlanes = 16, rowsPerBand = 2, dim = 64,
+      seed = 42L, threshold = 0.42)))
+
+  override val defs: Seq[QueryDef] = Seq(q25, q26, q27, q39, q40, q50)
 }
