@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Near-dup dedup ON INGEST: SimHash + pigeonhole banding with per-bucket
+  * state. An arriving document is flagged when its 64-bit SimHash is
+  * within `maxHamming` of any previously seen document — without ever
+  * re-scanning the corpus, which is the property that matters when the
+  * corpus is 100 TB and the stream is a trickle.
+  *
+  * Shape: signature computed inline per record (no shuffle), each doc
+  * exploded into maxHamming+1 band buckets (pigeonhole: any pair within
+  * the radius matches exactly on >= 1 band — same banding as the batch
+  * [[graft.operators.Dedup.simhashPairs]]), and per-bucket
+  * `flatMapGroupsWithState` keeps the signatures seen in that bucket.
+  * One stateful operator, keyed on the bucket — state per key is the
+  * bucket's (id, sig) list, and the per-record work is a hamming scan of
+  * one 16-bit bucket, not the corpus.
+  *
+  * Decision semantics: a doc matches the SMALLEST earlier id within the
+  * radius (earlier = already in state from a previous batch, or ahead of
+  * it in doc_id order within the same batch — so an id-ordered replay
+  * reproduces batch semantics exactly; out-of-order streams resolve to
+  * first-arrival-wins per bucket). A doc collides in several buckets →
+  * several candidate rows; [[duplicates]] combines them (min id wins —
+  * and since every within-radius pair shares >= 1 bucket, that min is
+  * the GLOBAL min matching id, equal to the batch answer).
+  *
+  * State growth is the deliberate trade: NoTimeout here (the equivalence
+  * specs need exactness); production trickle ingest bounds it with
+  * `GroupStateTimeout.ProcessingTimeTimeout` + state TTL, accepting that
+  * a doc can only be matched against the retained window.
+  */
+object StreamingDedup {
+
+  final case class DocSig(doc_id: Long, simhash: Long)
+  final case class BucketRow(bucket: Long, doc_id: Long, simhash: Long)
+  final case class BucketState(ids: List[Long], sigs: List[Long])
+  final case class Decision(doc_id: Long, dup_of: Long, hamming: Int)
+
+  /** Bit-exact Scala mirror of [[graft.operators.Dedup.simhash64]]: token
+    * bit j = bit (j%4) of md5-hex nibble (j/4); per-occurrence +/-1 sums;
+    * signature bit set where the sum is positive. Mirrored (instead of
+    * reusing the Column pipeline) because a streaming record needs its
+    * signature inline — a groupBy-per-doc aggregation would be a second
+    * stateful operator for what is a pure function of one row. */
+  def simhash64Scala(text: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sums = new Array[Int](64)
+    text.split(" ").foreach { t =>
+      if (t.nonEmpty) {
+        val d = md.digest(t.getBytes("UTF-8"))
+        md.reset()
+        var j = 0
+        while (j < 64) {
+          // hex char j/4 of the digest = nibble (high, low alternating)
+          val byte = d((j / 4) / 2) & 0xff
+          val nib = if ((j / 4) % 2 == 0) byte >> 4 else byte & 0xf
+          if (((nib >> (j % 4)) & 1) == 1) sums(j) += 1 else sums(j) -= 1
+          j += 1
+        }
+      }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (sums(j) > 0) sig += (1L << j); j += 1 }
+    sig
+  }
+
+  /** Per-bucket candidate decisions for a (possibly streaming) document
+    * frame. Emits one row per (doc, matching bucket); combine with
+    * [[duplicates]]. Works identically on a batch frame (state starts
+    * empty, one invocation per bucket) — the equivalence the spec pins. */
+  def decisions(docs: DataFrame, idCol: String, textCol: String,
+                maxHamming: Int = 3): Dataset[Decision] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val numBands = maxHamming + 1
+    val width = 64 / numBands
+    require(numBands * width == 64,
+      s"maxHamming+1 = $numBands bands must tile 64 bits exactly")
+
+    val sigs = docs
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) => DocSig(id, simhash64Scala(text)) }
+
+    val buckets = sigs.flatMap { d =>
+      (0 until numBands).map { b =>
+        val key = (d.simhash >>> (b * width)) & ((1L << width) - 1)
+        BucketRow((b.toLong << width) | key, d.doc_id, d.simhash)
+      }
+    }
+
+    buckets.groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketState, Decision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows: Iterator[BucketRow], state: GroupState[BucketState]) =>
+          val st = state.getOption.getOrElse(BucketState(Nil, Nil))
+          var ids = st.ids
+          var sgs = st.sigs
+          val out = List.newBuilder[Decision]
+          rows.toSeq.sortBy(_.doc_id).foreach { r =>
+            var best = -1L
+            var bestH = 0
+            var is = ids; var ss = sgs
+            while (is.nonEmpty) {
+              val id = is.head
+              if (id != r.doc_id) {
+                val h = java.lang.Long.bitCount(ss.head ^ r.simhash)
+                if (h <= maxHamming && (best < 0 || id < best)) {
+                  best = id; bestH = h
+                }
+              }
+              is = is.tail; ss = ss.tail
+            }
+            if (best >= 0) out += Decision(r.doc_id, best, bestH)
+            ids = r.doc_id :: ids
+            sgs = r.simhash :: sgs
+          }
+          state.update(BucketState(ids, sgs))
+          out.result().iterator
+      }
+  }
+
+  /** Combine per-bucket candidates: one row per duplicate doc, matched to
+    * the smallest seen id within the radius (with that pair's hamming —
+    * identical in every shared bucket). Batch combine — run it on the
+    * sink table of the streaming query, or directly in batch mode. */
+  def duplicates(decisions: DataFrame): DataFrame =
+    decisions.groupBy("doc_id")
+      .agg(min(struct(col("dup_of"), col("hamming"))).as("m"))
+      .select(col("doc_id"), col("m.dup_of").as("dup_of"),
+        col("m.hamming").as("hamming"))
+}
