@@ -37,11 +37,41 @@ object Winnowing {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val src =
       if (df.isStreaming) df // partition probing/repartition is batch-only
-      else if (df.rdd.getNumPartitions < par) df.repartition(par)
+      // toRdd (internal rows) probes the partition count without the
+      // encoder-mapped lineage df.rdd would build on every call.
+      else if (df.queryExecution.toRdd.getNumPartitions < par) df.repartition(par)
       else df
     src.select(col(idCol),
         explode(call_function("winnow_fingerprints",
           col(textCol), lit(k), lit(w))).as("fingerprint"))
       .distinct()
+  }
+
+  /** Containment detection (the MOSS use of winnowing): pairs of documents
+    * sharing >= `minOverlap` of the SMALLER document's fingerprints —
+    * catches copied/contained passages that whole-document similarity
+    * (Jaccard over everything) dilutes away. Inverted fingerprint-index
+    * self-join: only docs sharing a fingerprint ever meet (no all-pairs);
+    * overlap = shared / min(|A|, |B|), the containment coefficient. Hot
+    * fingerprints (boilerplate substrings) fatten buckets the same way hot
+    * shingles do — cap them upstream like Dedup.ngramJaccardPairs'
+    * maxShingleDf if a corpus needs it. */
+  def overlapPairs(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 16, w: Int = 8,
+                   minOverlap: Double = 0.5): DataFrame = {
+    val fps = fingerprints(df, idCol, textCol, k, w)
+    val sizes = fps.groupBy(idCol).agg(count(lit(1)).as("n_fp"))
+    val shared = fps.as("a").join(fps.as("b"),
+        col("a.fingerprint") === col("b.fingerprint")
+          && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    val sa = sizes.select(col(idCol).as("id_a"), col("n_fp").as("n_a"))
+    val sb = sizes.select(col(idCol).as("id_b"), col("n_fp").as("n_b"))
+    shared.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("overlap",
+        round(col("shared") / least(col("n_a"), col("n_b")), 6))
+      .where(col("overlap") >= minOverlap)
+      .select("id_a", "id_b", "shared", "overlap")
   }
 }

@@ -41,6 +41,28 @@ object Similarity {
       .limit(k)
   }
 
+  /** Similarity JOIN: top-k nearest per query vector, for a SET of query
+    * ids — the batch form of [[topKNeighbors]]. Queries broadcast (they
+    * are the small side by construction); one corpus scan computes every
+    * (query, candidate) cosine; ranking shuffles by query id — balanced
+    * whenever the query set is non-trivial, which is exactly when the
+    * batch form matters. Ranks on the ROUNDED cosine with id tie-break so
+    * engine boundaries agree. Self-matches (qid == id) rank first at
+    * cosine 1.0 — callers filter if unwanted (deterministic either way). */
+  def batchTopKNeighbors(spark: SparkSession, df: DataFrame, idCol: String,
+                         vecCol: String, queryIds: Seq[Long], k: Int,
+                         roundTo: Int = 6): DataFrame = {
+    val q = df.where(col(idCol).isin(queryIds.map(Long.box): _*))
+      .select(col(idCol).as("qid"), col(vecCol).as("__qv"))
+    val ranked = df.crossJoin(broadcast(q))
+      .select(col("qid"), col(idCol),
+        round(cos(spark, vecCol, "__qv"), roundTo).as("cosine"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("cosine").desc, col(idCol))))
+    ranked.where(col("__rn") <= k).drop("__rn")
+  }
+
   /** Exact all-pairs cosine near-dup: (id_a < id_b, cosine >= threshold).
     * Threshold compares the ROUNDED value so engine boundaries agree. */
   def cosineNearDupPairs(spark: SparkSession, df: DataFrame, idCol: String,

@@ -259,5 +259,30 @@ object SimilarityQueries extends QueryFamily {
     Some(clusterOracle(numPlanes = 16, rowsPerBand = 2, dim = 64,
       seed = 42L, threshold = 0.42)))
 
-  override val defs: Seq[QueryDef] = Seq(q25, q26, q27, q39, q40, q50)
+  private val q51 = QueryDef(
+    "q51_ann_batch_topk",
+    "Similarity JOIN: top-3 nearest per query for a SET of query vectors " +
+      "(vec_id 0-4) in one corpus scan — queries broadcast, ranking " +
+      "shuffles by query id (balanced once the query set is non-trivial, " +
+      "exactly when the batch form matters). Ranks on rounded cosine with " +
+      "id tie-break, self-matches included (deterministic).",
+    (s, dir) => Similarity.batchTopKNeighbors(s, emb(s, dir), "vec_id",
+        "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 3)
+      .orderBy("qid", "cosine", "vec_id"),
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      sc AS (SELECT qid, e.vec_id,
+               round(${fold("e.v", "qv")} /
+                 (sqrt(${fold("e.v", "e.v")}) * sqrt(${fold("qv", "qv")})), 6)
+                 AS cosine
+             FROM e CROSS JOIN q),
+      r AS (SELECT qid, vec_id, cosine,
+              row_number() OVER (PARTITION BY qid
+                                 ORDER BY cosine DESC, vec_id) AS rn
+            FROM sc)
+      SELECT qid, vec_id, cosine FROM r WHERE rn <= 3
+      ORDER BY qid, cosine, vec_id"""))
+
+  override val defs: Seq[QueryDef] = Seq(q25, q26, q27, q39, q40, q50, q51)
 }

@@ -21,6 +21,7 @@ class PlanGuardSpec extends SparkSpec {
   // under a non-equi predicate.
   private val bnlAllowed = Set(
     "q25_ann_bruteforce_topk",   // broadcast single query vector
+    "q51_ann_batch_topk",        // broadcast query-vector SET (tiny side)
     "q26_cosine_neardup_pairs",  // exact all-pairs correctness baseline
     "q37_range_join",            // banded join's unbucketed comparison arm
     "q36_asof_join",             // tolerance probe on a bounded frame
