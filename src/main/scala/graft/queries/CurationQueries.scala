@@ -217,5 +217,84 @@ object CurationQueries extends QueryFamily {
       FROM c
       ORDER BY doc_id, chunk_id"""))
 
-  override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q44, q47)
+  private val stopList53 = TextAnalysis.stopwords.map(s => s"'$s'").mkString(", ")
+
+  private val q53 = QueryDef(
+    "q53_curation_pipeline",
+    "End-to-end corpus curation in ONE declarative plan: quality filter " +
+      "(composite >= 0.7), near-dup cluster pruning (keep each cluster's " +
+      "smallest doc_id via connected components over exact 3-gram-Jaccard " +
+      "pairs), and the deterministic md5 train/val/test split — the " +
+      "compose-everything query a training pipeline actually runs. The " +
+      "oracle chains the q29/q49/q41 CTE machinery.",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val clusters = graft.operators.Dedup.connectedComponents(
+        graft.operators.Dedup.ngramJaccardPairs(d, "doc_id", "text",
+          n = 3, threshold = 0.8),
+        "id_a", "id_b")
+      val dupDrop = clusters.where(col("id") =!= col("comp"))
+        .select(col("id").as("doc_id"))
+      d.join(dupDrop, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          Curation.splitLabel(col("doc_id")).as("split"))
+        .where(col("quality") >= 0.7)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE
+      toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(a) - 1, 1)),
+                 i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle
+             FROM toks),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (SELECT s1.doc_id AS id_a, s2.doc_id AS id_b,
+                       count(*) AS inter
+                FROM sh s1 JOIN sh s2
+                  ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+                GROUP BY 1, 2),
+      dup AS (SELECT id_a, id_b
+              FROM pairs
+              JOIN sizes na ON id_a = na.doc_id
+              JOIN sizes nb ON id_b = nb.doc_id
+              WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.8),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM dup),
+      walk(id, comp) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT g.dst, w.comp FROM walk w JOIN edges g ON g.src = w.id),
+      dropids AS (SELECT id FROM walk GROUP BY id HAVING min(comp) <> id),
+      t AS (
+        SELECT doc_id, lang, text,
+               CASE WHEN length(text) = 0 THEN 0
+                    ELSE length(text) - length(replace(text, ' ', '')) + 1
+                    END AS n_tok,
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN ($stopList53))) AS n_stop,
+               length(text) - length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                 AS n_nonalpha
+        FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM dropids)),
+      scored AS (
+        SELECT doc_id, lang,
+               round(least(n_tok / 50.0, 1.0) * 0.4
+                   + least(n_stop * 1.0 / nullif(n_tok, 0) * 5.0, 1.0) * 0.3
+                   + greatest(0.0, 1.0 - n_nonalpha * 1.0 / nullif(length(text), 0) * 5.0) * 0.3,
+                 6) AS quality,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                 % 100 AS bucket
+        FROM t)
+      SELECT doc_id, lang, quality,
+             CASE WHEN bucket < 90 THEN 'train'
+                  WHEN bucket < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM scored
+      WHERE quality >= 0.7
+      ORDER BY doc_id"""))
+
+  override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q44, q47, q53)
 }
