@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -191,6 +191,72 @@ case class WordShinglesExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** simhash64_doc(text) → the 64-bit SimHash of one document, inline.
+  *
+  * Same bit contract as the former explode + 64-sum-aggregation pipeline
+  * (token bit j = bit j%4 of md5-hex nibble j/4; per-occurrence +/-1 sums;
+  * signature bit set where the sum is positive — what the q24 DuckDB
+  * oracle independently recomputes), but as ONE projection: the old shape
+  * shuffled every token through a per-doc groupBy; a signature is a pure
+  * function of the row, so at 100 TB that shuffle was pure waste. Codegen
+  * emits a static call into [[SimHash64Expr.compute]] — the
+  * whole-stage-codegen span stays unbroken, like the shingle kernels. */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "simhash64_doc"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${dt.catalogString}")
+  }
+
+  override protected def nullSafeEval(text: Any): Any =
+    compute(text.asInstanceOf[UTF8String])
+
+  def compute(text: UTF8String): Long = SimHash64Expr.compute(text.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, text => {
+      val ref = ctx.addReferenceObj("simhashExpr", this, classOf[SimHash64Expr].getName)
+      s"${ev.value} = $ref.compute($text);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64Expr {
+
+  private val md5 = ThreadLocal.withInitial[MessageDigest](
+    () => MessageDigest.getInstance("MD5"))
+
+  /** The SimHash kernel, shared with the streaming dedup path. */
+  def compute(text: String): Long = {
+    val md = md5.get()
+    val sums = new Array[Int](64)
+    text.split(" ").foreach { t =>
+      if (t.nonEmpty) {
+        val d = md.digest(t.getBytes("UTF-8"))
+        md.reset()
+        var j = 0
+        while (j < 64) {
+          // hex char j/4 of the digest = nibble (high, low alternating)
+          val byte = d((j / 4) / 2) & 0xff
+          val nib = if ((j / 4) % 2 == 0) byte >> 4 else byte & 0xf
+          if (((nib >> (j % 4)) & 1) == 1) sums(j) += 1 else sums(j) -= 1
+          j += 1
+        }
+      }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (sums(j) > 0) sig += (1L << j); j += 1 }
+    sig
+  }
+}
+
 object TextShingleExpressions {
 
   def register(spark: SparkSession): Unit = {
@@ -201,6 +267,8 @@ object TextShingleExpressions {
         exprs => WinnowFingerprintsExpr(exprs(0), exprs(1), exprs(2)), "built-in")
       reg.createOrReplaceTempFunction("word_shingles",
         exprs => WordShinglesExpr(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("simhash64_doc",
+        exprs => SimHash64Expr(exprs(0)), "built-in")
     }
   }
 }

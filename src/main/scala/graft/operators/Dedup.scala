@@ -221,25 +221,15 @@ object Dedup {
     * can derive the identical signature (md5 is the one cryptographic
     * hash every engine exposes with identical output; xxhash64 is not). */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
-      .where(col("tok") =!= "")
-      .withColumn("__md5", md5(col("tok")))
-    // Nibbles decode once; all 64 bit-sums reference the decoded columns.
-    val withNibs = (0 until 16).foldLeft(tok) { (d, i) =>
-      d.withColumn(s"__n$i",
-        conv(substring(col("__md5"), i + 1, 1), 16, 10).cast(IntegerType))
-    }
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col(s"__n${j / 4}"), j % 4).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"__b$j")
-    }
-    // Disjoint bit values: the sum is exact two's-complement assembly even
-    // when bit 63 (the sign bit) participates.
-    withNibs.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
+    TextShingleExpressions.register(df.sparkSession)
+    // One codegen'd projection per row (SimHash64Expr) — a signature is a
+    // pure function of the document, and the earlier explode + 64-sum
+    // groupBy shuffled every token to compute it. The filter preserves
+    // that pipeline's contract: docs with no non-empty token (null or
+    // all-space text) produced no rows then, so they produce none now.
+    df.where(trim(col(textCol).cast(StringType)) =!= "")
       .select(col(idCol),
-        (0 until 64).map(j =>
-          when(col(s"__b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
+        call_function("simhash64_doc", col(textCol)).as("simhash"))
   }
 
   /** Near-dup pairs with hamming(simhash) <= maxHamming, via pigeonhole

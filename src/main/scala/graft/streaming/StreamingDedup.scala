@@ -40,34 +40,11 @@ object StreamingDedup {
   final case class BucketState(ids: List[Long], sigs: List[Long])
   final case class Decision(doc_id: Long, dup_of: Long, hamming: Int)
 
-  /** Bit-exact Scala mirror of [[graft.operators.Dedup.simhash64]]: token
-    * bit j = bit (j%4) of md5-hex nibble (j/4); per-occurrence +/-1 sums;
-    * signature bit set where the sum is positive. Mirrored (instead of
-    * reusing the Column pipeline) because a streaming record needs its
-    * signature inline — a groupBy-per-doc aggregation would be a second
-    * stateful operator for what is a pure function of one row. */
-  def simhash64Scala(text: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val sums = new Array[Int](64)
-    text.split(" ").foreach { t =>
-      if (t.nonEmpty) {
-        val d = md.digest(t.getBytes("UTF-8"))
-        md.reset()
-        var j = 0
-        while (j < 64) {
-          // hex char j/4 of the digest = nibble (high, low alternating)
-          val byte = d((j / 4) / 2) & 0xff
-          val nib = if ((j / 4) % 2 == 0) byte >> 4 else byte & 0xf
-          if (((nib >> (j % 4)) & 1) == 1) sums(j) += 1 else sums(j) -= 1
-          j += 1
-        }
-      }
-    }
-    var sig = 0L
-    var j = 0
-    while (j < 64) { if (sums(j) > 0) sig += (1L << j); j += 1 }
-    sig
-  }
+  /** The shared SimHash kernel ([[graft.expressions.SimHash64Expr]]) —
+    * the same bits the batch Column path and the q24 DuckDB oracle
+    * compute; a streaming record needs its signature inline. */
+  def simhash64Scala(text: String): Long =
+    graft.expressions.SimHash64Expr.compute(text)
 
   /** Per-bucket candidate decisions for a (possibly streaming) document
     * frame. Emits one row per (doc, matching bucket); combine with
