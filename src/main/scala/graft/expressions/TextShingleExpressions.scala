@@ -257,6 +257,93 @@ object SimHash64Expr {
   }
 }
 
+/** minhash_sigs(shingles ARRAY<STRING>, numHashes, seed) → ARRAY<BIGINT>.
+  *
+  * MinHash signature of one document's shingle set, inline: base hash =
+  * first 7 md5-hex chars of the shingle (28-bit, like the Column
+  * pipeline's conv(substring(md5, 1, 7), 16, 10)), then numHashes
+  * universal hashes (a*x + b) mod 2^31-1 with (a, b) drawn
+  * deterministically from `seed` — bit-identical to the former
+  * explode + 32-min-aggregation pipeline, whose groupBy shuffled every
+  * (doc, shingle) row to compute a value that is a pure function of the
+  * document. Inputs must be non-empty (the old pipeline emitted no row
+  * for shingle-less docs; callers filter size > 0 to preserve that). */
+case class MinHashSigsExpr(first: Expression, second: Expression,
+                           third: Expression) extends TernaryExpression {
+
+  override def prettyName: String = "minhash_sigs"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), IntegerType, IntegerType | LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (ARRAY<STRING>, INT, INT|BIGINT)")
+    }
+
+  @transient private lazy val coefficients: Array[(Long, Long)] = {
+    val n = second.eval().asInstanceOf[Int]
+    val seed = third.eval() match {
+      case i: java.lang.Integer => i.longValue()
+      case l: java.lang.Long => l.longValue()
+    }
+    MinHashSigsExpr.coeffs(n, seed)
+  }
+
+  override protected def nullSafeEval(sh: Any, n: Any, seed: Any): Any =
+    compute(sh.asInstanceOf[ArrayData])
+
+  def compute(sh: ArrayData): ArrayData = {
+    val cs = coefficients
+    val mins = Array.fill(cs.length)(Long.MaxValue)
+    val md = MinHashSigsExpr.md5.get()
+    var i = 0
+    val n = sh.numElements()
+    while (i < n) {
+      val d = md.digest(sh.getUTF8String(i).getBytes)
+      md.reset()
+      // first 7 hex chars = first 3.5 bytes, big-endian nibbles
+      val x = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+        ((d(2) & 0xffL) << 4) | ((d(3) & 0xf0L) >> 4)
+      var c = 0
+      while (c < cs.length) {
+        val v = (x * cs(c)._1 + cs(c)._2) % MinHashSigsExpr.MersennePrime31
+        if (v < mins(c)) mins(c) = v
+        c += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sh, _, _) => {
+      val ref = ctx.addReferenceObj("minhashExpr", this, classOf[MinHashSigsExpr].getName)
+      s"${ev.value} = $ref.compute($sh);"
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+object MinHashSigsExpr {
+
+  private[graft] val MersennePrime31 = 2147483647L // 2^31 - 1
+
+  private[expressions] val md5 = ThreadLocal.withInitial[MessageDigest](
+    () => MessageDigest.getInstance("MD5"))
+
+  /** Universal-hash coefficients, deterministic from `seed` — the single
+    * source both the expression and any oracle generator draw from. */
+  def coeffs(numHashes: Int, seed: Long): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numHashes)(
+      (1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
+  }
+}
+
 object TextShingleExpressions {
 
   def register(spark: SparkSession): Unit = {
@@ -269,6 +356,8 @@ object TextShingleExpressions {
         exprs => WordShinglesExpr(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction("simhash64_doc",
         exprs => SimHash64Expr(exprs(0)), "built-in")
+      reg.createOrReplaceTempFunction("minhash_sigs",
+        exprs => MinHashSigsExpr(exprs(0), exprs(1), exprs(2)), "built-in")
     }
   }
 }

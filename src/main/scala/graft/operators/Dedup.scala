@@ -142,36 +142,23 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Deterministic per-shingle base hash: first 7 md5 hex chars → 28-bit
-    * int. Small domain keeps a*x+b inside a long for any 31-bit a. */
-  private def baseHash(c: Column): Column =
-    conv(substring(md5(c), 1, 7), 16, 10).cast(LongType)
-
-  private val MersennePrime31 = 2147483647L // 2^31 - 1
-
-  /** Universal-hash coefficients, deterministic from `seed`. */
-  private def coeffs(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(numHashes)(
-      (1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
-  }
-
   /** MinHash signature per document: (id, sig ARRAY<BIGINT> of length
-    * `numHashes`). One explode + one groupBy — map-side partial mins. */
+    * `numHashes`). ONE codegen'd projection (MinHashSigsExpr) — the
+    * signature is a pure function of the document's shingle set, and the
+    * earlier explode + numHashes-min groupBy shuffled every (doc, shingle)
+    * row to compute it. Base hash (28-bit md5-hex prefix) and universal
+    * hashes are bit-identical to that pipeline. Docs with no shingles
+    * emit no row, matching the explode path's contract. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, numHashes: Int = 32,
-                        seed: Long = 42L): DataFrame =
-    signaturesFromShingles(shingles(df, idCol, textCol, n), idCol, numHashes, seed)
-
-  private def signaturesFromShingles(sh: DataFrame, idCol: String,
-                                     numHashes: Int, seed: Long): DataFrame = {
-    val hashed = sh.withColumn("__x", baseHash(col("shingle")))
-    val mins = coeffs(numHashes, seed).zipWithIndex.map { case ((a, b), i) =>
-      min((col("__x") * a + b) % MersennePrime31).as(s"__h$i")
-    }
-    hashed.groupBy(idCol).agg(mins.head, mins.tail: _*)
+                        seed: Long = 42L): DataFrame = {
+    TextShingleExpressions.register(df.sparkSession)
+    df.select(col(idCol),
+        call_function("word_shingles", col(textCol), lit(n)).as("__sh"))
+      .where(size(col("__sh")) > 0)
       .select(col(idCol),
-        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
+        call_function("minhash_sigs", col("__sh"), lit(numHashes),
+          lit(seed)).as("sig"))
   }
 
   /** MinHash LSH near-dup pairs, verified with exact Jaccard.
@@ -187,10 +174,12 @@ object Dedup {
                       threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
     val numBands = numHashes / rowsPerBand
-    // One shingle pass feeds BOTH signature building and candidate
-    // verification (the two heaviest scans in the operator).
+    // Signatures come from the fused per-row kernel (no shuffle); the
+    // exploded shingle pass below is cached because candidate
+    // VERIFICATION still needs the inverted (id, shingle) index twice
+    // (sizes + intersection join).
     val sh = shingles(df, idCol, textCol, n).cache()
-    val sigs = signaturesFromShingles(sh, idCol, numHashes, seed)
+    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes, seed)
     val bands = sigs.select(col(idCol), posexplode(
         array((0 until numBands).map { b =>
           struct(lit(b).as("band"),

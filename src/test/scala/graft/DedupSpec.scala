@@ -103,4 +103,28 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(ok.forall(_._2 == 1L) && ok.length == 12)
   }
+
+  test("fused minhash_sigs kernel == the Column-op pipeline, bit for bit") {
+    // Reconstruct the former explode + min-agg signature pipeline inline
+    // and pin that the fused per-row kernel produces identical arrays.
+    import org.apache.spark.sql.types.LongType
+    val docs = graft.core.Tables.load(spark, sf(), "documents")
+      .select("doc_id", "text")
+    val numHashes = 32; val seed = 42L
+    val cs = graft.expressions.MinHashSigsExpr.coeffs(numHashes, seed)
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+      .withColumn("__x",
+        conv(substring(md5(col("shingle")), 1, 7), 16, 10).cast(LongType))
+    val mins = cs.toSeq.zipWithIndex.map { case ((a, b), i) =>
+      min((col("__x") * a + b) % 2147483647L).as(s"__h$i")
+    }
+    val reference = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val fused = Dedup.minhashSignatures(docs, "doc_id", "text")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fused == reference)
+    assert(fused.nonEmpty)
+  }
 }
