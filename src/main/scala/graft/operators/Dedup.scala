@@ -75,14 +75,29 @@ object Dedup {
     * sum-of-labels invariant — labels only ever decrease, so an unchanged
     * sum IS the fixpoint; that check is one scalar action per round, no
     * driver-side data. maxIters bounds pathological chains; hitting the
-    * bound throws rather than silently returning unconverged clusters. */
+    * bound throws rather than silently returning unconverged clusters.
+    *
+    * SIZE-ADAPTIVE: a near-dup pair graph is usually orders of magnitude
+    * smaller than its corpus (only the duplicates appear). Below
+    * `driverEdgeLimit` edges the components are solved with a driver
+    * union-find — bounded memory (≈16 B/edge), one job, no iteration —
+    * the same bounded-driver-work pattern as the IVF trainer. Above it,
+    * the distributed min-label loop runs. Identical output either way
+    * (pinned in DedupSpec). */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIters: Int = 25): DataFrame = {
+                          maxIters: Int = 25,
+                          driverEdgeLimit: Long = 1000000L): DataFrame = {
     val a = col(aCol).cast(LongType)
     val b = col(bCol).cast(LongType)
-    val edges = pairs.select(a.as("src"), b.as("dst"))
-      .union(pairs.select(b.as("src"), a.as("dst")))
+    val undirected = pairs
+      .select(a.as("src"), b.as("dst"))
       .distinct()
+
+    if (undirected.count() <= driverEdgeLimit)
+      return driverComponents(pairs.sparkSession, undirected)
+
+    val edges = undirected
+      .union(undirected.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
@@ -107,6 +122,30 @@ object Dedup {
       round += 1
     }
     labels
+  }
+
+  /** Driver union-find for the small-graph path: min-root union keeps
+    * every root at its component's minimum id, so `find` after all
+    * unions IS the min-label fixpoint the distributed loop reaches. */
+  private def driverComponents(spark: org.apache.spark.sql.SparkSession,
+                               undirected: DataFrame): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    undirected.collect().foreach { row =>
+      val s = row.getLong(0); val d = row.getLong(1)
+      parent.getOrElseUpdate(s, s)
+      parent.getOrElseUpdate(d, d)
+      val rs = find(s); val rd = find(d)
+      if (rs != rd) { if (rs < rd) parent(rd) = rs else parent(rs) = rd }
+    }
+    parent.keys.toSeq.sorted.map(v => (v, find(v))).toDF("id", "comp")
   }
 
   /** Exact pairwise n-gram Jaccard over an inverted shingle index:

@@ -95,13 +95,29 @@ class DedupSpec extends SparkSpec {
 
   test("connectedComponents: maxIters guard throws instead of wrong output") {
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(chain, "id_a", "id_b", maxIters = 2)
+    intercept[IllegalArgumentException] { // force the distributed path
+      Dedup.connectedComponents(chain, "id_a", "id_b", maxIters = 2,
+        driverEdgeLimit = 0L)
     }
     // and with room it converges to one component rooted at 1
     val ok = Dedup.connectedComponents(chain, "id_a", "id_b")
       .as[(Long, Long)].collect()
     assert(ok.forall(_._2 == 1L) && ok.length == 12)
+  }
+
+  test("connectedComponents: driver union-find == distributed propagation") {
+    // deterministic pseudo-random graph: chains, triangles, islands
+    val pairs = (0L until 300L).flatMap { i =>
+      val base = i * 7 % 97
+      Seq((base, base + (i % 3) + 1), (i % 89, (i * 13) % 89 + 1))
+    }.toDF("id_a", "id_b")
+    val viaDriver = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    val viaLoop = Dedup.connectedComponents(pairs, "id_a", "id_b",
+        driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toSet
+    assert(viaDriver == viaLoop)
+    assert(viaDriver.nonEmpty)
   }
 
   test("fused minhash_sigs kernel == the Column-op pipeline, bit for bit") {
