@@ -111,6 +111,67 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Exact near-dup via block-grid pair enumeration: identical OUTPUT to
+    * [[cosineNearDupPairs]] with neither a BroadcastNestedLoop nor a
+    * CartesianProduct in the plan. Each row gets a block `pmod(hash(id),
+    * blocks)`; the unordered block grid has `blocks*(blocks+1)/2` cells
+    * and every unordered row pair meets in EXACTLY one cell (row in block
+    * i replicates to cells (i, j>=i) as the left side and (i<=j, j) as the
+    * right side), so the cell id is a plain equi-join key: the executor
+    * holding a cell sees only its two blocks, work spreads evenly across
+    * `cells` tasks, and shuffle volume is `n*(blocks+1)` rows of ~72-byte
+    * int8 codes — the float vectors never enter the pair join.
+    *
+    * Why this over LSH banding for the EXACT join: at low thresholds the
+    * banded candidate stream exceeds all-pairs (at t=0.42, a 2-sign-bit
+    * band key collides on ~25% of random pairs, so 24 bands evaluate ~6x
+    * the n^2/2 pairs this grid evaluates once each; the LSH exponent
+    * rho = ln(p1)/ln(p2) ~ 0.65 at t=0.42 says no banding parameters
+    * recover more than a marginal factor). Banding wins on HIGH-threshold
+    * approximate joins — that path is [[lshNearDupPairs]] (q27).
+    *
+    * Per-pair cost is the int8 `quantized_cosine` prefilter at
+    * `threshold - margin` (same soundness precondition as
+    * [[quantizedNearDupPairs]]); only survivors join back to the float
+    * vectors for exact verification. */
+  def blockedNearDupPairs(spark: SparkSession, df: DataFrame, idCol: String,
+                          vecCol: String, threshold: Double,
+                          margin: Double = 0.05, blocks: Int = 16,
+                          roundTo: Int = 6): DataFrame = {
+    require(blocks >= 1)
+    QuantizeExpressions.register(spark)
+    val b = lit(blocks)
+    val q = df.select(col(idCol).as("__id"),
+        call_function("quantize_int8", col(vecCol)).as("__q"))
+      .withColumn("__blk", pmod(hash(col("__id")), b))
+    // Left side of cell (i, j): rows of block i, for every j in [i, blocks).
+    val lhs = q.withColumn("__cell",
+      explode(transform(sequence(col("__blk"), b - 1),
+        j => col("__blk") * b + j)))
+    // Right side of cell (i, j): rows of block j, for every i in [0, j].
+    val rhs = q.withColumn("__cell",
+      explode(transform(sequence(lit(0), col("__blk")),
+        i => i * b + col("__blk"))))
+    // Off-diagonal cells see each unordered pair once (arbitrary order —
+    // canonicalized by least/greatest); diagonal cells see both orders,
+    // so there id < id breaks the tie. quantized prefilter evaluates
+    // INSIDE the join: the raw pair stream is never materialized.
+    val cand = lhs.as("x").join(rhs.as("y"),
+        col("x.__cell") === col("y.__cell")
+          && (col("x.__blk") < col("y.__blk")
+            || col("x.__id") < col("y.__id"))
+          && call_function("quantized_cosine", col("x.__q"), col("y.__q"))
+            >= threshold - margin)
+      .select(least(col("x.__id"), col("y.__id")).as("id_a"),
+        greatest(col("x.__id"), col("y.__id")).as("id_b"))
+    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cosine", round(cos(spark, "__va", "__vb"), roundTo))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Measured max |quantized_cosine − cosine| over all pairs of a bounded
     * deterministic sample — the empirical basis for a SOUND prefilter
     * margin when the embedding distribution is unknown (see the

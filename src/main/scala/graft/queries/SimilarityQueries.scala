@@ -182,24 +182,35 @@ object SimilarityQueries extends QueryFamily {
 
   private val q40 = QueryDef(
     "q40_quantized_neardup",
-    "Near-exhaustive banded near-dup at the same 0.42 threshold: dense " +
-      "LSH banding (48 planes, 24 bands of 2 — miss prob ~3.5e-6 per " +
-      ">=0.42 pair, vs 1.5e-2 for q27's 8 bands) generates candidates " +
-      "through EQUI-KEYED joins (no O(n^2) nested loop anywhere in the " +
-      "plan), the int8 quantized prefilter prunes them before the " +
-      "distinct, survivors are exact-verified. Empirically identical " +
-      "output to the exact all-pairs q26 (pinned in SimilaritySpec); the " +
-      "oracle replicates the banding with injected plane literals so it " +
-      "is sound by construction. The banded shape is the one that " +
-      "survives 100 TB — band selectivity grows with the threshold-to-" +
-      "background cosine gap, which this test corpus deliberately " +
-      "minimizes.",
-    (s, dir) => Similarity.lshNearDupPairs(s, emb(s, dir), "vec_id",
-        "embedding", threshold = 0.42, dim = 64,
-        numPlanes = 48, rowsPerBand = 2)
+    "EXACT near-dup at the same 0.42 threshold through a block-grid " +
+      "similarity join: rows hash into 16 blocks, every unordered pair " +
+      "of blocks is one equi-join cell, the int8 quantized prefilter " +
+      "evaluates inside the cell join, survivors are exact-verified " +
+      "against the float vectors. Same n^2/2 pair evaluations as the " +
+      "all-pairs baseline but with NO nested-loop join — work spreads " +
+      "evenly over cells and only ~72-byte int8 codes shuffle. Replaces " +
+      "the round-4 dense-banding shape, which MEASURED worse than " +
+      "all-pairs here: at t=0.42 a 2-bit band key collides on ~25% of " +
+      "random pairs, so 24 bands evaluated ~6x the pairs this grid " +
+      "evaluates once (8x bench regression; LSH rho ~ 0.65 at this " +
+      "threshold says no banding parameters win the exact join — " +
+      "banding stays where it belongs, the approximate q27). Output is " +
+      "exact by construction, so the oracle is the plain all-pairs SQL.",
+    (s, dir) => Similarity.blockedNearDupPairs(s, emb(s, dir), "vec_id",
+        "embedding", threshold = 0.42)
       .orderBy("id_a", "id_b"),
-    Some(lshOracle(numPlanes = 48, rowsPerBand = 2, dim = 64,
-      seed = 42L, threshold = 0.42)))
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      sc AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(${fold("a.v", "b.v")} /
+                 (sqrt(${fold("a.v", "a.v")}) * sqrt(${fold("b.v", "b.v")})), 6)
+                 AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      SELECT id_a, id_b, cosine
+      FROM sc
+      WHERE cosine >= 0.42
+      ORDER BY id_a, id_b"""))
 
   /** Semantic-dedup clusters: [[lshOracle]]'s candidate+verify chain as
     * CTEs, then a recursive flood over the symmetric dup edges — the same

@@ -80,18 +80,22 @@ class SimilaritySpec extends SparkSpec {
       s"LSH missed ${(exact -- lsh).size} of ${exact.size}")
   }
 
-  test("dense banding (q40 params: 48 planes / r=2) == exact all-pairs") {
-    // q40's claim: at 24 bands the banded candidate generation is
-    // effectively exhaustive for >=0.42 pairs (miss prob 0.593^24 ≈
-    // 3.5e-6 per pair) — its output must EQUAL the exact O(n^2) baseline
-    // on this corpus, while the plan stays equi-keyed (PlanGuardSpec).
+  test("block-grid join (q40) == exact all-pairs, any block count") {
+    // q40's claim: the grid enumerates every unordered pair exactly once
+    // (off-diagonal cells meet each cross-block pair in one cell; the
+    // diagonal dedups by id order), so its output EQUALS the exact
+    // O(n^2) baseline by construction — while the plan stays equi-keyed
+    // (PlanGuardSpec). blocks=1 degenerates to one diagonal cell; 7
+    // exercises uneven hash-block sizes; 16 is the q40 setting.
     val e = Tables.load(spark, sf(), "embeddings")
     val exact = Similarity.cosineNearDupPairs(spark, e, "vec_id", "embedding", 0.42)
       .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
-    val banded = Similarity.lshNearDupPairs(spark, e, "vec_id", "embedding",
-        0.42, dim = 64, numPlanes = 48, rowsPerBand = 2)
-      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
-    assert(banded == exact,
-      s"banded missed ${(exact -- banded).size}, extra ${(banded -- exact).size}")
+    for (blocks <- Seq(1, 7, 16)) {
+      val blocked = Similarity.blockedNearDupPairs(spark, e, "vec_id",
+          "embedding", 0.42, blocks = blocks)
+        .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+      assert(blocked == exact, s"blocks=$blocks: missed " +
+        s"${(exact -- blocked).size}, extra ${(blocked -- exact).size}")
+    }
   }
 }
