@@ -72,24 +72,33 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
         if (elemIsFloat) (i: String) => s"(double) $a.getFloat($i)"
         else (i: String) => s"$a.getDouble($i)"
       val rowCls = classOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow].getName
+      // Locals MUST be freshName'd: when the expression's slot is
+      // non-nullable, nullSafeCodeGen inlines this block WITHOUT a scope
+      // wrapper, and two instances in one operator redefine the variable —
+      // janino rejects the class and the whole stage silently falls back
+      // to interpreted eval.
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val maxAbs = ctx.freshName("maxAbs"); val av = ctx.freshName("av")
+      val scale = ctx.freshName("scale"); val codes = ctx.freshName("codes")
+      val fields = ctx.freshName("fields")
       s"""
-        int n = $a.numElements();
-        double maxAbs = 0.0;
-        for (int i = 0; i < n; i++) {
-          double av = Math.abs(${get("i")});
-          if (av > maxAbs) maxAbs = av;
+        int $n = $a.numElements();
+        double $maxAbs = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $av = Math.abs(${get(i)});
+          if ($av > $maxAbs) $maxAbs = $av;
         }
-        double scale = maxAbs == 0.0 ? 0.0 : maxAbs / 127.0;
-        byte[] codes = new byte[n];
-        if (scale > 0.0) {
-          for (int i = 0; i < n; i++) {
-            codes[i] = (byte) Math.round(${get("i")} / scale);
+        double $scale = $maxAbs == 0.0 ? 0.0 : $maxAbs / 127.0;
+        byte[] $codes = new byte[$n];
+        if ($scale > 0.0) {
+          for (int $i = 0; $i < $n; $i++) {
+            $codes[$i] = (byte) Math.round(${get(i)} / $scale);
           }
         }
-        Object[] fields = new Object[2];
-        fields[0] = scale;
-        fields[1] = codes;
-        ${ev.value} = new $rowCls(fields);
+        Object[] $fields = new Object[2];
+        $fields[0] = $scale;
+        $fields[1] = $codes;
+        ${ev.value} = new $rowCls($fields);
       """
     })
 
@@ -138,19 +147,25 @@ case class QuantizedCosine(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName'd locals — see QuantizeInt8.doGenCode.
+      val ca = ctx.freshName("ca"); val cb = ctx.freshName("cb")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
-        byte[] ca = $a.getBinary(1);
-        byte[] cb = $b.getBinary(1);
-        int n = Math.min(ca.length, cb.length);
-        long dot = 0L, na = 0L, nb = 0L;
-        for (int i = 0; i < n; i++) {
-          long x = ca[i]; long y = cb[i];
-          dot += x * y; na += x * x; nb += y * y;
+        byte[] $ca = $a.getBinary(1);
+        byte[] $cb = $b.getBinary(1);
+        int $n = Math.min($ca.length, $cb.length);
+        long $dot = 0L, $na = 0L, $nb = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          long $x = $ca[$i]; long $y = $cb[$i];
+          $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
         }
-        if (na == 0L || nb == 0L) {
+        if ($na == 0L || $nb == 0L) {
           ${ev.isNull} = true;
         } else {
-          ${ev.value} = dot / (Math.sqrt((double) na) * Math.sqrt((double) nb));
+          ${ev.value} = $dot / (Math.sqrt((double) $na) * Math.sqrt((double) $nb));
         }
       """
     })

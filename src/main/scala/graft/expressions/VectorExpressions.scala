@@ -72,18 +72,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+      // Locals MUST be freshName'd: with non-nullable children,
+      // nullSafeCodeGen inlines this block without a scope wrapper, so two
+      // instances in one operator would redefine the variable and kick the
+      // whole stage out of codegen (janino "Redefinition of local").
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
       s"""
-        int n = Math.min($a.numElements(), $b.numElements());
-        double dot = 0.0, na = 0.0, nb = 0.0;
-        for (int i = 0; i < n; i++) {
-          double xv = ${getJava(a, lf, "i")};
-          double yv = ${getJava(b, rf, "i")};
-          dot += xv * yv; na += xv * xv; nb += yv * yv;
+        int $n = Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xv = ${getJava(a, lf, i)};
+          double $yv = ${getJava(b, rf, i)};
+          $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
         }
-        if (na == 0.0 || nb == 0.0) {
+        if ($na == 0.0 || $nb == 0.0) {
           ${ev.isNull} = true;
         } else {
-          ${ev.value} = dot / (Math.sqrt(na) * Math.sqrt(nb));
+          ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
         }
       """
     })
@@ -112,13 +120,16 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+      // freshName'd locals — see CosineSimilarity.doGenCode.
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
       s"""
-        int n = Math.min($a.numElements(), $b.numElements());
-        double dot = 0.0;
-        for (int i = 0; i < n; i++) {
-          dot += (${getJava(a, lf, "i")}) * (${getJava(b, rf, "i")});
+        int $n = Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $dot += (${getJava(a, lf, i)}) * (${getJava(b, rf, i)});
         }
-        ${ev.value} = dot;
+        ${ev.value} = $dot;
       """
     })
 

@@ -14,13 +14,51 @@ import graft.streaming.EventsStreaming
   */
 object StreamMultimodalQueries extends QueryFamily {
 
+  /** DuckDB twin of q32, generated at Verify time (q39's literal-injection
+    * pattern). Both codec paths — ImageIoCodec and its stub fallback — are
+    * deterministic pure functions of the payload bytes, so the oracle runs
+    * the SAME codec driver-side over the documents table (bounded: the
+    * verify corpus is 500 rows) and injects the expected rows as a VALUES
+    * literal. What this verifies is exactly the distributed part: the
+    * batched mapPartitions plumbing must deliver every record to the codec
+    * once, unmangled, against driver-computed ground truth. Spark's
+    * `round(col, 6)` on DOUBLE is BigDecimal.valueOf + HALF_UP — replicated
+    * here so the injected literal is the bit-identical double Spark emits
+    * (Double.toString round-trips exactly, like q27's planes). */
+  private def multimodalOracle(s: SparkSession, dir: String): String = {
+    val rows = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getString(1)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val (w, h, mean, feats) = Multimodal.ImageIoCodec.decode(bytes)
+        val rounded = java.math.BigDecimal.valueOf(mean)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        s"($id, $w, $h, $rounded, ${feats.length})"
+      }
+    s"""
+      SELECT CAST(media_id AS BIGINT) AS media_id,
+             'image' AS kind,
+             CAST(width AS INTEGER) AS width,
+             CAST(height AS INTEGER) AS height,
+             CAST(mean_intensity AS DOUBLE) AS mean_intensity,
+             CAST(feature_dim AS INTEGER) AS feature_dim
+      FROM (VALUES ${rows.mkString(", ")})
+        t(media_id, width, height, mean_intensity, feature_dim)
+      ORDER BY media_id"""
+  }
+
   private val q32 = QueryDef(
     "q32_multimodal_features",
     "Multimodal plumbing: documents' bytes as BINARY media with typed " +
       "metadata, batched per-partition feature extraction (mapInPandas-" +
       "style batch shape). Real imageio decode for PNG/JPEG; these " +
-      "synthetic text-bytes take the deterministic stub fallback → " +
-      "rows-only; decode goldens + batching pinned in MultimodalSpec.",
+      "synthetic text-bytes take the deterministic stub fallback. Oracle " +
+      "generated at Verify time: the same deterministic codec runs " +
+      "driver-side and injects expected rows as literals (q39's pattern); " +
+      "decode goldens + batching additionally pinned in MultimodalSpec.",
     (s, dir) => {
       val media = Multimodal.attach(
         Tables.load(s, dir, "documents")
@@ -33,10 +71,7 @@ object StreamMultimodalQueries extends QueryFamily {
         .orderBy("media_id")
     },
     None,
-    omittedReason = Some("rows-only by design: features come from the " +
-      "in-engine media codec (imageio decode + stub fallback), which DuckDB " +
-      "cannot replicate in SQL; decode goldens + batch shape are pinned in " +
-      "MultimodalSpec"))
+    oracleGen = Some(multimodalOracle))
 
   private val q33 = QueryDef(
     "q33_stream_windowed_agg",
