@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.core.{GraftSession, Tables}
 import graft.functions.Winnowing
 import graft.operators.Dedup
+import graft.registry.Registry
+import graft.store.{CoreStore, MergeStore}
 
 /** Scaling probe for the heavy text operators: replicates the `documents`
   * corpus N times (fresh doc_ids) and times fingerprinting / dedup at
@@ -36,7 +38,93 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
   }
 
+  /** Bytes and file count written under `dir` since `t0` (recursive) —
+    * how the sink-delta probe attributes physical write amplification. */
+  private def writtenSince(dir: String, t0: Long): (Long, Int) = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(root)) return (0L, 0)
+    val it = java.nio.file.Files.walk(root)
+    try {
+      val fresh = it.iterator()
+      var bytes = 0L; var files = 0
+      fresh.forEachRemaining { p =>
+        if (java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet") &&
+            java.nio.file.Files.getLastModifiedTime(p).toMillis >= t0) {
+          bytes += java.nio.file.Files.size(p); files += 1
+        }
+      }
+      (bytes, files)
+    } finally it.close()
+  }
+
+  /** Measured write-amplification delta between the two core sinks on a
+    * trickle update, through the REAL store code the pipeline dispatches
+    * to ([[Runner.loadCoreFromRaw]]'s `sink` selector): a directory-shaped
+    * table of `n` rows over `years` year partitions, then a 100-key
+    * single-year update batch through `CoreStore.upsert` (partition
+    * rewrite) vs `MergeStore.upsert` (file-granular COW). Prints one JSON
+    * line; numbers land in SCALE.md §MERGE. */
+  private def sinkDeltaProbe(spark: SparkSession, n: Long, years: Int,
+                             filesPerYear: Int): Unit = {
+    val ep = Registry.directory
+    val perYear = n / years
+    val base = spark.range(n).select(
+      (col("id") % perYear).cast("int").as("unitid"),
+      (lit(2014) + (col("id") / perYear)).cast("int").as("year"),
+      concat(lit("Institution #"), col("id")).as("inst_name"),
+      concat(lit("City "), col("id") % 1000).as("city"),
+      (col("id") % 180 - 90.0).as("latitude"),
+      (col("id") % 360 - 180.0).as("longitude"))
+    val typed = ep.columns.foldLeft(base) { (df, c) =>
+      if (df.columns.contains(c.target)) df
+      else df.withColumn(c.target, lit(null).cast(c.dataType))
+    }.select(ep.columns.map(c => col(c.target)): _*).cache()
+    typed.count()
+
+    val root = java.nio.file.Files
+      .createTempDirectory("scaleprobe-sink").toString
+    val targetP = CoreStore.path(root + "/p", ep.name)
+    val targetM = CoreStore.path(root + "/m", ep.name)
+    CoreStore.upsert(spark, typed, root + "/p", ep)
+    MergeStore.upsert(spark, typed, targetM, ep.primaryKey,
+      ep.columns.map(_.target), clusterBy = Seq("year", "unitid"),
+      numFiles = years * filesPerYear)
+
+    // 100 keys, one year — the trickle shape.
+    val updates = typed.where(col("year") === 2014 && col("unitid") < 100)
+      .withColumn("inst_name", concat(lit("UPDATED "), col("inst_name")))
+
+    val t0p = System.currentTimeMillis()
+    val (_, tP) = time { CoreStore.upsert(spark, updates, root + "/p", ep) }
+    val (bytesP, filesP) = writtenSince(targetP, t0p)
+
+    val t0m = System.currentTimeMillis()
+    val (_, tM) = time {
+      MergeStore.upsert(spark, updates, targetM, ep.primaryKey,
+        ep.columns.map(_.target), clusterBy = Seq("year", "unitid"))
+    }
+    val (bytesM, filesM) = writtenSince(targetM + "/data", t0m)
+    typed.unpersist()
+
+    println(s"""{"metric":"sink_delta","rows":$n,"years":$years,""" +
+      s""""files_per_year":$filesPerYear,""" +
+      s""""update_keys":100,"partition_sec":${f"$tP%.2f"},""" +
+      s""""partition_bytes_written":$bytesP,"partition_files_written":$filesP,""" +
+      s""""merge_sec":${f"$tM%.2f"},"merge_bytes_written":$bytesM,""" +
+      s""""merge_files_written":$filesM}""")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("sink-delta")) {
+      val spark = GraftSession.local(32)
+      val n = if (args.length > 1) args(1).toLong else 1000000L
+      val years = if (args.length > 2) args(2).toInt else 10
+      val filesPerYear = if (args.length > 3) args(3).toInt else 4
+      sinkDeltaProbe(spark, n, years, filesPerYear)
+      spark.stop()
+      return
+    }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val multiples = if (args.length > 1) args.tail.map(_.toInt).toSeq else Seq(1, 10, 20)
     val spark: SparkSession = GraftSession.local(32)
@@ -76,7 +164,7 @@ object ScaleProbe {
         .createTempDirectory("scaleprobe-merge").toString + "/tbl"
       graft.store.MergeStore.init(spark,
         docs.select(col("doc_id").as("id"), col("text")),
-        mergeDir, numFiles = 32, clusterBy = Some("id"))
+        mergeDir, numFiles = 32, clusterBy = Seq("id"))
       val updates = docs.select(col("doc_id").as("id"),
           concat(lit("updated "), col("text")).as("text"))
         .where(col("id") < 100)

@@ -14,7 +14,7 @@ import graft.functions.Hashing
 import graft.registry.EndpointConfig
 import graft.sources.HttpPagedSource
 import graft.sources.HttpPagedSource.Transport
-import graft.store.{CoreStore, LineageLog, RawStore}
+import graft.store.{CoreSink, CoreStore, LineageLog, MergeStore, RawStore}
 
 /** The orchestration layer the reference documents but never ships
   * (`etl/runner.py`, /root/reference/architecture.md:123 [doc-only]; actual
@@ -79,24 +79,44 @@ object Runner {
   /** EP2: raw pages (optionally filtered to years) → typed core upsert.
     * Page/record positions order the batch so intra-batch PK duplicates
     * resolve last-record-wins, exactly like the reference's in-order
-    * executemany (core_io.py:146-153). Returns (inserted, updated). */
+    * executemany (core_io.py:146-153). Returns (inserted, updated).
+    *
+    * `sink` selects the write path: [[CoreSink.Partition]] rewrites the
+    * touched year partitions (the reference's unit); [[CoreSink.Merge]]
+    * runs the file-granular copy-on-write [[MergeStore]] — same rows,
+    * same idempotence contract, O(files-with-matched-keys) write
+    * amplification instead of O(touched-years). */
   def loadCoreFromRaw(spark: SparkSession, endpoint: EndpointConfig,
-                      settings: Settings, years: Seq[Int] = Nil): (Long, Long) = {
+                      settings: Settings, years: Seq[Int] = Nil,
+                      sink: CoreSink = CoreSink.Partition): (Long, Long) = {
     val raw = RawStore.read(spark, settings.warehouseRoot, endpoint.name, years)
     val typed = PayloadExplode.toCore(raw, endpoint, withOrder = true)
-    CoreStore.upsert(spark, typed, settings.warehouseRoot, endpoint,
-      intraBatchOrder = Seq("__page_number", "__pos"))
+    sink match {
+      case CoreSink.Partition =>
+        CoreStore.upsert(spark, typed, settings.warehouseRoot, endpoint,
+          intraBatchOrder = Seq("__page_number", "__pos"))
+      case CoreSink.Merge =>
+        // Range-cluster year-first then the rest of the PK, so each file
+        // owns a contiguous (year, key) slice: a key-local batch touches
+        // few files, and year filters prune on parquet min/max.
+        MergeStore.upsert(spark, typed,
+          CoreStore.path(settings.warehouseRoot, endpoint.name),
+          endpoint.primaryKey, endpoint.columns.map(_.target),
+          ordCols = Seq("__page_number", "__pos"),
+          clusterBy = "year" +: endpoint.primaryKey.filterNot(_ == "year"))
+    }
   }
 
   /** Full pipeline for a year range, with lineage. */
   def loadEndpointYears(spark: SparkSession, endpoint: EndpointConfig,
                         settings: Settings, transport: Transport,
-                        yearStart: Int, yearEnd: Int): LineageLog.LoadLogEntry = {
+                        yearStart: Int, yearEnd: Int,
+                        sink: CoreSink = CoreSink.Partition): LineageLog.LoadLogEntry = {
     val started = Timestamp.from(Instant.now())
     val loadId = started.getTime
     val years = yearStart to yearEnd
     years.foreach(y => loadRawYear(spark, endpoint, settings, transport, y))
-    val (ins, upd) = loadCoreFromRaw(spark, endpoint, settings, years)
+    val (ins, upd) = loadCoreFromRaw(spark, endpoint, settings, years, sink)
 
     // Row-level provenance: one trace row per raw page of this run's years.
     val trace = RawStore.read(spark, settings.warehouseRoot, endpoint.name, years)

@@ -92,9 +92,17 @@ object CoreStore {
   private def count(spark: SparkSession, target: String): Long =
     spark.read.parquet(target).count()
 
+  /** Read the core table regardless of which sink wrote it: a committed
+    * [[MergeStore]] manifest at the path means the merge layout (read
+    * exactly the live files), otherwise CoreStore's partitioned parquet.
+    * Either way the year filter prunes — partition pruning here,
+    * parquet min/max on the range-clustered year column there. */
   def read(spark: SparkSession, root: String, endpoint: String,
            years: Seq[Int] = Nil): DataFrame = {
-    val df = spark.read.parquet(path(root, endpoint))
+    val target = path(root, endpoint)
+    val df =
+      if (MergeStore.exists(target)) MergeStore.read(spark, target)
+      else spark.read.parquet(target)
     if (years.isEmpty) df else df.where(col("year").isin(years: _*))
   }
 }

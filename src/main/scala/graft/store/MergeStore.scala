@@ -89,6 +89,7 @@ object MergeStore {
     * moved in — a crashed writer never leaves a half-written file behind
     * a name a manifest could reference. */
   private def writeFiles(df: DataFrame, target: String): Seq[String] = {
+    Files.createDirectories(Paths.get(target)) // fresh warehouse: parent may not exist
     val stage = Files.createTempDirectory(
       Paths.get(target).getParent, ".stage-")
     df.write.mode("overwrite").parquet(stage.toString)
@@ -113,11 +114,10 @@ object MergeStore {
     * range — the layout that makes a key-local update batch touch few
     * files (and parquet min/max stats prune scans). */
   def init(spark: SparkSession, df: DataFrame, target: String,
-           numFiles: Int, clusterBy: Option[String] = None): Unit = {
-    val arranged = clusterBy match {
-      case Some(c) => df.repartitionByRange(numFiles, col(c))
-      case None => df.repartition(numFiles)
-    }
+           numFiles: Int, clusterBy: Seq[String] = Nil): Unit = {
+    val arranged =
+      if (clusterBy.nonEmpty) df.repartitionByRange(numFiles, clusterBy.map(col): _*)
+      else df.repartition(numFiles)
     val files = writeFiles(arranged, target)
     commit(target, files)
   }
@@ -130,6 +130,38 @@ object MergeStore {
     require(files.nonEmpty, s"no committed version at $target")
     spark.read.parquet(files.map(f => dataDir(target).resolve(f).toString): _*)
   }
+
+  /** CoreStore.upsert-shaped entry point for the pipeline's merge sink:
+    * first load creates the table ([[init]], range-clustered on
+    * `clusterBy` so later key-local merges touch few files), every load
+    * after that is a file-granular [[merge]]. Returns (inserted, updated),
+    * the load_log fields — drop-in for [[CoreStore.upsert]]'s contract
+    * (idempotent, last-write-wins per PK, `ordCols` ordering intra-batch
+    * duplicates). */
+  def upsert(spark: SparkSession, rows: DataFrame, target: String,
+             pk: Seq[String], dataCols: Seq[String],
+             ordCols: Seq[String] = Nil, clusterBy: Seq[String] = Nil,
+             numFiles: Int = 8): (Long, Long) = {
+    require(pk.nonEmpty, s"merge sink at $target has no primary key")
+    val incoming = rows.where(pk.map(col(_).isNotNull).reduce(_ && _))
+    if (currentVersion(target).isEmpty) {
+      val ord = if (ordCols.nonEmpty) ordCols.map(col)
+        else Seq(monotonically_increasing_id())
+      val deduped = Upsert.dedupByKey(incoming, pk, ord)
+        .select(dataCols.map(col): _*)
+      init(spark, deduped, target, numFiles, clusterBy)
+      (read(spark, target).count(), 0L)
+    } else {
+      val stats = merge(spark,
+        incoming.select((dataCols ++ ordCols).map(col): _*),
+        target, pk, ordCols)
+      (stats.rowsInserted, stats.rowsUpdated)
+    }
+  }
+
+  /** True iff `target` holds a committed merge table — how readers
+    * distinguish this layout from CoreStore's partitioned parquet. */
+  def exists(target: String): Boolean = currentVersion(target).isDefined
 
   /** MERGE `updates` into the table on `pk` (incoming wins; within the
     * batch the highest `ordCols` wins, like CoreStore's intra-batch
@@ -179,12 +211,11 @@ object MergeStore {
     * standard table-format answer. `clusterBy` restores range clustering
     * so future merges stay few-file again. */
   def compact(spark: SparkSession, target: String, targetFiles: Int,
-              clusterBy: Option[String] = None): Int = {
+              clusterBy: Seq[String] = Nil): Int = {
     val df = read(spark, target)
-    val arranged = clusterBy match {
-      case Some(c) => df.repartitionByRange(targetFiles, col(c))
-      case None => df.repartition(targetFiles)
-    }
+    val arranged =
+      if (clusterBy.nonEmpty) df.repartitionByRange(targetFiles, clusterBy.map(col): _*)
+      else df.repartition(targetFiles)
     commit(target, writeFiles(arranged, target))
   }
 

@@ -1,8 +1,9 @@
 package graft
 
 import graft.core.Settings
-import graft.run.BatchPlan
-import graft.store.CoreStore
+import graft.run.{BatchPlan, Runner}
+import graft.registry.Registry
+import graft.store.{CoreSink, CoreStore, MergeStore}
 
 /** The endpoints.yaml batch plan: parse the documented shape, fail fast on
   * typos BEFORE any fetch, and drive the real EP1→EP2 pipeline per entry.
@@ -53,5 +54,75 @@ class BatchPlanSpec extends SparkSpec {
     // 2010 (3 records) + 2011 (3 records); the rerun entry inserts nothing
     assert(logs(1).rows_inserted == 0)
     assert(CoreStore.read(spark, root, "directory").count() == 6)
+  }
+
+  test("parse: sink selector, before or after years; typos fail fast") {
+    val entries = BatchPlan.parse("""
+      |plan:
+      |  - endpoint: directory
+      |    years: 2010-2011
+      |    sink: merge
+      |  - endpoint: directory
+      |    sink: partition
+      |    years: 2012
+      |  - endpoint: directory
+      |    years: 2013
+      |""".stripMargin)
+    assert(entries.map(_.sink) ==
+      Seq(CoreSink.Merge, CoreSink.Partition, CoreSink.Partition))
+    val typo = intercept[IllegalArgumentException] {
+      BatchPlan.parse(
+        "plan:\n  - endpoint: directory\n    years: 2010\n    sink: merje")
+    }
+    assert(typo.getMessage.contains("unknown sink 'merje'"))
+    intercept[IllegalArgumentException] { // sink with no entry
+      BatchPlan.parse("plan:\n  sink: merge")
+    }
+    intercept[IllegalArgumentException] { // two sink lines, one entry
+      BatchPlan.parse("plan:\n  - endpoint: directory\n" +
+        "    sink: merge\n    years: 2010\n    sink: partition")
+    }
+  }
+
+  test("merge sink end-to-end: same final rows as partition sink, COW layout") {
+    // Partition-sink warehouse (the default path).
+    val rootP = tmpDir("plan-sink-p")
+    val settingsP = Settings(apiBase = "https://fake.test/api/v1",
+      warehouseRoot = rootP, rateLimitRps = 0, rawPageSize = 2)
+    BatchPlan.run(spark, settingsP, new FakeDirectoryApi, BatchPlan.parse(
+      "plan:\n  - endpoint: directory\n    years: 2010-2011"))
+
+    // Merge-sink warehouse: first entry inits the table, second merges
+    // (the rerun must be a pure update — idempotence through the COW path).
+    val rootM = tmpDir("plan-sink-m")
+    val settingsM = settingsP.copy(warehouseRoot = rootM)
+    val logs = BatchPlan.run(spark, settingsM, new FakeDirectoryApi,
+      BatchPlan.parse("""
+        |plan:
+        |  - endpoint: directory
+        |    years: 2010-2011
+        |    sink: merge
+        |  - endpoint: directory
+        |    years: 2010
+        |    sink: merge
+        |""".stripMargin))
+    assert(logs.map(_.status) == Seq("succeeded", "succeeded"))
+    assert(logs(1).rows_inserted == 0) // rerun: updates only
+
+    // The merge warehouse holds the COW layout, and CoreStore.read
+    // dispatches on it transparently.
+    assert(MergeStore.exists(CoreStore.path(rootM, "directory")))
+    val cols = CoreStore.read(spark, rootP, "directory").columns.sorted.toSeq
+    def rows(root: String) =
+      CoreStore.read(spark, root, "directory")
+        .select(cols.head, cols.tail: _*)
+        .orderBy("unitid", "year").collect().toSeq
+    assert(rows(rootM) == rows(rootP))
+
+    // Trickle rerun of ONE year through each sink: the partition sink
+    // rewrites the whole year, the merge sink only matched-key files.
+    Runner.loadCoreFromRaw(spark, Registry.directory, settingsM,
+      years = Seq(2011), sink = CoreSink.Merge)
+    assert(rows(rootM) == rows(rootP)) // still identical after the merge
   }
 }

@@ -21,7 +21,7 @@ class MergeStoreSpec extends SparkSpec {
 
   private def freshTable(): String = {
     val target = tmpDir("merge-store") + "/tbl"
-    MergeStore.init(spark, base, target, FILES, clusterBy = Some("id"))
+    MergeStore.init(spark, base, target, FILES, clusterBy = Seq("id"))
     target
   }
 
@@ -106,7 +106,7 @@ class MergeStoreSpec extends SparkSpec {
     assert(MergeStore.read(spark, t).where(col("id") === 52L)
       .select("payload").as[String].head() == "v2-52")
     // compaction: pure layout rewrite into 4 files, content unchanged
-    MergeStore.compact(spark, t, targetFiles = 4, clusterBy = Some("id")) // v2
+    MergeStore.compact(spark, t, targetFiles = 4, clusterBy = Seq("id")) // v2
     assert(MergeStore.liveFiles(t).size == 4)
     val after = MergeStore.read(spark, t)
     assert(after.count() == N)
