@@ -83,7 +83,13 @@ object Dedup {
     * union-find — bounded memory (≈16 B/edge), one job, no iteration —
     * the same bounded-driver-work pattern as the IVF trainer. Above it,
     * the distributed min-label loop runs. Identical output either way
-    * (pinned in DedupSpec). */
+    * (pinned in DedupSpec).
+    *
+    * OUTPUT CONTRACT: labels are emitted only for ids that appear in
+    * `pairs` — singleton documents (no near-dup edge) are absent.
+    * Consumers wanting every document (e.g. q53's keep-one-per-cluster
+    * pruning) must left-join the corpus back and treat a null component
+    * as its own singleton cluster. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 25,
                           driverEdgeLimit: Long = 1000000L): DataFrame = {

@@ -11,10 +11,12 @@ import graft.expressions.{QuantizeExpressions, VectorExpressions}
   *   - [[topKNeighbors]]: brute-force cosine top-k against one query vector
   *     — the exactness baseline. One scan, no shuffle until the top-k
   *     (TakeOrdered) reduction; the query vector travels as a literal.
-  *   - [[cosineNearDupPairs]]: exact all-pairs cosine >= threshold. The
-  *     all-pairs join is block-partitioned by construction (a.vec_id <
-  *     b.vec_id on a range-bucketed cross join); at 100 TB-scale this is
-  *     only sane AFTER bucketing — which [[lshNearDupPairs]] provides.
+  *   - [[cosineNearDupPairs]]: exact all-pairs cosine >= threshold, as a
+  *     plain `id_a < id_b` broadcast-nested-loop join — O(n²) by
+  *     definition and kept ONLY as the exactness baseline the scale paths
+  *     verify against (PlanGuard-allowlisted). At scale use
+  *     [[blockedNearDupPairs]] (exact, equi-keyed block grid) or
+  *     [[lshNearDupPairs]] (approximate, banded).
   *   - [[lshNearDupPairs]]: random-hyperplane LSH — b bands of r sign bits;
   *     same-band docs become candidates; candidates verified with exact
   *     cosine. Recall at cos=c per band-hit prob p=(1-acos(c)/pi)^r:

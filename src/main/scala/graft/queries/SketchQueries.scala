@@ -29,5 +29,33 @@ object SketchQueries extends QueryFamily {
       "use different sketches, so values legitimately differ); accuracy " +
       "bounds vs exact answers are pinned in SketchSpec"))
 
-  override val defs: Seq[QueryDef] = Seq(q35)
+  /** The oracled exact twin of q35: the same per-type stats computed
+    * exactly, so the row DOES hash-match DuckDB — the sketch query above
+    * stays rows-only for its engine-specific estimates only. Exact
+    * percentiles interpolate between the same two order statistics in
+    * both engines (Spark `percentile` ≡ DuckDB `quantile_cont`);
+    * round(6) absorbs the last-ulp interpolation difference. */
+  private val q35a = QueryDef(
+    "q35a_exact_distinct_quantiles",
+    "Exact twin of the sketch query: exact distinct users and exact " +
+      "linear-interpolated p50/p99 of event values per event_type. The " +
+      "scale story is the sketch path (q35); this is its hash-matched " +
+      "ground truth.",
+    (s, dir) => Tables.load(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        round(percentile(col("value"), lit(0.5)), 6).as("p50_value"),
+        round(percentile(col("value"), lit(0.99)), 6).as("p99_value"))
+      .orderBy("event_type"),
+    Some("""
+      SELECT event_type,
+             count(DISTINCT user_id) AS exact_users,
+             round(quantile_cont(value, 0.5), 6) AS p50_value,
+             round(quantile_cont(value, 0.99), 6) AS p99_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  override val defs: Seq[QueryDef] = Seq(q35, q35a)
 }

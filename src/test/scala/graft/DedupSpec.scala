@@ -120,6 +120,27 @@ class DedupSpec extends SparkSpec {
     assert(viaDriver.nonEmpty)
   }
 
+  test("distributed propagation matches driver path on the REAL sf0.1 pair graph") {
+    // q49's actual input at Verify scale: at sf0.1 the near-dup pair set
+    // is far below driverEdgeLimit, so CORRECTNESS exercises only the
+    // union-find. This pins the min-label loop — the path that runs at
+    // 100 TB — to the same fixpoint on real (not synthetic-fixture) data.
+    val docs = spark.read.parquet(sf("sf0.1") + "/documents.parquet")
+      .select("doc_id", "text")
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", n = 3, threshold = 0.8)
+      .select("id_a", "id_b").cache()
+    assert(pairs.count() > 0)
+    val viaDriver = graft.operators.Dedup
+      .connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    val viaLoop = graft.operators.Dedup
+      .connectedComponents(pairs, "id_a", "id_b", driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toSet
+    pairs.unpersist()
+    assert(viaDriver == viaLoop)
+  }
+
   test("fused minhash_sigs kernel == the Column-op pipeline, bit for bit") {
     // Reconstruct the former explode + min-agg signature pipeline inline
     // and pin that the fused per-row kernel produces identical arrays.
