@@ -102,9 +102,19 @@ object Bench {
     def jsonMap(qs: Seq[(String, () => DataFrame)]): String =
       qs.map { case (k, _) => s"\"" + k + "\":" + best(k) }
         .mkString("{", ",", "}")
+    // Per-query [min, median, max] across the interleaved passes: a
+    // cross-round comparison can classify a swing as noise (spreads
+    // overlap) vs a real plan change (disjoint spreads) without a rerun —
+    // this box's idle-vs-loaded drift is ~25% (see probe_sec).
+    def spreadJson(qs: Seq[(String, () => DataFrame)]): String =
+      qs.map { case (k, _) =>
+        val ts = timings(k).sorted
+        val med = ts(ts.size / 2)
+        s"\"" + k + "\":[" + f"${ts.head}%.3f,$med%.3f,${ts.last}%.3f" + "]"
+      }.mkString("{", ",", "}")
     val total = mainQs.map { case (k, _) => best(k) }.sum
     val probeJson = probeTimes.map(t => f"$t%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(mainQs)},"skew":${jsonMap(skewQs)},"passes":$passes,"probe_sec":$probeJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(mainQs)},"queries_spread":${spreadJson(mainQs)},"skew":${jsonMap(skewQs)},"skew_spread":${spreadJson(skewQs)},"passes":$passes,"probe_sec":$probeJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
