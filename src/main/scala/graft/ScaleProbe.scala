@@ -115,7 +115,38 @@ object ScaleProbe {
       s""""merge_files_written":$filesM}""")
   }
 
+  /** Block-count sensitivity for the exact block-grid similarity join
+    * (q40's operator): times [[graft.operators.Similarity.blockedNearDupPairs]]
+    * over the real embeddings at each `blocks` setting, pinning the same
+    * pair count (exactness is block-count-invariant; only distribution
+    * granularity changes). Sizing rule goes in SCALE.md §q40. */
+  private def blockCurveProbe(spark: SparkSession, sfDir: String,
+                              blockCounts: Seq[Int]): Unit = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").cache()
+    emb.count()
+    blockCounts.foreach { blocks =>
+      val (pairs, t) = time {
+        graft.operators.Similarity.blockedNearDupPairs(
+          spark, emb, "vec_id", "embedding",
+          threshold = 0.42, blocks = blocks).count()
+      }
+      println(s"""{"metric":"block_curve","blocks":$blocks,""" +
+        s""""pairs":$pairs,"sec":${f"$t%.2f"}}""")
+    }
+    emb.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("block-curve")) {
+      val spark = GraftSession.local(32)
+      val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+      val counts = if (args.length > 2) args.drop(2).map(_.toInt).toSeq
+        else Seq(4, 16, 64)
+      blockCurveProbe(spark, sfDir, counts)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("sink-delta")) {
       val spark = GraftSession.local(32)
       val n = if (args.length > 1) args(1).toLong else 1000000L
