@@ -18,7 +18,7 @@ object SparkEntry {
     Seq(CompatQueries, ExtendedQueries, PipelineQueries, DedupQueries,
       SimilarityQueries, TextQueries, StreamMultimodalQueries,
       StringCubeQueries, SketchQueries, AsOfQueries, RangeJoinQueries,
-      WinnowQueries, CurationQueries, StatsQueries)
+      WinnowQueries, CurationQueries, StatsQueries, SelectionQueries)
 
   private lazy val allDefs: Seq[QueryDef] = families.flatMap(_.defs)
 

@@ -52,6 +52,30 @@ object Dedup {
       .distinct()
   }
 
+  /** Benchmark decontamination: n-gram overlap between a training corpus
+    * and a benchmark/eval set — the standard pre-training hygiene step
+    * (flag a training doc when it shares >= `minShared` distinct n-grams
+    * with any single benchmark doc). Returns
+    * (train_id, bench_id, shared_ngrams) for every flagged pair.
+    *
+    * Scale shape: benchmark sets are small by nature (MBs against a
+    * 100 TB corpus), so the bench shingle index BROADCASTS — the
+    * training-side scan is map-local (no shuffle of corpus shingles);
+    * only matched (train, bench) candidate rows reach the counting
+    * shuffle, which is keyed on the pair. */
+  def crossNgramOverlap(train: DataFrame, bench: DataFrame,
+                        idCol: String, textCol: String,
+                        n: Int = 3, minShared: Long = 2L): DataFrame = {
+    val st = shingles(train, idCol, textCol, n)
+      .select(col(idCol).as("train_id"), col("shingle"))
+    val sb = shingles(bench, idCol, textCol, n)
+      .select(col(idCol).as("bench_id"), col("shingle"))
+    st.join(broadcast(sb), "shingle")
+      .groupBy("train_id", "bench_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .where(col("shared_ngrams") >= minShared)
+  }
+
   /** Exact dedup: group identical content, keep the smallest id.
     * Returns (keep_id, dup_count, content_hash). */
   def exactGroups(df: DataFrame, idCol: String, contentCol: String): DataFrame =

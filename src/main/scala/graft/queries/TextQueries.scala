@@ -15,7 +15,11 @@ object TextQueries extends QueryFamily {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  private val stopList = TextAnalysis.stopwords.map(s => s"'$s'").mkString(", ")
+  /** SQL literal list of the stopwords — shared with the oracles of other
+    * families that embed the q29 quality formula (e.g. q56). */
+  private[queries] val stopListSql =
+    TextAnalysis.stopwords.map(s => s"'$s'").mkString(", ")
+  private def stopList = stopListSql
 
   private val q28 = QueryDef(
     "q28_token_stats",

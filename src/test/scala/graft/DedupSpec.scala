@@ -120,6 +120,29 @@ class DedupSpec extends SparkSpec {
     assert(viaDriver.nonEmpty)
   }
 
+  test("crossNgramOverlap: shared-shingle counting against a benchmark set") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // = bench 100
+      (2L, "the quick brown fox naps all day long"),       // shares 2 shingles
+      (3L, "completely different words here entirely")     // shares none
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val flagged = graft.operators.Dedup
+      .crossNgramOverlap(train, bench, "doc_id", "text", n = 3, minShared = 2L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // doc 1 is the benchmark verbatim: all 7 of its 3-gram shingles match;
+    // doc 2 shares exactly ("the quick brown", "quick brown fox");
+    // doc 3 is clean and absent.
+    assert(flagged.toSeq == Seq((1L, 100L, 7L), (2L, 100L, 2L)))
+    // raising the bar to 3 clears doc 2
+    val strict = graft.operators.Dedup
+      .crossNgramOverlap(train, bench, "doc_id", "text", n = 3, minShared = 3L)
+      .as[(Long, Long, Long)].collect()
+    assert(strict.toSeq == Seq((1L, 100L, 7L)))
+  }
+
   test("distributed propagation matches driver path on the REAL sf0.1 pair graph") {
     // q49's actual input at Verify scale: at sf0.1 the near-dup pair set
     // is far below driverEdgeLimit, so CORRECTNESS exercises only the
