@@ -18,7 +18,8 @@ object SparkEntry {
     Seq(CompatQueries, ExtendedQueries, PipelineQueries, DedupQueries,
       SimilarityQueries, TextQueries, StreamMultimodalQueries,
       StringCubeQueries, SketchQueries, AsOfQueries, RangeJoinQueries,
-      WinnowQueries, CurationQueries, StatsQueries, SelectionQueries)
+      WinnowQueries, CurationQueries, StatsQueries, SelectionQueries,
+      QualityQueries)
 
   private lazy val allDefs: Seq[QueryDef] = families.flatMap(_.defs)
 

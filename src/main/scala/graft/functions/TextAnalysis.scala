@@ -55,6 +55,16 @@ object TextAnalysis {
     round((lenScore * 0.4 + stopScore * 0.3 + noisePenalty * 0.3), 6)
   }
 
+  /** Word bigrams as an array column: the token array zipped with itself
+    * shifted by one (`[]` for single-token docs). Stays a projection —
+    * callers explode it only when a per-bigram aggregation truly needs
+    * the shuffle (Gopher-style repetition metrics). */
+  def bigrams(text: Column): Column = {
+    val t = tokens(text)
+    zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
   /** Per-language marker words for the n-gram/stopword language heuristic.
     * Deterministic argmax with fixed precedence (en,es,fr,de,zh → unknown). */
   val langMarkers: Seq[(String, Seq[String])] = Seq(

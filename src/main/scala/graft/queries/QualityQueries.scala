@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.functions.TextAnalysis
+import graft.operators.CorpusLm
+
+/** Corpus-quality queries beyond the per-row q29 filters: Gopher-style
+  * repetition statistics and CCNet-style corpus-LM scoring. Both are
+  * pure-SQL-expressible, so the DuckDB oracle mirrors every formula
+  * exactly (integer counts, double division, round(6) at the edge).
+  */
+object QualityQueries extends QueryFamily {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private val q57 = QueryDef(
+    "q57_repetition_stats",
+    "Gopher-style repetition filters: distinct-token ratio and the " +
+      "fraction of bigram slots taken by the single most frequent bigram " +
+      "(boilerplate/template detector). Token stats are a projection; " +
+      "only the slim (doc_id, bigram) pairs reach the counting shuffle, " +
+      "and both aggregations plus the join share the doc_id partitioning.",
+    (s, dir) => {
+      val toks = split(col("text"), " ")
+      val base = docs(s, dir).select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        TextAnalysis.bigrams(col("text")).as("bgs"))
+      val top = base
+        .select(col("doc_id"), explode(col("bgs")).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).cast(IntegerType).as("top_bigram_count"))
+      base.join(top, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          col("n_distinct"),
+          round(col("n_distinct").cast(DoubleType) / col("n_tokens"), 6)
+            .as("distinct_ratio"),
+          coalesce(col("top_bigram_count"), lit(0)).as("top_bigram_count"),
+          round(coalesce(col("top_bigram_count"), lit(0)).cast(DoubleType) /
+            nullif(col("n_tokens") - 1, lit(0)), 6).as("top_bigram_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      big AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(a), 1)),
+                 i -> a[i] || ' ' || a[i+1])) AS bg
+        FROM t),
+      cnt AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2),
+      top AS (SELECT doc_id, max(c) AS top_bigram_count FROM cnt GROUP BY 1)
+      SELECT t.doc_id,
+             CAST(len(a) AS INTEGER) AS n_tokens,
+             CAST(len(list_distinct(a)) AS INTEGER) AS n_distinct,
+             round(len(list_distinct(a)) * 1.0 / len(a), 6) AS distinct_ratio,
+             CAST(coalesce(top_bigram_count, 0) AS INTEGER) AS top_bigram_count,
+             round(coalesce(top_bigram_count, 0) * 1.0
+               / nullif(len(a) - 1, 0), 6) AS top_bigram_frac
+      FROM t LEFT JOIN top USING (doc_id)
+      ORDER BY doc_id"""))
+
+  private val q58 = QueryDef(
+    "q58_unigram_logprob",
+    "Corpus unigram-LM scoring (the CCNet quality signal): p(token) = " +
+      "corpus count / corpus total, documents score avg and min ln p. " +
+      "The vocabulary aggregate is bounded by word-type count (Heaps' " +
+      "law), so it broadcasts and the corpus-side join is map-local.",
+    (s, dir) => CorpusLm.unigramLogProb(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+      tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab)
+      SELECT doc_id,
+             CAST(count(*) AS INTEGER) AS n_tokens,
+             round(avg(ln(cnt / total)), 6) AS avg_logp,
+             round(min(ln(cnt / total)), 6) AS min_logp
+      FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
+  override val defs: Seq[QueryDef] = Seq(q57, q58)
+}
