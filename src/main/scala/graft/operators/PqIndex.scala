@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.expressions.{PqAdcDot, PqEncode}
+
+/** Product quantization for ANN — the memory/IO compression leg of the
+  * similarity stack (brute [[Similarity.topKNeighbors]] → LSH
+  * [[Similarity.lshNearDupPairs]] → IVF [[IvfIndex]] → IVF-PQ here;
+  * FAISS's IndexIVFPQ shape re-expressed Spark-first).
+  *
+  *   1. [[train]]: per-subspace k-means on the SAME bounded hash-ordered
+  *      driver sample discipline as [[IvfIndex.train]] — training cost is
+  *      independent of corpus size.
+  *   2. [[encode]]: one codegen'd projection replaces each dim-`dim` FLOAT
+  *      vector (dim*4 bytes) with an `m`-byte code — 32x at dim 64/m 8.
+  *      At 100 TB the coded table is what gets cached/scanned: a
+  *      1000-executor fleet holds the codes of ~10^12 vectors in memory
+  *      where raw floats would spill.
+  *   3. [[adcScore]]/[[searchTopK]]: a query builds its exact m x ks
+  *      subspace dot-product table driver-side; scanning a code costs m
+  *      array lookups (ADC). Shortlist by ADC, then exact re-rank of the
+  *      shortlist against the float vectors — the standard
+  *      recall-restoring tail (only `shortlist` rows ever touch floats).
+  *
+  * Fully deterministic for a given (data, params, seed): hash-ordered
+  * sample, first-k init, strict-< argmin, fixed Lloyd rounds — so a
+  * Verify-time oracle can retrain the identical model and inject expected
+  * rows (the q39/q32 pattern).
+  */
+object PqIndex {
+
+  /** codebooks(j)(c) = centroid c of subspace j (dsub dims each). */
+  final case class Model(dim: Int, m: Int, ks: Int,
+                         codebooks: Array[Array[Array[Double]]]) {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    def dsub: Int = dim / m
+
+    /** Flat [(j*ks + c)*dsub + d] layout for the codegen kernel. */
+    def flat: Array[Double] = {
+      val out = new Array[Double](m * ks * dsub)
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < ks) {
+          System.arraycopy(codebooks(j)(c), 0, out, (j * ks + c) * dsub, dsub)
+          c += 1
+        }
+        j += 1
+      }
+      out
+    }
+
+    /** Driver-side twin of [[PqEncode]] — the oracle's ground truth. */
+    def encodeVec(v: Array[Double]): Array[Byte] = {
+      val code = new Array[Byte](m)
+      var j = 0
+      while (j < m) {
+        var bestC = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < ks) {
+          var d2 = 0.0; var d = 0
+          while (d < dsub) {
+            val idx = j * dsub + d
+            val x = (if (idx < v.length) v(idx) else 0.0) - codebooks(j)(c)(d)
+            d2 += x * x
+            d += 1
+          }
+          if (d2 < bestD) { bestD = d2; bestC = c }
+          c += 1
+        }
+        code(j) = bestC.toByte
+        j += 1
+      }
+      code
+    }
+
+    /** Query LUT: lut[j*ks + c] = dot(query subvector j, codebook(j)(c)). */
+    def lutFor(q: Array[Double]): Array[Double] = {
+      val lut = new Array[Double](m * ks)
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < ks) {
+          var s = 0.0; var d = 0
+          while (d < dsub) {
+            val idx = j * dsub + d
+            s += (if (idx < q.length) q(idx) else 0.0) * codebooks(j)(c)(d)
+            d += 1
+          }
+          lut(j * ks + c) = s
+          c += 1
+        }
+        j += 1
+      }
+      lut
+    }
+
+    /** Driver-side twin of [[PqAdcDot]]. */
+    def adcDot(code: Array[Byte], lut: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      val n = math.min(m, code.length)
+      while (j < n) { s += lut(j * ks + (code(j) & 0xff)); j += 1 }
+      s
+    }
+  }
+
+  /** Per-subspace L2 k-means on a deterministic hash-ordered sample of at
+    * most `sampleN` vectors. Init = the first ks sample subvectors;
+    * `iters` Lloyd rounds; empty clusters keep their previous centroid.
+    */
+  def train(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+            m: Int, ks: Int, iters: Int = 8, sampleN: Int = 4096,
+            seed: Long = 42L): Model = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    val sample: Array[Array[Double]] = df
+      .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+      .where(col("__v").isNotNull)
+      .orderBy(abs(hash(col("__id"), lit(seed))), col("__id"))
+      .limit(sampleN)
+      .select("__v").collect()
+      .map(_.getSeq[Double](0).padTo(dim, 0.0).toArray)
+    require(sample.length >= ks,
+      s"PQ train: need >= $ks sample vectors, got ${sample.length}")
+
+    val codebooks = Array.tabulate(m) { j =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      var cents = subs.take(ks).map(_.clone)
+      var round = 0
+      while (round < iters) {
+        val sums = Array.fill(ks)(new Array[Double](dsub))
+        val counts = new Array[Long](ks)
+        subs.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < ks) {
+            var d2 = 0.0; var d = 0
+            while (d < dsub) { val x = v(d) - cents(c)(d); d2 += x * x; d += 1 }
+            if (d2 < bestD) { bestD = d2; best = c }
+            c += 1
+          }
+          var d = 0
+          while (d < dsub) { sums(best)(d) += v(d); d += 1 }
+          counts(best) += 1
+        }
+        cents = cents.indices.map { c =>
+          if (counts(c) == 0) cents(c)
+          else sums(c).map(_ / counts(c))
+        }.toArray
+        round += 1
+      }
+      cents
+    }
+    Model(dim, m, ks, codebooks)
+  }
+
+  /** Add `outCol` = the m-byte PQ code. One codegen'd projection; the
+    * codebooks ride the expression (addReferenceObj) — no join, no
+    * shuffle. Registered as a temp function whose builder closure captures
+    * the model (the [[graft.flatten.PayloadExplode.toCore]] pattern for
+    * parameterized native expressions); resolution is eager, so the
+    * returned frame keeps its own expression instance. */
+  def encode(df: DataFrame, vecCol: String, model: Model,
+             outCol: String = "pq_code"): DataFrame = {
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_encode",
+      exprs => PqEncode(exprs(0), model.flat, model.m, model.ks, model.dsub),
+      "built-in")
+    df.withColumn(outCol, call_function("pq_encode", col(vecCol)))
+  }
+
+  /** ADC approximate dot(query, ·) over a coded column of `df`. Returns
+    * the frame with `outCol` appended (the LUT is closure-captured into
+    * the expression at registration, same pattern as [[encode]]). */
+  def withAdcScore(df: DataFrame, codeCol: String, model: Model,
+                   query: Array[Double], outCol: String): DataFrame = {
+    val lut = model.lutFor(query)
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_adc_dot",
+      exprs => PqAdcDot(exprs(0), lut, model.m, model.ks),
+      "built-in")
+    df.withColumn(outCol, call_function("pq_adc_dot", col(codeCol)))
+  }
+
+  /** IVF-PQ search: probe the nprobe nearest IVF clusters (partition
+    * pruning at scale), ADC-shortlist within them, exact-cosine re-rank
+    * of the shortlist only. Ties break on id everywhere; scores round(6)
+    * — fully deterministic, engine-independent. */
+  def searchTopK(spark: SparkSession, indexed: DataFrame, idCol: String,
+                 vecCol: String, codeCol: String, ivf: IvfIndex.Model,
+                 pq: Model, queryVec: Array[Double], k: Int,
+                 nprobe: Int, shortlist: Int,
+                 clusterCol: String = "ivf_cluster",
+                 roundTo: Int = 6): DataFrame = {
+    val probes = ivf.rankClusters(queryVec).take(nprobe)
+    graft.expressions.VectorExpressions.register(spark)
+    val qLit = array(queryVec.map(lit).toSeq: _*)
+    val probed = indexed
+      .where(col(clusterCol).isin(probes.map(Integer.valueOf).toSeq: _*))
+    withAdcScore(probed, codeCol, pq, queryVec, "adc")
+      .select(col(idCol), col(vecCol), round(col("adc"), roundTo).as("adc"))
+      .orderBy(col("adc").desc, col(idCol))
+      .limit(shortlist)
+      .select(col(idCol), col("adc"),
+        round(call_function("cosine_sim", col(vecCol), qLit), roundTo)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+}

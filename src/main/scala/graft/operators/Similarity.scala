@@ -174,6 +174,71 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Exact k-nearest-neighbor graph: every vector's top-k neighbors by
+    * cosine, built on the SAME block grid as [[blockedNearDupPairs]] (each
+    * unordered pair meets in exactly one equi-join cell, so the n²/2
+    * cosine evaluations spread evenly across cells² tasks with no BNL).
+    * Unlike the threshold join there is no prefilter — top-k needs every
+    * score — so the full vectors ride the (bounded, n·(blocks+1)-row)
+    * grid shuffle and each cosine is computed ONCE per unordered pair.
+    *
+    * The reduction is two-level, the aggregation-tree shape that survives
+    * scale: a cell-local top-k window first (it reuses the join's cell
+    * partitioning — `__cell` alone already clusters `(__cell, src)`, so
+    * NO extra shuffle, just an in-partition sort) cuts the stream from
+    * n²/2 scored pairs to ≤ n·blocks·k candidate edges; only those reach
+    * the global per-src window. Ties break on (cosine desc, dst asc) —
+    * total order, engine-independent after round(6).
+    *
+    * Exact by construction — the brute-force baseline and the oracle for
+    * approximate kNN-graph builds (IVF/LSH). At 100 TB corpus sizes use
+    * those; this operator is the right EXACT shape when n² work is the
+    * contract (e.g. dedup-audit corpora, ≤ tens of millions of rows on a
+    * real cluster). */
+  def knnGraph(spark: SparkSession, df: DataFrame, idCol: String,
+               vecCol: String, k: Int, blocks: Int = 8,
+               roundTo: Int = 6): DataFrame = {
+    require(k >= 1 && blocks >= 1)
+    VectorExpressions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val b = lit(blocks)
+    val q = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__blk", pmod(hash(col("__id")), b))
+    val lhs = q.withColumn("__cell",
+      explode(transform(sequence(col("__blk"), b - 1),
+        j => col("__blk") * b + j)))
+    val rhs = q.withColumn("__cell",
+      explode(transform(sequence(lit(0), col("__blk")),
+        i => i * b + col("__blk"))))
+    val pairs = lhs.as("x").join(rhs.as("y"),
+        col("x.__cell") === col("y.__cell")
+          && (col("x.__blk") < col("y.__blk")
+            || col("x.__id") < col("y.__id")))
+      .select(col("x.__cell").as("__cell"),
+        col("x.__id").as("__ida"), col("y.__id").as("__idb"),
+        round(coalesce(call_function("cosine_sim", col("x.__v"), col("y.__v")),
+          lit(-2.0)), roundTo).as("cosine"))
+    // Each scored pair is an edge in both directions; the cell-local
+    // window prunes to k per (cell, src) without leaving the join's
+    // partitioning, then the global window ranks the survivors.
+    val directed = pairs.select(col("__cell"), col("cosine"),
+        explode(array(
+          struct(col("__ida").as("src"), col("__idb").as("dst")),
+          struct(col("__idb").as("src"), col("__ida").as("dst")))).as("e"))
+      .select(col("__cell"), col("e.src").as("src"), col("e.dst").as("dst"),
+        col("cosine"))
+    val local = Window.partitionBy(col("__cell"), col("src"))
+      .orderBy(col("cosine").desc, col("dst"))
+    val global = Window.partitionBy(col("src"))
+      .orderBy(col("cosine").desc, col("dst"))
+    directed
+      .withColumn("__lrk", row_number().over(local))
+      .where(col("__lrk") <= k)
+      .withColumn("rk", row_number().over(global).cast(IntegerType))
+      .where(col("rk") <= k)
+      .select("src", "dst", "cosine", "rk")
+  }
+
   /** Measured max |quantized_cosine − cosine| over all pairs of a bounded
     * deterministic sample — the empirical basis for a SOUND prefilter
     * margin when the embedding distribution is unknown (see the

@@ -295,5 +295,114 @@ object SimilarityQueries extends QueryFamily {
       SELECT qid, vec_id, cosine FROM r WHERE rn <= 3
       ORDER BY qid, cosine, vec_id"""))
 
-  override val defs: Seq[QueryDef] = Seq(q25, q26, q27, q39, q40, q50, q51)
+  private val q59 = QueryDef(
+    "q59_knn_graph",
+    "Exact kNN graph: every vector's top-5 neighbors by cosine. Block-grid " +
+      "pair enumeration (each unordered pair scored ONCE in its one " +
+      "equi-join cell — no BNL, no per-direction recompute), then a " +
+      "cell-local top-k window that reuses the join's partitioning " +
+      "(no extra shuffle) before the global per-src ranking. The exact " +
+      "baseline approximate kNN-graph builds verify against.",
+    (s, dir) => Similarity.knnGraph(s, emb(s, dir), "vec_id", "embedding",
+        k = 5, blocks = 8)
+      .orderBy("src", "rk"),
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      sc AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+               round(coalesce(${fold("a.v", "b.v")} /
+                 (sqrt(${fold("a.v", "a.v")}) * sqrt(${fold("b.v", "b.v")})),
+                 -2.0), 6) AS cosine
+             FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      r AS (SELECT src, dst, cosine,
+              CAST(row_number() OVER (PARTITION BY src
+                ORDER BY cosine DESC, dst) AS INTEGER) AS rk
+            FROM sc)
+      SELECT src, dst, cosine, rk FROM r WHERE rk <= 5
+      ORDER BY src, rk"""))
+
+  /** Driver-side twin of the q60 IVF-PQ pipeline, generated at Verify time
+    * (q39/q32's literal-injection pattern): retrain the SAME deterministic
+    * IVF + PQ models, recompute assignment/encode/ADC/re-rank with plain
+    * Scala loops that mirror the expressions' fold order bit-for-bit
+    * (float→double widening, sequential accumulation, BigDecimal HALF_UP
+    * round — Double.toString round-trips exactly), and inject the expected
+    * rows as a VALUES literal. The collect here is the bounded VERIFY
+    * corpus (500/2k rows), oracle-side only — the engine never collects. */
+  private def ivfpqOracle(s: SparkSession, dir: String): String = {
+    import graft.operators.PqIndex
+    val e = emb(s, dir)
+    val ivf = IvfIndex.train(e, "vec_id", "embedding", k = 16)
+    val pq = PqIndex.train(e, "vec_id", "embedding", dim = 64, m = 8, ks = 16)
+    val rows = e.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qv = rows.find(_._1 == 0L).get._2.map(_.toDouble)
+    val probes = ivf.rankClusters(qv).take(4).toSet
+    val lut = pq.lutFor(qv)
+
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // cosine_sim's eval, verbatim: sequential fold, float widened per element.
+    def cos(x: Array[Float], y: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val xv = x(i).toDouble; val yv = y(i)
+        dot += xv * yv; na += xv * xv; nb += yv * yv
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) -2.0 // assign coalesces null to -2.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // IvfIndex.assign's argmax: array_position(max) - 1 = FIRST index.
+    def cluster(v: Array[Float]): Int = {
+      val cs = ivf.centroids.map(c => cos(v, c))
+      cs.indexOf(cs.max)
+    }
+    val shortlist = rows.toSeq
+      .filter { case (_, v) => probes(cluster(v)) }
+      .map { case (id, v) =>
+        (id, r6(pq.adcDot(pq.encodeVec(v.map(_.toDouble)), lut)))
+      }
+      .sortBy { case (id, adc) => (-adc, id) }
+      .take(50)
+    val expected = shortlist
+      .map { case (id, adc) => (id, adc, r6(cos(rows.find(_._1 == id).get._2, qv))) }
+      .sortBy { case (id, _, c) => (-c, id) }
+      .take(10)
+    val values = expected
+      .map { case (id, adc, c) => s"($id, $adc, $c)" }.mkString(", ")
+    s"""
+      SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             CAST(adc AS DOUBLE) AS adc,
+             CAST(cosine AS DOUBLE) AS cosine
+      FROM (VALUES $values) t(vec_id, adc, cosine)
+      ORDER BY cosine DESC, vec_id"""
+  }
+
+  private val q60 = QueryDef(
+    "q60_ann_ivfpq_topk",
+    "IVF-PQ search (FAISS IndexIVFPQ shape, Spark-first): IVF probe " +
+      "filter (partition pruning at scale) over vectors carrying 8-byte " +
+      "PQ codes (32x compression), ADC shortlist via a query-side lookup " +
+      "table riding the codegen'd expression as a literal, exact-cosine " +
+      "re-rank of the 50-row shortlist only. Oracle generated at Verify " +
+      "time by retraining the identical deterministic models driver-side.",
+    (s, dir) => {
+      import graft.operators.PqIndex
+      val e = emb(s, dir)
+      val ivf = IvfIndex.train(e, "vec_id", "embedding", k = 16)
+      val pq = PqIndex.train(e, "vec_id", "embedding", dim = 64, m = 8, ks = 16)
+      val qv = e.where(col("vec_id") === 0L)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+      val indexed = PqIndex.encode(
+        IvfIndex.assign(s, e, "embedding", ivf), "embedding", pq)
+      PqIndex.searchTopK(s, indexed, "vec_id", "embedding", "pq_code",
+          ivf, pq, qv, k = 10, nprobe = 4, shortlist = 50)
+        .orderBy(col("cosine").desc, col("vec_id"))
+    },
+    None,
+    oracleGen = Some(ivfpqOracle))
+
+  override val defs: Seq[QueryDef] =
+    Seq(q25, q26, q27, q39, q40, q50, q51, q59, q60)
 }

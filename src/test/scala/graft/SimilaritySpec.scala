@@ -98,4 +98,30 @@ class SimilaritySpec extends SparkSpec {
         s"${(exact -- blocked).size}, extra ${(blocked -- exact).size}")
     }
   }
+
+  test("knnGraph == brute-force window, any block count") {
+    // Same grid claim as q40, for the top-k form: every unordered pair
+    // scored once, two-level top-k loses nothing (the cell-local prune
+    // keeps k per (cell, src); a src's global top-k all survive it
+    // because each lives in SOME cell where it ranks <= k for that src).
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.load(spark, sf(), "embeddings").limit(200)
+    VectorExpressions.register(spark)
+    val a = e.select($"vec_id".as("src"), $"embedding".as("va"))
+    val b = e.select($"vec_id".as("dst"), $"embedding".as("vb"))
+    val w = Window.partitionBy($"src").orderBy($"cosine".desc, $"dst")
+    val naive = a.join(b, $"src" =!= $"dst")
+      .select($"src", $"dst",
+        round(expr("cosine_sim(va, vb)"), 6).as("cosine"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .where($"rk" <= 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    for (blocks <- Seq(1, 5, 8)) {
+      val got = Similarity.knnGraph(spark, e, "vec_id", "embedding",
+          k = 4, blocks = blocks)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(got == naive, s"blocks=$blocks: missed " +
+        s"${(naive -- got).size}, extra ${(got -- naive).size}")
+    }
+  }
 }
