@@ -137,7 +137,54 @@ object ScaleProbe {
     emb.unpersist()
   }
 
+  /** Data-skipping curve: the SAME selective predicate over the SAME rows
+    * in a range-clustered vs hash-shuffled parquet layout, at growing file
+    * counts — measures the bytes a pushed filter actually reads
+    * ([[graft.store.Layouts]]; numbers land in SCALE.md §LAYOUT). */
+  private def skipCurveProbe(spark: SparkSession, sfDir: String,
+                             replicate: Int, fileCounts: Seq[Int]): Unit = {
+    import graft.store.Layouts
+    val base = Tables.load(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    val big = (0 until replicate).map { i =>
+      base.select((col("event_id") + lit(i * 10000000L)).as("event_id"),
+        col("user_id"), col("event_type"), col("value"))
+    }.reduce(_ unionByName _).cache()
+    val n = big.count()
+    val dir = java.nio.file.Files.createTempDirectory("skipcurve").toString
+    fileCounts.foreach { files =>
+      Layouts.clusteredWrite(big, s"$dir/c$files", Seq("user_id"), files)
+      big.repartition(files, hash(col("event_id")))
+        .write.mode("overwrite").parquet(s"$dir/s$files")
+      def scan(path: String): (Long, Long, Double) = {
+        val ((rows, t), bytes) = Layouts.measuredInputBytes(spark) {
+          time(spark.read.parquet(path)
+            .where(col("user_id") === 7L).count())
+        }
+        (rows, bytes, t)
+      }
+      val (rowsC, bytesC, tC) = scan(s"$dir/c$files")
+      val (rowsS, bytesS, tS) = scan(s"$dir/s$files")
+      require(rowsC == rowsS, s"layout changed the answer: $rowsC != $rowsS")
+      println(s"""{"metric":"skip_curve","rows":$n,"files":$files,""" +
+        s""""clustered_bytes":$bytesC,"shuffled_bytes":$bytesS,""" +
+        s""""ratio":${f"${bytesS.toDouble / math.max(bytesC, 1)}%.1f"},""" +
+        s""""clustered_sec":${f"$tC%.2f"},"shuffled_sec":${f"$tS%.2f"}}""")
+    }
+    big.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("skip-curve")) {
+      val spark = GraftSession.local(32)
+      val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+      val replicate = if (args.length > 2) args(2).toInt else 10
+      val counts = if (args.length > 3) args.drop(3).map(_.toInt).toSeq
+        else Seq(4, 16, 64)
+      skipCurveProbe(spark, sfDir, replicate, counts)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("block-curve")) {
       val spark = GraftSession.local(32)
       val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
