@@ -118,6 +118,58 @@ object IvfIndex {
       (array_position(cosines, array_max(cosines)) - 1).cast("int"))
   }
 
+  /** Add `outCol` = the ids of the `nprobe` clusters nearest to each row's
+    * vector, ranked by (cosine desc, cid) — the per-ROW generalization of
+    * [[searchTopK]]'s driver-side probe list, for batch jobs where every
+    * row is a query (kNN-graph builds). One codegen'd projection; element
+    * 0 always equals [[assign]]'s cluster (same first-max tie-break). */
+  def probeLists(spark: SparkSession, df: DataFrame, vecCol: String,
+                 model: Model, nprobe: Int,
+                 outCol: String = "ivf_probes"): DataFrame = {
+    VectorExpressions.register(spark)
+    val scored = array(model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        (lit(0.0) - coalesce(
+          call_function("cosine_sim", col(vecCol), array(c.map(lit).toSeq: _*)),
+          lit(-2.0))).as("neg"),
+        lit(i).as("cid"))
+    }.toSeq: _*)
+    df.withColumn(outCol,
+      transform(slice(sort_array(scored), 1, nprobe), s => s.getField("cid")))
+  }
+
+  /** Approximate kNN graph — the 100 TB path [[graft.operators.Similarity.knnGraph]]'s
+    * exact O(n²) grid points to. Every vector joins only the rows ASSIGNED
+    * to its `nprobe` nearest clusters (an equi-join on cluster id — at
+    * scale both sides are the `partitionBy(ivf_cluster)` table, so the
+    * join co-locates with NO extra shuffle), then a per-src top-k window.
+    * Pair work drops from n²/2 to ~n²·nprobe/k; recall is bounded by
+    * cluster locality (a true neighbor assigned to an unprobed cluster is
+    * missed — measured in IvfSpec against the exact graph). Deterministic
+    * for a trained model, so the Verify oracle retrains and replays it
+    * driver-side (q60's pattern). Skewed clusters are the known hazard:
+    * cap/salt oversized clusters before the join at real scale. */
+  def knnGraphApprox(spark: SparkSession, df: DataFrame, idCol: String,
+                     vecCol: String, model: Model, k: Int, nprobe: Int,
+                     roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = assign(spark, df, vecCol, model)
+      .select(col(idCol).as("dst"), col(vecCol).as("__vd"),
+        col("ivf_cluster"))
+    val probed = probeLists(spark, df, vecCol, model, nprobe)
+      .select(col(idCol).as("src"), col(vecCol).as("__vq"),
+        explode(col("ivf_probes")).as("__probe"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cosine").desc, col("dst"))
+    probed.join(assigned,
+        col("__probe") === col("ivf_cluster") && col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(coalesce(call_function("cosine_sim", col("__vq"), col("__vd")),
+          lit(-2.0)), roundTo).as("cosine"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .where(col("rk") <= k)
+  }
+
   /** Exact cosine top-k within the `nprobe` clusters nearest to `queryVec`.
     * The cluster filter is the partition-pruning predicate at scale. */
   def searchTopK(spark: SparkSession, indexed: DataFrame, idCol: String,

@@ -210,7 +210,12 @@ object Similarity {
     val rhs = q.withColumn("__cell",
       explode(transform(sequence(lit(0), col("__blk")),
         i => i * b + col("__blk"))))
-    val pairs = lhs.as("x").join(rhs.as("y"),
+    // hint("merge"): a broadcast grid join would leave the output in the
+    // probe side's scan partitioning, forcing the cell-local window to
+    // shuffle the FULL directed-edge stream (2 rows per scored pair);
+    // sort-merge shuffles only the n*(blocks+1) replicated inputs by
+    // __cell, and the window below then reuses that partitioning freely.
+    val pairs = lhs.as("x").join(rhs.as("y").hint("merge"),
         col("x.__cell") === col("y.__cell")
           && (col("x.__blk") < col("y.__blk")
             || col("x.__id") < col("y.__id")))

@@ -320,6 +320,27 @@ object SimilarityQueries extends QueryFamily {
       SELECT src, dst, cosine, rk FROM r WHERE rk <= 5
       ORDER BY src, rk"""))
 
+  /** Spark's round(col, 6) on DOUBLE: BigDecimal.valueOf + HALF_UP. */
+  private def r6d(x: Double): Double = java.math.BigDecimal.valueOf(x)
+    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** cosine_sim's eval, verbatim: sequential fold, floats widened per
+    * element; zero norm → the -2.0 the operators coalesce nulls to. */
+  private def cosFD(x: Array[Float], y: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val xv = x(i).toDouble; val yv = y(i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) -2.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def cosFF(x: Array[Float], y: Array[Float]): Double =
+    cosFD(x, y.map(_.toDouble))
+
   /** Driver-side twin of the q60 IVF-PQ pipeline, generated at Verify time
     * (q39/q32's literal-injection pattern): retrain the SAME deterministic
     * IVF + PQ models, recompute assignment/encode/ADC/re-rank with plain
@@ -339,20 +360,8 @@ object SimilarityQueries extends QueryFamily {
     val probes = ivf.rankClusters(qv).take(4).toSet
     val lut = pq.lutFor(qv)
 
-    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-    // cosine_sim's eval, verbatim: sequential fold, float widened per element.
-    def cos(x: Array[Float], y: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      val n = math.min(x.length, y.length)
-      while (i < n) {
-        val xv = x(i).toDouble; val yv = y(i)
-        dot += xv * yv; na += xv * xv; nb += yv * yv
-        i += 1
-      }
-      if (na == 0.0 || nb == 0.0) -2.0 // assign coalesces null to -2.0
-      else dot / (math.sqrt(na) * math.sqrt(nb))
-    }
+    def r6 = r6d _
+    def cos = cosFD _
     // IvfIndex.assign's argmax: array_position(max) - 1 = FIRST index.
     def cluster(v: Array[Float]): Int = {
       val cs = ivf.centroids.map(c => cos(v, c))
@@ -403,6 +412,63 @@ object SimilarityQueries extends QueryFamily {
     None,
     oracleGen = Some(ivfpqOracle))
 
+  /** Driver-side twin of q61 (q60's pattern): retrain the deterministic
+    * IVF model, replay per-row probe lists / cluster assignment / scoring
+    * with plain Scala loops mirroring the expressions bit-for-bit, inject
+    * expected rows as VALUES. Bounded by the verify corpus. */
+  private def ivfKnnOracle(s: SparkSession, dir: String): String = {
+    val e = emb(s, dir)
+    val ivf = IvfIndex.train(e, "vec_id", "embedding", k = 16)
+    val rows = e.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // probeLists' sort key, verbatim: (0.0 - coalesced cosine, cid) asc —
+    // 0.0 - x, not -x, so a 0.0 cosine can't produce a -0.0 tie-break
+    // divergence.
+    def probes(v: Array[Float]): Seq[Int] =
+      ivf.centroids.indices
+        .map(i => (0.0 - cosFD(v, ivf.centroids(i)), i))
+        .sorted.take(4).map(_._2)
+    val byCluster: Map[Int, Seq[(Long, Array[Float])]] =
+      rows.toSeq.groupBy { case (_, v) => probes(v).head }
+    val expected = rows.toSeq.flatMap { case (src, v) =>
+      probes(v)
+        .flatMap(c => byCluster.getOrElse(c, Nil))
+        .filter { case (dst, _) => dst != src }
+        .map { case (dst, vd) => (dst, r6d(cosFF(v, vd))) }
+        .sortBy { case (dst, c) => (-c, dst) }
+        .take(5)
+        .zipWithIndex
+        .map { case ((dst, c), i) => (src, dst, c, i + 1) }
+    }
+    val values = expected
+      .map { case (src, dst, c, rk) => s"($src, $dst, $c, $rk)" }
+      .mkString(", ")
+    s"""
+      SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+             CAST(cosine AS DOUBLE) AS cosine, CAST(rk AS INTEGER) AS rk
+      FROM (VALUES $values) t(src, dst, cosine, rk)
+      ORDER BY src, rk"""
+  }
+
+  private val q61 = QueryDef(
+    "q61_knn_graph_ivf",
+    "Approximate kNN graph on the IVF index — the 100 TB path q59's exact " +
+      "grid points to: each vector joins only rows assigned to its 4 " +
+      "nearest clusters (equi-join on cluster id; co-located and " +
+      "shuffle-free when both sides are the partitionBy(ivf_cluster) " +
+      "table), cutting pair work from n²/2 to ~n²·nprobe/k = n²/4. Recall " +
+      "vs the exact graph is measured in IvfSpec; the oracle retrains the " +
+      "identical deterministic model and replays it driver-side.",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val ivf = IvfIndex.train(e, "vec_id", "embedding", k = 16)
+      IvfIndex.knnGraphApprox(s, e, "vec_id", "embedding", ivf,
+          k = 5, nprobe = 4)
+        .orderBy("src", "rk")
+    },
+    None,
+    oracleGen = Some(ivfKnnOracle))
+
   override val defs: Seq[QueryDef] =
-    Seq(q25, q26, q27, q39, q40, q50, q51, q59, q60)
+    Seq(q25, q26, q27, q39, q40, q50, q51, q59, q60, q61)
 }
