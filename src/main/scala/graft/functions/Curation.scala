@@ -20,6 +20,13 @@ object Curation {
     (conv(substring(md5(key.cast(StringType)), 1, 4), 16, 10)
       .cast(IntegerType) % buckets)
 
+  /** Deterministic uniform in [0, 1): first 4 hex chars of md5 / 65536 —
+    * an exact binary fraction, so the SAME double on every engine (no
+    * rounding needed). The acceptance coin for hash-based sampling. */
+  def hashUniform(key: Column): Column =
+    conv(substring(md5(key.cast(StringType)), 1, 4), 16, 10)
+      .cast(DoubleType) / 65536.0
+
   /** 90/5/5 split label from [[hashBucket]]: train < 90, val < 95, test. */
   def splitLabel(key: Column): Column = {
     val b = hashBucket(key)

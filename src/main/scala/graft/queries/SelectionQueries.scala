@@ -130,5 +130,52 @@ object SelectionQueries extends QueryFamily {
       WHERE cum_tokens <= 5000
       ORDER BY lang, cum_tokens, doc_id"""))
 
-  override val defs: Seq[QueryDef] = Seq(q54, q55, q56)
+  private val q62 = QueryDef(
+    "q62_temperature_resample",
+    "Temperature-based language rebalancing (the mC4/XLM-R alpha-sampling " +
+      "recipe): sampling weight q_l ∝ (n_l/N)^0.3, per-language " +
+      "acceptance rate min(1, q_l·T/n_l) against a T = N/2 budget, and a " +
+      "deterministic md5 acceptance coin per document — hash-based, so " +
+      "the kept set is stable across runs, engines, and cluster sizes. " +
+      "The rate computation is a window over the 5-row language dim " +
+      "(rounded once at the edge); the corpus-side join broadcasts it.",
+    (s, dir) => {
+      import graft.functions.Curation
+      val wAll = Window.partitionBy() // 5-row lang dim — never corpus-wide
+      val rates = docs(s, dir).groupBy("lang")
+        .agg(count(lit(1)).as("n_l"))
+        .withColumn("n", sum(col("n_l")).over(wAll))
+        .withColumn("w", pow(col("n_l").cast(DoubleType) / col("n"), 0.3))
+        .withColumn("rate", round(
+          least(lit(1.0),
+            col("w") / sum(col("w")).over(wAll) * (lit(0.5) * col("n"))
+              / col("n_l")), 6))
+        .select("lang", "rate")
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          Curation.hashUniform(col("doc_id")).as("u"))
+        .join(broadcast(rates), "lang")
+        .where(col("u") < col("rate"))
+        .select("doc_id", "lang", "u", "rate")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH stats AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+      tot AS (SELECT lang, n_l, sum(n_l) OVER () AS n,
+                     pow(n_l * 1.0 / sum(n_l) OVER (), 0.3) AS w
+              FROM stats),
+      rates AS (SELECT lang,
+                       round(least(1.0, w / sum(w) OVER () * (0.5 * n) / n_l),
+                         6) AS rate
+                FROM tot),
+      u AS (SELECT doc_id, lang,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                     AS INTEGER) / 65536.0 AS u
+            FROM documents)
+      SELECT u.doc_id, u.lang, u.u, r.rate
+      FROM u JOIN rates r USING (lang)
+      WHERE u.u < r.rate
+      ORDER BY doc_id"""))
+
+  override val defs: Seq[QueryDef] = Seq(q54, q55, q56, q62)
 }

@@ -72,4 +72,37 @@ class CurationSpec extends SparkSpec {
       assert(sorted.map(_.getInt(1)).toSeq == sorted.indices.map(identity))
     }
   }
+
+  test("hashUniform: exact [0,1) coin, stable, layout-invariant") {
+    val df = Tables.load(spark, sf(), "documents").select("doc_id")
+    val u = df.select(Curation.hashUniform($"doc_id").as("u"))
+      .as[Double].collect()
+    assert(u.forall(x => x >= 0.0 && x < 1.0))
+    assert(u.distinct.length > u.length / 2) // spread, not constant
+    val again = df.repartition(7)
+      .select(Curation.hashUniform($"doc_id").as("u")).as[Double].collect()
+    assert(u.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("temperature resample: minority languages keep a higher share") {
+    // alpha < 1 flattens the language distribution: acceptance rate must
+    // be weakly DECREASING in language size, with the smallest languages
+    // at or near full retention (rate ~ 1).
+    val d = Tables.load(spark, sf(), "documents")
+    val kept = SparkEntry.queries("q62_temperature_resample")(spark, sf())
+    val n = d.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val k = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val rates = n.keys.map(l => l -> k.getOrElse(l, 0L).toDouble / n(l)).toMap
+    val bySize = n.toSeq.sortBy(_._2).map(_._1)
+    val (small, large) = (bySize.head, bySize.last)
+    assert(rates(small) > rates(large),
+      s"small lang $small rate ${rates(small)} <= large $large ${rates(large)}")
+    // Flattening: the smallest language's SHARE of the kept set must
+    // exceed its share of the original corpus (and the largest's shrink).
+    val (ntot, ktot) = (n.values.sum.toDouble, k.values.sum.toDouble)
+    assert(k(small) / ktot > n(small) / ntot,
+      s"small-lang share did not grow: ${k(small) / ktot} vs ${n(small) / ntot}")
+    assert(k(large) / ktot < n(large) / ntot,
+      s"large-lang share did not shrink: ${k(large) / ktot} vs ${n(large) / ntot}")
+  }
 }
