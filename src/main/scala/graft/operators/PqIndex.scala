@@ -187,22 +187,45 @@ object PqIndex {
   /** IVF-PQ search: probe the nprobe nearest IVF clusters (partition
     * pruning at scale), ADC-shortlist within them, exact-cosine re-rank
     * of the shortlist only. Ties break on id everywhere; scores round(6)
-    * — fully deterministic, engine-independent. */
+    * — fully deterministic, engine-independent.
+    *
+    * Two actions by design (the FAISS shape): the shortlist pass scans
+    * ONLY (cluster, id, code) — the float column never rides the top-50
+    * reduction, so a columnar store reads 8-byte codes, not 260-byte
+    * vectors (at 1 M rows this is the difference between an ADC scan
+    * that beats the float scan and one that ties it — see SCALE.md
+    * ann-curve). The bounded (≤ `shortlist`) id list then comes back as
+    * a pushed IN filter, so the float fetch row-group-skips to just the
+    * re-rank candidates. */
   def searchTopK(spark: SparkSession, indexed: DataFrame, idCol: String,
                  vecCol: String, codeCol: String, ivf: IvfIndex.Model,
                  pq: Model, queryVec: Array[Double], k: Int,
                  nprobe: Int, shortlist: Int,
                  clusterCol: String = "ivf_cluster",
                  roundTo: Int = 6): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     val probes = ivf.rankClusters(queryVec).take(nprobe)
     graft.expressions.VectorExpressions.register(spark)
     val qLit = array(queryVec.map(lit).toSeq: _*)
     val probed = indexed
       .where(col(clusterCol).isin(probes.map(Integer.valueOf).toSeq: _*))
-    withAdcScore(probed, codeCol, pq, queryVec, "adc")
-      .select(col(idCol), col(vecCol), round(col("adc"), roundTo).as("adc"))
-      .orderBy(col("adc").desc, col(idCol))
-      .limit(shortlist)
+    val short: Array[Row] =
+      withAdcScore(probed, codeCol, pq, queryVec, "adc")
+        .select(col(idCol), round(col("adc"), roundTo).as("adc"))
+        .orderBy(col("adc").desc, col(idCol))
+        .limit(shortlist)
+        .collect()
+    val slSchema = StructType(Seq(
+      StructField(idCol, indexed.schema(idCol).dataType),
+      StructField("adc", DoubleType)))
+    val sl = spark.createDataFrame(
+      short.map(r => Row(r.get(0), r.getDouble(1))).toList.asJava, slSchema)
+    indexed
+      .where(col(idCol).isInCollection(short.map(_.get(0)).toSeq))
+      .select(col(idCol), col(vecCol))
+      .join(broadcast(sl), idCol)
       .select(col(idCol), col("adc"),
         round(call_function("cosine_sim", col(vecCol), qLit), roundTo)
           .as("cosine"))
