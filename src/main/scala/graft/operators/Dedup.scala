@@ -119,9 +119,14 @@ object Dedup {
                           driverEdgeLimit: Long = 1000000L): DataFrame = {
     val a = col(aCol).cast(LongType)
     val b = col(bCol).cast(LongType)
+    // Materialize the edge set ONCE (it's slim — two longs per edge):
+    // the size gate, the driver collect, and the distributed union all
+    // reuse it. Without this the upstream pair join — the expensive part
+    // of every near-dup pipeline — re-executes 2-3x.
     val undirected = pairs
       .select(a.as("src"), b.as("dst"))
       .distinct()
+      .localCheckpoint(true)
 
     if (undirected.count() <= driverEdgeLimit)
       return driverComponents(pairs.sparkSession, undirected)
