@@ -190,5 +190,93 @@ object DedupQueries extends QueryFamily {
       .orderBy("doc_id"),
     Some(clustersOracle))
 
-  override val defs: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q49)
+  private val q63 = QueryDef(
+    "q63_keep_best_per_cluster",
+    "Quality-priority dedup: within each duplicate cluster (q49's " +
+      "components; singletons are their own cluster via the left join + " +
+      "coalesce the operator contract requires), keep the HIGHEST-quality " +
+      "document (q29's score, doc_id tie-break) instead of q53's " +
+      "smallest-id representative — what a production pipeline actually " +
+      "wants from dedup. Ranking and cluster size share one " +
+      "cluster-keyed window shuffle.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val clusters = Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.8),
+          "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("comp"))
+      val labeled = d.select(col("doc_id"),
+          graft.functions.TextAnalysis.qualityScore(col("text")).as("quality"))
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))
+      val byCluster = Window.partitionBy(col("cluster_id"))
+      labeled
+        .withColumn("rn", row_number().over(
+          byCluster.orderBy(col("quality").desc, col("doc_id"))))
+        .withColumn("cluster_size",
+          count(lit(1)).over(byCluster).cast("int"))
+        .where(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("kept_id"),
+          col("quality"), col("cluster_size"))
+        .orderBy("cluster_id")
+    },
+    Some(s"""
+      WITH RECURSIVE
+      toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(a) - 1, 1)),
+                 i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle
+             FROM toks),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      prs AS (SELECT s1.doc_id AS id_a, s2.doc_id AS id_b, count(*) AS inter
+              FROM sh s1 JOIN sh s2
+                ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+              GROUP BY 1, 2),
+      dup AS (SELECT id_a, id_b
+              FROM prs
+              JOIN sizes na ON id_a = na.doc_id
+              JOIN sizes nb ON id_b = nb.doc_id
+              WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.8),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM dup),
+      walk(id, comp) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+      comps AS (SELECT id AS doc_id, min(comp) AS comp FROM walk GROUP BY id),
+      t AS (
+        SELECT doc_id, text,
+               CASE WHEN length(text) = 0 THEN 0
+                    ELSE length(text) - length(replace(text, ' ', '')) + 1
+                    END AS n_tok,
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN (${TextQueries.stopListSql}))) AS n_stop,
+               length(text) - length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                 AS n_nonalpha
+        FROM documents),
+      q AS (
+        SELECT doc_id,
+               round(least(n_tok / 50.0, 1.0) * 0.4
+                   + least(n_stop * 1.0 / nullif(n_tok, 0) * 5.0, 1.0) * 0.3
+                   + greatest(0.0, 1.0 - n_nonalpha * 1.0 / nullif(length(text), 0) * 5.0) * 0.3,
+                 6) AS quality
+        FROM t),
+      lab AS (SELECT d.doc_id, q.quality,
+                     coalesce(c.comp, d.doc_id) AS cluster_id
+              FROM documents d
+              JOIN q USING (doc_id)
+              LEFT JOIN comps c ON c.doc_id = d.doc_id),
+      sel AS (SELECT cluster_id, doc_id, quality,
+                     row_number() OVER (PARTITION BY cluster_id
+                       ORDER BY quality DESC, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+              FROM lab)
+      SELECT cluster_id, doc_id AS kept_id, quality,
+             CAST(cluster_size AS INTEGER) AS cluster_size
+      FROM sel WHERE rn = 1
+      ORDER BY cluster_id"""))
+
+  override val defs: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q49, q63)
 }
