@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Corpus-level unigram language-model scoring — the CCNet-style "how
   * typical of the corpus is this document" quality signal (reference
-  * anchor: the same cheap-statistics discipline as the sentinel/quality
-  * transforms in etl/transforms.py, lifted to corpus scope).
+  * anchor: the same cheap-statistics discipline as the sentinel/missing
+  * cleaning helpers in etl/mappers/directory.py:30-119, lifted to
+  * corpus scope).
   *
   * p(token) = corpus count / corpus total; a document scores the average
   * (and minimum) natural-log probability of its tokens. Two passes over

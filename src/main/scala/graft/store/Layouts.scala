@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions.col
   * group covers a narrow slice, so a selective filter touches ~1/files
   * of the bytes. At 100 TB this is the difference between a point query
   * reading gigabytes and reading the whole table — the same reason the
-  * reference puts btree indexes on its hot columns (schema.sql's
-  * idx_*_year/unitid), re-expressed as layout, the only index Spark has.
+  * reference puts btree indexes on its hot columns (raw:
+  * etl/raw_io.py:115-116 `*_raw_hash_idx`/`*_raw_year_idx`; core:
+  * notebooks/20_load_core_directory.ipynb cell 3
+  * `*_year_idx`/`*_state_idx`), re-expressed as layout, the only index
+  * Spark has.
   *
   * Choose cluster columns like index columns: the highest-selectivity
   * equality/range predicates of the workload. One column gives perfect
