@@ -114,7 +114,19 @@ object Bench {
       }.mkString("{", ",", "}")
     val total = mainQs.map { case (k, _) => best(k) }.sum
     val probeJson = probeTimes.map(t => f"$t%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(mainQs)},"queries_spread":${spreadJson(mainQs)},"skew":${jsonMap(skewQs)},"skew_spread":${spreadJson(skewQs)},"passes":$passes,"probe_sec":$probeJson,"sf":"$sfDir"}""")
+    // The full record (per-query spreads included) goes to a FILE: the
+    // driver's stdout capture keeps only the tail of long lines, which
+    // truncated BENCH_r05/r06 into unparseable fragments. The printed
+    // line stays ONE JSON object (the driver contract) but drops the
+    // spread maps so it fits the capture window; `bench_out.json` in the
+    // repo carries everything for round-over-round comparison.
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(mainQs)},"queries_spread":${spreadJson(mainQs)},"skew":${jsonMap(skewQs)},"skew_spread":${spreadJson(skewQs)},"passes":$passes,"probe_sec":$probeJson,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(mainQs)},"skew":${jsonMap(skewQs)},"passes":$passes,"probe_sec":$probeJson,"full":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }
