@@ -287,7 +287,86 @@ object ScaleProbe {
     }
   }
 
+  /** IVF kNN-graph skew probe: a uniform corpus vs a twin where ~half the
+    * vectors pile into one tight cone (one hot IVF cell — the Zipf shape
+    * real embedding corpora show). Measures the graph build unmitigated
+    * vs with the `maxClusterSize` salting lever; the claim to check is
+    * the Bench skew suite's: mitigated hot stays within ~2x of the
+    * uniform twin (salting is exact, so recall is not a variable here —
+    * IvfSpec pins output equality). Numbers land in SCALE.md §IVF-SKEW. */
+  private def ivfSkewProbe(spark: SparkSession, n: Long,
+                           maxClusterSize: Int): Unit = {
+    import graft.operators.IvfIndex
+    // The model is PINNED, not trained: a trained quantizer adaptively
+    // splits any hot region it can tell apart (the first version of this
+    // probe learned that the hard way), so the honest skew scenario is
+    // the one k-means cannot fix — many EXACT-duplicate vectors in one
+    // cell. 16 ring directions (100 at d, 1 at d+1 mod 16) make every
+    // cell's second-nearest probe its unique ring successor, so the
+    // uniform twin's join is genuinely even.
+    val k = 16
+    val dirs = Array.tabulate(k) { d =>
+      val v = new Array[Double](k)
+      v(d) = 100.0; v((d + 1) % k) = 1.0
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / norm)
+    }
+    val model = IvfIndex.Model(dirs)
+    def mk(hotPct: Int): DataFrame = {
+      // Direction id: hot rows collapse onto direction 0; the rest spread
+      // round-robin over the remaining ring.
+      val dirCol = when(pmod(col("id"), lit(100)) < lit(hotPct), lit(0))
+        .otherwise(pmod(col("id"), lit(k - 1)) + 1)
+      val vec = array((0 until k).map { d =>
+        when(dirCol === lit(d), lit(100.0f))
+          .when(dirCol === lit((d + k - 1) % k), lit(1.0f))
+          .otherwise(lit(0.0f))
+      }: _*)
+      spark.range(n).select(col("id").as("vec_id"), vec.as("embedding"))
+    }
+    def run(df: DataFrame, cap: Int): (Double, Long) = {
+      val maxCell = IvfIndex.assign(spark, df, "embedding", model)
+        .groupBy("ivf_cluster").count()
+        .agg(max("count")).head().getLong(0)
+      val (_, t) = time {
+        IvfIndex.knnGraphApprox(spark, df, "vec_id", "embedding", model,
+          k = 5, nprobe = 2, maxClusterSize = cap).count()
+      }
+      (t, maxCell)
+    }
+    val uniform = mk(0).cache(); uniform.count()
+    val hot = mk(50).cache(); hot.count()
+    // At 100 TB neither join side broadcasts — local[32] would happily
+    // broadcast a 20k-row assigned table, which erases join-key
+    // partitioning and with it the very skew under measurement. Force
+    // the at-scale shuffle-join shape (the Bench skew suite's
+    // hint("merge") discipline, applied via conf because the join is
+    // inside the operator).
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      run(uniform.limit(2000), 0) // warmup: codegen + first-shuffle costs
+      val (tUni, cellUni) = run(uniform, 0)
+      val (tHotRaw, cellHot) = run(hot, 0)
+      val (tHotSalted, _) = run(hot, maxClusterSize)
+      println(s"""{"metric":"ivf_skew","n":$n,"max_cluster_size":$maxClusterSize,""" +
+        s""""uniform_sec":${f"$tUni%.2f"},"uniform_max_cell":$cellUni,""" +
+        s""""hot_unsalted_sec":${f"$tHotRaw%.2f"},"hot_max_cell":$cellHot,""" +
+        s""""hot_salted_sec":${f"$tHotSalted%.2f"},""" +
+        s""""salted_vs_uniform":${f"${tHotSalted / math.max(tUni, 1e-9)}%.2f"}}""")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    uniform.unpersist(); hot.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("ivf-skew")) {
+      val spark = GraftSession.local(32)
+      val n = if (args.length > 1) args(1).toLong else 20000L
+      val cap = if (args.length > 2) args(2).toInt else 640
+      ivfSkewProbe(spark, n, cap)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("ann-curve")) {
       val spark = GraftSession.local(32)
       val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"

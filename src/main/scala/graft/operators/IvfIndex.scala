@@ -61,14 +61,23 @@ object IvfIndex {
     * `sampleN` vectors. Init = first k distinct sample vectors; `iters`
     * Lloyd rounds (assign by max dot against unit centroids, update =
     * renormalized mean). Fully deterministic for a given (data, seed).
+    *
+    * `sampleN <= 0` (the default) auto-scales the sample with k:
+    * max(4096, 50*k), FAISS's training-points-per-centroid practice — so
+    * the k ≈ sqrt(n) a 100 TB index wants (tens of thousands of
+    * clusters) trains without tripping the sample-size require. The
+    * sample stays bounded and driver-side either way: 50*k vectors at
+    * k=65536, dim=64 is ~1.7 GB — the ceiling before a distributed
+    * trainer is warranted.
     */
   def train(df: DataFrame, idCol: String, vecCol: String, k: Int,
-            iters: Int = 8, sampleN: Int = 4096, seed: Long = 42L): Model = {
+            iters: Int = 8, sampleN: Int = 0, seed: Long = 42L): Model = {
+    val n = if (sampleN > 0) sampleN else math.max(4096, 50 * k)
     val sample: Array[Array[Double]] = df
       .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
       .where(col("__v").isNotNull)
       .orderBy(abs(hash(col("__id"), lit(seed))), col("__id"))
-      .limit(sampleN)
+      .limit(n)
       .select("__v").collect()
       .map(_.getSeq[Double](0).toArray)
       .map(Model.normalize)
@@ -147,11 +156,26 @@ object IvfIndex {
     * cluster locality (a true neighbor assigned to an unprobed cluster is
     * missed — measured in IvfSpec against the exact graph). Deterministic
     * for a trained model, so the Verify oracle retrains and replays it
-    * driver-side (q60's pattern). Skewed clusters are the known hazard:
-    * cap/salt oversized clusters before the join at real scale. */
+    * driver-side (q60's pattern).
+    *
+    * Skewed clusters are the known hazard (real embedding corpora are
+    * Zipf-ish: one hot cluster serializes the n²·nprobe/k win away), and
+    * `maxClusterSize` is the lever: clusters larger than it are SALTED
+    * into ceil(size / maxClusterSize) sub-buckets — the assigned side
+    * hashes each row into one sub-bucket, the probe side fans out across
+    * all of them, and the join key becomes (cluster, salt), so a hot
+    * cluster's pair work spreads over size/maxClusterSize partitions
+    * instead of one. Unlike a drop cap (the `maxShingleDf` pattern in
+    * [[Dedup]]), salting is EXACT: every (src, dst) pair still meets
+    * exactly once (dst lands in one sub-bucket; src visits all), so the
+    * output is bit-identical to the unsalted graph — no recall loss,
+    * pinned in IvfSpec. Cluster sizes come from one k-row aggregate that
+    * broadcasts; uniform corpora pay one broadcast join and nothing else
+    * (nsalt = 1 everywhere). Wall-clock on a deliberately hot corpus is
+    * measured in ScaleProbe (SCALE.md ivf-skew curve). */
   def knnGraphApprox(spark: SparkSession, df: DataFrame, idCol: String,
                      vecCol: String, model: Model, k: Int, nprobe: Int,
-                     roundTo: Int = 6): DataFrame = {
+                     roundTo: Int = 6, maxClusterSize: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val assigned = assign(spark, df, vecCol, model)
       .select(col(idCol).as("dst"), col(vecCol).as("__vd"),
@@ -161,8 +185,32 @@ object IvfIndex {
         explode(col("ivf_probes")).as("__probe"))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cosine").desc, col("dst"))
-    probed.join(assigned,
-        col("__probe") === col("ivf_cluster") && col("src") =!= col("dst"))
+    val joined =
+      if (maxClusterSize <= 0)
+        probed.join(assigned,
+          col("__probe") === col("ivf_cluster") && col("src") =!= col("dst"))
+      else {
+        val salts = assigned.groupBy(col("ivf_cluster"))
+          .agg(count(lit(1)).as("__csz"))
+          .select(col("ivf_cluster"),
+            greatest(lit(1), ceil(col("__csz") / lit(maxClusterSize)))
+              .cast("int").as("__nsalt"))
+        val saltedDst = assigned
+          .join(broadcast(salts), "ivf_cluster")
+          .withColumn("__salt_d", pmod(hash(col("dst")), col("__nsalt")))
+          .drop("__nsalt")
+        val saltedSrc = probed
+          .join(broadcast(salts.withColumnRenamed("ivf_cluster", "__probe")),
+            "__probe")
+          .withColumn("__salt_s",
+            explode(sequence(lit(0), col("__nsalt") - 1)))
+          .drop("__nsalt")
+        saltedSrc.join(saltedDst,
+          col("__probe") === col("ivf_cluster") &&
+            col("__salt_s") === col("__salt_d") &&
+            col("src") =!= col("dst"))
+      }
+    joined
       .select(col("src"), col("dst"),
         round(coalesce(call_function("cosine_sim", col("__vq"), col("__vd")),
           lit(-2.0)), roundTo).as("cosine"))

@@ -109,17 +109,20 @@ object PqIndex {
   /** Per-subspace L2 k-means on a deterministic hash-ordered sample of at
     * most `sampleN` vectors. Init = the first ks sample subvectors;
     * `iters` Lloyd rounds; empty clusters keep their previous centroid.
+    * `sampleN <= 0` (default) auto-scales with the codebook size:
+    * max(4096, 50*ks) — [[IvfIndex.train]]'s FAISS sizing discipline.
     */
   def train(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-            m: Int, ks: Int, iters: Int = 8, sampleN: Int = 4096,
+            m: Int, ks: Int, iters: Int = 8, sampleN: Int = 0,
             seed: Long = 42L): Model = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val dsub = dim / m
+    val n = if (sampleN > 0) sampleN else math.max(4096, 50 * ks)
     val sample: Array[Array[Double]] = df
       .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
       .where(col("__v").isNotNull)
       .orderBy(abs(hash(col("__id"), lit(seed))), col("__id"))
-      .limit(sampleN)
+      .limit(n)
       .select("__v").collect()
       .map(_.getSeq[Double](0).padTo(dim, 0.0).toArray)
     require(sample.length >= ks,

@@ -122,4 +122,63 @@ class IvfSpec extends SparkSpec {
       s"recall not monotone: $r2 / $r4 / $r8")
     assert(r4 >= 0.55, s"kNN-graph edge recall at nprobe=4 was $r4")
   }
+
+  test("maxClusterSize salting is exact on a hot-cluster corpus (recall unchanged)") {
+    // Deliberately Zipf-ish corpus: 70% of vectors pile into one tight cone
+    // (one hot IVF cell), the rest spread around the circle. The salting
+    // lever must change the PLAN (hot cell split into sub-buckets), never
+    // the OUTPUT.
+    val hot = Seq.tabulate(1400) { i =>
+      (i.toLong, Array(100f, (i % 17) * 0.01f, (i % 13) * 0.01f, 1f + i * 1e-4f))
+    }
+    val spread = Seq.tabulate(600) { i =>
+      val a = 2.0 * math.Pi * i / 600.0
+      (1400L + i, Array(math.cos(a).toFloat, math.sin(a).toFloat,
+        math.cos(3 * a).toFloat, math.sin(3 * a).toFloat))
+    }
+    val skewed = (hot ++ spread).toDF("vec_id", "embedding")
+    val m = IvfIndex.train(skewed, "vec_id", "embedding", k = 8, iters = 4)
+    val sizes = IvfIndex.assign(spark, skewed, "embedding", m)
+      .groupBy("ivf_cluster").count().collect().map(_.getLong(1))
+    assert(sizes.max >= 1000,
+      s"corpus failed to produce a hot cluster: sizes ${sizes.toSeq.sorted}")
+    def graph(cap: Int) = IvfIndex.knnGraphApprox(spark, skewed, "vec_id",
+        "embedding", m, k = 5, nprobe = 2, maxClusterSize = cap)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val unsalted = graph(0)
+    val salted = graph(100) // hot cell → ceil(1400/100) = 14 sub-buckets
+    assert(salted == unsalted,
+      s"salting changed the graph: missing ${(unsalted -- salted).size}, " +
+        s"extra ${(salted -- unsalted).size}")
+    // Recall vs the exact graph is therefore identical by construction;
+    // report it so the spec records the operating point.
+    val exact = Similarity.knnGraph(spark, skewed, "vec_id", "embedding", k = 5)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    val got = salted.map(t => (t._1, t._2))
+    val recall = (got & exact).size.toDouble / exact.size
+    info(f"hot-corpus kNN-graph recall@5 (nprobe=2/8, salted) = $recall%.3f")
+    assert(recall > 0.3, s"degenerate recall $recall")
+  }
+
+  test("trainer sample auto-scales with k past the old fixed-4096 cap") {
+    // k=4500 needs >= 4500 sample vectors: the historical fixed sampleN of
+    // 4096 cannot satisfy its own require; the auto rule max(4096, 50*k)
+    // can. 6000 distinct unit vectors on a 2-sphere slice keep Lloyd cheap.
+    val many = Seq.tabulate(6000) { i =>
+      val a = 2.0 * math.Pi * i / 6000.0
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat,
+        (1f + (i % 7)) * 0.1f, 1f))
+    }.toDF("vec_id", "embedding")
+    val err = intercept[IllegalArgumentException] {
+      IvfIndex.train(many, "vec_id", "embedding", k = 4500, iters = 1,
+        sampleN = 4096)
+    }
+    assert(err.getMessage.contains("4500"))
+    val big = IvfIndex.train(many, "vec_id", "embedding", k = 4500, iters = 1)
+    assert(big.k == 4500)
+    big.centroids.take(50).foreach { c =>
+      val norm = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-9)
+    }
+  }
 }
