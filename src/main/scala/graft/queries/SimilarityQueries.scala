@@ -353,12 +353,13 @@ object SimilarityQueries extends QueryFamily {
     import graft.operators.PqIndex
     val e = emb(s, dir)
     val ivf = IvfIndex.train(e, "vec_id", "embedding", k = 16)
-    val pq = PqIndex.train(e, "vec_id", "embedding", dim = 64, m = 8, ks = 16)
+    val pq = PqIndex.trainResidual(e, "vec_id", "embedding", ivf,
+      dim = 64, m = 8, ks = 16)
     val rows = e.select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val qv = rows.find(_._1 == 0L).get._2.map(_.toDouble)
     val probes = ivf.rankClusters(qv).take(4).toSet
-    val lut = pq.lutFor(qv)
+    val lut = pq.pq.lutFor(qv)
 
     def r6 = r6d _
     def cos = cosFD _
@@ -367,10 +368,15 @@ object SimilarityQueries extends QueryFamily {
       val cs = ivf.centroids.map(c => cos(v, c))
       cs.indexOf(cs.max)
     }
+    // Residual ADC: code quantizes v − anchor(cell); score adds back the
+    // per-cluster constant dot(q, anchor) — engine-side this is
+    // `adc + when-chain literal`, same doubles in the same + order.
     val shortlist = rows.toSeq
       .filter { case (_, v) => probes(cluster(v)) }
       .map { case (id, v) =>
-        (id, r6(pq.adcDot(pq.encodeVec(v.map(_.toDouble)), lut)))
+        val c = cluster(v)
+        val r = pq.residualOf(v.map(_.toDouble), c)
+        (id, r6(pq.pq.adcDot(pq.pq.encodeVec(r), lut) + pq.anchorDot(qv, c)))
       }
       .sortBy { case (id, adc) => (-adc, id) }
       .take(50)
@@ -392,20 +398,24 @@ object SimilarityQueries extends QueryFamily {
     "q60_ann_ivfpq_topk",
     "IVF-PQ search (FAISS IndexIVFPQ shape, Spark-first): IVF probe " +
       "filter (partition pruning at scale) over vectors carrying 8-byte " +
-      "PQ codes (32x compression), ADC shortlist via a query-side lookup " +
-      "table riding the codegen'd expression as a literal, exact-cosine " +
+      "RESIDUAL PQ codes (32x compression; codes quantize v - centroid, " +
+      "the FAISS default — same code size, higher recall), ADC shortlist " +
+      "via a query-side lookup table riding the codegen'd expression " +
+      "plus the per-cluster dot(q, centroid) constant, exact-cosine " +
       "re-rank of the 50-row shortlist only. Oracle generated at Verify " +
       "time by retraining the identical deterministic models driver-side.",
     (s, dir) => {
       import graft.operators.PqIndex
       val e = emb(s, dir)
       val ivf = IvfIndex.train(e, "vec_id", "embedding", k = 16)
-      val pq = PqIndex.train(e, "vec_id", "embedding", dim = 64, m = 8, ks = 16)
+      val pq = PqIndex.trainResidual(e, "vec_id", "embedding", ivf,
+        dim = 64, m = 8, ks = 16)
       val qv = e.where(col("vec_id") === 0L)
         .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
-      val indexed = PqIndex.encode(
-        IvfIndex.assign(s, e, "embedding", ivf), "embedding", pq)
-      PqIndex.searchTopK(s, indexed, "vec_id", "embedding", "pq_code",
+      val indexed = PqIndex.encodeResidual(
+        IvfIndex.assign(s, e, "embedding", ivf), "embedding", "ivf_cluster",
+        pq)
+      PqIndex.searchTopKResidual(s, indexed, "vec_id", "embedding", "pq_code",
           ivf, pq, qv, k = 10, nprobe = 4, shortlist = 50)
         .orderBy(col("cosine").desc, col("vec_id"))
     },
