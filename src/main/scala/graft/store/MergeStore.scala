@@ -141,7 +141,7 @@ object MergeStore {
   def upsert(spark: SparkSession, rows: DataFrame, target: String,
              pk: Seq[String], dataCols: Seq[String],
              ordCols: Seq[String] = Nil, clusterBy: Seq[String] = Nil,
-             numFiles: Int = 8): (Long, Long) = {
+             numFiles: Int = 8, maxLiveFiles: Int = 0): (Long, Long) = {
     require(pk.nonEmpty, s"merge sink at $target has no primary key")
     val incoming = rows.where(pk.map(col(_).isNotNull).reduce(_ && _))
     if (currentVersion(target).isEmpty) {
@@ -155,7 +155,27 @@ object MergeStore {
       val stats = merge(spark,
         incoming.select((dataCols ++ ordCols).map(col): _*),
         target, pk, ordCols)
+      maintain(spark, target, numFiles, maxLiveFiles, clusterBy)
       (stats.rowsInserted, stats.rowsUpdated)
+    }
+  }
+
+  /** Scheduled maintenance, run automatically after every [[upsert]]
+    * merge: when the manifest's live file count exceeds `maxLiveFiles`
+    * (default 4 × the `targetFiles` layout target — enough slack that
+    * steady trickle loads don't compact every batch, tight enough that
+    * scan-time per-file opens stay bounded), [[compact]] back to
+    * `targetFiles` range-clustered files and [[vacuum]] the superseded
+    * ones. Single-writer safe by the same manifest-commit protocol as
+    * the merges themselves. Returns true iff a compaction ran. */
+  def maintain(spark: SparkSession, target: String, targetFiles: Int,
+               maxLiveFiles: Int = 0, clusterBy: Seq[String] = Nil): Boolean = {
+    val cap = if (maxLiveFiles > 0) maxLiveFiles else 4 * targetFiles
+    if (liveFiles(target).size <= cap) false
+    else {
+      compact(spark, target, targetFiles, clusterBy)
+      vacuum(target)
+      true
     }
   }
 

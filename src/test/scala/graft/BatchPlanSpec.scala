@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.sum
+
 import graft.core.Settings
 import graft.run.{BatchPlan, Runner}
 import graft.registry.Registry
@@ -124,5 +126,36 @@ class BatchPlanSpec extends SparkSpec {
     Runner.loadCoreFromRaw(spark, Registry.directory, settingsM,
       years = Seq(2011), sink = CoreSink.Merge)
     assert(rows(rootM) == rows(rootP)) // still identical after the merge
+  }
+
+  test("merge-sink maintenance: trickle batches keep live file count bounded") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    // Every pipeline merge goes through MergeStore.upsert, which runs
+    // maintain() after the merge: past 4x the layout target the table
+    // compacts back and vacuums. Without it, 12 insert-only trickle
+    // batches onto a 2-file table would accrete 14 live files.
+    val target = tmpDir("merge-maint") + "/tbl"
+    def batch(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong, s"v$i")).toDF("id", "value")
+    MergeStore.upsert(spark, batch(0, 100), target,
+      pk = Seq("id"), dataCols = Seq("id", "value"),
+      clusterBy = Seq("id"), numFiles = 2)
+    val counts = (1 to 12).map { b =>
+      MergeStore.upsert(spark, batch(b * 100, (b + 1) * 100), target,
+        pk = Seq("id"), dataCols = Seq("id", "value"),
+        clusterBy = Seq("id"), numFiles = 2)
+      MergeStore.liveFiles(target).size
+    }
+    assert(counts.max <= 8, s"live files grew past the 4x cap: $counts")
+    assert(counts.exists(_ == 2), s"compaction never ran: $counts")
+    // Content survives every compact/vacuum cycle.
+    assert(MergeStore.read(spark, target).count() == 1300)
+    assert(MergeStore.read(spark, target).agg(sum("id")).head().getLong(0)
+      == (0L until 1300L).sum)
+    // Vacuum keeps the data directory bounded too (superseded compaction
+    // inputs are deleted; only post-compaction accretion remains).
+    val onDisk = Files.list(Paths.get(target, "data")).count()
+    assert(onDisk <= 10, s"data dir holds $onDisk files")
   }
 }
