@@ -479,6 +479,77 @@ object SimilarityQueries extends QueryFamily {
     None,
     oracleGen = Some(ivfKnnOracle))
 
+  /** Driver-side twin of q64: replay the nprobe=2 IVF graph (ivfKnnOracle's
+    * loops), then one NN-descent round — undirected edges ∪
+    * neighbors-of-neighbors, exact rescore, per-src top-k — with the same
+    * round(6) + (cosine desc, dst) order the operator uses. */
+  private def ivfKnnRefineOracle(s: SparkSession, dir: String): String = {
+    val e = emb(s, dir)
+    val ivf = IvfIndex.train(e, "vec_id", "embedding", k = 16)
+    val rows = e.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val byId = rows.toMap
+    def probes(v: Array[Float]): Seq[Int] =
+      ivf.centroids.indices
+        .map(i => (0.0 - cosFD(v, ivf.centroids(i)), i))
+        .sorted.take(2).map(_._2)
+    val byCluster: Map[Int, Seq[(Long, Array[Float])]] =
+      rows.toSeq.groupBy { case (_, v) => probes(v).head }
+    val baseEdges: Seq[(Long, Long)] = rows.toSeq.flatMap { case (src, v) =>
+      probes(v)
+        .flatMap(c => byCluster.getOrElse(c, Nil))
+        .filter { case (dst, _) => dst != src }
+        .map { case (dst, vd) => (dst, r6d(cosFF(v, vd))) }
+        .sortBy { case (dst, c) => (-c, dst) }
+        .take(5)
+        .map { case (dst, _) => (src, dst) }
+    }
+    val undirected = (baseEdges ++ baseEdges.map(_.swap)).distinct
+    val bySrc = undirected.groupBy(_._1)
+    val non = undirected.flatMap { case (src, mid) =>
+      bySrc.getOrElse(mid, Nil).map { case (_, dst) => (src, dst) }
+    }
+    val expected = (undirected ++ non).distinct
+      .filter { case (src, dst) => src != dst }
+      .groupBy(_._1).toSeq
+      .flatMap { case (src, cs) =>
+        cs.map { case (_, dst) => (dst, r6d(cosFF(byId(src), byId(dst)))) }
+          .sortBy { case (dst, c) => (-c, dst) }
+          .take(5)
+          .zipWithIndex
+          .map { case ((dst, c), i) => (src, dst, c, i + 1) }
+      }
+    val values = expected
+      .map { case (src, dst, c, rk) => s"($src, $dst, $c, $rk)" }
+      .mkString(", ")
+    s"""
+      SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+             CAST(cosine AS DOUBLE) AS cosine, CAST(rk AS INTEGER) AS rk
+      FROM (VALUES $values) t(src, dst, cosine, rk)
+      ORDER BY src, rk"""
+  }
+
+  private val q64 = QueryDef(
+    "q64_knn_graph_refined",
+    "NN-descent refinement (Dong et al., WWW 2011) over the IVF kNN " +
+      "graph: one round of neighbors-of-neighbors candidates (undirected " +
+      "edge self-join on the midpoint) rescored exactly, per-src top-k " +
+      "recomputed. Candidates escape the probed IVF cells through graph " +
+      "hops — recall recovers toward exact at n*k^2 cost, never n^2. " +
+      "Base graph deliberately runs nprobe=2 (half q61's probe work) so " +
+      "the refinement is doing real lifting; oracle replays both stages " +
+      "driver-side on the retrained deterministic model.",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val ivf = IvfIndex.train(e, "vec_id", "embedding", k = 16)
+      val base = IvfIndex.knnGraphApprox(s, e, "vec_id", "embedding", ivf,
+        k = 5, nprobe = 2)
+      Similarity.knnGraphRefine(s, e, "vec_id", "embedding", base, k = 5)
+        .orderBy("src", "rk")
+    },
+    None,
+    oracleGen = Some(ivfKnnRefineOracle))
+
   override val defs: Seq[QueryDef] =
-    Seq(q25, q26, q27, q39, q40, q50, q51, q59, q60, q61)
+    Seq(q25, q26, q27, q39, q40, q50, q51, q59, q60, q61, q64)
 }

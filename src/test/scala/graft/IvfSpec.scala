@@ -123,6 +123,28 @@ class IvfSpec extends SparkSpec {
     assert(r4 >= 0.55, s"kNN-graph edge recall at nprobe=4 was $r4")
   }
 
+  test("NN-descent refinement lifts IVF-graph recall; exact graph is a fixpoint") {
+    val exact = Similarity.knnGraph(spark, emb, "vec_id", "embedding", k = 5)
+    val exactEdges = exact.select("src", "dst").as[(Long, Long)].collect().toSet
+    val base = IvfIndex.knnGraphApprox(spark, emb, "vec_id", "embedding",
+      model, k = 5, nprobe = 2)
+    val baseEdges = base.select("src", "dst").as[(Long, Long)].collect().toSet
+    val refined = Similarity.knnGraphRefine(spark, emb, "vec_id", "embedding",
+        base, k = 5)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    def recall(got: Set[(Long, Long)]): Double =
+      (got & exactEdges).size.toDouble / exactEdges.size
+    val rBase = recall(baseEdges); val rRef = recall(refined)
+    info(f"kNN-graph recall@5: nprobe=2 base $rBase%.3f -> +1 NN-descent round $rRef%.3f")
+    assert(rRef > rBase, s"refinement did not improve recall: $rBase -> $rRef")
+    // Refining an EXACT graph cannot change it: candidates are a superset
+    // of the true top-k, and the same total order re-selects exactly them.
+    val refinedExact = Similarity.knnGraphRefine(spark, emb, "vec_id",
+        "embedding", exact, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(refinedExact == exact.as[(Long, Long, Double, Int)].collect().toSet)
+  }
+
   test("maxClusterSize salting is exact on a hot-cluster corpus (recall unchanged)") {
     // Deliberately Zipf-ish corpus: 70% of vectors pile into one tight cone
     // (one hot IVF cell), the rest spread around the circle. The salting
