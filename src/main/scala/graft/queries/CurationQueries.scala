@@ -221,25 +221,32 @@ object CurationQueries extends QueryFamily {
 
   private val q53 = QueryDef(
     "q53_curation_pipeline",
-    "End-to-end corpus curation in ONE declarative plan: quality filter " +
-      "(composite >= 0.7), near-dup cluster pruning (keep each cluster's " +
-      "smallest doc_id via connected components over exact 3-gram-Jaccard " +
-      "pairs), and the deterministic md5 train/val/test split — the " +
-      "compose-everything query a training pipeline actually runs. The " +
-      "oracle chains the q29/q49/q41 CTE machinery.",
+    "End-to-end corpus curation in ONE declarative plan: near-dup cluster " +
+      "pruning keeping each cluster's HIGHEST-quality document (q63's " +
+      "representative — what a production pipeline wants from dedup; " +
+      "singletons via left join + coalesce), the composite quality gate " +
+      "(>= 0.7) on the kept representative, and the deterministic md5 " +
+      "train/val/test split — the compose-everything query a training " +
+      "pipeline actually runs. Quality scoring feeds BOTH the " +
+      "representative choice and the gate from one projection; the " +
+      "oracle chains the q29/q49/q63/q41 CTE machinery.",
     (s, dir) => {
       val d = docs(s, dir)
       val clusters = graft.operators.Dedup.connectedComponents(
-        graft.operators.Dedup.ngramJaccardPairs(d, "doc_id", "text",
-          n = 3, threshold = 0.8),
-        "id_a", "id_b")
-      val dupDrop = clusters.where(col("id") =!= col("comp"))
-        .select(col("id").as("doc_id"))
-      d.join(dupDrop, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("lang"),
-          TextAnalysis.qualityScore(col("text")).as("quality"),
+          graft.operators.Dedup.ngramJaccardPairs(d, "doc_id", "text",
+            n = 3, threshold = 0.8),
+          "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("comp"))
+      d.select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("cluster_id"))
+            .orderBy(col("quality").desc, col("doc_id"))))
+        .where(col("rn") === 1 && col("quality") >= 0.7)
+        .select(col("doc_id"), col("lang"), col("quality"),
           Curation.splitLabel(col("doc_id")).as("split"))
-        .where(col("quality") >= 0.7)
         .orderBy("doc_id")
     },
     Some(s"""
@@ -267,7 +274,7 @@ object CurationQueries extends QueryFamily {
         SELECT src, src FROM edges
         UNION
         SELECT g.dst, w.comp FROM walk w JOIN edges g ON g.src = w.id),
-      dropids AS (SELECT id FROM walk GROUP BY id HAVING min(comp) <> id),
+      comps AS (SELECT id AS doc_id, min(comp) AS comp FROM walk GROUP BY id),
       t AS (
         SELECT doc_id, lang, text,
                CASE WHEN length(text) = 0 THEN 0
@@ -277,8 +284,7 @@ object CurationQueries extends QueryFamily {
                    x -> x IN ($stopList53))) AS n_stop,
                length(text) - length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
                  AS n_nonalpha
-        FROM documents
-        WHERE doc_id NOT IN (SELECT id FROM dropids)),
+        FROM documents),
       scored AS (
         SELECT doc_id, lang,
                round(least(n_tok / 50.0, 1.0) * 0.4
@@ -287,13 +293,19 @@ object CurationQueries extends QueryFamily {
                  6) AS quality,
                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
                  % 100 AS bucket
-        FROM t)
+        FROM t),
+      sel AS (
+        SELECT s.doc_id, s.lang, s.quality, s.bucket,
+               row_number() OVER (
+                 PARTITION BY coalesce(c.comp, s.doc_id)
+                 ORDER BY s.quality DESC, s.doc_id) AS rn
+        FROM scored s LEFT JOIN comps c ON c.doc_id = s.doc_id)
       SELECT doc_id, lang, quality,
              CASE WHEN bucket < 90 THEN 'train'
                   WHEN bucket < 95 THEN 'val'
                   ELSE 'test' END AS split
-      FROM scored
-      WHERE quality >= 0.7
+      FROM sel
+      WHERE rn = 1 AND quality >= 0.7
       ORDER BY doc_id"""))
 
   override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q44, q47, q53)
