@@ -185,6 +185,34 @@ object Dedup {
 
   /** Exact pairwise n-gram Jaccard over an inverted shingle index:
     * (id_a < id_b, jaccard) for pairs with jaccard >= threshold. */
+  /** Corpus-duplicate n-gram fraction (the Gopher/RefinedWeb "duplicate
+    * n-grams" quality filter; reference anchor: the same cheap-statistics
+    * discipline as etl/mappers/directory.py:30-119, lifted to corpus
+    * scope): for each document, the fraction of its DISTINCT n-gram
+    * shingles that also occur in at least one OTHER document. The
+    * ACROSS-corpus twin of the within-doc repetition stats (q57) — high
+    * values flag boilerplate/template content that per-doc stats miss.
+    *
+    * Scale shape: shingle set (native kernel, distinct per doc) →
+    * document-frequency aggregate (map-side combinable; bounded by
+    * shingle vocabulary, not corpus size) → shingle-keyed semi-join back
+    * (co-partitions with the aggregate — no broadcast of the
+    * corpus-sized duplicate set) → one per-doc count. Docs shorter than
+    * n words have no shingles and are excluded, like [[shingles]]. */
+  def dupNgramStats(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, roundTo: Int = 6): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val dup = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= 2).select("shingle")
+    val perDoc = sh.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
+    val dupPerDoc = sh.join(dup, Seq("shingle"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("__n_dup"))
+    perDoc.join(dupPerDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles").cast("int").as("n_shingles"),
+        round(coalesce(col("__n_dup"), lit(0L)) / col("n_shingles"), roundTo)
+          .as("dup_ngram_frac"))
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8,
                         maxShingleDf: Option[Int] = None): DataFrame = {

@@ -112,6 +112,76 @@ object IvfIndex {
     Model(centroids)
   }
 
+  /** Distributed spherical k-means — the trainer past [[train]]'s
+    * driver-sample ceiling (SCALE.md: ~1.7 GB of sample at k=65536):
+    * every Lloyd round runs over the FULL corpus as one Spark job. Per
+    * round: the codegen'd nearest-centroid projection ([[assign]] —
+    * centroids ride as literals, no shuffle), then a (cluster, dim)
+    * partial-sum aggregate — map-side combinable, exactly k·dim rows
+    * reach the driver, which renormalizes. Same first-k-by-hash init and
+    * empty-cluster rule as [[train]].
+    *
+    * Two honest caveats, both documented in SCALE.md: float partial-sum
+    * order varies with partitioning, so unlike [[train]] the result is
+    * bit-deterministic only for a fixed layout — IvfSpec pins QUALITY
+    * (mean assigned cosine) against the sampled trainer, not bytes; and
+    * the centroid-literal projection bounds practical k at a few
+    * thousand (codegen expression size) — past that, assignment becomes
+    * a broadcast join against a centroid table. */
+  def trainDistributed(spark: SparkSession, df: DataFrame, idCol: String,
+                       vecCol: String, k: Int, iters: Int = 8,
+                       seed: Long = 42L): Model = {
+    // No cast on the vector column: cosine_sim widens float elements in
+    // the kernel and Sum accumulates doubles, while an array<double> CAST
+    // wrapped around the per-centroid cosine fan-out trips a Spark
+    // codegen bug ("isNull_X is not an rvalue") that drops the whole
+    // projection to interpreter mode.
+    val data = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .where(col("__v").isNotNull).cache()
+    try {
+      val init = data
+        .orderBy(abs(hash(col("__id"), lit(seed))), col("__id"))
+        .limit(2 * k)
+        .select(col("__v").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0).toArray)
+        .map(Model.normalize)
+        .filter(v => Model.dot(v, v) > 0.0)
+        .take(k)
+      require(init.length >= k,
+        s"IVF trainDistributed: need >= $k non-zero vectors, got ${init.length}")
+      var centroids: Array[Array[Double]] = init
+      val dim = centroids(0).length
+      // Per-dimension element_at sums instead of posexplode + (cluster,
+      // pos) keys: one hash aggregate with dim map-side-combinable sum
+      // columns, k result rows, and no Generate operator between the
+      // centroid fan-out and the aggregate.
+      val sumCols = (0 until dim).map(i =>
+        sum(element_at(col("__v"), i + 1).cast("double")).as(s"__s$i")) :+
+        count(lit(1)).as("__c")
+      var round = 0
+      while (round < iters) {
+        val agg = assign(spark, data, "__v", Model(centroids))
+          .groupBy("ivf_cluster")
+          .agg(sumCols.head, sumCols.tail: _*)
+          .collect()
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val counts = new Array[Long](k)
+        agg.foreach { r =>
+          val c = r.getInt(0)
+          var i = 0
+          while (i < dim) { sums(c)(i) = r.getDouble(i + 1); i += 1 }
+          counts(c) = r.getLong(dim + 1)
+        }
+        centroids = centroids.indices.map { c =>
+          if (counts(c) == 0) centroids(c) // empty cluster: keep old
+          else Model.normalize(sums(c))
+        }.toArray
+        round += 1
+      }
+      Model(centroids)
+    } finally data.unpersist()
+  }
+
   /** Add `outCol` = nearest-centroid id. Single codegen'd projection over
     * literal centroids; zero/null vectors land in cluster 0. At scale,
     * write the result `partitionBy(outCol)`. */

@@ -88,5 +88,32 @@ object QualityQueries extends QueryFamily {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
-  override val defs: Seq[QueryDef] = Seq(q57, q58)
+  private val q65 = QueryDef(
+    "q65_dup_ngram_fraction",
+    "Corpus-duplicate n-gram fraction (Gopher/RefinedWeb filter family): " +
+      "per document, the share of its distinct 3-gram shingles that also " +
+      "appear in at least one other document — the ACROSS-corpus twin of " +
+      "q57's within-doc repetition stats. Shingle DF aggregate is " +
+      "map-side combinable and vocabulary-bounded; the duplicate set " +
+      "joins back shingle-keyed (co-partitioned, never broadcast).",
+    (s, dir) => graft.operators.Dedup.dupNgramStats(
+        docs(s, dir), "doc_id", "text", n = 3)
+      .orderBy("doc_id"),
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(a) - 1, 1)),
+                 i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle
+             FROM toks),
+      dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+      perdoc AS (SELECT doc_id, count(*) AS n_shingles,
+                        sum(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) AS n_dup
+                 FROM sh JOIN dfc USING (shingle)
+                 GROUP BY doc_id)
+      SELECT doc_id, CAST(n_shingles AS INTEGER) AS n_shingles,
+             round(n_dup * 1.0 / n_shingles, 6) AS dup_ngram_frac
+      FROM perdoc
+      ORDER BY doc_id"""))
+
+  override val defs: Seq[QueryDef] = Seq(q57, q58, q65)
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.core.Tables
 import graft.functions.TextAnalysis
-import graft.operators.Dedup
+import graft.operators.{Dedup, IvfIndex, PqIndex}
 
 /** Dataset-selection queries — the steps that decide WHICH documents make
   * the training set: benchmark decontamination, per-language stratified
@@ -177,5 +177,60 @@ object SelectionQueries extends QueryFamily {
       WHERE u.u < r.rate
       ORDER BY doc_id"""))
 
-  override val defs: Seq[QueryDef] = Seq(q54, q55, q56, q62)
+  /** Driver-side twin of q66: retrain the deterministic IVF model, assign
+    * every vector (PqIndex.assignOf mirrors the engine argmax), order
+    * within each cluster by (md5 hex of the id string, id) — the same
+    * layout-invariant coin the engine uses — and inject the per-cluster
+    * quota as VALUES. */
+  private def clusterSampleOracle(s: SparkSession, dir: String): String = {
+    val e = Tables.load(s, dir, "embeddings")
+    val ivf = IvfIndex.train(e, "vec_id", "embedding", k = 16)
+    val rows = e.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    val expected = rows
+      .groupBy { case (_, v) => PqIndex.assignOf(ivf, v) }
+      .toSeq.flatMap { case (c, rs) =>
+        rs.map(_._1).sortBy(id => (md5hex(id.toString), id))
+          .take(10).zipWithIndex
+          .map { case (id, i) => (id, c, i + 1) }
+      }
+    val values = expected
+      .map { case (id, c, rk) => s"($id, $c, $rk)" }.mkString(", ")
+    s"""
+      SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             CAST(ivf_cluster AS INTEGER) AS ivf_cluster,
+             CAST(rk AS INTEGER) AS rk
+      FROM (VALUES $values) t(vec_id, ivf_cluster, rk)
+      ORDER BY ivf_cluster, rk"""
+  }
+
+  private val q66 = QueryDef(
+    "q66_cluster_balanced_sample",
+    "Cluster-balanced sampling (the SemDeDup-family diversity quota): " +
+      "assign every embedding to its IVF cell (one codegen projection, " +
+      "no shuffle), then keep 10 per cell by md5-hash order — a " +
+      "topic-balanced subsample that over-represents rare clusters " +
+      "instead of mirroring the corpus head. The rank<=k filter executes " +
+      "as WindowGroupLimit (q55's shape) keyed on the cluster id; at " +
+      "100 TB the window co-locates with the partitionBy(ivf_cluster) " +
+      "layout. Oracle retrains the deterministic model driver-side.",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val ivf = IvfIndex.train(e, "vec_id", "embedding", k = 16)
+      val w = Window.partitionBy(col("ivf_cluster"))
+        .orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
+      IvfIndex.assign(s, e, "embedding", ivf)
+        .select(col("vec_id"), col("ivf_cluster"))
+        .withColumn("rk", row_number().over(w).cast(IntegerType))
+        .where(col("rk") <= 10)
+        .orderBy("ivf_cluster", "rk")
+    },
+    None,
+    oracleGen = Some(clusterSampleOracle))
+
+  override val defs: Seq[QueryDef] = Seq(q54, q55, q56, q62, q66)
 }

@@ -182,6 +182,36 @@ class IvfSpec extends SparkSpec {
     assert(recall > 0.3, s"degenerate recall $recall")
   }
 
+  test("distributed Lloyd trainer matches sampled-trainer quality") {
+    val dist = IvfIndex.trainDistributed(spark, emb, "vec_id", "embedding",
+      k = 16, iters = 8)
+    assert(dist.k == 16)
+    dist.centroids.foreach { c =>
+      val norm = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-9)
+    }
+    // Quality metric (spherical k-means objective): mean cosine between a
+    // vector and its assigned centroid. Full-corpus Lloyd sees every
+    // vector, so it must be at least as good as the bounded-sample
+    // trainer up to float-jitter tolerance.
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    def quality(m: IvfIndex.Model): Double = {
+      val per = rows.map { v =>
+        m.centroids.map { c =>
+          val dot = v.zip(c).map { case (a, b) => a * b }.sum
+          val nv = math.sqrt(v.map(x => x * x).sum)
+          if (nv == 0.0) -2.0 else dot / nv
+        }.max
+      }
+      per.sum / per.length
+    }
+    val qDist = quality(dist); val qSamp = quality(model)
+    info(f"mean assigned cosine: sampled $qSamp%.4f, distributed $qDist%.4f")
+    assert(qDist >= qSamp - 0.02,
+      s"distributed trainer quality $qDist well below sampled $qSamp")
+  }
+
   test("trainer sample auto-scales with k past the old fixed-4096 cap") {
     // k=4500 needs >= 4500 sample vectors: the historical fixed sampleN of
     // 4096 cannot satisfy its own require; the auto rule max(4096, 50*k)
