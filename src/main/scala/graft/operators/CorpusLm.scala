@@ -41,4 +41,51 @@ object CorpusLm {
         round(avg(col("logp")), 6).as("avg_logp"),
         round(min(col("logp")), 6).as("min_logp"))
   }
+
+  /** Interpolated bigram LM (the KenLM-lite upgrade of [[unigramLogProb]]):
+    *
+    *   p(w | prev) = λ·c(prev,w)/c(prev) + (1−λ)·c(w)/N
+    *
+    * — bigram MLE with the unigram as the smoothing floor, so unseen
+    * contexts degrade to corpus frequency instead of −∞ (the corpus is
+    * its own training set here, but the interpolation is what makes the
+    * score usable as a filter — a one-off token after a common word
+    * scores low without zeroing the document). Documents score the
+    * average and minimum ln p over their bigram positions; docs shorter
+    * than 2 tokens have no positions and drop out, like the bigram
+    * column itself.
+    *
+    * Same scale shape as the unigram path: BOTH vocabularies (word
+    * types, bigram types) are Heaps-bounded aggregates, broadcast by
+    * default with the `broadcastVocab = false` escape hatch; the
+    * corpus-side joins stay map-local. λ = 0.75 (and its 1−λ twin) is
+    * exact in binary, so engine and oracle literals agree bitwise. */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                    lambda: Double = 0.75,
+                    broadcastVocab: Boolean = true): DataFrame = {
+    def maybeB(df: DataFrame): DataFrame =
+      if (broadcastVocab) broadcast(df) else df
+    val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("ucnt"))
+    val total = uni.agg(sum("ucnt").cast("double").as("total"))
+    val bgs = docs.select(col(idCol),
+        explode(graft.functions.TextAnalysis.bigrams(col(textCol))).as("bg"))
+      .withColumn("prev", split(col("bg"), " ").getItem(0))
+      .withColumn("cur", split(col("bg"), " ").getItem(1))
+    val bi = bgs.groupBy("prev", "cur").agg(count(lit(1)).as("bcnt"))
+    bgs
+      .join(maybeB(bi), Seq("prev", "cur"))
+      .join(maybeB(uni.select(col("tok").as("prev"), col("ucnt").as("pcnt"))),
+        "prev")
+      .join(maybeB(uni.select(col("tok").as("cur"), col("ucnt").as("ccnt"))),
+        "cur")
+      .crossJoin(broadcast(total))
+      .withColumn("logp", log(
+        lit(lambda) * (col("bcnt").cast("double") / col("pcnt").cast("double"))
+          + lit(1.0 - lambda) * (col("ccnt").cast("double") / col("total"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        round(avg(col("logp")), 6).as("avg_logp"),
+        round(min(col("logp")), 6).as("min_logp"))
+  }
 }

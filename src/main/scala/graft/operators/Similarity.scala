@@ -266,7 +266,12 @@ object Similarity {
                      roundTo: Int = 6): DataFrame = {
     VectorExpressions.register(spark)
     import org.apache.spark.sql.expressions.Window
-    val e = graph.select(col("src"), col("dst"))
+    // Materialize the input edge list ONCE (slim — two ids per edge):
+    // undirected feeds both sides of the NoN self-join plus the candidate
+    // union, and without the checkpoint the BASE GRAPH's pair join — the
+    // expensive upstream — re-executes for each consumer (the
+    // connectedComponents lesson, Dedup.scala).
+    val e = graph.select(col("src"), col("dst")).localCheckpoint(true)
     val undirected = e.unionByName(
       e.select(col("dst").as("src"), col("src").as("dst")))
     val non = undirected.as("a").join(undirected.as("b"),

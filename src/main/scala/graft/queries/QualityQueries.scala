@@ -115,5 +115,85 @@ object QualityQueries extends QueryFamily {
       FROM perdoc
       ORDER BY doc_id"""))
 
-  override val defs: Seq[QueryDef] = Seq(q57, q58, q65)
+  private val q67 = QueryDef(
+    "q67_bigram_logprob",
+    "Interpolated bigram-LM scoring (KenLM-lite upgrade of q58): " +
+      "p(w|prev) = 0.75*c(prev,w)/c(prev) + 0.25*c(w)/N, documents " +
+      "score avg and min ln p over bigram positions. Word and bigram " +
+      "vocabularies are both Heaps-bounded broadcastable aggregates; " +
+      "the corpus-side joins are map-local.",
+    (s, dir) => CorpusLm.bigramLogProb(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      uni AS (SELECT tok, count(*) AS ucnt FROM toks GROUP BY 1),
+      tot AS (SELECT CAST(sum(ucnt) AS DOUBLE) AS total FROM uni),
+      t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      bgx AS (SELECT doc_id,
+                unnest(list_transform(range(1, greatest(len(a), 1)),
+                  i -> a[i] || ' ' || a[i+1])) AS bg
+              FROM t),
+      sp AS (SELECT doc_id,
+                    string_split(bg, ' ')[1] AS prev,
+                    string_split(bg, ' ')[2] AS cur
+             FROM bgx),
+      bi AS (SELECT prev, cur, count(*) AS bcnt FROM sp GROUP BY 1, 2),
+      scored AS (
+        SELECT doc_id,
+               ln(0.75 * (CAST(bcnt AS DOUBLE) / CAST(p.ucnt AS DOUBLE))
+                  + 0.25 * (CAST(c.ucnt AS DOUBLE) / total)) AS logp
+        FROM sp
+        JOIN bi USING (prev, cur)
+        JOIN uni p ON sp.prev = p.tok
+        JOIN uni c ON sp.cur = c.tok
+        CROSS JOIN tot)
+      SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+             round(avg(logp), 6) AS avg_logp,
+             round(min(logp), 6) AS min_logp
+      FROM scored
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
+  private val q68 = QueryDef(
+    "q68_perplexity_buckets",
+    "CCNet's head/middle/tail split: documents bucket by corpus-LM score " +
+      "terciles (head = least surprising third). Thresholds come from " +
+      "ONE exact-percentile aggregate (q35a's percentile/quantile_cont " +
+      "parity) broadcast back over a map-only comparison — no global " +
+      "ntile window serializing the corpus through one partition.",
+    (s, dir) => {
+      val scored = CorpusLm.unigramLogProb(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("avg_logp"))
+      val th = scored.agg(
+        percentile(col("avg_logp"), lit(1.0 / 3)).as("t_tail"),
+        percentile(col("avg_logp"), lit(2.0 / 3)).as("t_mid"))
+      scored.crossJoin(broadcast(th))
+        .withColumn("ppl_bucket",
+          when(col("avg_logp") > col("t_mid"), "head")
+            .when(col("avg_logp") > col("t_tail"), "middle")
+            .otherwise("tail"))
+        .select("doc_id", "avg_logp", "ppl_bucket")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+      tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab),
+      scored AS (
+        SELECT doc_id, round(avg(ln(cnt / total)), 6) AS avg_logp
+        FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+        GROUP BY doc_id),
+      th AS (SELECT quantile_cont(avg_logp, 1.0/3) AS t_tail,
+                    quantile_cont(avg_logp, 2.0/3) AS t_mid
+             FROM scored)
+      SELECT doc_id, avg_logp,
+             CASE WHEN avg_logp > t_mid THEN 'head'
+                  WHEN avg_logp > t_tail THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+      FROM scored CROSS JOIN th
+      ORDER BY doc_id"""))
+
+  override val defs: Seq[QueryDef] = Seq(q57, q58, q65, q67, q68)
 }

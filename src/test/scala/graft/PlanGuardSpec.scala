@@ -26,7 +26,9 @@ class PlanGuardSpec extends SparkSpec {
     "q37_range_join",            // banded join's unbucketed comparison arm
     "q36_asof_join",             // tolerance probe on a bounded frame
     "q43_tfidf_topterms",        // broadcast of the 1-row corpus-count agg
-    "q58_unigram_logprob")       // broadcast of the 1-row corpus-total agg
+    "q58_unigram_logprob",       // broadcast of the 1-row corpus-total agg
+    "q67_bigram_logprob",        // broadcast of the 1-row corpus-total agg
+    "q68_perplexity_buckets")    // broadcast of the 1-row tercile-threshold agg
 
   test("no cartesian products; nested-loop joins only where intended") {
     val skip = Set("q33_stream_windowed_agg") // runs a streaming query

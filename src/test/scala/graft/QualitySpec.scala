@@ -65,4 +65,33 @@ class QualitySpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(b.sameElements(s))
   }
+
+  test("bigramLogProb: exact interpolated probabilities on a tiny corpus") {
+    // Corpus tokens: a b a b a  → N=5, c(a)=3, c(b)=2.
+    // Bigram counts: (a,b)=1 (doc 1), (b,a)=2 (one per doc).
+    val df = Seq((1L, "a b a"), (2L, "b a")).toDF("doc_id", "text")
+    val got = CorpusLm.bigramLogProb(df, "doc_id", "text")
+      .as[(Long, Int, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pAB = 0.75 * (1.0 / 3.0) + 0.25 * (2.0 / 5.0) // p(b | a)
+    val pBA = 0.75 * (2.0 / 2.0) + 0.25 * (3.0 / 5.0) // p(a | b)
+    val lAB = math.log(pAB); val lBA = math.log(pBA)
+    // doc 1 = "a b a": positions (a,b), (b,a); doc 2 = "b a": one (b,a).
+    assert(got(1L) == ((2, r6((lAB + lBA) / 2.0), r6(math.min(lAB, lBA)))))
+    assert(got(2L) == ((1, r6(lBA), r6(lBA))))
+    // Single-token doc has no bigram positions → absent, like bigrams().
+    val single = CorpusLm.bigramLogProb(
+      Seq((9L, "a b"), (10L, "a")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(single.select("doc_id").as[Long].collect().toSet == Set(9L))
+  }
+
+  test("bigramLogProb: broadcast and shuffle-join paths agree") {
+    val df = Seq((1L, "x y z x y"), (2L, "x x q z"), (3L, "y x")).toDF("doc_id", "text")
+    val b = CorpusLm.bigramLogProb(df, "doc_id", "text").orderBy("doc_id").collect()
+    val s = CorpusLm.bigramLogProb(df, "doc_id", "text", broadcastVocab = false)
+      .orderBy("doc_id").collect()
+    assert(b.sameElements(s))
+  }
 }
