@@ -182,6 +182,44 @@ object IvfIndex {
     } finally data.unpersist()
   }
 
+  /** [[assign]] via a broadcast centroid TABLE — the large-k escape
+    * hatch: the literal-centroid projection is practical to a few
+    * thousand centroids (codegen expression size), past which the
+    * centroids must travel as data. Each input row meets the broadcast
+    * table (n·k slim (id, cid, cosine) triples — the honest cost of
+    * large-k assignment; FAISS also computes n·k distances), and
+    * max_by-style struct-max replicates [[assign]]'s exact argmax:
+    * max(struct(cosine, -cid)) picks the highest cosine, ties to the
+    * LOWEST cid, degenerate norms coalesce to -2.0 so zero vectors land
+    * in cluster 0. The group-by collapses map-side (all of a row's k
+    * triples sit in its own partition), so the shuffle carries n rows;
+    * the id-keyed join back co-locates with an id-clustered layout.
+    * Pinned bit-equal to [[assign]] in IvfSpec, tie cases included. */
+  def assignBroadcast(spark: SparkSession, df: DataFrame, idCol: String,
+                      vecCol: String, model: Model,
+                      outCol: String = "ivf_cluster"): DataFrame = {
+    VectorExpressions.register(spark)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val centSchema = StructType(Seq(
+      StructField("__cid", IntegerType, nullable = false),
+      StructField("__cvec", ArrayType(DoubleType), nullable = false)))
+    val cents = spark.createDataFrame(
+      model.centroids.zipWithIndex
+        .map { case (c, i) => Row(i, c.toSeq) }.toList.asJava,
+      centSchema)
+    val best = df.select(col(idCol), col(vecCol))
+      .join(broadcast(cents))
+      .groupBy(col(idCol))
+      .agg(max(struct(
+        coalesce(call_function("cosine_sim", col(vecCol), col("__cvec")),
+          lit(-2.0)).as("c"),
+        (-col("__cid")).as("negcid"))).as("__best"))
+      .select(col(idCol), (-col("__best.negcid")).cast("int").as(outCol))
+    df.join(best, Seq(idCol))
+  }
+
   /** Add `outCol` = nearest-centroid id. Single codegen'd projection over
     * literal centroids; zero/null vectors land in cluster 0. At scale,
     * write the result `partitionBy(outCol)`. */

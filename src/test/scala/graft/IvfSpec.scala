@@ -182,6 +182,31 @@ class IvfSpec extends SparkSpec {
     assert(recall > 0.3, s"degenerate recall $recall")
   }
 
+  test("assignBroadcast == assign, including argmax tie cases") {
+    val viaLit = IvfIndex.assign(spark, emb, "embedding", model)
+      .select("vec_id", "ivf_cluster").as[(Long, Int)].collect().toMap
+    val viaJoin = IvfIndex.assignBroadcast(spark, emb, "vec_id", "embedding",
+        model)
+      .select("vec_id", "ivf_cluster").as[(Long, Int)].collect().toMap
+    assert(viaLit == viaJoin)
+    // Tie stress: duplicate vectors (exact centroid ties across rows) and
+    // a zero vector (all cosines degenerate to -2.0 → cluster 0 on both
+    // paths, first-max vs lowest-cid agreement).
+    val ties = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(1f, 0f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)), (4L, Array(0f, 0f, 0f, 0f)),
+      (5L, Array(0.5f, 0.5f, 0f, 0f))).toDF("vec_id", "embedding")
+    val m = IvfIndex.Model(Array(
+      Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0),
+      Array(math.sqrt(0.5), math.sqrt(0.5), 0.0, 0.0)))
+    val a = IvfIndex.assign(spark, ties, "embedding", m)
+      .select("vec_id", "ivf_cluster").as[(Long, Int)].collect().toMap
+    val b = IvfIndex.assignBroadcast(spark, ties, "vec_id", "embedding", m)
+      .select("vec_id", "ivf_cluster").as[(Long, Int)].collect().toMap
+    assert(a == b, s"literal $a != broadcast $b")
+    assert(a(4L) == 0) // zero vector → cluster 0 on both paths
+  }
+
   test("distributed Lloyd trainer matches sampled-trainer quality") {
     val dist = IvfIndex.trainDistributed(spark, emb, "vec_id", "embedding",
       k = 16, iters = 8)
