@@ -224,6 +224,30 @@ object MergeStore {
     MergeStats(before.size, affected.size, rowsInserted, rowsUpdated)
   }
 
+  /** Row-level diff between two committed versions (change-data-feed
+    * lite): the rows of `toVersion` that are NOT in `fromVersion` — i.e.
+    * every inserted row plus the post-image of every update. Because
+    * data files are immutable, files common to both manifests cannot
+    * contribute (their rows cancel exactly), so only the files UNIQUE to
+    * each side are ever scanned — a trickle merge's diff reads the few
+    * rewritten files, not the table. exceptAll keeps duplicate-row
+    * multiplicity honest. */
+  def diff(spark: SparkSession, target: String,
+           fromVersion: Int, toVersion: Int): DataFrame = {
+    def readFiles(names: Seq[String]): Option[DataFrame] =
+      if (names.isEmpty) None
+      else Some(spark.read.parquet(
+        names.map(f => dataDir(target).resolve(f).toString): _*))
+    val before = liveFiles(target, Some(fromVersion)).toSet
+    val after = liveFiles(target, Some(toVersion)).toSet
+    (readFiles((after -- before).toSeq.sorted),
+      readFiles((before -- after).toSeq.sorted)) match {
+      case (None, _) => read(spark, target, Some(toVersion)).limit(0)
+      case (Some(added), None) => added
+      case (Some(added), Some(removed)) => added.exceptAll(removed)
+    }
+  }
+
   /** Compact: bin-pack the live rows into `targetFiles` files and commit
     * the result as the next version — pure layout rewrite, content
     * unchanged. A long run of trickle merges accretes small replacement

@@ -25,6 +25,31 @@ class MergeStoreSpec extends SparkSpec {
     target
   }
 
+  test("diff between versions: update post-images + inserts, file-pruned") {
+    val t = freshTable() // v0
+    val updates = spark.range(100L, 105L)
+      .select(col("id"), (col("id") % 97).cast("int").as("grp"),
+        concat(lit("v2-"), col("id")).as("payload"))
+      .union(spark.range(N.toLong, N + 3L)
+        .select(col("id"), (col("id") % 97).cast("int").as("grp"),
+          concat(lit("new-"), col("id")).as("payload")))
+    MergeStore.merge(spark, updates, t, pk = Seq("id")) // v1
+    val d = MergeStore.diff(spark, t, 0, 1)
+      .select($"id", $"payload").as[(Long, String)].collect().toSet
+    // Exactly the merged batch's rows — updated post-images + inserts;
+    // untouched rows cancel (and their files are never read: the diff
+    // scans only files unique to one manifest).
+    val want = (100L until 105L).map(i => (i, s"v2-$i")).toSet ++
+      (N.toLong until N + 3L).map(i => (i, s"new-$i")).toSet
+    assert(d == want)
+    // Unchanged survivor rows of the rewritten files must NOT appear
+    // (they ride the replacement files but cancel against their old copy).
+    assert(d.count(_._2.startsWith("v1-")) == 0)
+    // A compaction is a pure layout rewrite: diff across it is empty.
+    MergeStore.compact(spark, t, targetFiles = 4, clusterBy = Seq("id")) // v2
+    assert(MergeStore.diff(spark, t, 1, 2).count() == 0)
+  }
+
   test("init + read: manifest-committed files roundtrip the data") {
     val t = freshTable()
     val back = MergeStore.read(spark, t)
