@@ -195,5 +195,47 @@ object QualityQueries extends QueryFamily {
       FROM scored CROSS JOIN th
       ORDER BY doc_id"""))
 
-  override val defs: Seq[QueryDef] = Seq(q57, q58, q65, q67, q68)
+  private val q69 = QueryDef(
+    "q69_source_mix",
+    "Provenance mix / data-card summary: per (source, lang) document " +
+      "count, total whitespace tokens, and mean quality — the table " +
+      "every training-data release publishes. One map-side-combinable " +
+      "aggregation over projections; zero joins.",
+    (s, dir) => docs(s, dir)
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).cast(IntegerType).as("docs"),
+        sum(TextAnalysis.tokenCountWs(col("text"))).cast(LongType)
+          .as("total_tokens"),
+        round(avg(TextAnalysis.qualityScore(col("text"))), 6)
+          .as("mean_quality"))
+      .orderBy("source", "lang"),
+    Some(s"""
+      WITH t AS (
+        SELECT source, lang,
+               CASE WHEN length(text) = 0 THEN 0
+                    ELSE length(text) - length(replace(text, ' ', '')) + 1
+                    END AS n_tok,
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN (${TextQueries.stopListSql}))) AS n_stop,
+               length(text) - length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                 AS n_nonalpha,
+               length(text) AS n_char
+        FROM documents),
+      q AS (
+        SELECT source, lang, n_tok,
+               round(least(n_tok / 50.0, 1.0) * 0.4
+                   + least(n_stop * 1.0 / nullif(n_tok, 0) * 5.0, 1.0) * 0.3
+                   + greatest(0.0, 1.0 - n_nonalpha * 1.0 / nullif(n_char, 0) * 5.0) * 0.3,
+                 6) AS quality
+        FROM t)
+      SELECT source, lang,
+             CAST(count(*) AS INTEGER) AS docs,
+             CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+             round(avg(quality), 6) AS mean_quality
+      FROM q
+      GROUP BY source, lang
+      ORDER BY source, lang"""))
+
+  override val defs: Seq[QueryDef] = Seq(q57, q58, q65, q67, q68, q69)
 }

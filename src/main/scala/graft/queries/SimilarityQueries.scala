@@ -550,6 +550,67 @@ object SimilarityQueries extends QueryFamily {
     None,
     oracleGen = Some(ivfKnnRefineOracle))
 
+  private val q70 = QueryDef(
+    "q70_knn_label_consistency",
+    "Embedding-quality probe on ground-truth labels: each vector's 5-NN " +
+      "majority label (votes desc, label asc tie-break) vs its own, " +
+      "reported as per-label accuracy — the standard sanity check before " +
+      "trusting an embedding column for semantic dedup or clustering. " +
+      "Exercises the exact kNN graph; votes and the majority window both " +
+      "ride the graph's src keying.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{avg, count, lit, round, row_number, when}
+      val e = emb(s, dir)
+      val lbl = e.select(col("vec_id"), col("label"))
+      val g = Similarity.knnGraph(s, e, "vec_id", "embedding", k = 5, blocks = 8)
+      val votes = g
+        .join(lbl.select(col("vec_id").as("dst"), col("label").as("nbr_label")),
+          "dst")
+        .groupBy("src", "nbr_label")
+        .agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("votes").desc, col("nbr_label"))
+      votes.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("src"), col("nbr_label").as("pred_label"))
+        .join(lbl.select(col("vec_id").as("src"), col("label")), "src")
+        .groupBy("label")
+        .agg(count(lit(1)).cast("int").as("n"),
+          round(avg(when(col("pred_label") === col("label"), 1.0)
+            .otherwise(0.0)), 6).as("knn_label_accuracy"))
+        .orderBy("label")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      sc AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+               round(coalesce(${fold("a.v", "b.v")} /
+                 (sqrt(${fold("a.v", "a.v")}) * sqrt(${fold("b.v", "b.v")})),
+                 -2.0), 6) AS cosine
+             FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      r AS (SELECT src, dst,
+              row_number() OVER (PARTITION BY src
+                ORDER BY cosine DESC, dst) AS rk
+            FROM sc),
+      nn AS (SELECT r.src, l.label AS nbr_label
+             FROM r JOIN embeddings l ON r.dst = l.vec_id
+             WHERE rk <= 5),
+      votes AS (SELECT src, nbr_label, count(*) AS votes
+                FROM nn GROUP BY 1, 2),
+      pred AS (SELECT src, nbr_label AS pred_label,
+                 row_number() OVER (PARTITION BY src
+                   ORDER BY votes DESC, nbr_label) AS rn
+               FROM votes),
+      acc AS (SELECT o.label,
+                     CASE WHEN p.pred_label = o.label THEN 1.0 ELSE 0.0 END AS hit
+              FROM pred p JOIN embeddings o ON p.src = o.vec_id
+              WHERE p.rn = 1)
+      SELECT label, CAST(count(*) AS INTEGER) AS n,
+             round(avg(hit), 6) AS knn_label_accuracy
+      FROM acc
+      GROUP BY label
+      ORDER BY label"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q25, q26, q27, q39, q40, q50, q51, q59, q60, q61, q64)
+    Seq(q25, q26, q27, q39, q40, q50, q51, q59, q60, q61, q64, q70)
 }
