@@ -263,33 +263,38 @@ object Similarity {
     * total order as [[knnGraph]], so a Verify oracle replays it. */
   def knnGraphRefine(spark: SparkSession, df: DataFrame, idCol: String,
                      vecCol: String, graph: DataFrame, k: Int,
-                     roundTo: Int = 6): DataFrame = {
+                     roundTo: Int = 6, rounds: Int = 1): DataFrame = {
+    require(rounds >= 1)
     VectorExpressions.register(spark)
     import org.apache.spark.sql.expressions.Window
-    // Materialize the input edge list ONCE (slim — two ids per edge):
-    // undirected feeds both sides of the NoN self-join plus the candidate
-    // union, and without the checkpoint the BASE GRAPH's pair join — the
-    // expensive upstream — re-executes for each consumer (the
-    // connectedComponents lesson, Dedup.scala).
-    val e = graph.select(col("src"), col("dst")).localCheckpoint(true)
-    val undirected = e.unionByName(
-      e.select(col("dst").as("src"), col("src").as("dst")))
-    val non = undirected.as("a").join(undirected.as("b"),
-        col("a.dst") === col("b.src"))
-      .select(col("a.src").as("src"), col("b.dst").as("dst"))
-    val cands = undirected.unionByName(non)
-      .where(col("src") =!= col("dst"))
-      .distinct()
     val vs = df.select(col(idCol).as("src"), col(vecCol).as("__vs"))
     val vd = df.select(col(idCol).as("dst"), col(vecCol).as("__vd"))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cosine").desc, col("dst"))
-    cands.join(vs, "src").join(vd, "dst")
-      .withColumn("cosine",
-        round(coalesce(cos(spark, "__vs", "__vd"), lit(-2.0)), roundTo))
-      .withColumn("rk", row_number().over(w).cast(IntegerType))
-      .where(col("rk") <= k)
-      .select("src", "dst", "cosine", "rk")
+    def oneRound(g: DataFrame): DataFrame = {
+      // Materialize the input edge list ONCE per round (slim — two ids
+      // per edge): undirected feeds both sides of the NoN self-join plus
+      // the candidate union, and without the checkpoint the upstream
+      // graph build — the expensive part — re-executes for each consumer
+      // (the connectedComponents lesson, Dedup.scala). Between rounds
+      // the checkpoint also caps lineage growth.
+      val e = g.select(col("src"), col("dst")).localCheckpoint(true)
+      val undirected = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      val non = undirected.as("a").join(undirected.as("b"),
+          col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+      val cands = undirected.unionByName(non)
+        .where(col("src") =!= col("dst"))
+        .distinct()
+      cands.join(vs, "src").join(vd, "dst")
+        .withColumn("cosine",
+          round(coalesce(cos(spark, "__vs", "__vd"), lit(-2.0)), roundTo))
+        .withColumn("rk", row_number().over(w).cast(IntegerType))
+        .where(col("rk") <= k)
+        .select("src", "dst", "cosine", "rk")
+    }
+    (1 to rounds).foldLeft(graph)((g, _) => oneRound(g))
   }
 
   /** Measured max |quantized_cosine − cosine| over all pairs of a bounded

@@ -135,8 +135,13 @@ class IvfSpec extends SparkSpec {
     def recall(got: Set[(Long, Long)]): Double =
       (got & exactEdges).size.toDouble / exactEdges.size
     val rBase = recall(baseEdges); val rRef = recall(refined)
-    info(f"kNN-graph recall@5: nprobe=2 base $rBase%.3f -> +1 NN-descent round $rRef%.3f")
+    val refined2 = Similarity.knnGraphRefine(spark, emb, "vec_id", "embedding",
+        base, k = 5, rounds = 2)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    val rRef2 = recall(refined2)
+    info(f"kNN-graph recall@5: nprobe=2 base $rBase%.3f -> round 1 $rRef%.3f -> round 2 $rRef2%.3f")
     assert(rRef > rBase, s"refinement did not improve recall: $rBase -> $rRef")
+    assert(rRef2 >= rRef, s"second round regressed recall: $rRef -> $rRef2")
     // Refining an EXACT graph cannot change it: candidates are a superset
     // of the true top-k, and the same total order re-selects exactly them.
     val refinedExact = Similarity.knnGraphRefine(spark, emb, "vec_id",
