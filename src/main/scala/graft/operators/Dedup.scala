@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.expressions.TextShingleExpressions
+import graft.expressions.{BloomExpressions, TextShingleExpressions}
 
 /** Deduplication operators for large-scale text corpora — the training-data
   * pipeline extensions (BASELINE.json north star), built as pure
@@ -71,6 +71,52 @@ object Dedup {
     val sb = shingles(bench, idCol, textCol, n)
       .select(col(idCol).as("bench_id"), col("shingle"))
     st.join(broadcast(sb), "shingle")
+      .groupBy("train_id", "bench_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .where(col("shared_ngrams") >= minShared)
+  }
+
+  /** Bloom-prefiltered decontamination — IDENTICAL output to
+    * [[crossNgramOverlap]] (no false negatives in the Bloom filter, and
+    * the verify join discards its false positives; parity pinned in
+    * DedupSpec), for benchmark suites too large to broadcast as a
+    * string-keyed hash index.
+    *
+    * Scale shape: [[crossNgramOverlap]] broadcasts the bench shingle
+    * STRINGS — fine for MB-scale benchmarks, but a full eval-suite
+    * sweep (every benchmark + test split an org guards against) can
+    * reach GBs of distinct shingles, past any sane
+    * `autoBroadcastJoinThreshold`. Here the bench side is summarized as
+    * a Bloom filter (~1.2 MB per million shingles at fpp=0.01 — the
+    * strings' hashes, not the strings), the 100 TB training scan probes
+    * it map-side inside codegen ([[graft.expressions.BloomMightContain]]),
+    * and only `matches + fpp·|corpus shingles|` survivor rows reach the
+    * equi-join that verifies exactly. The filter itself is built
+    * DISTRIBUTED (`stat.bloomFilter` tree-aggregates partial filters) —
+    * no shingle collect. */
+  def crossNgramOverlapBloom(train: DataFrame, bench: DataFrame,
+                             idCol: String, textCol: String,
+                             n: Int = 3, minShared: Long = 2L,
+                             fpp: Double = 0.01): DataFrame = {
+    BloomExpressions.register(train.sparkSession)
+    val st = shingles(train, idCol, textCol, n)
+      .select(col(idCol).as("train_id"), col("shingle"))
+    // Bench side is materialized once — it feeds the distinct count, the
+    // filter build, and the verify join (the connectedComponents lesson:
+    // never let three consumers re-execute the upstream explode).
+    val sb = shingles(bench, idCol, textCol, n)
+      .select(col(idCol).as("bench_id"), col("shingle"))
+      .localCheckpoint(true)
+    val distinctSh = sb.select("shingle").distinct()
+    val expected = math.max(distinctSh.count(), 1L)
+    val bf = distinctSh.stat.bloomFilter(col("shingle"), expected, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    st.where(call_function("bloom_might_contain", lit(bytes), col("shingle")))
+      .join(sb, "shingle")
       .groupBy("train_id", "bench_id")
       .agg(count(lit(1)).as("shared_ngrams"))
       .where(col("shared_ngrams") >= minShared)

@@ -232,5 +232,27 @@ object SelectionQueries extends QueryFamily {
     None,
     oracleGen = Some(clusterSampleOracle))
 
-  override val defs: Seq[QueryDef] = Seq(q54, q55, q56, q62, q66)
+  /** Same decontamination answer as q54 through the GB-scale-benchmark
+    * path: the bench shingle set rides as a Bloom filter (hashes, not
+    * strings) probed map-side in codegen; survivors are verified exactly
+    * by the equi-join, so the q54 oracle applies unchanged — the
+    * hash-match IS the proof that the prefilter loses nothing. */
+  private val q71 = QueryDef(
+    "q71_decontaminate_bloom",
+    "Bloom-prefiltered benchmark decontamination: identical output to " +
+      "q54 (same oracle SQL) via Dedup.crossNgramOverlapBloom — for " +
+      "eval suites too large to broadcast as a string-keyed index, the " +
+      "bench side becomes a ~10-bits-per-shingle Bloom filter and only " +
+      "matches + fpp*corpus survivor rows reach the verify join.",
+    (s, dir) => {
+      val d = docs(s, dir)
+      Dedup.crossNgramOverlapBloom(
+          d.where(col("doc_id") % 50 =!= 0),
+          d.where(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 3, minShared = 3L)
+        .orderBy("train_id", "bench_id")
+    },
+    q54.oracle)
+
+  override val defs: Seq[QueryDef] = Seq(q54, q55, q56, q62, q66, q71)
 }

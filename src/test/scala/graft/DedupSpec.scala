@@ -143,6 +143,40 @@ class DedupSpec extends SparkSpec {
     assert(strict.toSeq == Seq((1L, 100L, 7L)))
   }
 
+  test("crossNgramOverlapBloom == crossNgramOverlap on real docs; prefilter bites") {
+    // Parity on the real sf0.001 documents table with the q54/q71 split —
+    // the Bloom path must be output-identical (no false negatives exist in
+    // a Bloom filter; the verify join drops the false positives).
+    val d = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val train = d.where($"doc_id" % 50 =!= 0)
+    val bench = d.where($"doc_id" % 50 === 0)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().sorted.toSeq
+    val exact = norm(Dedup.crossNgramOverlap(
+      train, bench, "doc_id", "text", n = 3, minShared = 2L))
+    val bloom = norm(Dedup.crossNgramOverlapBloom(
+      train, bench, "doc_id", "text", n = 3, minShared = 2L))
+    assert(exact.nonEmpty, "fixture produced no overlap pairs — test is vacuous")
+    assert(bloom == exact)
+    // The prefilter itself earns its keep: the surviving fraction of the
+    // training shingle scan stays near truth + fpp, not near 1.
+    val st = Dedup.shingles(train, "doc_id", "text", 3)
+    val sb = Dedup.shingles(bench, "doc_id", "text", 3)
+      .select($"shingle").distinct()
+    val expected = math.max(sb.count(), 1L)
+    val bf = sb.stat.bloomFilter(col("shingle"), expected, 0.01)
+    val bytes = { val b = new java.io.ByteArrayOutputStream(); bf.writeTo(b); b.toByteArray }
+    graft.expressions.BloomExpressions.register(spark)
+    val total = st.count()
+    val kept = st.where(call_function(
+      "bloom_might_contain", lit(bytes), $"shingle")).count()
+    val trueHits = st.join(sb, "shingle").count()
+    info(f"bloom prefilter: $kept/$total kept (true hits $trueHits, fpp=0.01)")
+    assert(kept >= trueHits, "bloom filter dropped a true member (false negative)")
+    assert(kept <= trueHits + (0.05 * total).toLong + 10,
+      s"prefilter too loose: kept $kept of $total with only $trueHits true hits")
+  }
+
   test("distributed propagation matches driver path on the REAL sf0.1 pair graph") {
     // q49's actual input at Verify scale: at sf0.1 the near-dup pair set
     // is far below driverEdgeLimit, so CORRECTNESS exercises only the
