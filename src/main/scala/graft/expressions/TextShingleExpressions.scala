@@ -90,6 +90,30 @@ object TextShingleHelpers {
     new GenericArrayData(arr)
   }
 
+  /** ALL word n-grams in position order, duplicates kept — the multiset
+    * twin of [[shingles]] for occurrence COUNTING (q72 heavy hitters),
+    * where per-doc dedup would silently undercount repeated boilerplate
+    * (the very thing a top-k n-gram query exists to find). */
+  def ngramsAll(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val m = toks.length - n + 1
+    val arr = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      arr(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(arr)
+  }
+
   /** Distinct word n-gram shingles (first-occurrence order); fewer than n
     * tokens → empty. Tokenization matches `split(text, " ")` (regex split,
     * empty tokens kept) and shingle join matches `concat_ws(" ", ...)`. */
@@ -183,6 +207,41 @@ case class WordShinglesExpr(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (text, _) => {
       val ref = ctx.addReferenceObj("shingleExpr", this, classOf[WordShinglesExpr].getName)
+      s"${ev.value} = $ref.compute($text);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** word_ngrams(text, n) → ARRAY<STRING> of ALL word n-grams in position
+  * order, duplicates kept (the counting twin of word_shingles). */
+case class WordNgramsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "word_ngrams"
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType &&
+        right.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (STRING, foldable INT n)")
+
+  @transient private lazy val n: Int = right.eval(null).asInstanceOf[Int]
+
+  def compute(text: UTF8String): ArrayData = TextShingleHelpers.ngramsAll(text, n)
+
+  override def nullSafeEval(text: Any, nv: Any): Any =
+    TextShingleHelpers.ngramsAll(text.asInstanceOf[UTF8String],
+      nv.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (text, _) => {
+      val ref = ctx.addReferenceObj("ngramsExpr", this, classOf[WordNgramsExpr].getName)
       s"${ev.value} = $ref.compute($text);"
     })
 
@@ -354,6 +413,8 @@ object TextShingleExpressions {
         exprs => WinnowFingerprintsExpr(exprs(0), exprs(1), exprs(2)), "built-in")
       reg.createOrReplaceTempFunction("word_shingles",
         exprs => WordShinglesExpr(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("word_ngrams",
+        exprs => WordNgramsExpr(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction("simhash64_doc",
         exprs => SimHash64Expr(exprs(0)), "built-in")
       reg.createOrReplaceTempFunction("minhash_sigs",
