@@ -358,7 +358,62 @@ object ScaleProbe {
     uniform.unpersist(); hot.unpersist()
   }
 
+  /** Bloom-prefilter probe (q71's lever): fixed bench side, train side
+    * replicated ×N. Measures the two things the lever trades on — the
+    * broadcast payload gap (bloom bytes vs the exact string index the
+    * broadcast join would ship) and the survivor fraction the prefilter
+    * admits to the verify join — plus wall time of both paths, with the
+    * pair counts asserted identical (the exactness contract). */
+  private def bloomCurveProbe(spark: SparkSession, sfDir: String,
+                              multiples: Seq[Int]): Unit = {
+    graft.expressions.BloomExpressions.register(spark)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val bench = docs.where(col("doc_id") % 50 === 0)
+    val distinctSh = Dedup.shingles(bench, "doc_id", "text", 3)
+      .select("shingle").distinct().localCheckpoint(true)
+    val benchItems = math.max(distinctSh.count(), 1L)
+    val benchStrBytes = distinctSh
+      .agg(sum(octet_length(col("shingle")))).head().getLong(0)
+    val bf = distinctSh.stat.bloomFilter(col("shingle"), benchItems, 0.01)
+    val bloomBytes = {
+      val b = new java.io.ByteArrayOutputStream(); bf.writeTo(b); b.size
+    }
+    val bfLit = {
+      val b = new java.io.ByteArrayOutputStream(); bf.writeTo(b); b.toByteArray
+    }
+    multiples.foreach { m =>
+      val train = replicate(docs.where(col("doc_id") % 50 =!= 0), m)
+        .localCheckpoint(true)
+      val trainSh = Dedup.shingles(train, "doc_id", "text", 3)
+      val total = trainSh.count()
+      val kept = trainSh.where(call_function(
+        "bloom_might_contain", lit(bfLit), col("shingle"))).count()
+      val (nExact, tExact) = time(Dedup.crossNgramOverlap(
+        train, bench, "doc_id", "text", 3, 3L).count())
+      val (nBloom, tBloom) = time(Dedup.crossNgramOverlapBloom(
+        train, bench, "doc_id", "text", 3, 3L).count())
+      require(nExact == nBloom,
+        s"bloom path diverged at x$m: $nExact vs $nBloom")
+      println(s"""{"metric":"bloom_curve","multiple":$m,""" +
+        s""""bench_items":$benchItems,"bench_index_bytes":$benchStrBytes,""" +
+        s""""bloom_bytes":$bloomBytes,"train_shingles":$total,""" +
+        s""""survivors":$kept,"survivor_frac":${f"${kept.toDouble / math.max(total, 1L)}%.4f"},""" +
+        s""""pairs":$nExact,"exact_sec":${f"$tExact%.2f"},""" +
+        s""""bloom_sec":${f"$tBloom%.2f"}}""")
+      train.unpersist()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("bloom-curve")) {
+      val spark = GraftSession.local(32)
+      val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+      val multiples = if (args.length > 2) args.drop(2).map(_.toInt).toSeq
+        else Seq(1, 5, 10)
+      bloomCurveProbe(spark, sfDir, multiples)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("ivf-skew")) {
       val spark = GraftSession.local(32)
       val n = if (args.length > 1) args(1).toLong else 20000L
