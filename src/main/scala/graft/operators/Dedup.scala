@@ -107,20 +107,34 @@ object Dedup {
     val sb = shingles(bench, idCol, textCol, n)
       .select(col(idCol).as("bench_id"), col("shingle"))
       .localCheckpoint(true)
-    val distinctSh = sb.select("shingle").distinct()
-    val expected = math.max(distinctSh.count(), 1L)
-    val bf = distinctSh.stat.bloomFilter(col("shingle"), expected, fpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      bos.toByteArray
-    }
+    val bytes = bloomOf(sb, "shingle", fpp)
     st.where(call_function("bloom_might_contain", lit(bytes), col("shingle")))
       .join(sb, "shingle")
       .groupBy("train_id", "bench_id")
       .agg(count(lit(1)).as("shared_ngrams"))
       .where(col("shared_ngrams") >= minShared)
   }
+
+  /** Serialized Bloom filter over the DISTINCT values of `valueCol`,
+    * built distributed (`stat.bloomFilter` tree-aggregates partial
+    * filters — no value collect); ~10 bits per item at fpp=0.01.
+    * Probe with [[graft.expressions.BloomMightContain]]. */
+  def bloomOf(df: DataFrame, valueCol: String, fpp: Double = 0.01): Array[Byte] = {
+    val d = df.select(valueCol).distinct()
+    val expected = math.max(d.count(), 1L)
+    val bf = d.stat.bloomFilter(col(valueCol), expected, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Bloom summary of a benchmark set's n-gram shingles — the artifact a
+    * decontamination gate ships to ingest (see
+    * [[graft.streaming.StreamingCuration.decontaminationGate]]): built
+    * batch-side whenever the eval suite changes, probed per incoming doc. */
+  def benchBloom(bench: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3, fpp: Double = 0.01): Array[Byte] =
+    bloomOf(shingles(bench, idCol, textCol, n), "shingle", fpp)
 
   /** Exact dedup: group identical content, keep the smallest id.
     * Returns (keep_id, dup_count, content_hash). */

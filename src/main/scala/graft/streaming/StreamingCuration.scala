@@ -38,6 +38,37 @@ object StreamingCuration {
       .where(col("quality") >= minQuality && col("u") < col("rate"))
       .select("doc_id", "lang", "quality", "u")
 
+  /** Decontamination AT INGEST — the q54/q71 hygiene step moved to where
+    * it is cheapest: a doc that would leak benchmark text never lands.
+    * Quarantines any incoming doc sharing >= `minShared` distinct n-grams
+    * with the benchmark SUITE, probed against a Bloom summary built
+    * batch-side ([[graft.operators.Dedup.benchBloom]], rebuilt whenever
+    * the eval suite changes) and shipped to the stream as plan bytes.
+    *
+    * Stateless and batch-identical (same transform both modes, pinned in
+    * StreamingCurationSpec), like the quality gate above. Semantics are
+    * deliberately CONSERVATIVE vs the batch pairwise query: hits count
+    * against the union of all benchmark shingles, and the Bloom filter
+    * adds ≤ fpp false hits per shingle — so every doc the exact pairwise
+    * check (q54) would flag is quarantined (shingle membership has no
+    * false negatives; pairwise-shared ⊆ union-shared), plus a small
+    * measurable over-quarantine. The right trade at ingest: keeping a
+    * contaminated doc costs an invalid eval; re-admitting an
+    * over-quarantined doc is a batch re-check of the quarantine bucket
+    * (`crossNgramOverlap` on quarantined ids only). */
+  def decontaminationGate(docs: DataFrame, bloomBytes: Array[Byte],
+                          n: Int = 3, minShared: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    graft.expressions.TextShingleExpressions.register(spark)
+    graft.expressions.BloomExpressions.register(spark)
+    // word_shingles materializes the distinct-shingle array ONCE as the
+    // HOF's input; only the bloom probe runs per element.
+    docs.withColumn("bench_hits",
+        size(filter(call_function("word_shingles", col("text"), lit(n)),
+          s => call_function("bloom_might_contain", lit(bloomBytes), s))))
+      .where(col("bench_hits") < minShared)
+  }
+
   /** Bounded replay of documents.parquet through a real streaming query
     * (file source → curate → memory sink, Trigger.AvailableNow). */
   def runAvailableNow(spark: SparkSession, sfDir: String, rates: DataFrame,

@@ -37,4 +37,41 @@ class StreamingCurationSpec extends SparkSpec {
     assert(en / enQuality > 0.25 && en / enQuality < 0.55,
       s"en acceptance ${en / enQuality} not ~0.4")
   }
+
+  test("decontamination gate: no exactly-contaminated doc survives; streamed == batch") {
+    val d = Tables.load(spark, sf(), "documents")
+    val train = d.where($"doc_id" % 50 =!= 0)
+    val bench = d.where($"doc_id" % 50 === 0)
+    val bloom = graft.operators.Dedup.benchBloom(bench, "doc_id", "text", n = 3)
+    val kept = StreamingCuration.decontaminationGate(train, bloom,
+        n = 3, minShared = 3)
+      .select("doc_id").as[Long].collect().toSet
+    // Exact pairwise flags (the q54 answer) must be fully quarantined:
+    // pairwise-shared <= union-shared and the bloom has no false negatives.
+    val flagged = graft.operators.Dedup.crossNgramOverlap(
+        train, bench, "doc_id", "text", n = 3, minShared = 3L)
+      .select("train_id").as[Long].collect().toSet
+    assert(flagged.nonEmpty, "fixture has no contaminated docs — vacuous")
+    assert((kept & flagged).isEmpty,
+      s"contaminated docs passed the gate: ${(kept & flagged).take(5)}")
+    // Over-quarantine (union semantics + fpp) stays measured and bounded.
+    val total = train.count()
+    val quarantined = total - kept.size
+    info(s"quarantined $quarantined/$total (exact pairwise flags: ${flagged.size})")
+    assert(quarantined < total, "gate quarantined everything")
+    // Streamed replay through a real streaming query == the batch rows.
+    val name = s"decon_${System.nanoTime()}"
+    val q = StreamingCuration.decontaminationGate(
+        spark.readStream.schema(StreamingCuration.documentsFileSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(sf())
+          .where($"doc_id" % 50 =!= 0),
+        bloom, n = 3, minShared = 3)
+      .select("doc_id", "bench_hits")
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table(name).select("doc_id").as[Long].collect().toSet
+    assert(streamed == kept,
+      s"missed ${(kept -- streamed).size}, extra ${(streamed -- kept).size}")
+  }
 }
