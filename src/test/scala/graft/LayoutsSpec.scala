@@ -38,4 +38,44 @@ class LayoutsSpec extends SparkSpec {
     assert(bytesC * 2 < bytesS,
       s"clustered scan read $bytesC bytes, shuffled $bytesS — no skipping?")
   }
+
+  test("z-order serves BOTH dimensions; lexicographic only its leading one") {
+    import spark.implicits._
+    // 400k rows, two independent-ish uniform dims in [0, 10000).
+    val df = spark.range(400000L).select(
+      $"id",
+      floor(rand(1) * 10000).as("a"),
+      floor(rand(2) * 10000).as("b"))
+      .localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val lex = s"$dir/lex"
+    val zed = s"$dir/z"
+    Layouts.clusteredWrite(df, lex, Seq("a", "b"), numFiles = 64)
+    Layouts.zorderWrite(df, zed, Seq("a", "b"), numFiles = 64)
+
+    def scan(path: String, colName: String): (Set[Long], Long) = {
+      val (rows, bytes) = Layouts.measuredInputBytes(spark) {
+        spark.read.parquet(path)
+          .where(col(colName).between(4000, 4099))
+          .select("id").as[Long].collect().toSet
+      }
+      (rows, bytes)
+    }
+    val (rowsLexA, bytesLexA) = scan(lex, "a")
+    val (rowsZA, bytesZA) = scan(zed, "a")
+    val (rowsLexB, bytesLexB) = scan(lex, "b")
+    val (rowsZB, bytesZB) = scan(zed, "b")
+    assert(rowsLexA == rowsZA && rowsLexB == rowsZB && rowsZB.nonEmpty,
+      "layouts must agree on content")
+    info(s"a-predicate bytes: lex=$bytesLexA z=$bytesZA; " +
+      s"b-predicate bytes: lex=$bytesLexB z=$bytesZB")
+    // The point of z: the SECOND dimension skips too. Lexicographic
+    // reads ~everything for a b-only filter; z reads a fraction.
+    assert(bytesZB * 2 < bytesLexB,
+      s"z-order did not skip on the second column: z=$bytesZB lex=$bytesLexB")
+    // And z still skips meaningfully on the first column (vs the
+    // b-filter full scan as the no-skipping yardstick).
+    assert(bytesZA * 2 < bytesLexB,
+      s"z-order lost first-column skipping entirely: $bytesZA vs $bytesLexB")
+  }
 }
