@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.expressions.VectorExpressions
@@ -284,19 +284,57 @@ object IvfIndex {
   def knnGraphApprox(spark: SparkSession, df: DataFrame, idCol: String,
                      vecCol: String, model: Model, k: Int, nprobe: Int,
                      roundTo: Int = 6, maxClusterSize: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val assigned = assign(spark, df, vecCol, model)
       .select(col(idCol).as("dst"), col(vecCol).as("__vd"),
         col("ivf_cluster"))
     val probed = probeLists(spark, df, vecCol, model, nprobe)
       .select(col(idCol).as("src"), col(vecCol).as("__vq"),
         explode(col("ivf_probes")).as("__probe"))
+    probeTopK(probed, assigned, excludeSelf = true, k, roundTo,
+      maxClusterSize)
+  }
+
+  /** ANN kNN JOIN between two LARGE tables: for every query row, its
+    * approximate k nearest corpus rows. [[Similarity.batchTopKNeighbors]]
+    * (q51) broadcasts the query side — right only while queries are MBs;
+    * here BOTH sides stream through the same cluster-keyed equi-join as
+    * [[knnGraphApprox]] (train on the corpus, assign corpus rows once,
+    * probe queries against `nprobe` cells), so a billion-query retrieval
+    * join is ordinary shuffle work, co-located when the corpus is the
+    * `partitionBy(ivf_cluster)` table. The same `maxClusterSize` salt
+    * lever applies unchanged. Output: (src = query id, dst = corpus id,
+    * cosine, rk <= k). */
+  def knnJoinApprox(spark: SparkSession, queries: DataFrame, qIdCol: String,
+                    corpus: DataFrame, cIdCol: String, vecCol: String,
+                    model: Model, k: Int, nprobe: Int,
+                    roundTo: Int = 6, maxClusterSize: Int = 0): DataFrame = {
+    val assigned = assign(spark, corpus, vecCol, model)
+      .select(col(cIdCol).as("dst"), col(vecCol).as("__vd"),
+        col("ivf_cluster"))
+    val probed = probeLists(spark, queries, vecCol, model, nprobe)
+      .select(col(qIdCol).as("src"), col(vecCol).as("__vq"),
+        explode(col("ivf_probes")).as("__probe"))
+    probeTopK(probed, assigned, excludeSelf = false, k, roundTo,
+      maxClusterSize)
+  }
+
+  /** Shared probe-join core: `probed` (src, __vq, __probe) against
+    * `assigned` (dst, __vd, ivf_cluster), cluster-keyed equi-join with
+    * the optional salt fan-out, exact rescore, per-src top-k.
+    * `excludeSelf` is the self-join (kNN graph) case, where a row must
+    * not consume one of its own k slots. */
+  private def probeTopK(probed: DataFrame, assigned: DataFrame,
+                        excludeSelf: Boolean, k: Int, roundTo: Int,
+                        maxClusterSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def guard(c: Column): Column =
+      if (excludeSelf) c && col("src") =!= col("dst") else c
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cosine").desc, col("dst"))
     val joined =
       if (maxClusterSize <= 0)
         probed.join(assigned,
-          col("__probe") === col("ivf_cluster") && col("src") =!= col("dst"))
+          guard(col("__probe") === col("ivf_cluster")))
       else {
         val salts = assigned.groupBy(col("ivf_cluster"))
           .agg(count(lit(1)).as("__csz"))
@@ -314,9 +352,8 @@ object IvfIndex {
             explode(sequence(lit(0), col("__nsalt") - 1)))
           .drop("__nsalt")
         saltedSrc.join(saltedDst,
-          col("__probe") === col("ivf_cluster") &&
-            col("__salt_s") === col("__salt_d") &&
-            col("src") =!= col("dst"))
+          guard(col("__probe") === col("ivf_cluster") &&
+            col("__salt_s") === col("__salt_d")))
       }
     joined
       .select(col("src"), col("dst"),

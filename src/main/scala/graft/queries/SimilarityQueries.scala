@@ -460,6 +460,64 @@ object SimilarityQueries extends QueryFamily {
       ORDER BY src, rk"""
   }
 
+  /** Driver-side twin of q73: retrain the corpus-trained model, replay
+    * query probe lists against corpus cluster assignment (q61's loops,
+    * two tables), inject expected rows as VALUES. */
+  private def ivfKnnJoinOracle(s: SparkSession, dir: String): String = {
+    val e = emb(s, dir)
+    val ivf = IvfIndex.train(e.where(col("vec_id") % 10 =!= 0),
+      "vec_id", "embedding", k = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cRows = rows(e.where(col("vec_id") % 10 =!= 0))
+    val qRows = rows(e.where(col("vec_id") % 10 === 0))
+    def rank(v: Array[Float]): Seq[Int] =
+      ivf.centroids.indices
+        .map(i => (0.0 - cosFD(v, ivf.centroids(i)), i))
+        .sorted.map(_._2)
+    val byCluster: Map[Int, Seq[(Long, Array[Float])]] =
+      cRows.toSeq.groupBy { case (_, v) => rank(v).head }
+    val expected = qRows.toSeq.flatMap { case (src, v) =>
+      rank(v).take(4)
+        .flatMap(c => byCluster.getOrElse(c, Nil))
+        .map { case (dst, vd) => (dst, r6d(cosFF(v, vd))) }
+        .sortBy { case (dst, c) => (-c, dst) }
+        .take(5)
+        .zipWithIndex
+        .map { case ((dst, c), i) => (src, dst, c, i + 1) }
+    }
+    val values = expected
+      .map { case (src, dst, c, rk) => s"($src, $dst, $c, $rk)" }
+      .mkString(", ")
+    s"""
+      SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+             CAST(cosine AS DOUBLE) AS cosine, CAST(rk AS INTEGER) AS rk
+      FROM (VALUES $values) t(src, dst, cosine, rk)
+      ORDER BY src, rk"""
+  }
+
+  private val q73 = QueryDef(
+    "q73_ann_knn_join",
+    "ANN kNN JOIN between two large tables (retrieval shape): every 10th " +
+      "vector queries the corpus of the rest through the corpus-trained " +
+      "IVF index — probe lists against cluster assignment, the same " +
+      "cluster-keyed equi-join as q61, so neither side broadcasts (q51 " +
+      "is the small-query-set alternative). Salt lever and co-located " +
+      "layout apply unchanged; the oracle retrains the identical " +
+      "deterministic model and replays both tables driver-side.",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.where(col("vec_id") % 10 =!= 0)
+      val queries = e.where(col("vec_id") % 10 === 0)
+      val ivf = IvfIndex.train(corpus, "vec_id", "embedding", k = 16)
+      IvfIndex.knnJoinApprox(s, queries, "vec_id", corpus, "vec_id",
+          "embedding", ivf, k = 5, nprobe = 4)
+        .orderBy("src", "rk")
+    },
+    None,
+    oracleGen = Some(ivfKnnJoinOracle))
+
   private val q61 = QueryDef(
     "q61_knn_graph_ivf",
     "Approximate kNN graph on the IVF index — the 100 TB path q59's exact " +
@@ -612,5 +670,5 @@ object SimilarityQueries extends QueryFamily {
       ORDER BY label"""))
 
   override val defs: Seq[QueryDef] =
-    Seq(q25, q26, q27, q39, q40, q50, q51, q59, q60, q61, q64, q70)
+    Seq(q25, q26, q27, q39, q40, q50, q51, q59, q60, q61, q64, q70, q73)
 }

@@ -103,6 +103,34 @@ class IvfSpec extends SparkSpec {
       s"missed ${(exact -- got).size}, extra ${(got -- exact).size}")
   }
 
+  test("knnJoinApprox: nprobe=k degenerates to brute-force; salting is bit-identical") {
+    val queries = emb.where($"vec_id" % 10 === 0)
+    val corpus = emb.where($"vec_id" % 10 =!= 0)
+    val m = IvfIndex.train(corpus, "vec_id", "embedding", k = 16)
+    val got = IvfIndex.knnJoinApprox(spark, queries, "vec_id", corpus,
+        "vec_id", "embedding", m, k = 4, nprobe = 16)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // Brute force: every (query, corpus) pair, per-query top-4 with the
+    // operator's (cosine desc, dst) total order and round(6).
+    val brute = queries.as("q").crossJoin(corpus.as("c"))
+      .select($"q.vec_id".as("src"), $"c.vec_id".as("dst"),
+        round(coalesce(call_function("cosine_sim",
+          $"q.embedding", $"c.embedding"), lit(-2.0)), 6).as("cosine"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"src")
+          .orderBy($"cosine".desc, $"dst")).cast("int"))
+      .where($"rk" <= 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == brute,
+      s"missed ${(brute -- got).size}, extra ${(got -- brute).size}")
+    // Self-match NOT excluded across tables: ids are disjoint here, but
+    // the join must never drop a legitimate equal-id pair — guard absent.
+    val salted = IvfIndex.knnJoinApprox(spark, queries, "vec_id", corpus,
+        "vec_id", "embedding", m, k = 4, nprobe = 16, maxClusterSize = 7)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(salted == got, "salted join diverged from unsalted")
+  }
+
   test("knnGraphApprox edge recall grows with nprobe; q61 point >= 0.55") {
     val exact = Similarity.knnGraph(spark, emb, "vec_id", "embedding", k = 5)
       .select("src", "dst").as[(Long, Long)].collect().toSet
