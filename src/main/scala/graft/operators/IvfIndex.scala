@@ -235,6 +235,33 @@ object IvfIndex {
       (array_position(cosines, array_max(cosines)) - 1).cast("int"))
   }
 
+  /** [[assign]] plus the PROTOTYPICALITY score: `scoreCol` = cosine to the
+    * row's own nearest centroid — how typical the row is of its semantic
+    * cell (the SSL-prototypes / SemDeDup / D4 pruning signal: Sorscher
+    * et al. 2022 prune the least prototypical examples; Abbas et al.
+    * 2023 dedup the most). One codegen'd struct-max projection over
+    * literal centroids — the score is a FREE byproduct of the assignment
+    * pass that already runs before the `partitionBy(ivf_cluster)` write,
+    * so scoring 100 TB adds zero data movement. Tie-break matches
+    * [[assign]]/[[assignBroadcast]] exactly: max cosine, ties to the
+    * lowest cid; zero/null vectors land in cluster 0 with score -2. */
+  def assignScored(spark: SparkSession, df: DataFrame, vecCol: String,
+                   model: Model, clusterCol: String = "ivf_cluster",
+                   scoreCol: String = "proto_cos"): DataFrame = {
+    VectorExpressions.register(spark)
+    val best = array_max(array(model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        coalesce(
+          call_function("cosine_sim", col(vecCol), array(c.map(lit).toSeq: _*)),
+          lit(-2.0)).as("c"),
+        lit(-i).as("negcid"))
+    }.toSeq: _*))
+    df.withColumn("__best", best)
+      .withColumn(clusterCol, (-col("__best.negcid")).cast("int"))
+      .withColumn(scoreCol, col("__best.c"))
+      .drop("__best")
+  }
+
   /** Add `outCol` = the ids of the `nprobe` clusters nearest to each row's
     * vector, ranked by (cosine desc, cid) — the per-ROW generalization of
     * [[searchTopK]]'s driver-side probe list, for batch jobs where every

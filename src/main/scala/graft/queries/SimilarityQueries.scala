@@ -1,7 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, round, row_number}
 
 import graft.core.Tables
 import graft.operators.{IvfIndex, Similarity}
@@ -518,6 +519,65 @@ object SimilarityQueries extends QueryFamily {
     None,
     oracleGen = Some(ivfKnnJoinOracle))
 
+  /** Driver-side twin of q74: retrain the deterministic model, replay the
+    * struct-max assignment (max cosine, ties to the lowest cid — the
+    * [[IvfIndex.assignScored]] contract), sort each cell ascending by
+    * (rounded score, id), inject the bottom-5 shortlist as VALUES. */
+  private def protoOutlierOracle(s: SparkSession, dir: String): String = {
+    val e = emb(s, dir)
+    val ivf = IvfIndex.train(e, "vec_id", "embedding", k = 16)
+    val rows = e.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def best(v: Array[Float]): (Int, Double) =
+      ivf.centroids.indices
+        .map(i => (i, cosFD(v, ivf.centroids(i))))
+        .maxBy { case (i, c) => (c, -i) }
+    val expected = rows.toSeq
+      .map { case (id, v) => val (c, cos) = best(v); (id, c, r6d(cos)) }
+      .groupBy { case (_, c, _) => c }
+      .toSeq.flatMap { case (c, rs) =>
+        rs.sortBy { case (id, _, cos) => (cos, id) }
+          .take(5).zipWithIndex
+          .map { case ((id, _, cos), i) => (id, c, cos, i + 1) }
+      }
+    val values = expected
+      .map { case (id, c, cos, rk) => s"($id, $c, $cos, $rk)" }
+      .mkString(", ")
+    s"""
+      SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             CAST(ivf_cluster AS INTEGER) AS ivf_cluster,
+             CAST(proto_cos AS DOUBLE) AS proto_cos,
+             CAST(rk AS INTEGER) AS rk
+      FROM (VALUES $values) t(vec_id, ivf_cluster, proto_cos, rk)
+      ORDER BY ivf_cluster, rk"""
+  }
+
+  private val q74 = QueryDef(
+    "q74_proto_outliers",
+    "Prototypicality pruning shortlist (SSL-prototypes / SemDeDup / D4 " +
+      "family): every embedding's cosine to its own IVF centroid is a " +
+      "free byproduct of the assignment projection (assignScored — one " +
+      "codegen struct-max, zero extra data movement at the " +
+      "partitionBy(ivf_cluster) write), and the 5 LEAST prototypical " +
+      "rows per cell are the semantic-outlier candidates a curation " +
+      "pass would drop. WindowGroupLimit on the cluster key, co-located " +
+      "with the clustered layout. Oracle retrains the deterministic " +
+      "model and replays the shortlist driver-side.",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val ivf = IvfIndex.train(e, "vec_id", "embedding", k = 16)
+      val w = Window.partitionBy(col("ivf_cluster"))
+        .orderBy(col("proto_cos"), col("vec_id"))
+      IvfIndex.assignScored(s, e, "embedding", ivf)
+        .select(col("vec_id"), col("ivf_cluster"),
+          round(col("proto_cos"), 6).as("proto_cos"))
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .where(col("rk") <= 5)
+        .orderBy("ivf_cluster", "rk")
+    },
+    None,
+    oracleGen = Some(protoOutlierOracle))
+
   private val q61 = QueryDef(
     "q61_knn_graph_ivf",
     "Approximate kNN graph on the IVF index — the 100 TB path q59's exact " +
@@ -670,5 +730,5 @@ object SimilarityQueries extends QueryFamily {
       ORDER BY label"""))
 
   override val defs: Seq[QueryDef] =
-    Seq(q25, q26, q27, q39, q40, q50, q51, q59, q60, q61, q64, q70, q73)
+    Seq(q25, q26, q27, q39, q40, q50, q51, q59, q60, q61, q64, q70, q73, q74)
 }

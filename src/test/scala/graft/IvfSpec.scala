@@ -103,6 +103,30 @@ class IvfSpec extends SparkSpec {
       s"missed ${(exact -- got).size}, extra ${(got -- exact).size}")
   }
 
+  test("assignScored: cluster bit-equal to assign; score is the max centroid cosine") {
+    val scored = IvfIndex.assignScored(spark, emb, "embedding", model)
+      .select($"vec_id", $"ivf_cluster", $"proto_cos")
+      .as[(Long, Int, Double)].collect()
+      .map { case (id, c, s) => id -> ((c, s)) }.toMap
+    val plain = IvfIndex.assign(spark, emb, "embedding", model)
+      .select($"vec_id", $"ivf_cluster")
+      .as[(Long, Int)].collect().toMap
+    assert(scored.map { case (id, (c, _)) => id -> c } == plain)
+    // Independent score: brute max over an exploded broadcast centroid
+    // table (the assignBroadcast shape) — same cosine_sim kernel, so
+    // equality is exact, not approximate.
+    val cents = model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("__cid", "__cvec")
+    val brute = emb.join(broadcast(cents))
+      .groupBy($"vec_id")
+      .agg(max(coalesce(call_function("cosine_sim", $"embedding", $"__cvec"),
+        lit(-2.0))).as("mc"))
+      .as[(Long, Double)].collect().toMap
+    scored.foreach { case (id, (_, s)) =>
+      assert(s == brute(id), s"vec $id: scored $s != brute ${brute(id)}")
+    }
+  }
+
   test("knnJoinApprox: nprobe=k degenerates to brute-force; salting is bit-identical") {
     val queries = emb.where($"vec_id" % 10 === 0)
     val corpus = emb.where($"vec_id" % 10 =!= 0)
