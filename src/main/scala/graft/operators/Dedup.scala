@@ -273,6 +273,58 @@ object Dedup {
           .as("dup_ngram_frac"))
   }
 
+  /** Exact duplicated-span REMOVAL — the cleaning step whose damage
+    * [[dupNgramStats]] only measures (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": remove every occurrence
+    * of a duplicated substring except one; word-granular here, span = n
+    * consecutive tokens).
+    *
+    * Any n-token window whose exact text occurs more than once in the
+    * corpus (across documents or repeated within one) is a duplicated
+    * span. The globally FIRST occurrence — min (id, pos) — is canonical
+    * and keeps its tokens; every other occurrence drops the n tokens it
+    * covers, and the survivors re-join with single spaces. A canonical
+    * span's token can still fall to a DIFFERENT overlapping removable
+    * span: inherent to span-granular removal, and replicated exactly by
+    * the oracle.
+    *
+    * Scale shape: occurrences are one posexplode of the codegen'd
+    * `word_ngrams` multiset; gram stats (count + min(struct(id, pos)))
+    * are one map-side-combinable gram-keyed aggregate; removable
+    * occurrences join back gram-keyed (equi-join, never broadcast) and
+    * collapse to a per-doc sorted start list that rejoins id-keyed;
+    * token filtering is a map-only array pass. The occurrence table is
+    * cached for its two consumers at test scale — at 100 TB materialize
+    * it once instead ([[dupNgramStats]]' note applies verbatim). Nothing
+    * is corpus-proportional on the driver. */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 4): DataFrame = {
+    TextShingleExpressions.register(df.sparkSession)
+    val occ = df.select(col(idCol),
+        posexplode(call_function("word_ngrams", col(textCol), lit(n)))
+          .as(Seq("pos", "gram")))
+      .cache()
+    val stats = occ.groupBy("gram").agg(
+      count(lit(1)).as("__cnt"),
+      min(struct(col(idCol), col("pos"))).as("__first"))
+    val removable = occ.join(stats, Seq("gram"))
+      .where(col("__cnt") >= 2 &&
+        !(col(idCol) === col(s"__first.$idCol") &&
+          col("pos") === col("__first.pos")))
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("pos"))).as("__starts"))
+    df.join(removable, Seq(idCol), "left")
+      .withColumn("__tok", split(col(textCol), " "))
+      .withColumn("__kept",
+        when(col("__starts").isNull, col("__tok")).otherwise(
+          filter(col("__tok"), (_, p) =>
+            !exists(col("__starts"), s => s <= p && p < s + lit(n)))))
+      .select(col(idCol),
+        concat_ws(" ", col("__kept")).as("clean_text"),
+        (size(col("__tok")) - size(col("__kept"))).cast("int")
+          .as("n_removed"))
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8,
                         maxShingleDf: Option[Int] = None): DataFrame = {

@@ -278,5 +278,53 @@ object DedupQueries extends QueryFamily {
       FROM sel WHERE rn = 1
       ORDER BY cluster_id"""))
 
-  override val defs: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q49, q63)
+  private val q75 = QueryDef(
+    "q75_remove_dup_spans",
+    "Exact duplicated-span REMOVAL (Lee et al. 2022 ExactSubstr family, " +
+      "word-granular): every 4-token window whose text occurs more than " +
+      "once in the corpus keeps only its globally-first occurrence " +
+      "(min (doc_id, pos)); all other occurrences drop their tokens and " +
+      "the survivors re-join. The cleaning step whose damage q65 only " +
+      "measures. Gram stats are one map-side-combinable aggregate; the " +
+      "removable set joins back gram-keyed then id-keyed; token filtering " +
+      "is map-only.",
+    (s, dir) => Dedup.removeDupSpans(docs(s, dir), "doc_id", "text", n = 4)
+      .orderBy("doc_id"),
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      occ AS (
+        SELECT doc_id, u.pos, u.gram FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(len(a) - 2, 1)),
+                   i -> struct_pack(pos := i - 1,
+                     gram := a[i] || ' ' || a[i+1] || ' ' || a[i+2]
+                             || ' ' || a[i+3]))) AS u
+          FROM toks)),
+      stats AS (SELECT gram, count(*) AS cnt FROM occ GROUP BY gram),
+      firsts AS (
+        SELECT gram, doc_id AS f_id, pos AS f_pos FROM (
+          SELECT gram, doc_id, pos,
+                 row_number() OVER (PARTITION BY gram
+                   ORDER BY doc_id, pos) AS rn
+          FROM occ) WHERE rn = 1),
+      removable AS (
+        SELECT o.doc_id, o.pos
+        FROM occ o JOIN stats USING (gram) JOIN firsts USING (gram)
+        WHERE stats.cnt >= 2 AND NOT (o.doc_id = f_id AND o.pos = f_pos)),
+      starts AS (SELECT doc_id, list_sort(list(pos)) AS ss
+                 FROM removable GROUP BY doc_id),
+      kept AS (
+        SELECT t.doc_id, t.a,
+               CASE WHEN st.ss IS NULL THEN t.a
+                    ELSE list_filter(t.a, (x, i) ->
+                      len(list_filter(st.ss,
+                        s -> s <= i - 1 AND i - 1 < s + 4)) = 0)
+                    END AS k
+        FROM toks t LEFT JOIN starts st USING (doc_id))
+      SELECT doc_id, coalesce(array_to_string(k, ' '), '') AS clean_text,
+             CAST(len(a) - len(k) AS INTEGER) AS n_removed
+      FROM kept
+      ORDER BY doc_id"""))
+
+  override val defs: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q49, q63, q75)
 }

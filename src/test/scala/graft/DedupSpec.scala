@@ -221,4 +221,22 @@ class DedupSpec extends SparkSpec {
     assert(fused == reference)
     assert(fused.nonEmpty)
   }
+
+  test("removeDupSpans: first occurrence kept, later spans dropped") {
+    val d = Seq(
+      (1L, "a b c d e"),          // canonical "a b c d" at (1,0)
+      (2L, "x a b c d y"),        // same span at (2,1) → tokens 1..4 drop
+      (3L, "p q r s p q r s"),    // within-doc repeat: (3,4) drops
+      (4L, "unique words only here now"), // nothing duplicated
+      (5L, "w z")                 // < n tokens → no grams, unchanged
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(d, "doc_id", "text", n = 4)
+      .as[(Long, String, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == (("a b c d e", 0)))
+    assert(out(2L) == (("x y", 4)))
+    assert(out(3L) == (("p q r s", 4)))
+    assert(out(4L) == (("unique words only here now", 0)))
+    assert(out(5L) == (("w z", 0)))
+  }
 }
