@@ -19,7 +19,7 @@ object SparkEntry {
       SimilarityQueries, TextQueries, StreamMultimodalQueries,
       StringCubeQueries, SketchQueries, AsOfQueries, RangeJoinQueries,
       WinnowQueries, CurationQueries, StatsQueries, SelectionQueries,
-      QualityQueries)
+      QualityQueries, RetrievalQueries)
 
   private lazy val allDefs: Seq[QueryDef] = families.flatMap(_.defs)
 

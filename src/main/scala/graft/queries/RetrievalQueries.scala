@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.Tables
+import graft.operators.Bm25
+
+/** Keyword-retrieval queries: the inverted-index/BM25 side of the
+  * retrieval stack (the ANN side lives in SimilarityQueries). The BM25
+  * formula is pure SQL, so the DuckDB oracle mirrors it term by term —
+  * same Lucene idf, same rounded-score ranking convention as q43/q58.
+  */
+object RetrievalQueries extends QueryFamily {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Fixed benchmark query set, literal on both engines. Mixes the one
+    * rare corpus term ("dup") with common ones so idf actually spreads. */
+  private val querySet = Seq(
+    0 -> "dup hash join",
+    1 -> "merge sort batch",
+    2 -> "slow scan filter",
+    3 -> "vector window stream",
+    4 -> "customer order value")
+
+  private val q76 = QueryDef(
+    "q76_bm25_topk",
+    "BM25 keyword retrieval (Okapi, Lucene idf variant): top-10 docs per " +
+      "query from an inverted index expressed relationally — postings " +
+      "from one map-side-combinable aggregate, doc lengths re-aggregated " +
+      "from the postings, Heaps-bounded df/idf, query terms broadcast " +
+      "into the postings join so the corpus scan is map-local and " +
+      "touches only query-matched terms. Ranked on the round(6) score, " +
+      "tie-break doc_id — engine-exact.",
+    (s, dir) => {
+      import s.implicits._
+      val qs = querySet.toDF("query_id", "qtext")
+      Bm25.searchTopK(docs(s, dir), "doc_id", "text", qs, "query_id", "qtext",
+          k = 10)
+        .select("query_id", "rank", "doc_id", "score")
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH q(query_id, qtext) AS (VALUES
+        ${querySet.map { case (i, t) => s"($i, '$t')" }.mkString(", ")}),
+      toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM dl),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      qterms AS (
+        SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term
+        FROM q),
+      qidf AS (
+        SELECT query_id, term,
+               ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
+        FROM qterms JOIN df USING (term) CROSS JOIN stats),
+      contrib AS (
+        SELECT query_id, tf.doc_id,
+               idf * CAST(tf AS DOUBLE) * 2.2 /
+                 (CAST(tf AS DOUBLE) +
+                  1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS c
+        FROM tf JOIN dl USING (doc_id) JOIN qidf USING (term)),
+      scored AS (
+        SELECT query_id, doc_id, round(sum(c), 6) AS score
+        FROM contrib GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, doc_id, score,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+        FROM scored)
+      SELECT query_id, rank, doc_id, score FROM ranked
+      WHERE rank <= 10
+      ORDER BY query_id, rank"""))
+
+  override val defs: Seq[QueryDef] = Seq(q76)
+}

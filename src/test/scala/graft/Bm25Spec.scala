@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Bm25
+
+/** BM25 ranking semantics on a corpus where the ordering is derivable by
+  * hand: tf monotonicity at equal length, rare-term idf dominance, length
+  * normalization, the k cut, and a closed-form single-term score check.
+  */
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "spark spark spark joins data"),   // tf(spark)=3, len 5
+    (2L, "spark joins data table rows"),    // tf(spark)=1, len 5
+    (3L, "rare spark joins data here"),     // the only doc with "rare"
+    (4L, "table rows table rows table"),    // no query terms
+    (5L, "spark engine")                    // tf(spark)=1, len 2 (short)
+  ).toDF("doc_id", "text")
+
+  private def search(q: Seq[(Int, String)], k: Int = 10) =
+    Bm25.searchTopK(corpus, "doc_id", "text", q.toDF("query_id", "qtext"),
+        "query_id", "qtext", k = k)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Int, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+
+  test("tf monotonicity and length normalization on a single-term query") {
+    val hits = search(Seq(0 -> "spark"))
+    assert(hits.map(_._3).toSet == Set(1L, 2L, 3L, 5L)) // doc 4 unmatched
+    val rank = hits.map(r => r._3 -> r._2).toMap
+    assert(rank(1L) == 1)          // highest tf wins
+    assert(rank(5L) == 2)          // same tf as 2/3 but shorter doc
+    assert(rank(1L) < rank(2L) && rank(5L) < rank(2L))
+  }
+
+  test("closed-form score: single term, known tf/df/dl") {
+    // N=5, df(spark)=4, avgdl=22/5. Lucene idf = ln(1+(5-4+0.5)/(4+0.5)).
+    val idf = math.log(1 + 1.5 / 4.5)
+    val tf = 3.0; val dl = 5.0; val avgdl = 22.0 / 5
+    val expected = BigDecimal(
+        idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = search(Seq(0 -> "spark")).find(_._3 == 1L).get._4
+    assert(got == expected)
+  }
+
+  test("rare term dominates: its only doc outranks higher-tf common docs") {
+    val hits = search(Seq(0 -> "rare spark"))
+    assert(hits.head._3 == 3L) // doc 3 matches both terms, rare idf >> spark
+  }
+
+  test("k cut and multi-query independence") {
+    val hits = search(Seq(0 -> "spark", 1 -> "table"), k = 2)
+    assert(hits.count(_._1 == 0) == 2 && hits.count(_._1 == 1) == 2)
+    assert(hits.filter(_._1 == 1).map(_._3).contains(4L))
+  }
+}

@@ -28,7 +28,8 @@ class PlanGuardSpec extends SparkSpec {
     "q43_tfidf_topterms",        // broadcast of the 1-row corpus-count agg
     "q58_unigram_logprob",       // broadcast of the 1-row corpus-total agg
     "q67_bigram_logprob",        // broadcast of the 1-row corpus-total agg
-    "q68_perplexity_buckets")    // broadcast of the 1-row tercile-threshold agg
+    "q68_perplexity_buckets",    // broadcast of the 1-row tercile-threshold agg
+    "q76_bm25_topk")             // broadcast of the 1-row (N, avgdl) agg
 
   test("no cartesian products; nested-loop joins only where intended") {
     val skip = Set("q33_stream_windowed_agg") // runs a streaming query
