@@ -394,13 +394,7 @@ object Dedup {
     // (sizes + intersection join).
     val sh = shingles(df, idCol, textCol, n).cache()
     val sigs = minhashSignatures(df, idCol, textCol, n, numHashes, seed)
-    val bands = sigs.select(col(idCol), posexplode(
-        array((0 until numBands).map { b =>
-          struct(lit(b).as("band"),
-            concat_ws(":", (0 until rowsPerBand).map(r =>
-              element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("key"))
-        }: _*)).as(Seq("__pos", "bk")))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    val bands = bandKeys(sigs, idCol, numBands, rowsPerBand)
 
     val candidates = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key")
@@ -416,6 +410,73 @@ object Dedup {
       .join(shA, "id_a").join(shB, Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     jaccardFilter(inter, sizes, idCol, threshold)
+  }
+
+  /** (id, band, key) LSH bucket keys from a minhash-signature table —
+    * one banded posexplode, payload-free (ids + band keys only reach the
+    * bucket join). */
+  private def bandKeys(sigs: DataFrame, idCol: String, numBands: Int,
+                       rowsPerBand: Int): DataFrame =
+    sigs.select(col(idCol), posexplode(
+        array((0 until numBands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws(":", (0 until rowsPerBand).map(r =>
+              element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("key"))
+        }: _*)).as(Seq("__pos", "bk")))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  /** Incremental (cross-corpus) MinHash LSH dedup: flag each INCOMING doc
+    * that near-dups (exact shingle Jaccard >= threshold) any doc of the
+    * EXISTING corpus — the continual-ingest shape, where the training set
+    * is already deduped and each new crawl batch is checked AGAINST it
+    * instead of re-deduping the union (a (N+M)² restart at 100 TB; this
+    * is M·selectivity).
+    *
+    * Same signature/band/verify machinery as [[minhashLshPairs]], but the
+    * band join is new-vs-existing only (no self-pairs on either side):
+    * at scale the existing corpus's signatures and band keys are computed
+    * ONCE at its own dedup time and persisted partitioned by (band, key),
+    * so an incoming batch bands map-locally and the bucket join shuffles
+    * only the (usually much smaller) new side. Returns
+    * (id_new, id_ref, jaccard); ids need not be disjoint across corpora —
+    * sides are tracked positionally, not by comparison. */
+  def minhashLshPairsAgainst(existing: DataFrame, incoming: DataFrame,
+                             idCol: String, textCol: String,
+                             n: Int = 3, numHashes: Int = 32,
+                             rowsPerBand: Int = 2, threshold: Double = 0.8,
+                             seed: Long = 42L): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    val numBands = numHashes / rowsPerBand
+    val shNew = shingles(incoming, idCol, textCol, n).cache()
+    val shRef = shingles(existing, idCol, textCol, n).cache()
+    val bandsNew = bandKeys(
+      minhashSignatures(incoming, idCol, textCol, n, numHashes, seed),
+      idCol, numBands, rowsPerBand)
+    val bandsRef = bandKeys(
+      minhashSignatures(existing, idCol, textCol, n, numHashes, seed),
+      idCol, numBands, rowsPerBand)
+
+    val candidates = bandsNew.as("x").join(bandsRef.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col(s"x.$idCol").as("id_new"), col(s"y.$idCol").as("id_ref"))
+      .distinct()
+
+    // Exact verification of candidates only, sizes per side.
+    val inter = candidates
+      .join(shNew.select(col(idCol).as("id_new"), col("shingle")), "id_new")
+      .join(shRef.select(col(idCol).as("id_ref"), col("shingle")),
+        Seq("id_ref", "shingle"))
+      .groupBy("id_new", "id_ref").agg(count(lit(1)).as("inter"))
+    val szNew = shNew.groupBy(idCol).agg(count(lit(1)).as("n_new"))
+      .select(col(idCol).as("id_new"), col("n_new"))
+    val szRef = shRef.groupBy(idCol).agg(count(lit(1)).as("n_ref"))
+      .select(col(idCol).as("id_ref"), col("n_ref"))
+    inter.join(szNew, "id_new").join(szRef, "id_ref")
+      .withColumn("jaccard",
+        col("inter") / (col("n_new") + col("n_ref") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_ref"),
+        round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** 64-bit SimHash per document over whitespace tokens weighted by

@@ -326,5 +326,45 @@ object DedupQueries extends QueryFamily {
       FROM kept
       ORDER BY doc_id"""))
 
-  override val defs: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q49, q63, q75)
+  private val q77 = QueryDef(
+    "q77_incremental_dedup",
+    "Incremental cross-corpus dedup (continual-ingest shape): flag each " +
+      "incoming doc (source longer than 'srcN', i.e. src10-src19) that " +
+      "near-dups any doc of the existing corpus (src0-src9) at exact " +
+      "3-gram Jaccard >= 0.8, found via MinHash(32)+LSH(16x2) new-vs-" +
+      "existing band join — the existing side's signatures are computed " +
+      "once and reusable per batch, so each ingest costs the BATCH, not " +
+      "the union.",
+    (s, dir) => {
+      val d = docs(s, dir)
+      Dedup.minhashLshPairsAgainst(
+          d.where(length(col("source")) === 4),
+          d.where(length(col("source")) > 4),
+          "doc_id", "text", n = 3, numHashes = 32, rowsPerBand = 2,
+          threshold = 0.8)
+        .orderBy("id_new", "id_ref")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS a
+                    FROM documents),
+      sh AS (SELECT DISTINCT doc_id, source,
+               unnest(list_transform(range(1, greatest(len(a) - 1, 1)),
+                 i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle
+             FROM toks),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (SELECT s1.doc_id AS id_new, s2.doc_id AS id_ref,
+                       count(*) AS inter
+                FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle
+                WHERE len(s1.source) > 4 AND len(s2.source) = 4
+                GROUP BY 1, 2)
+      SELECT id_new, id_ref,
+             round(inter * 1.0 / (na.n + nb.n - inter), 6) AS jaccard
+      FROM pairs
+      JOIN sizes na ON id_new = na.doc_id
+      JOIN sizes nb ON id_ref = nb.doc_id
+      WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.8
+      ORDER BY id_new, id_ref"""))
+
+  override val defs: Seq[QueryDef] =
+    Seq(q20, q21, q22, q23, q24, q49, q63, q75, q77)
 }

@@ -222,6 +222,26 @@ class DedupSpec extends SparkSpec {
     assert(fused.nonEmpty)
   }
 
+  test("minhashLshPairsAgainst: cross-corpus only, no self-pairs, " +
+      "overlapping ids safe") {
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "totally unrelated reference text goes right here today")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "the quick brown fox jumps over the lazy cat"), // dups ref 1
+      (7L, "the quick brown fox jumps over the lazy dog"), // exact of ref 1
+      (8L, "nothing like anything in the reference corpus at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashLshPairsAgainst(existing, incoming,
+        "doc_id", "text", threshold = 0.7)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    // id 1 appears on BOTH sides with different text: the pair must be
+    // (new 1, ref 1), and the exact twin (new 7, ref 1) must be found;
+    // no existing-existing or incoming-incoming pairs can appear.
+    assert(got == Set((1L, 1L), (7L, 1L)))
+  }
+
   test("removeDupSpans: first occurrence kept, later spans dropped") {
     val d = Seq(
       (1L, "a b c d e"),          // canonical "a b c d" at (1,0)
