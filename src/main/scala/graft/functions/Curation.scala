@@ -33,6 +33,16 @@ object Curation {
     when(b < 90, "train").when(b < 95, "val").otherwise("test")
   }
 
+  /** Deterministic per-epoch shuffle coin: the full md5 hex of
+    * "epoch:key". A different epoch gives an independent permutation;
+    * the same (epoch, key) gives the same coin on every engine, run,
+    * and partitioning — the property a reproducible data-loader order
+    * needs. Orderings should tie-break on the key itself (md5 collisions
+    * are astronomically unlikely but determinism shouldn't lean on
+    * that). */
+  def epochCoin(key: Column, epoch: Int): Column =
+    md5(concat_ws(":", lit(epoch), key.cast(StringType)))
+
   /** Digit runs of 3+ — the number-ish PII-redaction target. */
   val numberPattern = "[0-9]{3,}"
 

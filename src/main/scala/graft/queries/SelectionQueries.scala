@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.core.Tables
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, IvfIndex, PqIndex}
+import graft.operators.{Dedup, IvfIndex, PqIndex, TrainingOrder}
 
 /** Dataset-selection queries — the steps that decide WHICH documents make
   * the training set: benchmark decontamination, per-language stratified
@@ -254,5 +254,38 @@ object SelectionQueries extends QueryFamily {
     },
     q54.oracle)
 
-  override val defs: Seq[QueryDef] = Seq(q54, q55, q56, q62, q66, q71)
+  private val q78 = QueryDef(
+    "q78_epoch_order",
+    "Deterministic epoch shuffle + shard assignment (the materialized " +
+      "data-loader order): shard and within-shard order both derive from " +
+      "md5('epoch:doc_id'), so the training order is byte-reproducible " +
+      "across runs, engines, and input partitionings, and each epoch is " +
+      "an independent permutation. One shard-partitioned window carries " +
+      "position and cumulative token offset together; text never moves.",
+    (s, dir) => TrainingOrder.epochOrder(docs(s, dir), "doc_id", "text",
+        epoch = 0, shards = 8)
+      .orderBy("shard", "pos"),
+    Some("""
+      WITH b AS (
+        SELECT doc_id,
+               md5('0:' || CAST(doc_id AS VARCHAR)) AS coin,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+        FROM documents),
+      s AS (
+        SELECT doc_id, coin, n_tokens,
+               CAST(('0x' || substr(coin, 1, 4)) AS INTEGER) % 8 AS shard
+        FROM b)
+      SELECT doc_id, shard,
+             CAST(row_number() OVER
+               (PARTITION BY shard ORDER BY coin, doc_id) - 1 AS INTEGER)
+               AS pos,
+             n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER
+               (PARTITION BY shard ORDER BY coin, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS token_offset
+      FROM s
+      ORDER BY shard, pos"""))
+
+  override val defs: Seq[QueryDef] = Seq(q54, q55, q56, q62, q66, q71, q78)
 }
