@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions.{col, round, row_number}
 
 import graft.core.Tables
-import graft.operators.{IvfIndex, Similarity}
+import graft.operators.{IvfIndex, PcaProjection, Similarity}
 
 /** North-star similarity search over `embeddings` (ARRAY<FLOAT>, dim 64).
   *
@@ -729,6 +729,50 @@ object SimilarityQueries extends QueryFamily {
       GROUP BY label
       ORDER BY label"""))
 
+  /** Generated oracle for q79: retrain the deterministic PCA model and
+    * inject its components/centering constants as literals — DuckDB then
+    * recomputes every projection from the parquet itself. The
+    * list_reduce fold is left-associated like the native dot_product
+    * accumulate, so the doubles agree bit-for-bit before round(6). */
+  private def pcaOracle(s: SparkSession, dir: String): String = {
+    val m = PcaProjection.train(emb(s, dir), "vec_id", "embedding",
+      numComponents = 8)
+    val pcs = m.components.indices.map { k =>
+      val lits = m.components(k).mkString("[", ", ", "]::DOUBLE[]")
+      s"round(${fold("v", s"($lits)")} - ${m.meanDot(k)}, 6) AS pc$k"
+    }.mkString(",\n             ")
+    s"""
+      WITH e AS (SELECT vec_id, label, embedding,
+                        embedding::DOUBLE[] AS v FROM embeddings)
+      SELECT vec_id, label,
+             $pcs
+      FROM e
+      ORDER BY vec_id"""
+  }
+
+  private val q79 = QueryDef(
+    "q79_pca_project",
+    "PCA dimensionality reduction (FAISS PCAMatrix/PCAR shape): project " +
+      "64-dim embeddings onto the top-8 principal directions before " +
+      "indexing — every downstream ANN structure and shuffle shrinks " +
+      "8x. Deterministic bounded-sample driver training (covariance + " +
+      "cyclic Jacobi), then ONE codegen'd dot_product per output dim " +
+      "against literal components, with centering folded into a scalar " +
+      "constant — no shuffle, no join, no centered copy of the corpus. " +
+      "Oracle retrains the identical model and recomputes the " +
+      "projections from parquet in SQL.",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val m = PcaProjection.train(e, "vec_id", "embedding", numComponents = 8)
+      PcaProjection.project(e.select(col("vec_id"), col("label"),
+          col("embedding")), "embedding", m)
+        .drop("embedding")
+        .orderBy("vec_id")
+    },
+    None,
+    oracleGen = Some(pcaOracle))
+
   override val defs: Seq[QueryDef] =
-    Seq(q25, q26, q27, q39, q40, q50, q51, q59, q60, q61, q64, q70, q73, q74)
+    Seq(q25, q26, q27, q39, q40, q50, q51, q59, q60, q61, q64, q70, q73, q74,
+      q79)
 }
