@@ -31,18 +31,21 @@ import graft.expressions.VectorExpressions
 object PcaProjection {
 
   /** Trained projection: `components(k)` = k-th principal direction
-    * (unit norm, descending eigenvalue); `eigenvalues` aligned. */
+    * (unit norm, descending eigenvalue); `eigenvalues` aligned (only the
+    * kept top-d' ones); `totalVariance` = full covariance trace, so
+    * explained-variance is measured against ALL the variance, not just
+    * the kept subspace. */
   final case class Model(mean: Array[Double],
                          components: Array[Array[Double]],
-                         eigenvalues: Array[Double]) {
+                         eigenvalues: Array[Double],
+                         totalVariance: Double) {
     def d: Int = mean.length
     def dOut: Int = components.length
 
-    /** Fraction of sample variance the first k components carry. */
-    def explainedVariance(k: Int): Double = {
-      val t = eigenvalues.sum
-      if (t == 0.0) 0.0 else eigenvalues.take(k).sum / t
-    }
+    /** Fraction of TOTAL sample variance the first k components carry. */
+    def explainedVariance(k: Int): Double =
+      if (totalVariance == 0.0) 0.0
+      else eigenvalues.take(k).sum / totalVariance
 
     /** Constant fold of the centering: mean · component(k). */
     def meanDot(k: Int): Double = {
@@ -104,7 +107,8 @@ object PcaProjection {
       val lead = v.indexWhere(x => math.abs(x) > 1e-9)
       if (lead >= 0 && v(lead) < 0) v.map(-_) else v
     }.toArray
-    Model(mean, comps, order.take(numComponents).map(values).toArray)
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    Model(mean, comps, order.take(numComponents).map(values).toArray, trace)
   }
 
   /** Cyclic Jacobi for a symmetric matrix: returns (eigenvalues,

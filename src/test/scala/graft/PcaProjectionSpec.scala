@@ -43,6 +43,47 @@ class PcaProjectionSpec extends SparkSpec {
     }
   }
 
+  test("measured recall-vs-compression curve on the test embeddings " +
+      "(near-isotropic spectrum: the honest worst case for PCA)") {
+    val e = graft.core.Tables.load(spark, sf(), "embeddings")
+      .select("vec_id", "embedding").cache()
+    val full = e.as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble) }.sortBy(_._1).toSeq
+
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    def top10(q: Long, vecs: Seq[(Long, Array[Double])]): Set[Long] = {
+      val qv = vecs.find(_._1 == q).get._2
+      vecs.filter(_._1 != q).map { case (id, v) => id -> cos(qv, v) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    }
+    val queries = full.map(_._1).take(20)
+    val exact = queries.map(q => q -> top10(q, full)).toMap
+
+    val curve = Seq(8, 16, 32).map { dOut =>
+      val m = PcaProjection.train(e, "vec_id", "embedding", dOut)
+      val red = PcaProjection.project(e, "embedding", m)
+        .select(col("vec_id"),
+          array((0 until dOut).map(k => col(s"pc$k")): _*).as("pvec"))
+        .as[(Long, Array[Double])].collect().toSeq
+      val recall = queries.map(q =>
+        exact(q).intersect(top10(q, red)).size / 10.0).sum / queries.length
+      info(f"PCA-$dOut/64: explained variance ${m.explainedVariance(dOut)}%.2f, " +
+        f"mean recall@10 $recall%.2f")
+      dOut -> recall
+    }
+    // The spectrum here is flat (synthetic near-isotropic vectors), so
+    // aggressive cuts MUST lose neighbors — the curve is the measurement
+    // that tells a user where their corpus sits. Pin monotonicity and
+    // the half-dim floor; real text embeddings (decaying spectrum)
+    // sit far above this worst case.
+    assert(curve.sliding(2).forall(w => w(1)._2 >= w(0)._2))
+    assert(curve.last._2 > 0.45)
+  }
+
   test("model invariant to input partitioning; projection matches replay") {
     val m1 = PcaProjection.train(data, "vec_id", "embedding", numComponents = 2)
     val m2 = PcaProjection.train(data.repartition(7), "vec_id", "embedding",
