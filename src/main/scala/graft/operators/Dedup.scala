@@ -414,9 +414,11 @@ object Dedup {
 
   /** (id, band, key) LSH bucket keys from a minhash-signature table —
     * one banded posexplode, payload-free (ids + band keys only reach the
-    * bucket join). */
-  private def bandKeys(sigs: DataFrame, idCol: String, numBands: Int,
-                       rowsPerBand: Int): DataFrame =
+    * bucket join). Shared with the streaming gate
+    * ([[graft.streaming.StreamingDedup.crossDedupGate]]) so both paths
+    * bucket identically. */
+  private[graft] def bandKeys(sigs: DataFrame, idCol: String, numBands: Int,
+                              rowsPerBand: Int): DataFrame =
     sigs.select(col(idCol), posexplode(
         array((0 until numBands).map { b =>
           struct(lit(b).as("band"),

@@ -111,4 +111,70 @@ object StreamingDedup {
       .agg(min(struct(col("dup_of"), col("hamming"))).as("m"))
       .select(col("doc_id"), col("m.dup_of").as("dup_of"),
         col("m.hamming").as("hamming"))
+
+  /** Streaming twin of [[graft.operators.Dedup.minhashLshPairsAgainst]]:
+    * gate an INCOMING stream against a STATIC already-deduped corpus.
+    * Each arriving doc computes its shingles + minhash signature inline
+    * (codegen projections — streaming-safe), explodes into band keys,
+    * and stream-static equi-joins the corpus's precomputed band keys;
+    * candidates verify with EXACT Jaccard against the corpus doc's
+    * distinct-shingle array (which rides the second stream-static join
+    * as a column — no stream-stream join, no shuffle of the stream
+    * beyond the joins). Emits (id_new, id_ref, jaccard) for matches at
+    * `threshold`; rejects-at-ingest follows by anti-joining the source.
+    *
+    * Identical banding + verification math to the batch operator, so
+    * streamed == batch row-for-row (pinned in StreamingCrossDedupSpec).
+    * At 100 TB the static prep (band keys, shingle arrays) is computed
+    * once at the corpus's own dedup time and read from its clustered
+    * table; the per-batch cost is the BATCH side only. The
+    * `dropDuplicates` collapsing multi-band collisions is the one
+    * stateful operator — bounded by matched pairs, with the usual
+    * watermark/TTL lever on a continuous stream. */
+  def crossDedupGate(incoming: DataFrame, existing: DataFrame,
+                     idCol: String, textCol: String,
+                     n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 2,
+                     threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    val numBands = numHashes / rowsPerBand
+    graft.expressions.TextShingleExpressions.register(incoming.sparkSession)
+
+    val refBands = graft.operators.Dedup.bandKeys(
+        graft.operators.Dedup.minhashSignatures(existing, idCol, textCol,
+          n, numHashes, seed), idCol, numBands, rowsPerBand)
+      .select(col(idCol).as("id_ref"), col("band"), col("key"))
+    val refSh = existing
+      .select(col(idCol).as("id_ref"),
+        array_distinct(call_function("word_shingles", col(textCol), lit(n)))
+          .as("__sh_ref"))
+      .where(size(col("__sh_ref")) > 0)
+
+    val bandStructs = array((0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(":", (0 until rowsPerBand).map(r =>
+          element_at(col("__sig"), b * rowsPerBand + r + 1)): _*).as("key"))
+    }: _*)
+    val newSide = incoming
+      .select(col(idCol).as("id_new"),
+        call_function("word_shingles", col(textCol), lit(n)).as("__raw"))
+      .where(size(col("__raw")) > 0)
+      .select(col("id_new"), array_distinct(col("__raw")).as("__sh_new"),
+        call_function("minhash_sigs", col("__raw"), lit(numHashes),
+          lit(seed)).as("__sig"))
+      .select(col("id_new"), col("__sh_new"),
+        explode(bandStructs).as("bk"))
+      .select(col("id_new"), col("__sh_new"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+
+    newSide.join(refBands, Seq("band", "key"))
+      .join(refSh, "id_ref")
+      .withColumn("__inter",
+        size(array_intersect(col("__sh_new"), col("__sh_ref"))))
+      .withColumn("jaccard", col("__inter") /
+        (size(col("__sh_new")) + size(col("__sh_ref")) - col("__inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_ref"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .dropDuplicates("id_new", "id_ref")
+  }
 }
