@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
-import graft.operators.Bm25
+import graft.operators.{Bm25, PhraseSearch}
 
 /** Keyword-retrieval queries: the inverted-index/BM25 side of the
   * retrieval stack (the ANN side lives in SimilarityQueries). The BM25
@@ -79,5 +79,64 @@ object RetrievalQueries extends QueryFamily {
       WHERE rank <= 10
       ORDER BY query_id, rank"""))
 
-  override val defs: Seq[QueryDef] = Seq(q76)
+  /** Phrase set for exact-phrase retrieval: trigrams verified present in
+    * the corpus at multiple scale factors, plus one bigram so the
+    * per-length union path is exercised. */
+  private val phraseSet = Seq(
+    0 -> "slow hash batch",
+    1 -> "part filter scan",
+    2 -> "row column sort",
+    3 -> "stream table hash",
+    4 -> "table key filter",
+    5 -> "hash join")
+
+  private val q80 = QueryDef(
+    "q80_phrase_search",
+    "Exact-phrase retrieval (contamination forensics: every doc " +
+      "containing the exact quote): corpus explodes its L-gram multiset " +
+      "once per distinct phrase length, phrases broadcast into a " +
+      "gram-keyed join — map-local corpus scan, only matching " +
+      "occurrences reach the (query, doc) count. Hit count + first " +
+      "position per match.",
+    (s, dir) => {
+      import s.implicits._
+      val qs = phraseSet.toDF("query_id", "phrase")
+      PhraseSearch.phraseMatches(docs(s, dir), "doc_id", "text",
+          qs, "query_id", "phrase")
+        .select("query_id", "doc_id", "n_hits", "first_pos")
+        .orderBy("query_id", "doc_id")
+    },
+    Some(s"""
+      WITH q(query_id, phrase) AS (VALUES
+        ${phraseSet.map { case (i, t) => s"($i, '$t')" }.mkString(", ")}),
+      toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      occ3 AS (
+        SELECT doc_id, u.pos, u.gram FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(len(a) - 1, 1)),
+                   i -> struct_pack(pos := i - 1,
+                     gram := a[i] || ' ' || a[i+1] || ' ' || a[i+2]))) AS u
+          FROM toks)),
+      occ2 AS (
+        SELECT doc_id, u.pos, u.gram FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(len(a), 1)),
+                   i -> struct_pack(pos := i - 1,
+                     gram := a[i] || ' ' || a[i+1]))) AS u
+          FROM toks)),
+      m AS (
+        SELECT query_id, doc_id, pos
+        FROM q JOIN occ3 ON q.phrase = occ3.gram
+        WHERE len(string_split(phrase, ' ')) = 3
+        UNION ALL
+        SELECT query_id, doc_id, pos
+        FROM q JOIN occ2 ON q.phrase = occ2.gram
+        WHERE len(string_split(phrase, ' ')) = 2)
+      SELECT query_id, doc_id,
+             CAST(count(*) AS INTEGER) AS n_hits,
+             CAST(min(pos) AS INTEGER) AS first_pos
+      FROM m GROUP BY 1, 2
+      ORDER BY query_id, doc_id"""))
+
+  override val defs: Seq[QueryDef] = Seq(q76, q80)
 }
