@@ -390,6 +390,35 @@ object IvfIndex {
       .where(col("rk") <= k)
   }
 
+  /** Incremental index maintenance — the FAISS `add` story: assign the
+    * new batch with the FROZEN model and append it to the
+    * `partitionBy(clusterCol)` index table. Nothing already indexed is
+    * rewritten (append touches only the partitions the batch lands in),
+    * so continual ingest costs the BATCH, not a corpus-wide retrain +
+    * rewrite — the same amortization as q77's persisted dedup signatures.
+    * Assignment is row-independent and the model deterministic, so the
+    * appended table is bit-identical to indexing the union at once
+    * (pinned in IvfSpec). Retrain on a DRIFT signal, not a schedule:
+    * when [[driftStat]] of arriving batches decays vs the value recorded
+    * at train time, the frozen centroids no longer describe the data. */
+  def appendBatch(spark: SparkSession, batch: DataFrame, vecCol: String,
+                  model: Model, indexDir: String,
+                  clusterCol: String = "ivf_cluster"): Unit =
+    assign(spark, batch, vecCol, model, clusterCol)
+      .write.mode("append").partitionBy(clusterCol).parquet(indexDir)
+
+  /** Drift statistic for retrain scheduling: mean cosine of each vector
+    * to its own nearest centroid ([[assignScored]]'s free byproduct,
+    * averaged — one map-side-combinable aggregate, one row back). An
+    * in-distribution batch reproduces the train-time value; a shifted
+    * corpus scores measurably lower (IvfSpec pins the separation). The
+    * operational rule: record `driftStat` on the training sample, retrain
+    * when a batch drops below ~0.9× of it. */
+  def driftStat(spark: SparkSession, df: DataFrame, vecCol: String,
+                model: Model): Double =
+    assignScored(spark, df, vecCol, model)
+      .agg(avg(col("proto_cos"))).head.getDouble(0)
+
   /** Exact cosine top-k within the `nprobe` clusters nearest to `queryVec`.
     * The cluster filter is the partition-pruning predicate at scale. */
   def searchTopK(spark: SparkSession, indexed: DataFrame, idCol: String,

@@ -315,4 +315,47 @@ class IvfSpec extends SparkSpec {
       assert(math.abs(norm - 1.0) < 1e-9)
     }
   }
+
+  test("appendBatch: continual ingest == index-at-once") {
+    val a = emb.where($"vec_id" % 3 =!= 0)
+    val b = emb.where($"vec_id" % 3 === 0)
+    val dir = tmpDir("ivf_append")
+    IvfIndex.assign(spark, a, "embedding", model)
+      .write.mode("overwrite").partitionBy("ivf_cluster").parquet(dir)
+    IvfIndex.appendBatch(spark, b, "embedding", model, dir)
+    val appended = spark.read.parquet(dir)
+    assert(appended.count() == emb.count())
+    // Assignment is row-independent + the model frozen, so the appended
+    // table carries the SAME (id, cluster) map as indexing the union at
+    // once — continual ingest never degrades placement.
+    val viaAppend = appended.select("vec_id", "ivf_cluster")
+      .as[(Long, Int)].collect().toMap
+    val atOnce = IvfIndex.assign(spark, emb, "embedding", model)
+    val viaOnce = atOnce.select("vec_id", "ivf_cluster")
+      .as[(Long, Int)].collect().toMap
+    assert(viaAppend == viaOnce)
+    // ...and search over the appended table == search over the at-once
+    // index (exercises the read-back path: partition discovery + pruning).
+    val s1 = IvfIndex.searchTopK(spark, appended, "vec_id", "embedding",
+      model, queryVec, k = 10, nprobe = 4).collect().toSeq
+    val s2 = IvfIndex.searchTopK(spark, atOnce, "vec_id", "embedding",
+      model, queryVec, k = 10, nprobe = 4).collect().toSeq
+    assert(s1 == s2)
+  }
+
+  test("driftStat separates in-distribution batches from drifted ones") {
+    val inDist = IvfIndex.driftStat(spark, emb, "embedding", model)
+    // Drifted twin: reverse each embedding — same norm distribution, but
+    // directions the trained centroids never saw.
+    val drifted = emb.select($"vec_id", reverse($"embedding").as("embedding"))
+    val out = IvfIndex.driftStat(spark, drifted, "embedding", model)
+    info(f"driftStat in-dist=$inDist%.4f drifted=$out%.4f")
+    assert(inDist > out + 0.02,
+      s"drift signal too weak: in-dist $inDist vs drifted $out")
+    // The stat is the mean of assignScored's free byproduct — one
+    // aggregate, no extra data movement.
+    val viaScore = IvfIndex.assignScored(spark, emb, "embedding", model)
+      .agg(avg($"proto_cos")).head.getDouble(0)
+    assert(math.abs(inDist - viaScore) < 1e-12)
+  }
 }
