@@ -419,6 +419,47 @@ object IvfIndex {
     assignScored(spark, df, vecCol, model)
       .agg(avg(col("proto_cos"))).head.getDouble(0)
 
+  /** Metadata-FILTERED ANN search — top-k among rows satisfying `pred`
+    * (the RAG "same tenant / same lang / date range" shape; FAISS calls
+    * it an IDSelector). Two plans, the classic vector-db planner choice:
+    *
+    *  - **filter-first** (selective predicates): brute-force exact
+    *    cosine over the filtered subset, no cluster restriction. When
+    *    the filter keeps only ~k·α rows, probing is pointless — most
+    *    probed cells contain nothing that passes, and recall collapses
+    *    because survivors hide in unprobed cells.
+    *  - **probe-first** (broad predicates): the [[searchTopK]] partition
+    *    pruning with `pred` composed into the scan filter — both push
+    *    into the parquet scan of the `partitionBy(ivf_cluster)` table.
+    *
+    * `bruteForceUnder > 0` enables the planner: one COUNT over the
+    * filtered subset (a column-pruned scan touching only `pred`'s
+    * columns — the stats lookup a warehouse would answer from metadata)
+    * decides the path. `bruteForceUnder = 0` pins probe-first, which is
+    * what a deterministic-oracle query wants. */
+  def searchTopKWhere(spark: SparkSession, indexed: DataFrame, idCol: String,
+                      vecCol: String, model: Model, queryVec: Array[Double],
+                      k: Int, nprobe: Int, pred: Column,
+                      bruteForceUnder: Long = 0L,
+                      clusterCol: String = "ivf_cluster",
+                      roundTo: Int = 6): DataFrame = {
+    VectorExpressions.register(spark)
+    val filtered = indexed.where(pred)
+    val base =
+      if (bruteForceUnder > 0 && filtered.count() <= bruteForceUnder) filtered
+      else {
+        val probes = model.rankClusters(queryVec).take(nprobe)
+        filtered.where(col(clusterCol).isin(probes.map(Integer.valueOf).toSeq: _*))
+      }
+    val qLit = array(queryVec.map(lit).toSeq: _*)
+    base
+      .select(col(idCol),
+        round(call_function("cosine_sim", col(vecCol), qLit), roundTo)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Exact cosine top-k within the `nprobe` clusters nearest to `queryVec`.
     * The cluster filter is the partition-pruning predicate at scale. */
   def searchTopK(spark: SparkSession, indexed: DataFrame, idCol: String,

@@ -772,7 +772,70 @@ object SimilarityQueries extends QueryFamily {
     None,
     oracleGen = Some(pcaOracle))
 
+  /** q81 oracle: q39's generated IVF twin with the label predicate
+    * composed in — same retrained model, same injected centroid
+    * literals and probe list, filter applied after assignment exactly
+    * as the probe-first plan composes it into the scan. */
+  private def ivfFilteredOracle(s: SparkSession, dir: String): String = {
+    val e = emb(s, dir)
+    val model = IvfIndex.train(e, "vec_id", "embedding", k = 16)
+    val qv = e.where(org.apache.spark.sql.functions.col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val probes = model.rankClusters(qv).take(4)
+    val centRows = model.centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+    s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+                 FROM embeddings),
+      cents AS (SELECT * FROM (VALUES $centRows) t(cid, c)),
+      scored AS (
+        SELECT e.vec_id, e.v, e.label, cents.cid,
+               COALESCE(${fold("e.v", "c")} /
+                 (sqrt(${fold("e.v", "e.v")}) * sqrt(${fold("c", "c")})), -2.0)
+                 AS cs
+        FROM e CROSS JOIN cents),
+      asg AS (
+        SELECT vec_id, v FROM (
+          SELECT vec_id, v, label, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cs DESC, cid) AS rn
+          FROM scored)
+        WHERE rn = 1 AND cid IN (${probes.mkString(", ")}) AND label = 3),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+      SELECT a.vec_id,
+             round(${fold("a.v", "qv")} /
+               (sqrt(${fold("a.v", "a.v")}) * sqrt(${fold("qv", "qv")})), 6)
+               AS cosine
+      FROM asg a, q
+      ORDER BY cosine DESC, vec_id
+      LIMIT 10"""
+  }
+
+  private val q81 = QueryDef(
+    "q81_ann_filtered_topk",
+    "Metadata-filtered ANN (the RAG same-tenant/same-lang shape): top-10 " +
+      "neighbors of vec_id=0 among label=3 rows only, probe-first — the " +
+      "label predicate composes with the 4-cluster probe filter so BOTH " +
+      "push into the scan of the partitionBy(ivf_cluster) table. " +
+      "searchTopKWhere's planner flips to an exact filter-first scan when " +
+      "a count over the filtered subset says the predicate is selective " +
+      "(IvfSpec pins both paths and the flip); pinned probe-first here " +
+      "for the deterministic oracle.",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val model = IvfIndex.train(e, "vec_id", "embedding", k = 16)
+      val indexed = IvfIndex.assign(s, e, "embedding", model)
+      val qv = e.where(org.apache.spark.sql.functions.col("vec_id") === 0L)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+      IvfIndex.searchTopKWhere(s, indexed, "vec_id", "embedding", model, qv,
+        k = 10, nprobe = 4,
+        pred = org.apache.spark.sql.functions.col("label") === 3)
+    },
+    None,
+    oracleGen = Some((s, dir) => ivfFilteredOracle(s, dir)))
+
   override val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q39, q40, q50, q51, q59, q60, q61, q64, q70, q73, q74,
-      q79)
+      q79, q81)
 }

@@ -358,4 +358,36 @@ class IvfSpec extends SparkSpec {
       .agg(avg($"proto_cos")).head.getDouble(0)
     assert(math.abs(inDist - viaScore) < 1e-12)
   }
+
+  test("filtered search: filter-first is exact, probe-first == composed filters, planner flips on count") {
+    val indexed = IvfIndex.assign(spark, emb, "embedding", model)
+    val pred = col("label") === 3
+    val nFiltered = indexed.where(pred).count()
+    // Filter-first (threshold above the subset size): brute-force exact
+    // over the filtered subset == searchTopK at nprobe=k on it.
+    val brute = IvfIndex.searchTopKWhere(spark, indexed, "vec_id",
+      "embedding", model, queryVec, k = 5, nprobe = 4, pred,
+      bruteForceUnder = nFiltered).collect().toSeq
+    val exact = IvfIndex.searchTopK(spark, indexed.where(pred), "vec_id",
+      "embedding", model, queryVec, k = 5, nprobe = model.k)
+      .collect().toSeq
+    assert(brute == exact)
+    // Probe-first (threshold pinned off): == searchTopK over the
+    // pred-filtered index — predicate and probe filter compose.
+    val probed = IvfIndex.searchTopKWhere(spark, indexed, "vec_id",
+      "embedding", model, queryVec, k = 5, nprobe = 4, pred,
+      bruteForceUnder = 0L).collect().toSeq
+    val composed = IvfIndex.searchTopK(spark, indexed.where(pred), "vec_id",
+      "embedding", model, queryVec, k = 5, nprobe = 4).collect().toSeq
+    assert(probed == composed)
+    // The planner flip: a threshold just below the subset size keeps
+    // probe-first (approximate ⊆ exact candidate pool, recall reported).
+    val flipped = IvfIndex.searchTopKWhere(spark, indexed, "vec_id",
+      "embedding", model, queryVec, k = 5, nprobe = 4, pred,
+      bruteForceUnder = nFiltered - 1).collect().toSeq
+    assert(flipped == probed)
+    val recall = (probed.map(_.getLong(0)).toSet &
+      exact.map(_.getLong(0)).toSet).size.toDouble / exact.size
+    info(f"filtered probe-first recall@5 (nprobe=4/16, label=3) = $recall%.3f")
+  }
 }
