@@ -53,7 +53,7 @@ object Bm25 {
       .select(col(queryIdCol), explode(split(col(queryTextCol), " ")).as("term"))
       .distinct()
       .join(df_, "term")
-      .crossJoin(stats)
+      .crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
       .select(col(queryIdCol), col("term"), col("idf"), col("avgdl"))

@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
+import graft.core.Tables
+
 /** Structured Streaming over the events table.
   *
   * The reference's paginated fetch loop is already micro-batch shaped
@@ -20,17 +22,20 @@ import org.apache.spark.sql.types._
   */
 object EventsStreaming {
 
-  /** events.parquet physical schema (ts = TIMESTAMP(NANOS) read as long). */
-  val eventsFileSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** The stream source's schema, read from the actual parquet footer (a
+    * metadata-only batch read) instead of hard-coded: the fixture's physical
+    * ts encoding has drifted across rounds (long nanos → TIMESTAMP_NTZ),
+    * and a declared schema that disagrees with the footer either crashes or
+    * silently misreads. Footer truth + [[normalizeTs]] after the source is
+    * the drift-proof order.
+    */
+  def eventsFileSchema(spark: SparkSession, path: String): StructType =
+    spark.read.parquet(path).schema
 
-  def normalizeTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast(LongType)))
+  /** Delegates to the single normalization point shared with batch
+    * ([[graft.core.Tables.normalizeEventTs]]): dispatches on the column's
+    * actual type, so a nanos→micros division can never hit micros data. */
+  def normalizeTs(df: DataFrame): DataFrame = Tables.normalizeEventTs(df)
 
   /** 5-minute tumbling windows per event_type: count + exact value sum.
     * Works identically on a batch DataFrame and a streaming one. */
@@ -53,7 +58,7 @@ object EventsStreaming {
   def runWindowedAggAvailableNow(spark: SparkSession, sfDir: String,
                                  statePartitions: Int = 8): DataFrame = {
     val stream = spark.readStream
-      .schema(eventsFileSchema)
+      .schema(eventsFileSchema(spark, s"$sfDir/events.parquet"))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
     val agg = windowedAgg(normalizeTs(stream).withWatermark("ts", "10 minutes"))

@@ -30,12 +30,12 @@ class StreamingSpec extends SparkSpec {
     * flatMapGroupsWithState (AvailableNow → one bounded batch). */
   private def streamingSessionStats(gapMinutes: Int) = {
     val gapUs = gapMinutes.toLong * 60 * 1000000
-    val events = spark.readStream
-      .schema(EventsStreaming.eventsFileSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sf())
+    val events = EventsStreaming.normalizeTs(spark.readStream
+        .schema(EventsStreaming.eventsFileSchema(spark, sf() + "/events.parquet"))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf()))
       .select(col("user_id"), col("event_id"),
-        (col("ts") / 1000).cast("long").as("us"))
+        unix_micros(col("ts")).as("us"))
       .as[Ev]
 
     val sessions = events
@@ -78,8 +78,8 @@ class StreamingSpec extends SparkSpec {
       new java.io.File(dir, "b.parquet").toPath)
 
     val stream = spark.readStream
-      .schema(EventsStreaming.eventsFileSchema)
-      .parquet(dir)
+      .schema(EventsStreaming.eventsFileSchema(spark, dir.toString))
+      .parquet(dir.toString)
     val deduped = EventsStreaming.dedupStream(
       EventsStreaming.normalizeTs(stream))
     val name = s"dedup_${System.nanoTime()}"
