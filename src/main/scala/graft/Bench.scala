@@ -58,10 +58,17 @@ object Bench {
       try graft.core.Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
+    // Local-iteration filter (comma-separated names); the driver never
+    // sets it, so the recorded bench always covers the full surface.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val mainQs: Seq[(String, () => DataFrame)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) => name -> (() => fn(spark, sfDir)) }
-    val skewQs = skewQueries(spark, sfDir)
+    val skewQs =
+      if (only.isEmpty) skewQueries(spark, sfDir)
+      else Seq.empty[(String, () => DataFrame)]
 
     // Interleaved min-of-N: this box shows 2-3x wall-clock variance under
     // load, and back-to-back repeats of one query share whatever transient
@@ -95,24 +102,35 @@ object Bench {
         timings(name) = t :: timings(name)
       }
     }
-    def best(name: String): Double = {
+    // A failed query reports null (never a number): a -1 sentinel inside
+    // the timing maps silently SUBTRACTS from any consumer that sums or
+    // averages them. The crash signal travels separately in "failed".
+    def best(name: String): Option[Double] = {
       val ts = timings(name)
-      if (ts.contains(-1.0)) -1.0 else ts.min
+      if (ts.contains(-1.0)) None else Some(ts.min)
     }
     def jsonMap(qs: Seq[(String, () => DataFrame)]): String =
-      qs.map { case (k, _) => s"\"" + k + "\":" + best(k) }
-        .mkString("{", ",", "}")
+      qs.map { case (k, _) =>
+        s"\"" + k + "\":" + best(k).map(_.toString).getOrElse("null")
+      }.mkString("{", ",", "}")
+    val failed = (mainQs ++ skewQs).collect {
+      case (k, _) if best(k).isEmpty => k
+    }
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Per-query [min, median, max] across the interleaved passes: a
     // cross-round comparison can classify a swing as noise (spreads
     // overlap) vs a real plan change (disjoint spreads) without a rerun —
     // this box's idle-vs-loaded drift is ~25% (see probe_sec).
     def spreadJson(qs: Seq[(String, () => DataFrame)]): String =
       qs.map { case (k, _) =>
-        val ts = timings(k).sorted
-        val med = ts(ts.size / 2)
-        s"\"" + k + "\":[" + f"${ts.head}%.3f,$med%.3f,${ts.last}%.3f" + "]"
+        if (best(k).isEmpty) s"\"" + k + "\":null"
+        else {
+          val ts = timings(k).sorted
+          val med = ts(ts.size / 2)
+          s"\"" + k + "\":[" + f"${ts.head}%.3f,$med%.3f,${ts.last}%.3f" + "]"
+        }
       }.mkString("{", ",", "}")
-    val total = mainQs.map { case (k, _) => best(k) }.sum
+    val total = mainQs.flatMap { case (k, _) => best(k) }.sum
     val probeJson = probeTimes.map(t => f"$t%.3f").mkString("[", ",", "]")
     // The full record (per-query spreads included) goes to a FILE: the
     // driver's stdout capture keeps only the tail of long lines, which
@@ -120,13 +138,13 @@ object Bench {
     // line stays ONE JSON object (the driver contract) but drops the
     // spread maps so it fits the capture window; `bench_out.json` in the
     // repo carries everything for round-over-round comparison.
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(mainQs)},"queries_spread":${spreadJson(mainQs)},"skew":${jsonMap(skewQs)},"skew_spread":${spreadJson(skewQs)},"passes":$passes,"probe_sec":$probeJson,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(mainQs)},"queries_spread":${spreadJson(mainQs)},"skew":${jsonMap(skewQs)},"skew_spread":${spreadJson(skewQs)},"failed":$failedJson,"passes":$passes,"probe_sec":$probeJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(mainQs)},"skew":${jsonMap(skewQs)},"passes":$passes,"probe_sec":$probeJson,"full":"$outPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(mainQs)},"skew":${jsonMap(skewQs)},"failed":$failedJson,"passes":$passes,"probe_sec":$probeJson,"full":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -73,13 +73,26 @@ object IvfIndex {
   def train(df: DataFrame, idCol: String, vecCol: String, k: Int,
             iters: Int = 8, sampleN: Int = 0, seed: Long = 42L): Model = {
     val n = if (sampleN > 0) sampleN else math.max(4096, 50 * k)
-    val sample: Array[Array[Double]] = df
+    val raw: Array[Array[Double]] = df
       .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
       .where(col("__v").isNotNull)
       .orderBy(abs(hash(col("__id"), lit(seed))), col("__id"))
       .limit(n)
       .select("__v").collect()
       .map(_.getSeq[Double](0).toArray)
+    trainFromRaw(raw, k, iters)
+  }
+
+  /** [[train]]'s Lloyd body over an already-collected raw sample — lets a
+    * caller training BOTH an IVF model and a residual-PQ codebook from the
+    * same hash-ordered sample (see PqIndex.trainIvfResidual) pay for ONE
+    * sample-collect scan instead of two identical ones. Normalization and
+    * zero-vector filtering happen here, so `raw` is the collect output
+    * verbatim and `train(df, …)` ≡ `trainFromRaw(collect, …)` bit-for-bit.
+    */
+  def trainFromRaw(raw: Array[Array[Double]], k: Int,
+                   iters: Int = 8): Model = {
+    val sample: Array[Array[Double]] = raw
       .map(Model.normalize)
       .filter(v => Model.dot(v, v) > 0.0)
     require(sample.length >= k,
@@ -400,12 +413,46 @@ object IvfIndex {
     * appended table is bit-identical to indexing the union at once
     * (pinned in IvfSpec). Retrain on a DRIFT signal, not a schedule:
     * when [[driftStat]] of arriving batches decays vs the value recorded
-    * at train time, the frozen centroids no longer describe the data. */
+    * at train time, the frozen centroids no longer describe the data.
+    *
+    * That rule is wired in, not just documented: pass `retrainBelow`
+    * (the decay factor, e.g. 0.9) and `baselineDrift` (the [[driftStat]]
+    * recorded on the training distribution) and the append ALSO measures
+    * the batch's drift and returns whether a retrain is due. The score is
+    * [[assignScored]]'s free byproduct of the assignment the append runs
+    * anyway — the batch is cached for the write + one 1-row aggregate,
+    * so the trigger costs no extra scan of anything corpus-sized. The
+    * decision comes back to the CALLER (returned, not acted on): a
+    * retrain swaps the frozen model for all FUTURE batches and schedules
+    * a background reindex, which is an orchestration step, not a side
+    * effect an append should hide. */
+  final case class AppendResult(appended: Long, drift: Option[Double],
+                                retrainDue: Boolean)
+
   def appendBatch(spark: SparkSession, batch: DataFrame, vecCol: String,
                   model: Model, indexDir: String,
-                  clusterCol: String = "ivf_cluster"): Unit =
-    assign(spark, batch, vecCol, model, clusterCol)
-      .write.mode("append").partitionBy(clusterCol).parquet(indexDir)
+                  clusterCol: String = "ivf_cluster",
+                  retrainBelow: Double = 0.0,
+                  baselineDrift: Double = Double.NaN): AppendResult =
+    if (retrainBelow <= 0.0) {
+      assign(spark, batch, vecCol, model, clusterCol)
+        .write.mode("append").partitionBy(clusterCol).parquet(indexDir)
+      AppendResult(-1L, None, retrainDue = false)
+    } else {
+      require(!baselineDrift.isNaN,
+        "retrainBelow needs baselineDrift: record driftStat on the " +
+          "training distribution at train time and pass it here")
+      val scored = assignScored(spark, batch, vecCol, model, clusterCol)
+      scored.cache()
+      try {
+        scored.drop("proto_cos")
+          .write.mode("append").partitionBy(clusterCol).parquet(indexDir)
+        val row = scored.agg(count(lit(1)), avg(col("proto_cos"))).head
+        val d = row.getDouble(1)
+        AppendResult(row.getLong(0), Some(d),
+          retrainDue = d < retrainBelow * baselineDrift)
+      } finally scored.unpersist()
+    }
 
   /** Drift statistic for retrain scheduling: mean cosine of each vector
     * to its own nearest centroid ([[assignScored]]'s free byproduct,

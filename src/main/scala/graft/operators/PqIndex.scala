@@ -153,9 +153,17 @@ object PqIndex {
   def trainResidual(df: DataFrame, idCol: String, vecCol: String,
                     ivf: IvfIndex.Model, dim: Int, m: Int, ks: Int,
                     iters: Int = 8, sampleN: Int = 0,
-                    seed: Long = 42L): ResidualModel = {
+                    seed: Long = 42L): ResidualModel =
+    trainResidualFromSample(
+      collectSample(df, idCol, vecCol, dim, ks, sampleN, seed),
+      ivf, dim, m, ks, iters)
+
+  /** [[trainResidual]]'s body over an already-collected sample (see
+    * [[trainIvfResidual]] for why). */
+  def trainResidualFromSample(sample: Array[Array[Double]],
+                              ivf: IvfIndex.Model, dim: Int, m: Int,
+                              ks: Int, iters: Int = 8): ResidualModel = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
-    val sample = collectSample(df, idCol, vecCol, dim, ks, sampleN, seed)
     val cells = sample.map(v => assignOf(ivf, v))
     val sums = Array.fill(ivf.k)(new Array[Double](dim))
     val counts = new Array[Long](ivf.k)
@@ -175,6 +183,28 @@ object PqIndex {
     }.toArray
     ResidualModel(Model(dim, m, ks, lloyd(residuals, dim, m, ks, iters)),
       anchors)
+  }
+
+  /** Train the coarse IVF model AND the residual-PQ codebooks from ONE
+    * hash-ordered sample collect. `IvfIndex.train` + [[trainResidual]]
+    * separately each run an identical full-scan + TakeOrdered + collect
+    * job (same seed, same ordering, overlapping n) — at 100 TB that is a
+    * second pass over the corpus for bytes the driver already holds, and
+    * even at bench scale it is a whole extra Spark job on the index-build
+    * path. Sample size = the max of both trainers' auto-scaled wants, so
+    * neither model trains on fewer vectors than its standalone twin.
+    * Deterministic: callers and their Verify-time oracle twins go through
+    * this same path, so engine and oracle models stay bit-identical. */
+  def trainIvfResidual(df: DataFrame, idCol: String, vecCol: String,
+                       kIvf: Int, dim: Int, m: Int, ks: Int,
+                       itersIvf: Int = 8, itersPq: Int = 8,
+                       sampleN: Int = 0, seed: Long = 42L)
+      : (IvfIndex.Model, ResidualModel) = {
+    val n = if (sampleN > 0) sampleN
+    else math.max(math.max(4096, 50 * ks), 50 * kIvf)
+    val sample = collectSample(df, idCol, vecCol, dim, ks, n, seed)
+    val ivf = IvfIndex.trainFromRaw(sample, kIvf, itersIvf)
+    (ivf, trainResidualFromSample(sample, ivf, dim, m, ks, itersPq))
   }
 
   /** Driver-side twin of [[IvfIndex.assign]]: cosine argmax over the

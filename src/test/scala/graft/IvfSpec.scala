@@ -343,6 +343,36 @@ class IvfSpec extends SparkSpec {
     assert(s1 == s2)
   }
 
+  test("appendBatch retrainBelow: drift trigger fires end-to-end") {
+    val baseline = IvfIndex.driftStat(spark, emb, "embedding", model)
+    val dir = tmpDir("ivf_append_drift")
+    // In-distribution batch: appended, measured, no retrain due — and the
+    // written rows are identical to a plain (trigger-off) append.
+    val a = emb.where($"vec_id" % 3 =!= 0)
+    val r1 = IvfIndex.appendBatch(spark, a, "embedding", model, dir,
+      retrainBelow = 0.9, baselineDrift = baseline)
+    assert(r1.appended == a.count())
+    assert(r1.drift.nonEmpty && !r1.retrainDue,
+      s"in-distribution batch must not trigger a retrain: $r1")
+    val plainDir = tmpDir("ivf_append_plain")
+    IvfIndex.appendBatch(spark, a, "embedding", model, plainDir)
+    assert(spark.read.parquet(dir).select("vec_id", "ivf_cluster")
+      .as[(Long, Int)].collect().toMap ==
+      spark.read.parquet(plainDir).select("vec_id", "ivf_cluster")
+        .as[(Long, Int)].collect().toMap)
+    // Shifted batch (reversed embeddings — directions the centroids never
+    // saw): the same call measures the decay and reports a retrain due.
+    val drifted = emb.where($"vec_id" % 3 === 0)
+      .select($"vec_id", reverse($"embedding").as("embedding"))
+    val r2 = IvfIndex.appendBatch(spark, drifted, "embedding", model, dir,
+      retrainBelow = 0.9, baselineDrift = baseline)
+    assert(r2.retrainDue,
+      s"shifted batch must trigger: drift=${r2.drift} baseline=$baseline")
+    assert(r2.drift.get < 0.9 * baseline)
+    // The trigger decision never blocks the append itself: all rows landed.
+    assert(spark.read.parquet(dir).count() == a.count() + drifted.count())
+  }
+
   test("driftStat separates in-distribution batches from drifted ones") {
     val inDist = IvfIndex.driftStat(spark, emb, "embedding", model)
     // Drifted twin: reverse each embedding — same norm distribution, but
