@@ -123,5 +123,35 @@ object StreamMultimodalQueries extends QueryFamily {
       GROUP BY user_id
       ORDER BY user_id"""))
 
-  override val defs: Seq[QueryDef] = Seq(q32, q33, q34)
+  private val q82 = QueryDef(
+    "q82_stream_append_windows",
+    "Append-mode streaming windowed agg — the bounded-state production " +
+      "twin of q33: watermark-closed 5-minute windows emitted exactly " +
+      "once to a parquet file sink with a checkpoint; state is bounded " +
+      "by the watermark delay instead of holding every window forever. " +
+      "Oracle = batch windows restricted to the closed subset " +
+      "(window end <= max event time - 10 min, at Spark's millisecond " +
+      "watermark granularity).",
+    (s, dir) => {
+      def tmp(p: String) =
+        java.nio.file.Files.createTempDirectory(p).toString
+      EventsStreaming.runWindowedAggAppend(s, dir,
+          tmp("graft-q82-out"), tmp("graft-q82-ck"))
+        .orderBy("window_start", "event_type")
+    },
+    Some("""
+      WITH wm AS (
+        SELECT epoch_ms(max(ts)) - 600000 AS cutoff_ms FROM events),
+      w AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type,
+               count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2)
+      SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type, n, sum_value
+      FROM w, wm
+      WHERE epoch_ms(ws) + 300000 <= cutoff_ms
+      ORDER BY window_start, event_type"""))
+
+  override val defs: Seq[QueryDef] = Seq(q32, q33, q34, q82)
 }

@@ -1,6 +1,6 @@
 package graft.store
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
 
@@ -29,11 +29,16 @@ import graft.operators.Upsert
   *   - A merge: (1) semi-join updates against the live rows to find the
   *     files holding matched PKs; (2) rewrite ONLY those files, anti-join
   *     dropping the superseded row versions, union the deduped batch;
-  *     (3) publish v<N+1> via write-temp + atomic rename. Crash before
-  *     (3) leaves orphan data files (removed by [[vacuum]]) and readers
-  *     never see a partial commit. Single writer, like the reference's
-  *     batch ETL — multi-writer needs a log with conflict detection
-  *     (Delta's optimistic protocol), out of scope for a sink prototype.
+  *     (3) publish v<N+1> via write-temp + atomic create-if-absent.
+  *     Crash before (3) leaves orphan data files (removed by [[vacuum]])
+  *     and readers never see a partial commit.
+  *   - Multi-writer: optimistic concurrency. Every merge reads one
+  *     pinned snapshot version and its commit is a CAS on that version
+  *     (create v<N+1> if absent — see [[commit]]); a writer that loses
+  *     the race gets ConcurrentModificationException and recomputes the
+  *     merge against the new head (`maxRetries`). Delta's optimistic
+  *     protocol in miniature, spec'd with two interleaved writers in
+  *     MergeStoreSpec.
   *
   * Scale notes: the affected-file list travels to the driver — it is
   * O(files-with-matches), bounded by the update batch's key spread, not
@@ -72,16 +77,37 @@ object MergeStore {
           .asScala.toSeq.filter(_.nonEmpty)
     }
 
-  /** Atomically publish `files` as the next manifest version. */
-  private def commit(target: String, files: Seq[String]): Int = {
-    val next = currentVersion(target).getOrElse(-1) + 1
+  /** Atomically publish `files` as version `parent + 1`, FAILING if that
+    * version already exists — the manifest CAS that turns the sink
+    * multi-writer-safe (Delta's optimistic concurrency in miniature).
+    *
+    * Versions are dense sequential integers, so "reject if the parent
+    * version moved" is exactly "create v(parent+1) if absent". The
+    * atomic create-with-content primitive is link(2): the manifest is
+    * fully written to a private temp name first, then hard-linked to its
+    * final name — `createLink` fails with FileAlreadyExistsException if
+    * another writer published first, and readers can never observe a
+    * partially-written manifest under a versioned name. (The old
+    * ATOMIC_MOVE publish was atomic but REPLACED an existing version —
+    * two racing writers silently lost one commit.) On an object store
+    * the same slot maps to a conditional PUT (If-None-Match) or a
+    * commit/catalog service. */
+  private def commit(target: String, files: Seq[String], parent: Int): Int = {
+    val next = parent + 1
     val dir = manifestDir(target)
     Files.createDirectories(dir)
-    val tmp = dir.resolve(s".v$next.tmp")
+    val tmp = dir.resolve(
+      s".v$next-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     Files.write(tmp, files.sorted.mkString("\n").getBytes("UTF-8"))
-    Files.move(tmp, dir.resolve(s"v$next.list"),
-      StandardCopyOption.ATOMIC_MOVE)
-    next
+    try {
+      Files.createLink(dir.resolve(s"v$next.list"), tmp)
+      next
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"commit conflict at $target: another writer published v$next " +
+            s"while this merge was reading v$parent — re-read and retry")
+    } finally Files.deleteIfExists(tmp)
   }
 
   /** Write `df` as new immutable parquet files under data/, returning
@@ -119,7 +145,7 @@ object MergeStore {
       if (clusterBy.nonEmpty) df.repartitionByRange(numFiles, clusterBy.map(col): _*)
       else df.repartition(numFiles)
     val files = writeFiles(arranged, target)
-    commit(target, files)
+    commit(target, files, currentVersion(target).getOrElse(-1))
   }
 
   /** Read a committed version (newest by default) — exactly the
@@ -141,7 +167,8 @@ object MergeStore {
   def upsert(spark: SparkSession, rows: DataFrame, target: String,
              pk: Seq[String], dataCols: Seq[String],
              ordCols: Seq[String] = Nil, clusterBy: Seq[String] = Nil,
-             numFiles: Int = 8, maxLiveFiles: Int = 0): (Long, Long) = {
+             numFiles: Int = 8, maxLiveFiles: Int = 0,
+             maxRetries: Int = 3): (Long, Long) = {
     require(pk.nonEmpty, s"merge sink at $target has no primary key")
     val incoming = rows.where(pk.map(col(_).isNotNull).reduce(_ && _))
     if (currentVersion(target).isEmpty) {
@@ -154,7 +181,7 @@ object MergeStore {
     } else {
       val stats = merge(spark,
         incoming.select((dataCols ++ ordCols).map(col): _*),
-        target, pk, ordCols)
+        target, pk, ordCols, maxRetries)
       maintain(spark, target, numFiles, maxLiveFiles, clusterBy)
       (stats.rowsInserted, stats.rowsUpdated)
     }
@@ -185,19 +212,45 @@ object MergeStore {
 
   /** MERGE `updates` into the table on `pk` (incoming wins; within the
     * batch the highest `ordCols` wins, like CoreStore's intra-batch
-    * order). Rewrites only the files containing matched keys. */
+    * order). Rewrites only the files containing matched keys.
+    *
+    * Multi-writer safe via optimistic concurrency: the whole merge reads
+    * ONE pinned snapshot version (never "the newest", which another
+    * writer may advance mid-merge), and the final [[commit]] is a CAS on
+    * that snapshot. A lost race throws ConcurrentModificationException —
+    * or, with `maxRetries > 0`, transparently recomputes the merge
+    * against the new head (the data files it staged for the lost attempt
+    * become orphans, reclaimed by [[vacuum]]). Recomputation, not rebase:
+    * an upsert's result depends on the head's row versions, so replaying
+    * against the new snapshot is the only generally-correct resolution. */
   def merge(spark: SparkSession, updates: DataFrame, target: String,
-            pk: Seq[String], ordCols: Seq[String] = Nil): MergeStats = {
-    val before = liveFiles(target)
-    require(before.nonEmpty, s"no committed version at $target")
+            pk: Seq[String], ordCols: Seq[String] = Nil,
+            maxRetries: Int = 0,
+            snapshotVersion: Option[Int] = None): MergeStats =
+    try mergeOnce(spark, updates, target, pk, ordCols, snapshotVersion)
+    catch {
+      case _: java.util.ConcurrentModificationException if maxRetries > 0 =>
+        // Replay resolves the snapshot FRESH (never the stale pin): the
+        // retry exists precisely because that version is no longer head.
+        merge(spark, updates, target, pk, ordCols, maxRetries - 1)
+    }
+
+  private def mergeOnce(spark: SparkSession, updates: DataFrame,
+                        target: String, pk: Seq[String],
+                        ordCols: Seq[String],
+                        snapshotVersion: Option[Int]): MergeStats = {
+    val parentV = snapshotVersion.orElse(currentVersion(target))
+      .getOrElse(sys.error(s"no committed version at $target"))
+    val before = liveFiles(target, Some(parentV))
+    def snapshot = read(spark, target, Some(parentV))
     val ord = if (ordCols.nonEmpty) ordCols.map(col)
       else Seq(monotonically_increasing_id())
     val incoming = Upsert.dedupByKey(
       updates.where(pk.map(col(_).isNotNull).reduce(_ && _)), pk, ord)
-      .select(read(spark, target).columns.map(col).toIndexedSeq: _*)
+      .select(snapshot.columns.map(col).toIndexedSeq: _*)
       .cache()
 
-    val live = read(spark, target)
+    val live = snapshot
       .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
     // Files holding at least one matched PK — the COW rewrite set.
     val affected = live.join(incoming, pk, "left_semi")
@@ -205,8 +258,7 @@ object MergeStore {
       .collect().map(_.getString(0)).toSet
 
     val rowsUpdated = live.join(incoming, pk, "left_semi").count()
-    val rowsInserted = incoming.join(
-      read(spark, target), pk, "left_anti").count()
+    val rowsInserted = incoming.join(snapshot, pk, "left_anti").count()
 
     // Survivors of the affected files (their non-matched rows) plus the
     // incoming batch become the replacement files; untouched files are
@@ -219,8 +271,9 @@ object MergeStore {
     val newFiles =
       if (affected.isEmpty) writeFiles(incoming, target)
       else writeFiles(replacement.repartition(math.max(1, affected.size)), target)
-    commit(target, (before.filterNot(affected) ++ newFiles).distinct)
-    incoming.unpersist()
+    try commit(target, (before.filterNot(affected) ++ newFiles).distinct,
+      parentV)
+    finally incoming.unpersist()
     MergeStats(before.size, affected.size, rowsInserted, rowsUpdated)
   }
 
@@ -256,11 +309,13 @@ object MergeStore {
     * so future merges stay few-file again. */
   def compact(spark: SparkSession, target: String, targetFiles: Int,
               clusterBy: Seq[String] = Nil): Int = {
-    val df = read(spark, target)
+    val parentV = currentVersion(target)
+      .getOrElse(sys.error(s"no committed version at $target"))
+    val df = read(spark, target, Some(parentV))
     val arranged =
       if (clusterBy.nonEmpty) df.repartitionByRange(targetFiles, clusterBy.map(col): _*)
       else df.repartition(targetFiles)
-    commit(target, writeFiles(arranged, target))
+    commit(target, writeFiles(arranged, target), parentV)
   }
 
   /** Delete data files no manifest version references... in this

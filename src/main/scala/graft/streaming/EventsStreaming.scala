@@ -78,6 +78,55 @@ object EventsStreaming {
     spark.table(name)
   }
 
+  /** The PRODUCTION twin of [[runWindowedAggAvailableNow]]: append-mode
+    * windowed agg into a parquet file sink with a checkpoint.
+    *
+    * `complete` mode into a memory sink re-emits every window on every
+    * trigger and holds ALL windows in the state store forever — fine for a
+    * bounded replay, unbounded state on an always-on pipeline. Append mode
+    * emits each window EXACTLY ONCE, when the watermark passes its end,
+    * and the state store then drops it — state is bounded by (watermark
+    * delay / window size) windows per key, independent of stream length.
+    * The file sink + checkpoint make the output exactly-once across
+    * restarts (the sink's manifest commits atomically per batch).
+    *
+    * The price of bounded state is the open tail: windows the final
+    * watermark has not passed (the last `delay` of event time in a bounded
+    * replay) stay unemitted. StreamingSpec pins the equivalence that
+    * defines the semantics: append output == the batch agg restricted to
+    * closed windows (window end <= max event time − delay). */
+  def runWindowedAggAppend(spark: SparkSession, sfDir: String,
+                           outDir: String, checkpointDir: String,
+                           statePartitions: Int = 8): DataFrame = {
+    val stream = spark.readStream
+      .schema(eventsFileSchema(spark, s"$sfDir/events.parquet"))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val agg = windowedAgg(normalizeTs(stream).withWatermark("ts", "10 minutes"))
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, statePartitions.toString)
+    try {
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
+    spark.read.parquet(outDir)
+  }
+
+  /** The closed-window cutoff [[runWindowedAggAppend]]'s watermark implies
+    * on a bounded replay: max event time minus the delay, at Spark's
+    * millisecond watermark granularity. Exposed so batch callers (and the
+    * DuckDB oracle) can name the same subset the append-mode stream emits.
+    */
+  def closedWindowCutoffMs(events: DataFrame, delayMs: Long = 600000L): Long =
+    events.agg(max(unix_millis(col("ts")))).head.getLong(0) - delayMs
+
   /** Streaming exact dedup: at-least-once sources (the raw ingest, Kafka
     * replays) deliver duplicate event_ids; dropDuplicates over a keyed
     * state store with a watermark bounds that state — the streaming form

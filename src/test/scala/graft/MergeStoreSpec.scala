@@ -118,6 +118,70 @@ class MergeStoreSpec extends SparkSpec {
       .as[String].head() == "v2-3")
   }
 
+  private def batch(prefix: String, ids: Seq[Long]) =
+    ids.toDF("id")
+      .select(col("id"), (col("id") % 97).cast("int").as("grp"),
+        concat(lit(s"$prefix-"), col("id")).as("payload"))
+
+  test("optimistic concurrency: a stale writer's commit is rejected") {
+    val t = freshTable() // v0
+    // Writer B wins the race while A is still reading snapshot v0.
+    MergeStore.merge(spark, batch("b", Seq(1L, 2L)), t, pk = Seq("id")) // v1
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      MergeStore.merge(spark, batch("a", Seq(2L, 3L)), t, pk = Seq("id"),
+        snapshotVersion = Some(0))
+    }
+    assert(ex.getMessage.contains("conflict"))
+    // The lost commit changed nothing visible: head is still B's v1, and
+    // A's staged-but-unreferenced data files are vacuumable orphans.
+    val rows = MergeStore.read(spark, t)
+      .where(col("id").isin(1L, 2L, 3L))
+      .select($"id", $"payload").as[(Long, String)].collect().toMap
+    assert(rows(1L) == "b-1" && rows(2L) == "b-2" && rows(3L) == "v1-3")
+    assert(MergeStore.vacuum(t) > 0)
+    assert(MergeStore.read(spark, t).count() == N)
+  }
+
+  test("optimistic concurrency: the loser replays and both writers land") {
+    val t = freshTable() // v0
+    MergeStore.merge(spark, batch("b", Seq(1L, 2L)), t, pk = Seq("id")) // v1
+    // Same lost race, but with retries: A recomputes against B's head.
+    val stats = MergeStore.merge(spark, batch("a", Seq(2L, 3L)), t,
+      pk = Seq("id"), maxRetries = 1, snapshotVersion = Some(0))
+    assert(stats.rowsUpdated == 2 && stats.rowsInserted == 0)
+    val rows = MergeStore.read(spark, t)
+      .where(col("id").isin(1L, 2L, 3L))
+      .select($"id", $"payload").as[(Long, String)].collect().toMap
+    // B's non-contended row survives; the contended key 2 is last-write-
+    // wins (A replayed AFTER B committed); A's other row landed.
+    assert(rows(1L) == "b-1" && rows(2L) == "a-2" && rows(3L) == "a-3")
+    assert(MergeStore.read(spark, t).count() == N)
+  }
+
+  test("optimistic concurrency: two racing threads both land with retries") {
+    val t = freshTable()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    try {
+      val a = Future(MergeStore.merge(spark, batch("ta", 10L to 19L), t,
+        pk = Seq("id"), maxRetries = 5))
+      val b = Future(MergeStore.merge(spark, batch("tb", 20L to 29L), t,
+        pk = Seq("id"), maxRetries = 5))
+      Await.result(a, 5.minutes); Await.result(b, 5.minutes)
+    } finally pool.shutdown()
+    // Disjoint key ranges: whatever the commit order, both batches must
+    // be fully present and the table size unchanged.
+    val rows = MergeStore.read(spark, t)
+      .where(col("id").between(10L, 29L))
+      .select($"id", $"payload").as[(Long, String)].collect().toMap
+    (10L to 19L).foreach(i => assert(rows(i) == s"ta-$i"))
+    (20L to 29L).foreach(i => assert(rows(i) == s"tb-$i"))
+    assert(MergeStore.read(spark, t).count() == N)
+  }
+
   test("time travel + compaction: old versions readable until vacuum") {
     val t = freshTable() // v0
     val updates = spark.range(50L, 55L)

@@ -26,6 +26,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("append-mode windowed agg == batch agg over closed windows only") {
+    val streamed = EventsStreaming.runWindowedAggAppend(spark, sf(),
+        tmpDir("graft-append-out"), tmpDir("graft-append-ck"))
+      .orderBy("window_start", "event_type").collect().toSeq
+    val events = Tables.load(spark, sf(), "events")
+    val cutoffMs = EventsStreaming.closedWindowCutoffMs(events)
+    val all = EventsStreaming.windowedAgg(events)
+    val closed = all
+      .where(unix_millis(to_timestamp(col("window_start"))) + 300000L
+        <= cutoffMs)
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed == closed)
+    // The open tail is real: the bounded replay's last windows are held
+    // back by the watermark, so append emits strictly fewer than batch.
+    assert(streamed.nonEmpty && streamed.size < all.count())
+  }
+
   /** Streaming twin of sessionStats: per-user state via
     * flatMapGroupsWithState (AvailableNow → one bounded batch). */
   private def streamingSessionStats(gapMinutes: Int) = {
