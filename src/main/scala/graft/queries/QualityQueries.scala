@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.core.Tables
 import graft.functions.TextAnalysis
-import graft.operators.{CorpusLm, HeavyHitters}
+import graft.operators.{CorpusLm, HeavyHitters, QualityClassifier}
 
 /** Corpus-quality queries beyond the per-row q29 filters: Gopher-style
   * repetition statistics and CCNet-style corpus-LM scoring. Both are
@@ -263,5 +263,61 @@ object QualityQueries extends QueryFamily {
       ORDER BY cnt DESC, ngram
       LIMIT 50"""))
 
-  override val defs: Seq[QueryDef] = Seq(q57, q58, q65, q67, q68, q69, q72)
+  /** q84's gate being distilled: the q29 composite at a threshold chosen
+    * for class balance on the fixture corpus (~30/70 at 0.78). */
+  private def gateLabel: org.apache.spark.sql.Column =
+    TextAnalysis.qualityScore(col("text")) >= 0.78
+
+  /** Driver-side twin of the q84 pipeline (q39/q60's pattern): retrain
+    * the SAME deterministic model — trainSample is a fixed-order GD over
+    * a hash-ordered sample, so both calls produce bit-identical weights —
+    * then re-score from the Spark-computed feature vectors with
+    * [[QualityClassifier.scoreOf]]'s identical left-fold dot, and inject
+    * the expected rows as VALUES. */
+  private def classifierOracle(s: SparkSession, dir: String): String = {
+    val d = docs(s, dir)
+    val m = QualityClassifier.trainSample(d, "doc_id", "text", gateLabel)
+    val rows = d.select(col("doc_id"),
+        array(QualityClassifier.featureCols(col("text")): _*).as("x"),
+        gateLabel.cast("int").as("label"))
+      .collect()
+      .map { r =>
+        val sc = QualityClassifier.scoreOf(r.getSeq[Double](1).toArray, m)
+        (r.getLong(0), r.getInt(2), sc, if (sc >= 0.5) 1 else 0)
+      }
+    val values = rows
+      .map { case (id, y, sc, p) => s"($id, $y, $sc, $p)" }.mkString(", ")
+    s"""
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(label AS INTEGER) AS label,
+             CAST(score AS DOUBLE) AS score,
+             CAST(pred AS INTEGER) AS pred
+      FROM (VALUES $values) t(doc_id, label, score, pred)
+      ORDER BY doc_id"""
+  }
+
+  private val q84 = QueryDef(
+    "q84_quality_classifier",
+    "Distilled quality classifier (CCNet/fastText pattern): logistic " +
+      "model over 5 cheap surface features, trained by deterministic " +
+      "fixed-order GD on a bounded hash-ordered sample (the expensive " +
+      "q29 gate provides the labels), then the whole corpus scored by " +
+      "ONE literal-weights codegen projection — no shuffle, no join. " +
+      "The distributed-GD trainer (one map-side-combinable aggregate " +
+      "per iteration) is the scale path, spec'd for agreement. Oracle " +
+      "generated at Verify time by retraining the identical model " +
+      "driver-side.",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val m = QualityClassifier.trainSample(d, "doc_id", "text", gateLabel)
+      QualityClassifier.score(d, "text", m)
+        .select(col("doc_id"), gateLabel.cast("int").as("label"),
+          col("score"), (col("score") >= 0.5).cast("int").as("pred"))
+        .orderBy("doc_id")
+    },
+    None,
+    oracleGen = Some(classifierOracle))
+
+  override val defs: Seq[QueryDef] =
+    Seq(q57, q58, q65, q67, q68, q69, q72, q84)
 }

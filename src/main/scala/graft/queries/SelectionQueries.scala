@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.core.Tables
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, IvfIndex, PqIndex, TrainingOrder}
+import graft.operators.{Dedup, Dsir, IvfIndex, PqIndex, TrainingOrder}
 
 /** Dataset-selection queries — the steps that decide WHICH documents make
   * the training set: benchmark decontamination, per-language stratified
@@ -287,5 +287,48 @@ object SelectionQueries extends QueryFamily {
       FROM s
       ORDER BY shard, pos"""))
 
-  override val defs: Seq[QueryDef] = Seq(q54, q55, q56, q62, q66, q71, q78)
+  private val q83 = QueryDef(
+    "q83_dsir_resample",
+    "DSIR importance resampling (Xie et al. 2023): select raw docs that " +
+      "look like the target domain (lang='en') by the likelihood ratio " +
+      "of two Laplace-smoothed unigram LMs over the joint vocabulary, " +
+      "then Gumbel top-k (sampling w/o replacement prop. to exp(logw) — " +
+      "resampling matches the target distribution where plain top-k " +
+      "collapses onto extreme docs). Vocab aggregates are Heaps-bounded " +
+      "broadcasts, the corpus token join is map-local, selection is " +
+      "TakeOrdered; the Gumbel coin is q62's deterministic md5 uniform " +
+      "at the grid midpoint.",
+    (s, dir) => Dsir.resampleTopK(docs(s, dir), "doc_id", "text",
+      targetPred = col("lang") === "en", k = 100),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, (lang = 'en') AS tgt,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      raw AS (
+        SELECT tok, count(*) AS cr,
+               sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+        FROM toks GROUP BY 1),
+      consts AS (
+        SELECT count(*) AS v, sum(cr) AS nr, sum(ct) AS nt FROM raw),
+      w AS (
+        SELECT t.doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+               sum(ln(CAST(r.ct + 1 AS DOUBLE) / CAST(c.nt + c.v AS DOUBLE))
+                 - ln(CAST(r.cr + 1 AS DOUBLE) / CAST(c.nr + c.v AS DOUBLE)))
+                 AS logw
+        FROM toks t JOIN raw r USING (tok) CROSS JOIN consts c
+        GROUP BY 1),
+      keyed AS (
+        SELECT doc_id, n_tokens, round(logw, 6) AS logw,
+               round(logw - ln(-ln(
+                 (CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS INTEGER) AS DOUBLE) + 0.5) / 65536.0)), 6) AS gkey
+        FROM w)
+      SELECT doc_id, n_tokens, logw, gkey
+      FROM keyed
+      ORDER BY gkey DESC, doc_id
+      LIMIT 100"""))
+
+  override val defs: Seq[QueryDef] =
+    Seq(q54, q55, q56, q62, q66, q71, q78, q83)
 }
