@@ -365,6 +365,67 @@ object DedupQueries extends QueryFamily {
       WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.8
       ORDER BY id_new, id_ref"""))
 
+  private val q85 = QueryDef(
+    "q85_leakage_safe_split",
+    "Leakage-safe train/val/test split: q41's deterministic md5 bucket " +
+      "applied to the duplicate-CLUSTER representative (q49's connected " +
+      "components; singletons are their own cluster) instead of the " +
+      "doc_id, so near-duplicates can never straddle a split boundary — " +
+      "the eval-contamination failure mode of naive per-doc splits. " +
+      "Stable across runs, engines, partitionings, and re-ingests; one " +
+      "extra broadcast-size join over q41's map-only plan.",
+    (s, dir) => {
+      import graft.functions.Curation
+      val d = docs(s, dir)
+      val clusters = Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.8),
+          "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("comp"))
+      d.select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))
+        .select(col("doc_id"), col("cluster_id"),
+          Curation.splitLabel(col("cluster_id")).as("split"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE
+      toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(a) - 1, 1)),
+                 i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle
+             FROM toks),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      prs AS (SELECT s1.doc_id AS id_a, s2.doc_id AS id_b, count(*) AS inter
+              FROM sh s1 JOIN sh s2
+                ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+              GROUP BY 1, 2),
+      dup AS (SELECT id_a, id_b
+              FROM prs
+              JOIN sizes na ON id_a = na.doc_id
+              JOIN sizes nb ON id_b = nb.doc_id
+              WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.8),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM dup),
+      walk(id, comp) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+      comps AS (SELECT id AS doc_id, min(comp) AS comp FROM walk GROUP BY id),
+      lab AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN comps c USING (doc_id)),
+      b AS (SELECT doc_id, cluster_id,
+              CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4))
+                AS INTEGER) % 100 AS bucket
+            FROM lab)
+      SELECT doc_id, cluster_id,
+             CASE WHEN bucket < 90 THEN 'train'
+                  WHEN bucket < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b
+      ORDER BY doc_id"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q20, q21, q22, q23, q24, q49, q63, q75, q77)
+    Seq(q20, q21, q22, q23, q24, q49, q63, q75, q77, q85)
 }

@@ -105,4 +105,34 @@ class CurationSpec extends SparkSpec {
     assert(k(large) / ktot < n(large) / ntot,
       s"large-lang share did not shrink: ${k(large) / ktot} vs ${n(large) / ntot}")
   }
+
+  test("leakage-safe split: no duplicate cluster straddles a split") {
+    import graft.operators.Dedup
+    val d = Tables.load(spark, sf(), "documents")
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+      n = 3, threshold = 0.8)
+    val split = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("comp"))
+      .join(d.select("doc_id"), Seq("doc_id"), "right")
+      .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))
+      .withColumn("split", Curation.splitLabel(col("cluster_id")))
+    // The defining property: every near-duplicate PAIR lands on the same
+    // side — the q41 per-doc split provably violates this on the fixture
+    // (otherwise this test asserts nothing).
+    val sides = split.select("doc_id", "split")
+    val straddling = pairs
+      .join(sides.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("split", "sa"), "id_a")
+      .join(sides.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("split", "sb"), "id_b")
+      .where(col("sa") =!= col("sb")).count()
+    assert(straddling == 0)
+    val naive = pairs
+      .withColumn("sa", Curation.splitLabel(col("id_a")))
+      .withColumn("sb", Curation.splitLabel(col("id_b")))
+      .where(col("sa") =!= col("sb")).count()
+    info(s"naive per-doc split straddles $naive near-dup pairs; " +
+      "cluster split straddles 0")
+    assert(naive > 0, "fixture has no straddling pairs; test is vacuous")
+  }
 }
