@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.core.Tables
 import graft.functions.TextAnalysis
-import graft.operators.{CorpusLm, HeavyHitters, QualityClassifier}
+import graft.operators.{BpeTokenizer, CorpusLm, HeavyHitters, QualityClassifier}
 
 /** Corpus-quality queries beyond the per-row q29 filters: Gopher-style
   * repetition statistics and CCNet-style corpus-LM scoring. Both are
@@ -318,6 +318,55 @@ object QualityQueries extends QueryFamily {
     None,
     oracleGen = Some(classifierOracle))
 
+  /** Driver-side twin of q86 (q84's pattern): retrain the SAME
+    * deterministic codec — the merge loop is a pure function of the
+    * word-count aggregate with explicit tie-breaks — then re-encode every
+    * document with the same BpeCodec methods the codegen expression
+    * calls, and inject the expected rows as VALUES. What this verifies is
+    * the DISTRIBUTED part: the codegen projection must deliver every row
+    * through UTF8String/ArrayData conversion unmangled. */
+  private def bpeOracle(s: SparkSession, dir: String): String = {
+    val d = docs(s, dir)
+    val codec = BpeTokenizer.train(d, "text", numMerges = 50)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rows = d.select("doc_id", "text").collect().map { r =>
+      val toks = codec.encodeText(r.getString(1))
+      val sig = md.digest(toks.mkString("").getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      (r.getLong(0), toks.length, sig)
+    }
+    val values = rows
+      .map { case (id, n, sig) => s"($id, $n, '$sig')" }.mkString(", ")
+    s"""
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(n_bpe AS INTEGER) AS n_bpe,
+             CAST(bpe_sig AS VARCHAR) AS bpe_sig
+      FROM (VALUES $values) t(doc_id, n_bpe, bpe_sig)
+      ORDER BY doc_id"""
+  }
+
+  private val q86 = QueryDef(
+    "q86_bpe_tokenize",
+    "BPE tokenizer trained IN the engine (Sennrich 2016, the HF/" +
+      "sentencepiece two-phase shape): ONE map-side-combinable " +
+      "word-count aggregate (Heaps-bounded — merges are a function of " +
+      "the word table, so 100 TB trains from the same aggregate), " +
+      "deterministic driver merge loop (exact counts, lexicographic " +
+      "tie-break), then the whole corpus tokenized by ONE codegen " +
+      "projection with the codec riding as a reference object. Output: " +
+      "per-doc token count + md5 signature of the token stream. Oracle " +
+      "retrains the identical codec driver-side and re-encodes.",
+    (s, dir) => {
+      val codec = BpeTokenizer.train(docs(s, dir), "text", numMerges = 50)
+      BpeTokenizer.encode(docs(s, dir), "text", codec)
+        .select(col("doc_id"),
+          size(col("bpe")).as("n_bpe"),
+          md5(concat_ws("", col("bpe")).cast("binary")).as("bpe_sig"))
+        .orderBy("doc_id")
+    },
+    None,
+    oracleGen = Some(bpeOracle))
+
   override val defs: Seq[QueryDef] =
-    Seq(q57, q58, q65, q67, q68, q69, q72, q84)
+    Seq(q57, q58, q65, q67, q68, q69, q72, q84, q86)
 }
