@@ -404,7 +404,50 @@ object ScaleProbe {
     }
   }
 
+  /** BPE scaling: train once (word-count aggregate + driver merge loop —
+    * corpus-size-independent past the aggregate), then time the map-only
+    * codegen tokenize pass at growing corpus multiples. The claim under
+    * test: tokenization throughput (tokens/s) is flat as the corpus
+    * grows — the scan is the only corpus-sized cost. Replicas reuse the
+    * text verbatim (BPE cost depends on content, not ids). */
+  private def bpeCurveProbe(spark: SparkSession, sfDir: String,
+                            multiples: Seq[Int]): Unit = {
+    import graft.operators.BpeTokenizer
+    val base = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val total = base.count()
+    val (codec, tTrain) = time {
+      BpeTokenizer.train(base, "text", numMerges = 50)
+    }
+    multiples.foreach { m =>
+      val corpus = (0 until m).map { i =>
+        base.select((col("doc_id") + lit(i * total)).as("doc_id"),
+          col("text"))
+      }.reduce(_ unionByName _).repartition(32).cache()
+      val rows = corpus.count()
+      val (toks, tEnc) = time {
+        BpeTokenizer.encode(corpus, "text", codec)
+          .agg(sum(size(col("bpe")))).head().getLong(0)
+      }
+      println(s"""{"probe":"bpe-curve","multiple":$m,"rows":$rows,""" +
+        s""""merges":${codec.merges.length},""" +
+        s""""train_sec":${f"$tTrain%.2f"},"tokens":$toks,""" +
+        s""""encode_sec":${f"$tEnc%.2f"},""" +
+        s""""tokens_per_sec":${(toks / math.max(tEnc, 1e-9)).toLong}}""")
+      corpus.unpersist()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("bpe-curve")) {
+      val spark = GraftSession.local(32)
+      val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+      val multiples = if (args.length > 2) args.drop(2).map(_.toInt).toSeq
+        else Seq(1, 5, 10)
+      bpeCurveProbe(spark, sfDir, multiples)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("bloom-curve")) {
       val spark = GraftSession.local(32)
       val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
