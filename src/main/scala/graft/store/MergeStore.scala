@@ -318,14 +318,36 @@ object MergeStore {
     commit(target, writeFiles(arranged, target), parentV)
   }
 
-  /** Delete data files no manifest version references... in this
-    * prototype, files the NEWEST version no longer references (time
-    * travel is not kept). Safe any time for a single writer. */
-  def vacuum(target: String): Int = {
-    val live = liveFiles(target).toSet
+  /** Delete data files outside the retention window: anything not
+    * referenced by the newest `retainVersions` manifests (default 1 —
+    * the original keep-head-only behavior; older manifests above the
+    * floor are dropped too, ending their time travel).
+    *
+    * Retention interacts with optimistic concurrency: a reader pinned on
+    * version N (time travel, or a long scan that resolved the manifest
+    * before a rival committed N+1) still needs N's files. Head-only
+    * vacuum is safe only when nothing reads behind head; a multi-writer/
+    * multi-reader deployment sets `retainVersions` to cover its longest
+    * reader — exactly Delta's `VACUUM ... RETAIN` contract, expressed in
+    * versions instead of hours. */
+  def vacuum(target: String, retainVersions: Int = 1): Int = {
+    require(retainVersions >= 1, "must retain at least the head version")
+    val head = currentVersion(target)
+      .getOrElse(return 0)
+    val floor = math.max(0, head - retainVersions + 1)
+    val live = (floor to head).flatMap(v => liveFiles(target, Some(v))).toSet
     val orphans = Files.list(dataDir(target)).iterator().asScala
       .filter(p => !live.contains(p.getFileName.toString)).toSeq
     orphans.foreach(Files.deleteIfExists)
+    // Manifests below the retention floor reference vanished files —
+    // remove them so a stale time travel fails at manifest lookup (a
+    // clear error) instead of at mid-scan file-not-found.
+    Files.list(manifestDir(target)).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("v") && n.endsWith(".list") &&
+          n.stripPrefix("v").stripSuffix(".list").toInt < floor
+      }.toSeq.foreach(Files.deleteIfExists)
     orphans.size
   }
 }

@@ -118,6 +118,25 @@ class MergeStoreSpec extends SparkSpec {
       .as[String].head() == "v2-3")
   }
 
+  test("vacuum retention: readers within the window survive, older fail clean") {
+    val t = freshTable() // v0
+    MergeStore.merge(spark, spark.range(0L, 5L)
+      .select(col("id"), lit(0).cast("int").as("grp"),
+        concat(lit("v2-"), col("id")).as("payload")), t, Seq("id")) // v1
+    MergeStore.merge(spark, spark.range(5L, 9L)
+      .select(col("id"), lit(0).cast("int").as("grp"),
+        concat(lit("v3-"), col("id")).as("payload")), t, Seq("id")) // v2
+    MergeStore.vacuum(t, retainVersions = 2)
+    // v1 is inside the window: its full snapshot must still read — the
+    // guarantee an OCC reader pinned just behind head depends on.
+    assert(MergeStore.read(spark, t, Some(1)).count() == N)
+    assert(MergeStore.read(spark, t, Some(2)).count() == N)
+    // v0 is below the floor: manifest removed, so the failure is a clear
+    // missing-version error at lookup, never a mid-scan file-not-found.
+    intercept[Exception] { MergeStore.read(spark, t, Some(0)).count() }
+    assert(MergeStore.liveFiles(t, Some(2)).nonEmpty)
+  }
+
   private def batch(prefix: String, ids: Seq[Long]) =
     ids.toDF("id")
       .select(col("id"), (col("id") % 97).cast("int").as("grp"),

@@ -109,6 +109,31 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table(name).select("event_id").distinct().count() == exact)
   }
 
+  test("native session_window == lag/cumsum sessionization") {
+    // Spark's built-in session_window is the idiomatic form of
+    // EventsStreaming.sessionize. Known semantic edge: session_window's
+    // window is [start, last+gap), so an event at EXACTLY last+gap opens
+    // a new session, while the lag rule (`new when gap > gapUs`) keeps
+    // the tie in-session. This pin both cross-checks the custom
+    // formulation against the built-in on real data and will flag the
+    // first fixture that exercises the boundary tie.
+    val events = Tables.load(spark, sf(), "events")
+    val native = events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast("int").as("n_sessions"),
+        max("n_events").as("max_session_events"),
+        sum("n_events").as("n_events"))
+      .orderBy("user_id")
+      .as[UserSessions].collect().toSeq
+    val custom = EventsStreaming.sessionStats(events, 30)
+      .orderBy("user_id")
+      .as[UserSessions].collect().toSeq
+    assert(native == custom)
+    assert(native.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionization == batch lag/cumsum") {
     val streaming = streamingSessionStats(30)
       .orderBy("user_id")
