@@ -154,7 +154,12 @@ object MergeStore {
            version: Option[Int] = None): DataFrame = {
     val files = liveFiles(target, version)
     require(files.nonEmpty, s"no committed version at $target")
-    spark.read.parquet(files.map(f => dataDir(target).resolve(f).toString): _*)
+    // mergeSchema: after an evolving merge the untouched carried files
+    // keep the OLD physical schema; the union schema (old columns + the
+    // evolved ones, null where a file predates them) is the table. Cost
+    // is a footer read per live file — the count maintain() bounds.
+    spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => dataDir(target).resolve(f).toString): _*)
   }
 
   /** CoreStore.upsert-shaped entry point for the pipeline's merge sink:
@@ -226,29 +231,53 @@ object MergeStore {
   def merge(spark: SparkSession, updates: DataFrame, target: String,
             pk: Seq[String], ordCols: Seq[String] = Nil,
             maxRetries: Int = 0,
-            snapshotVersion: Option[Int] = None): MergeStats =
-    try mergeOnce(spark, updates, target, pk, ordCols, snapshotVersion)
+            snapshotVersion: Option[Int] = None,
+            allowSchemaEvolution: Boolean = false): MergeStats =
+    try mergeOnce(spark, updates, target, pk, ordCols, snapshotVersion,
+      allowSchemaEvolution)
     catch {
       case _: java.util.ConcurrentModificationException if maxRetries > 0 =>
         // Replay resolves the snapshot FRESH (never the stale pin): the
         // retry exists precisely because that version is no longer head.
-        merge(spark, updates, target, pk, ordCols, maxRetries - 1)
+        merge(spark, updates, target, pk, ordCols, maxRetries - 1,
+          allowSchemaEvolution = allowSchemaEvolution)
     }
 
   private def mergeOnce(spark: SparkSession, updates: DataFrame,
                         target: String, pk: Seq[String],
                         ordCols: Seq[String],
-                        snapshotVersion: Option[Int]): MergeStats = {
+                        snapshotVersion: Option[Int],
+                        allowSchemaEvolution: Boolean = false): MergeStats = {
     val parentV = snapshotVersion.orElse(currentVersion(target))
       .getOrElse(sys.error(s"no committed version at $target"))
     val before = liveFiles(target, Some(parentV))
     def snapshot = read(spark, target, Some(parentV))
     val ord = if (ordCols.nonEmpty) ordCols.map(col)
       else Seq(monotonically_increasing_id())
-    val incoming = Upsert.dedupByKey(
+    val deduped = Upsert.dedupByKey(
       updates.where(pk.map(col(_).isNotNull).reduce(_ && _)), pk, ord)
-      .select(snapshot.columns.map(col).toIndexedSeq: _*)
-      .cache()
+    // Schema evolution (Delta's mergeSchema shape): with it on, batch
+    // columns absent from the table are APPENDED (carried files keep
+    // their physical schema — read()'s mergeSchema nulls them there),
+    // and table columns absent from the batch null-fill on the incoming
+    // rows. Off (the default), the batch must project exactly onto the
+    // table's columns — a drifted producer fails loudly here instead of
+    // silently reshaping the table.
+    // Batch-only ordering columns are part of the merge CONTRACT, not
+    // schema drift — only other unknown columns trip the strict check.
+    val extra = deduped.columns
+      .filterNot(snapshot.columns.contains).filterNot(ordCols.contains)
+    require(allowSchemaEvolution || extra.isEmpty,
+      s"merge batch carries columns absent from the table " +
+        s"(${extra.mkString(", ")}) — a drifted producer, or pass " +
+        "allowSchemaEvolution=true to append them")
+    val batchOnlyOrd = ordCols.filterNot(snapshot.columns.contains)
+    val incoming = (
+      if (allowSchemaEvolution)
+        snapshot.limit(0).unionByName(deduped.drop(batchOnlyOrd: _*),
+          allowMissingColumns = true)
+      else deduped.select(snapshot.columns.map(col).toIndexedSeq: _*)
+      ).cache()
 
     val live = snapshot
       .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
@@ -267,7 +296,8 @@ object MergeStore {
       .where(col("__file").isin(affected.toSeq: _*))
       .join(incoming, pk, "left_anti")
       .drop("__file")
-    val replacement = survivors.unionByName(incoming)
+    val replacement =
+      survivors.unionByName(incoming, allowMissingColumns = true)
     val newFiles =
       if (affected.isEmpty) writeFiles(incoming, target)
       else writeFiles(replacement.repartition(math.max(1, affected.size)), target)
@@ -289,7 +319,7 @@ object MergeStore {
            fromVersion: Int, toVersion: Int): DataFrame = {
     def readFiles(names: Seq[String]): Option[DataFrame] =
       if (names.isEmpty) None
-      else Some(spark.read.parquet(
+      else Some(spark.read.option("mergeSchema", "true").parquet(
         names.map(f => dataDir(target).resolve(f).toString): _*))
     val before = liveFiles(target, Some(fromVersion)).toSet
     val after = liveFiles(target, Some(toVersion)).toSet
@@ -297,7 +327,11 @@ object MergeStore {
       readFiles((before -- after).toSeq.sorted)) match {
       case (None, _) => read(spark, target, Some(toVersion)).limit(0)
       case (Some(added), None) => added
-      case (Some(added), Some(removed)) => added.exceptAll(removed)
+      case (Some(added), Some(removed)) =>
+        // Align across schema evolution: pre-evolution removed files
+        // null-fill the appended columns, exactly as read() shows them.
+        added.exceptAll(
+          added.limit(0).unionByName(removed, allowMissingColumns = true))
     }
   }
 

@@ -201,6 +201,43 @@ class MergeStoreSpec extends SparkSpec {
     assert(MergeStore.read(spark, t).count() == N)
   }
 
+  test("schema evolution: evolving merge appends columns, strict default refuses") {
+    val t = freshTable() // (id, grp, payload)
+    val evolved = spark.range(3L, 6L)
+      .select(col("id"), (col("id") % 97).cast("int").as("grp"),
+        concat(lit("v2-"), col("id")).as("payload"),
+        (col("id") * 10).cast("double").as("score"))
+    // Strict default: a drifted producer fails loudly, table unchanged.
+    intercept[Exception] { MergeStore.merge(spark, evolved, t, Seq("id")) }
+    assert(MergeStore.read(spark, t).columns.toSeq ==
+      Seq("id", "grp", "payload"))
+    // Evolving merge: column appended; untouched rows read null there.
+    val stats = MergeStore.merge(spark, evolved, t, Seq("id"),
+      allowSchemaEvolution = true)
+    assert(stats.rowsUpdated == 3)
+    val after = MergeStore.read(spark, t)
+    assert(after.columns.sorted.toSeq ==
+      Seq("grp", "id", "payload", "score"))
+    assert(after.count() == N)
+    assert(after.where(col("id") === 4L).select("score")
+      .as[Double].head() == 40.0)
+    assert(after.where(col("id") === 1000L).select("score")
+      .as[java.lang.Double].head() == null)
+    // Diff across the evolution boundary still cancels carried rows.
+    val d = MergeStore.diff(spark, t, 0, 1)
+      .select($"id", $"payload").as[(Long, String)].collect().toSet
+    assert(d == (3L until 6L).map(i => (i, s"v2-$i")).toSet)
+    // A later NON-evolving merge against the evolved table: the batch
+    // must now carry all four columns (strict projection), and rows it
+    // does not touch keep their score.
+    val plain = spark.range(3L, 4L)
+      .select(col("id"), (col("id") % 97).cast("int").as("grp"),
+        lit("v3-3").as("payload"), lit(99.0).as("score"))
+    MergeStore.merge(spark, plain, t, Seq("id"))
+    assert(MergeStore.read(spark, t).where(col("id") === 4L)
+      .select("score").as[Double].head() == 40.0)
+  }
+
   test("time travel + compaction: old versions readable until vacuum") {
     val t = freshTable() // v0
     val updates = spark.range(50L, 55L)
