@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
-import graft.operators.{Bm25, PhraseSearch}
+import graft.operators.{Bm25, HybridSearch, PhraseSearch, Similarity}
 
 /** Keyword-retrieval queries: the inverted-index/BM25 side of the
   * retrieval stack (the ANN side lives in SimilarityQueries). The BM25
@@ -138,5 +138,107 @@ object RetrievalQueries extends QueryFamily {
       FROM m GROUP BY 1, 2
       ORDER BY query_id, doc_id"""))
 
-  override val defs: Seq[QueryDef] = Seq(q76, q80)
+  /** Sequential double fold of an elementwise product, DuckDB side
+    * (SimilarityQueries' convention — cosine_sim's exact fold order). */
+  private def fold(a: String, b: String) =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  private val q87 = QueryDef(
+    "q87_hybrid_rrf",
+    "Hybrid retrieval: BM25 lexical top-20 fused with exact-cosine " +
+      "vector top-20 by reciprocal rank fusion (Cormack et al. 2009, " +
+      "the modern search-stack default: RRF needs only ranks, never " +
+      "calibrated scores). Queries carry BOTH a text (q76's set) and a " +
+      "vector (the same ids' embeddings, q51's pattern). Fusion moves " +
+      "no corpus data — a union of queries-x-k rank triples, one tiny " +
+      "aggregate, one query-partitioned window; each side keeps its own " +
+      "scale path.",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val qs = querySet.toDF("query_id", "qtext")
+      val bm = Bm25.searchTopK(docs(s, dir), "doc_id", "text",
+          qs, "query_id", "qtext", k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val vec = Similarity.batchTopKNeighbors(s,
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          queryIds = querySet.map(_._1.toLong), k = 20)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("cosine").desc, col("vec_id"))).cast("int"))
+        .select(col("qid").as("query_id"), col("vec_id").as("doc_id"),
+          col("rank"))
+      HybridSearch.rrfFuse(Seq(bm, vec), "query_id", "doc_id", "rank",
+          k = 10)
+        .select("query_id", "rank", "doc_id", "rrf", "n_sides")
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH q(query_id, qtext) AS (VALUES
+        ${querySet.map { case (i, t) => s"($i, '$t')" }.mkString(", ")}),
+      toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM dl),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      qterms AS (
+        SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term
+        FROM q),
+      qidf AS (
+        SELECT query_id, term,
+               ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
+        FROM qterms JOIN df USING (term) CROSS JOIN stats),
+      contrib AS (
+        SELECT query_id, tf.doc_id,
+               idf * CAST(tf AS DOUBLE) * 2.2 /
+                 (CAST(tf AS DOUBLE) +
+                  1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS c
+        FROM tf JOIN dl USING (doc_id) JOIN qidf USING (term)),
+      scored AS (
+        SELECT query_id, doc_id, round(sum(c), 6) AS score
+        FROM contrib GROUP BY 1, 2),
+      bm AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id) AS rank
+        FROM scored
+        QUALIFY rank <= 20),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      qv AS (SELECT vec_id AS qid, v AS qvec FROM e
+             WHERE vec_id IN (${querySet.map(_._1).mkString(", ")})),
+      sc AS (SELECT qid, e.vec_id,
+               round(${fold("e.v", "qvec")} /
+                 (sqrt(${fold("e.v", "e.v")}) * sqrt(${fold("qvec", "qvec")})),
+                 6) AS cosine
+             FROM e CROSS JOIN qv),
+      vr AS (SELECT qid AS query_id, vec_id AS doc_id,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY cosine DESC, vec_id) AS rank
+             FROM sc
+             QUALIFY rank <= 20),
+      fused AS (
+        SELECT coalesce(b.query_id, v.query_id) AS query_id,
+               coalesce(b.doc_id, v.doc_id) AS doc_id,
+               round(coalesce(CAST(1 AS DOUBLE) / (60 + b.rank), 0)
+                 + coalesce(CAST(1 AS DOUBLE) / (60 + v.rank), 0), 6) AS rrf,
+               CAST((CASE WHEN b.rank IS NULL THEN 0 ELSE 1 END)
+                 + (CASE WHEN v.rank IS NULL THEN 0 ELSE 1 END)
+                 AS INTEGER) AS n_sides
+        FROM bm b FULL OUTER JOIN vr v
+          ON b.query_id = v.query_id AND b.doc_id = v.doc_id)
+      SELECT query_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank,
+             doc_id, rrf, n_sides
+      FROM fused
+      QUALIFY rank <= 10
+      ORDER BY query_id, rank"""))
+
+  override val defs: Seq[QueryDef] = Seq(q76, q80, q87)
 }

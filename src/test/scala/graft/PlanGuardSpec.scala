@@ -30,7 +30,8 @@ class PlanGuardSpec extends SparkSpec {
     "q67_bigram_logprob",        // broadcast of the 1-row corpus-total agg
     "q68_perplexity_buckets",    // broadcast of the 1-row tercile-threshold agg
     "q76_bm25_topk",             // broadcast of the 1-row (N, avgdl) agg
-    "q83_dsir_resample")         // broadcast of the 1-row (V, Nr, Nt) agg
+    "q83_dsir_resample",         // broadcast of the 1-row (V, Nr, Nt) agg
+    "q87_hybrid_rrf")            // q51's broadcast query-vector SET (tiny side)
 
   test("no cartesian products; nested-loop joins only where intended") {
     // Streaming queries: building them RUNS the stream (the returned
