@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.core.Tables
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Dsir, IvfIndex, PqIndex, TrainingOrder}
+import graft.operators.{Dedup, Dsir, IvfIndex, Mixture, PqIndex, TrainingOrder}
 
 /** Dataset-selection queries — the steps that decide WHICH documents make
   * the training set: benchmark decontamination, per-language stratified
@@ -329,6 +329,50 @@ object SelectionQueries extends QueryFamily {
       ORDER BY gkey DESC, doc_id
       LIMIT 100"""))
 
+  /** Per-source epoch weights for q88 — literal on both engines. Covers
+    * every regime: >2 (full copies + fraction), exactly 1, sub-1
+    * (weight IS a subsample), and an exact integer (no fractional
+    * draw). Sources are the fixture's src0..src19. */
+  private val mixtureWeights: Seq[(String, Double)] =
+    (0 until 20).map { i =>
+      val w = (i % 5) match {
+        case 0 => 2.3
+        case 1 => 1.0
+        case 2 => 0.44
+        case 3 => 3.0
+        case 4 => 1.6
+      }
+      (s"src$i", w)
+    }
+
+  private val q88 = QueryDef(
+    "q88_mixture_epochs",
+    "Fractional-epoch training-mixture materialization (the GPT-3 " +
+      "Table 2.2 shape: a 2.3-weight source contributes 2 full copies " +
+      "plus a deterministic 30% of itself once more; 0.44 IS a 44% " +
+      "subsample). The fractional draw uses the md5 coin, so the " +
+      "mixture is identical across runs/engines/partitionings. Weights " +
+      "broadcast; copies are a map-only explode(sequence) — no shuffle.",
+    (s, dir) => Mixture.materializeEpochs(docs(s, dir), "doc_id", "source",
+        mixtureWeights)
+      .orderBy("doc_id", "epoch"),
+    Some(s"""
+      WITH wt(source, w) AS (VALUES
+        ${mixtureWeights.map { case (src, w) => s"('$src', $w)" }
+          .mkString(", ")}),
+      c AS (
+        SELECT d.doc_id, d.source,
+               CAST(floor(w) +
+                 (CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                        1, 4)) AS INTEGER) / 65536.0 < w - floor(w)
+                       THEN 1 ELSE 0 END) AS INTEGER) AS n
+        FROM documents d JOIN wt USING (source))
+      SELECT doc_id, source, CAST(unnest(generate_series(1, n)) AS INTEGER)
+               AS epoch
+      FROM c
+      WHERE n > 0
+      ORDER BY doc_id, epoch"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q54, q55, q56, q62, q66, q71, q78, q83)
+    Seq(q54, q55, q56, q62, q66, q71, q78, q83, q88)
 }

@@ -106,6 +106,42 @@ class CurationSpec extends SparkSpec {
       s"large-lang share did not shrink: ${k(large) / ktot} vs ${n(large) / ntot}")
   }
 
+  test("mixture epochs: copy counts realize the weights, deterministically") {
+    import graft.operators.Mixture
+    val d = Tables.load(spark, sf(), "documents")
+    val weights = Seq("src0" -> 2.3, "src1" -> 1.0, "src2" -> 0.44,
+      "src3" -> 3.0)
+    val mix = Mixture.materializeEpochs(
+      d.where(col("source").isin("src0", "src1", "src2", "src3")),
+      "doc_id", "source", weights)
+    val perDoc = mix.groupBy("doc_id", "source")
+      .agg(max("epoch").as("copies"))
+    // Integer weights are exact: every doc of an integer-weight source
+    // gets exactly w copies — no fractional draw at all.
+    assert(perDoc.where(col("source") === "src1")
+      .select("copies").distinct().as[Int].collect().toSeq == Seq(1))
+    assert(perDoc.where(col("source") === "src3")
+      .select("copies").distinct().as[Int].collect().toSeq == Seq(3))
+    // Fractional weights: copies ∈ {floor, floor+1} and the realized
+    // mean tracks the weight (binomial tolerance on a small fixture).
+    val c0 = perDoc.where(col("source") === "src0")
+      .select("copies").as[Int].collect()
+    assert(c0.forall(c => c == 2 || c == 3))
+    val mean0 = c0.sum.toDouble / c0.length
+    assert(math.abs(mean0 - 2.3) < 0.25, s"realized mean $mean0 vs 2.3")
+    // Sub-1 weight IS a subsample: some docs drop out entirely.
+    val src2Docs = d.where(col("source") === "src2").count()
+    val src2Kept = perDoc.where(col("source") === "src2").count()
+    assert(src2Kept > 0 && src2Kept < src2Docs)
+    // Determinism: the realized mixture is partitioning-invariant.
+    val a = mix.orderBy("doc_id", "epoch").collect().toSeq
+    val b = Mixture.materializeEpochs(
+        d.where(col("source").isin("src0", "src1", "src2", "src3"))
+          .repartition(13), "doc_id", "source", weights)
+      .orderBy("doc_id", "epoch").collect().toSeq
+    assert(a == b)
+  }
+
   test("leakage-safe split: no duplicate cluster straddles a split") {
     import graft.operators.Dedup
     val d = Tables.load(spark, sf(), "documents")
