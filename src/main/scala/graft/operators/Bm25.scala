@@ -70,4 +70,84 @@ object Bm25 {
     scored.withColumn("rank", row_number().over(w).cast(IntegerType))
       .where(col("rank") <= k)
   }
+
+  /** Materialize the inverted index as TABLES — the at-scale shape
+    * ([[searchTopK]] recomputes postings per call, which is right for
+    * one-shot curation jobs and wrong for a query workload; a real
+    * retrieval deployment builds the index once and amortizes it):
+    *
+    *   - `postings/`  (term, doc, tf) — range-clustered + sorted on
+    *     term, so every file and row group owns a contiguous term slice
+    *     and a query's `term IN (...)` pushes into parquet stats and
+    *     reads ONLY matched slices (the inverted-index seek as row-group
+    *     pruning — the same lever as store.Layouts).
+    *   - `df/`        (term, df) — same term clustering.
+    *   - `doclen/`    (doc, dl)
+    *   - `stats/`     1 row (n_docs, avgdl)
+    *
+    * Incremental updates ride [[graft.store.MergeStore]] if needed —
+    * postings of new docs append; df/stats recompute from postings
+    * (Heaps-bounded, cheap next to the corpus scan they summarize). */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+                 indexDir: String, numFiles: Int = 16): Unit = {
+    val tf = docs
+      .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    tf.repartitionByRange(numFiles, col("term"))
+      .sortWithinPartitions("term", "doc")
+      .write.mode("overwrite").parquet(s"$indexDir/postings")
+    val postings = docs.sparkSession.read.parquet(s"$indexDir/postings")
+    postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .repartitionByRange(math.max(1, numFiles / 4), col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$indexDir/df")
+    val doclen = postings.groupBy("doc").agg(sum("tf").as("dl"))
+    doclen.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/doclen")
+    doclen.agg(count(lit(1)).cast("double").as("n_docs"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/stats")
+  }
+
+  /** [[searchTopK]] against a persisted [[buildIndex]] layout: identical
+    * scores and ranking, but the corpus never re-tokenizes — the query's
+    * terms push into the term-clustered postings/df scans as an IN
+    * filter, so IO is proportional to the MATCHED postings slices, not
+    * the index. */
+  def searchTopKIndexed(indexDir: String, queries: DataFrame,
+                        queryIdCol: String, queryTextCol: String,
+                        k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+                        broadcastQueries: Boolean = true): DataFrame = {
+    val spark = queries.sparkSession
+    val qterms0 = queries
+      .select(col(queryIdCol), explode(split(col(queryTextCol), " ")).as("term"))
+      .distinct()
+    // The driver-side term list is QUERY-sized (tiny); as a pushed IN
+    // filter it prunes postings/df row groups before any join runs.
+    val termList = qterms0.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val postings = spark.read.parquet(s"$indexDir/postings")
+      .where(col("term").isin(termList: _*))
+    val df_ = spark.read.parquet(s"$indexDir/df")
+      .where(col("term").isin(termList: _*))
+    val doclen = spark.read.parquet(s"$indexDir/doclen")
+    val stats = spark.read.parquet(s"$indexDir/stats")
+    val qterms = qterms0
+      .join(df_, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .select(col(queryIdCol), col("term"), col("idf"), col("avgdl"))
+    val contrib = postings.join(doclen, "doc")
+      .join(if (broadcastQueries) broadcast(qterms) else qterms, "term")
+      .withColumn("c",
+        col("idf") * col("tf").cast("double") * (lit(k1) + 1.0) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+    val scored = contrib.groupBy(col(queryIdCol), col("doc"))
+      .agg(round(sum("c"), 6).as("score"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("score").desc, col("doc"))
+    scored.withColumn("rank", row_number().over(w).cast(IntegerType))
+      .where(col("rank") <= k)
+  }
 }

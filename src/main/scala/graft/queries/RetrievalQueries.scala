@@ -24,24 +24,10 @@ object RetrievalQueries extends QueryFamily {
     3 -> "vector window stream",
     4 -> "customer order value")
 
-  private val q76 = QueryDef(
-    "q76_bm25_topk",
-    "BM25 keyword retrieval (Okapi, Lucene idf variant): top-10 docs per " +
-      "query from an inverted index expressed relationally — postings " +
-      "from one map-side-combinable aggregate, doc lengths re-aggregated " +
-      "from the postings, Heaps-bounded df/idf, query terms broadcast " +
-      "into the postings join so the corpus scan is map-local and " +
-      "touches only query-matched terms. Ranked on the round(6) score, " +
-      "tie-break doc_id — engine-exact.",
-    (s, dir) => {
-      import s.implicits._
-      val qs = querySet.toDF("query_id", "qtext")
-      Bm25.searchTopK(docs(s, dir), "doc_id", "text", qs, "query_id", "qtext",
-          k = 10)
-        .select("query_id", "rank", "doc_id", "score")
-        .orderBy("query_id", "rank")
-    },
-    Some(s"""
+  /** The q76 BM25 oracle, shared VERBATIM by q89: the persisted index
+    * must reproduce the live formulation's scores exactly. */
+  private lazy val bm25OracleSql: String =
+    s"""
       WITH q(query_id, qtext) AS (VALUES
         ${querySet.map { case (i, t) => s"($i, '$t')" }.mkString(", ")}),
       toks AS (
@@ -77,7 +63,26 @@ object RetrievalQueries extends QueryFamily {
         FROM scored)
       SELECT query_id, rank, doc_id, score FROM ranked
       WHERE rank <= 10
-      ORDER BY query_id, rank"""))
+      ORDER BY query_id, rank"""
+
+  private val q76 = QueryDef(
+    "q76_bm25_topk",
+    "BM25 keyword retrieval (Okapi, Lucene idf variant): top-10 docs per " +
+      "query from an inverted index expressed relationally — postings " +
+      "from one map-side-combinable aggregate, doc lengths re-aggregated " +
+      "from the postings, Heaps-bounded df/idf, query terms broadcast " +
+      "into the postings join so the corpus scan is map-local and " +
+      "touches only query-matched terms. Ranked on the round(6) score, " +
+      "tie-break doc_id — engine-exact.",
+    (s, dir) => {
+      import s.implicits._
+      val qs = querySet.toDF("query_id", "qtext")
+      Bm25.searchTopK(docs(s, dir), "doc_id", "text", qs, "query_id", "qtext",
+          k = 10)
+        .select("query_id", "rank", "doc_id", "score")
+        .orderBy("query_id", "rank")
+    },
+    Some(bm25OracleSql))
 
   /** Phrase set for exact-phrase retrieval: trigrams verified present in
     * the corpus at multiple scale factors, plus one bigram so the
@@ -240,5 +245,29 @@ object RetrievalQueries extends QueryFamily {
       QUALIFY rank <= 10
       ORDER BY query_id, rank"""))
 
-  override val defs: Seq[QueryDef] = Seq(q76, q80, q87)
+  private val q89 = QueryDef(
+    "q89_bm25_indexed",
+    "BM25 against a PERSISTED inverted index (q76's scores from tables " +
+      "instead of a per-call rebuild — the query-workload shape): " +
+      "buildIndex materializes postings/df range-clustered + sorted on " +
+      "term and the doclen/stats summaries; search pushes the query's " +
+      "term IN list into the parquet scans, so IO is proportional to " +
+      "the MATCHED postings slices, not the index (the inverted-index " +
+      "seek as row-group pruning). Shares q76's oracle verbatim — the " +
+      "index must reproduce the live formulation bit-for-bit.",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      val indexDir = java.nio.file.Files
+        .createTempDirectory("graft-bm25-index").toString
+      Bm25.buildIndex(docs(s, dir), "doc_id", "text", indexDir)
+      val qs = querySet.toDF("query_id", "qtext")
+      Bm25.searchTopKIndexed(indexDir, qs, "query_id", "qtext", k = 10)
+        .select(col("query_id"), col("rank"), col("doc").as("doc_id"),
+          col("score"))
+        .orderBy("query_id", "rank")
+    },
+    Some(bm25OracleSql))
+
+  override val defs: Seq[QueryDef] = Seq(q76, q80, q87, q89)
 }

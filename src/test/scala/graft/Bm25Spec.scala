@@ -48,6 +48,34 @@ class Bm25Spec extends SparkSpec {
     assert(hits.head._3 == 3L) // doc 3 matches both terms, rare idf >> spark
   }
 
+  test("persisted index: searchTopKIndexed == searchTopK, term scan pruned") {
+    val docs = graft.core.Tables.load(spark, sf(), "documents")
+    val dir = tmpDir("bm25-index")
+    Bm25.buildIndex(docs, "doc_id", "text", dir)
+    val qs = Seq(0 -> "dup hash join", 1 -> "merge sort batch")
+      .toDF("query_id", "qtext")
+    val live = Bm25.searchTopK(docs, "doc_id", "text",
+        qs, "query_id", "qtext", k = 10)
+      .select("query_id", "rank", "doc_id", "score")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sorted
+    val indexedDf = Bm25.searchTopKIndexed(dir, qs, "query_id", "qtext",
+        k = 10)
+      .select(org.apache.spark.sql.functions.col("query_id"),
+        org.apache.spark.sql.functions.col("rank"),
+        org.apache.spark.sql.functions.col("doc").as("doc_id"),
+        org.apache.spark.sql.functions.col("score"))
+    val indexed = indexedDf
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sorted
+    assert(indexed == live)
+    // The inverted-index seek is real: the postings scan carries a
+    // pushed term IN filter (range-clustered layout -> row-group skip).
+    val plan = indexedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term"),
+      s"postings scan lost its term pushdown:\n${plan.take(2000)}")
+  }
+
   test("k cut and multi-query independence") {
     val hits = search(Seq(0 -> "spark", 1 -> "table"), k = 2)
     assert(hits.count(_._1 == 0) == 2 && hits.count(_._1 == 1) == 2)
