@@ -69,6 +69,20 @@ object StreamingCuration {
       .where(col("bench_hits") < minShared)
   }
 
+  /** Distilled-classifier gate AT INGEST — q84's frozen logistic model
+    * applied where bytes are cheapest. The score is one literal-weights
+    * codegen projection (no join, no state, no stats pass), so the gate
+    * runs IDENTICALLY in a stream: train batch-side on whatever cadence
+    * the corpus drifts ([[graft.operators.QualityClassifier]]), ship the
+    * weights as plan literals. This is the production CCNet shape: the
+    * expensive gate labels a sample offline, the distilled model meters
+    * the firehose. */
+  def classifierGate(docs: DataFrame,
+                     model: graft.operators.QualityClassifier.Model,
+                     minScore: Double): DataFrame =
+    graft.operators.QualityClassifier.score(docs, "text", model)
+      .where(col("score") >= minScore)
+
   /** Bounded replay of documents.parquet through a real streaming query
     * (file source → curate → memory sink, Trigger.AvailableNow). */
   def runAvailableNow(spark: SparkSession, sfDir: String, rates: DataFrame,

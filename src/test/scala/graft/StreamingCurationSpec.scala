@@ -74,4 +74,28 @@ class StreamingCurationSpec extends SparkSpec {
     assert(streamed == kept,
       s"missed ${(kept -- streamed).size}, extra ${(streamed -- kept).size}")
   }
+
+  test("classifier gate: frozen distilled model meters the stream == batch") {
+    import graft.functions.TextAnalysis
+    import graft.operators.QualityClassifier
+    val docs = Tables.load(spark, sf(), "documents")
+    // Train batch-side (the offline step); gate with the frozen weights.
+    val model = QualityClassifier.trainSample(docs, "doc_id", "text",
+      TextAnalysis.qualityScore(col("text")) >= 0.78)
+    val batch = StreamingCuration.classifierGate(docs, model, minScore = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batch.nonEmpty && batch.size < docs.count(),
+      "gate must reject some and keep some")
+    val name = s"clf_${System.nanoTime()}"
+    val q = StreamingCuration.classifierGate(
+        spark.readStream.schema(StreamingCuration.documentsFileSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(sf()),
+        model, minScore = 0.5)
+      .select("doc_id")
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table(name).select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch)
+  }
 }
