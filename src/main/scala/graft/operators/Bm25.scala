@@ -108,6 +108,36 @@ object Bm25 {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/stats")
   }
 
+  /** Incremental index maintenance — the q77/IvfIndex.appendBatch
+    * amortization applied to the inverted index: tokenize and append
+    * ONLY the new batch's postings (range-clustered within the batch —
+    * term pushdown still prunes, just across more files until a
+    * compaction re-clusters globally), then recompute df/doclen/stats
+    * FROM the postings table. The recompute reads the index, not the
+    * corpus — postings are token-proportional but already aggregated,
+    * and df is Heaps-bounded — so each ingest costs the batch plus an
+    * index-sized summary pass, never a corpus re-tokenize. */
+  def appendToIndex(newDocs: DataFrame, idCol: String, textCol: String,
+                    indexDir: String, numFiles: Int = 4): Unit = {
+    val spark = newDocs.sparkSession
+    newDocs
+      .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+      .repartitionByRange(numFiles, col("term"))
+      .sortWithinPartitions("term", "doc")
+      .write.mode("append").parquet(s"$indexDir/postings")
+    val postings = spark.read.parquet(s"$indexDir/postings")
+    postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .repartitionByRange(math.max(1, numFiles), col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$indexDir/df")
+    val doclen = postings.groupBy("doc").agg(sum("tf").as("dl"))
+    doclen.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/doclen")
+    doclen.agg(count(lit(1)).cast("double").as("n_docs"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/stats")
+  }
+
   /** [[searchTopK]] against a persisted [[buildIndex]] layout: identical
     * scores and ranking, but the corpus never re-tokenizes — the query's
     * terms push into the term-clustered postings/df scans as an IN

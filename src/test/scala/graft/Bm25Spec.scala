@@ -76,6 +76,26 @@ class Bm25Spec extends SparkSpec {
       s"postings scan lost its term pushdown:\n${plan.take(2000)}")
   }
 
+  test("incremental append: built-then-appended index == index-at-once") {
+    val docs = graft.core.Tables.load(spark, sf(), "documents")
+    val a = docs.where($"doc_id" % 3 =!= 0)
+    val b = docs.where($"doc_id" % 3 === 0)
+    val incDir = tmpDir("bm25-inc")
+    Bm25.buildIndex(a, "doc_id", "text", incDir)
+    Bm25.appendToIndex(b, "doc_id", "text", incDir)
+    val fullDir = tmpDir("bm25-full")
+    Bm25.buildIndex(docs, "doc_id", "text", fullDir)
+    val qs = Seq(0 -> "dup hash join", 1 -> "merge sort batch")
+      .toDF("query_id", "qtext")
+    def run(dir: String) = Bm25
+      .searchTopKIndexed(dir, qs, "query_id", "qtext", k = 10)
+      .select("query_id", "rank", "doc", "score")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sorted
+    // Continual ingest never degrades results: same scores, same ranks.
+    assert(run(incDir) == run(fullDir))
+  }
+
   test("k cut and multi-query independence") {
     val hits = search(Seq(0 -> "spark", 1 -> "table"), k = 2)
     assert(hits.count(_._1 == 0) == 2 && hits.count(_._1 == 1) == 2)
