@@ -426,7 +426,10 @@ object IvfIndex {
     * retrain swaps the frozen model for all FUTURE batches and schedules
     * a background reindex, which is an orchestration step, not a side
     * effect an append should hide. */
-  final case class AppendResult(appended: Long, drift: Option[Double],
+  /** `appended`/`drift` are None on the trigger-off path (the plain
+    * append runs no counting job at all — absent, never a sentinel). */
+  final case class AppendResult(appended: Option[Long],
+                                drift: Option[Double],
                                 retrainDue: Boolean)
 
   def appendBatch(spark: SparkSession, batch: DataFrame, vecCol: String,
@@ -437,7 +440,7 @@ object IvfIndex {
     if (retrainBelow <= 0.0) {
       assign(spark, batch, vecCol, model, clusterCol)
         .write.mode("append").partitionBy(clusterCol).parquet(indexDir)
-      AppendResult(-1L, None, retrainDue = false)
+      AppendResult(None, None, retrainDue = false)
     } else {
       require(!baselineDrift.isNaN,
         "retrainBelow needs baselineDrift: record driftStat on the " +
@@ -449,7 +452,7 @@ object IvfIndex {
           .write.mode("append").partitionBy(clusterCol).parquet(indexDir)
         val row = scored.agg(count(lit(1)), avg(col("proto_cos"))).head
         val d = row.getDouble(1)
-        AppendResult(row.getLong(0), Some(d),
+        AppendResult(Some(row.getLong(0)), Some(d),
           retrainDue = d < retrainBelow * baselineDrift)
       } finally scored.unpersist()
     }
