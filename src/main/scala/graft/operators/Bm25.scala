@@ -71,6 +71,96 @@ object Bm25 {
       .where(col("rank") <= k)
   }
 
+  // ------------------------------------------------------------------
+  // Persisted index: versioned snapshots + atomic commit.
+  //
+  // Layout (Iceberg's snapshot-pointer shape in miniature, same CAS
+  // protocol as store.MergeStore's manifests):
+  //
+  //   <indexDir>/snap-<N>/{postings,df,doclen,stats}/   immutable tables
+  //   <indexDir>/_commits/v<N>                          commit markers
+  //
+  // A build/append stages a COMPLETE snapshot under a hidden temp name,
+  // atomically renames it to snap-<N+1>, then publishes by hard-linking
+  // the v<N+1> marker (create-if-absent). Readers resolve the HIGHEST
+  // committed marker and read exactly that snapshot's directories — a
+  // reader racing an append sees either the old index or the new one,
+  // never a mix of old df with appended postings (the torn read the old
+  // in-place mode("append") layout allowed). A losing writer gets
+  // ConcurrentModificationException, same as a lost MergeStore merge.
+  // Old snapshots stay readable (time travel) until vacuumed by
+  // deleting their snap dir + marker.
+  // ------------------------------------------------------------------
+
+  private def commitsDir(indexDir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(indexDir, "_commits")
+
+  private def snapPath(indexDir: String, v: Int): String =
+    s"$indexDir/snap-$v"
+
+  /** Highest committed snapshot version, if any. */
+  def currentVersion(indexDir: String): Option[Int] = {
+    val dir = commitsDir(indexDir)
+    if (!java.nio.file.Files.isDirectory(dir)) None
+    else {
+      import scala.jdk.CollectionConverters._
+      val vs = java.nio.file.Files.list(dir).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") => s.stripPrefix("v").toInt }
+        .toSeq
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  /** The committed snapshot directory readers should scan (newest by
+    * default) — fails loudly on an empty/uncommitted index dir. */
+  def resolveSnapshot(indexDir: String, version: Option[Int] = None): String =
+    snapPath(indexDir, version.orElse(currentVersion(indexDir)).getOrElse(
+      sys.error(s"no committed index snapshot at $indexDir")))
+
+  /** Atomically publish the staged snapshot as version parent+1 — the
+    * MergeStore CAS (hard-link create-if-absent) on the marker file. */
+  private def publish(indexDir: String, staged: java.nio.file.Path,
+                      parent: Int): Int = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val next = parent + 1
+    val finalDir = Paths.get(snapPath(indexDir, next))
+    Files.createDirectories(commitsDir(indexDir))
+    val marker = commitsDir(indexDir).resolve(s"v$next")
+    val tmpMarker = commitsDir(indexDir).resolve(
+      s".v$next-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    Files.write(tmpMarker, Array.emptyByteArray)
+    try {
+      Files.move(staged, finalDir, StandardCopyOption.ATOMIC_MOVE)
+      try { Files.createLink(marker, tmpMarker); next }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new java.util.ConcurrentModificationException(
+            s"index commit conflict at $indexDir: another writer " +
+              s"published v$next — re-read and retry")
+      }
+    } finally Files.deleteIfExists(tmpMarker)
+  }
+
+  private def writeSnapshotTables(postings: DataFrame, stage: String,
+                                  numFiles: Int): Unit = {
+    postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .repartitionByRange(math.max(1, numFiles / 4), col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$stage/df")
+    val doclen = postings.groupBy("doc").agg(sum("tf").as("dl"))
+    // doclen is one row PER DOCUMENT — corpus-sized, so it gets the same
+    // doc-clustered multi-file layout as any corpus table (a coalesce(1)
+    // here would funnel the whole corpus through one task). stats really
+    // is one row; its coalesce(1) is fine.
+    doclen.repartitionByRange(math.max(1, numFiles / 4), col("doc"))
+      .sortWithinPartitions("doc")
+      .write.mode("overwrite").parquet(s"$stage/doclen")
+    doclen.agg(count(lit(1)).cast("double").as("n_docs"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$stage/stats")
+  }
+
   /** Materialize the inverted index as TABLES — the at-scale shape
     * ([[searchTopK]] recomputes postings per call, which is right for
     * one-shot curation jobs and wrong for a query workload; a real
@@ -82,30 +172,25 @@ object Bm25 {
     *     reads ONLY matched slices (the inverted-index seek as row-group
     *     pruning — the same lever as store.Layouts).
     *   - `df/`        (term, df) — same term clustering.
-    *   - `doclen/`    (doc, dl)
+    *   - `doclen/`    (doc, dl) — doc-clustered (corpus-sized table).
     *   - `stats/`     1 row (n_docs, avgdl)
     *
-    * Incremental updates ride [[graft.store.MergeStore]] if needed —
-    * postings of new docs append; df/stats recompute from postings
-    * (Heaps-bounded, cheap next to the corpus scan they summarize). */
+    * Published as an atomic versioned snapshot (see the layout notes
+    * above): readers never observe a half-written index. */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
-                 indexDir: String, numFiles: Int = 16): Unit = {
+                 indexDir: String, numFiles: Int = 16): Int = {
+    import java.nio.file.{Files, Paths}
+    Files.createDirectories(Paths.get(indexDir))
+    val stage = Files.createTempDirectory(Paths.get(indexDir), ".stage-")
     val tf = docs
       .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("term"))
       .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
     tf.repartitionByRange(numFiles, col("term"))
       .sortWithinPartitions("term", "doc")
-      .write.mode("overwrite").parquet(s"$indexDir/postings")
-    val postings = docs.sparkSession.read.parquet(s"$indexDir/postings")
-    postings.groupBy("term").agg(count(lit(1)).as("df"))
-      .repartitionByRange(math.max(1, numFiles / 4), col("term"))
-      .sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(s"$indexDir/df")
-    val doclen = postings.groupBy("doc").agg(sum("tf").as("dl"))
-    doclen.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/doclen")
-    doclen.agg(count(lit(1)).cast("double").as("n_docs"),
-        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/stats")
+      .write.mode("overwrite").parquet(s"$stage/postings")
+    val postings = docs.sparkSession.read.parquet(s"$stage/postings")
+    writeSnapshotTables(postings, stage.toString, numFiles)
+    publish(indexDir, stage, currentVersion(indexDir).getOrElse(-1))
   }
 
   /** Incremental index maintenance — the q77/IvfIndex.appendBatch
@@ -113,29 +198,43 @@ object Bm25 {
     * ONLY the new batch's postings (range-clustered within the batch —
     * term pushdown still prunes, just across more files until a
     * compaction re-clusters globally), then recompute df/doclen/stats
-    * FROM the postings table. The recompute reads the index, not the
-    * corpus — postings are token-proportional but already aggregated,
-    * and df is Heaps-bounded — so each ingest costs the batch plus an
-    * index-sized summary pass, never a corpus re-tokenize. */
+    * FROM the postings (the recompute reads the index, not the corpus —
+    * postings are token-proportional but already aggregated, and df is
+    * Heaps-bounded — so each ingest costs the batch plus an index-sized
+    * summary pass, never a corpus re-tokenize).
+    *
+    * The new snapshot CARRIES the previous snapshot's postings files by
+    * hard link (immutable parquet, O(1) per file, zero data copied) and
+    * adds the batch's files next to them; df/doclen/stats are rewritten
+    * (index-summary-sized). The whole snapshot publishes atomically, so
+    * a concurrent reader sees the pre-append or post-append index,
+    * never appended postings with stale df. */
   def appendToIndex(newDocs: DataFrame, idCol: String, textCol: String,
-                    indexDir: String, numFiles: Int = 4): Unit = {
+                    indexDir: String, numFiles: Int = 4): Int = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
     val spark = newDocs.sparkSession
+    val parentV = currentVersion(indexDir).getOrElse(
+      sys.error(s"appendToIndex: no committed index at $indexDir"))
+    val prevPostings = Paths.get(resolveSnapshot(indexDir, Some(parentV)),
+      "postings")
+    val stage = Files.createTempDirectory(Paths.get(indexDir), ".stage-")
     newDocs
       .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("term"))
       .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
       .repartitionByRange(numFiles, col("term"))
       .sortWithinPartitions("term", "doc")
-      .write.mode("append").parquet(s"$indexDir/postings")
-    val postings = spark.read.parquet(s"$indexDir/postings")
-    postings.groupBy("term").agg(count(lit(1)).as("df"))
-      .repartitionByRange(math.max(1, numFiles), col("term"))
-      .sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(s"$indexDir/df")
-    val doclen = postings.groupBy("doc").agg(sum("tf").as("dl"))
-    doclen.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/doclen")
-    doclen.agg(count(lit(1)).cast("double").as("n_docs"),
-        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/stats")
+      .write.mode("overwrite").parquet(s"$stage/postings")
+    Files.list(prevPostings).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach { p =>
+        val target = stage.resolve("postings")
+          .resolve(s"carry-$parentV-${p.getFileName}")
+        Files.createLink(target, p)
+      }
+    val postings = spark.read.parquet(s"$stage/postings")
+    writeSnapshotTables(postings, stage.toString, numFiles)
+    publish(indexDir, stage, parentV)
   }
 
   /** [[searchTopK]] against a persisted [[buildIndex]] layout: identical
@@ -146,8 +245,13 @@ object Bm25 {
   def searchTopKIndexed(indexDir: String, queries: DataFrame,
                         queryIdCol: String, queryTextCol: String,
                         k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
-                        broadcastQueries: Boolean = true): DataFrame = {
+                        broadcastQueries: Boolean = true,
+                        version: Option[Int] = None): DataFrame = {
     val spark = queries.sparkSession
+    // Pin ONE committed snapshot for every sub-table read — all four
+    // directories come from the same atomic publish, so a concurrent
+    // append can never mix this query's postings with newer df/stats.
+    val snap = resolveSnapshot(indexDir, version)
     val qterms0 = queries
       .select(col(queryIdCol), explode(split(col(queryTextCol), " ")).as("term"))
       .distinct()
@@ -155,12 +259,12 @@ object Bm25 {
     // filter it prunes postings/df row groups before any join runs.
     val termList = qterms0.select("term").distinct()
       .collect().map(_.getString(0)).toSeq
-    val postings = spark.read.parquet(s"$indexDir/postings")
+    val postings = spark.read.parquet(s"$snap/postings")
       .where(col("term").isin(termList: _*))
-    val df_ = spark.read.parquet(s"$indexDir/df")
+    val df_ = spark.read.parquet(s"$snap/df")
       .where(col("term").isin(termList: _*))
-    val doclen = spark.read.parquet(s"$indexDir/doclen")
-    val stats = spark.read.parquet(s"$indexDir/stats")
+    val doclen = spark.read.parquet(s"$snap/doclen")
+    val stats = spark.read.parquet(s"$snap/stats")
     val qterms = qterms0
       .join(df_, "term")
       .crossJoin(broadcast(stats))

@@ -451,9 +451,15 @@ object IvfIndex {
         scored.drop("proto_cos")
           .write.mode("append").partitionBy(clusterCol).parquet(indexDir)
         val row = scored.agg(count(lit(1)), avg(col("proto_cos"))).head
-        val d = row.getDouble(1)
-        AppendResult(Some(row.getLong(0)), Some(d),
-          retrainDue = d < retrainBelow * baselineDrift)
+        // Empty batch: avg aggregates to null — a benign no-op ingest
+        // must not NPE after its (empty) write already succeeded.
+        if (row.getLong(0) == 0L)
+          AppendResult(Some(0L), None, retrainDue = false)
+        else {
+          val d = row.getDouble(1)
+          AppendResult(Some(row.getLong(0)), Some(d),
+            retrainDue = d < retrainBelow * baselineDrift)
+        }
       } finally scored.unpersist()
     }
 

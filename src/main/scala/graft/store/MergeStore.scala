@@ -50,6 +50,18 @@ object MergeStore {
   final case class MergeStats(filesTotal: Int, filesRewritten: Int,
                               rowsInserted: Long, rowsUpdated: Long)
 
+  final case class DeleteStats(filesTotal: Int, filesRewritten: Int,
+                               rowsDeleted: Long)
+
+  /** Default vacuum grace window (10 min): a data file younger than this
+    * is never reclaimed even when no retained manifest references it,
+    * because it may belong to an in-flight merge that staged its files
+    * but has not yet won the manifest CAS — vacuuming it would let the
+    * winning commit reference a vanished file (data loss on read).
+    * Delta's `VACUUM ... RETAIN` solves the same race the same way;
+    * tests that vacuum their own quiesced tables pass 0. */
+  val DefaultVacuumGraceMillis: Long = 10L * 60 * 1000
+
   private def dataDir(target: String): Path = Paths.get(target, "data")
   private def manifestDir(target: String): Path = Paths.get(target, "_manifest")
 
@@ -173,7 +185,8 @@ object MergeStore {
              pk: Seq[String], dataCols: Seq[String],
              ordCols: Seq[String] = Nil, clusterBy: Seq[String] = Nil,
              numFiles: Int = 8, maxLiveFiles: Int = 0,
-             maxRetries: Int = 3): (Long, Long) = {
+             maxRetries: Int = 3,
+             vacuumGraceMillis: Long = DefaultVacuumGraceMillis): (Long, Long) = {
     require(pk.nonEmpty, s"merge sink at $target has no primary key")
     val incoming = rows.where(pk.map(col(_).isNotNull).reduce(_ && _))
     if (currentVersion(target).isEmpty) {
@@ -187,7 +200,8 @@ object MergeStore {
       val stats = merge(spark,
         incoming.select((dataCols ++ ordCols).map(col): _*),
         target, pk, ordCols, maxRetries)
-      maintain(spark, target, numFiles, maxLiveFiles, clusterBy)
+      maintain(spark, target, numFiles, maxLiveFiles, clusterBy,
+        vacuumGraceMillis)
       (stats.rowsInserted, stats.rowsUpdated)
     }
   }
@@ -201,12 +215,17 @@ object MergeStore {
     * ones. Single-writer safe by the same manifest-commit protocol as
     * the merges themselves. Returns true iff a compaction ran. */
   def maintain(spark: SparkSession, target: String, targetFiles: Int,
-               maxLiveFiles: Int = 0, clusterBy: Seq[String] = Nil): Boolean = {
+               maxLiveFiles: Int = 0, clusterBy: Seq[String] = Nil,
+               vacuumGraceMillis: Long = DefaultVacuumGraceMillis): Boolean = {
     val cap = if (maxLiveFiles > 0) maxLiveFiles else 4 * targetFiles
     if (liveFiles(target).size <= cap) false
     else {
       compact(spark, target, targetFiles, clusterBy)
-      vacuum(target)
+      // Default grace: files a rival in-flight writer has staged (young,
+      // unreferenced) survive; this writer's own superseded files are
+      // reclaimed on a later maintenance pass once they age out. A
+      // known-single-writer pipeline passes 0 for immediate reclaim.
+      vacuum(target, graceMillis = vacuumGraceMillis)
       true
     }
   }
@@ -307,6 +326,86 @@ object MergeStore {
     MergeStats(before.size, affected.size, rowsInserted, rowsUpdated)
   }
 
+  /** DELETE by key set: remove every row whose `pk` appears in `keys` —
+    * the compliance-delete (GDPR / takedown) a production training-data
+    * store needs and the one MERGE verb the upsert-only reference never
+    * had. Same file-granular COW shape as [[merge]]: semi-join `keys`
+    * against the pinned snapshot to find the files holding doomed rows,
+    * rewrite ONLY those files anti-joined (their surviving rows), and
+    * CAS-commit the new file set. A file whose every row dies is simply
+    * dropped from the manifest — no replacement write at all.
+    *
+    * Multi-writer safe by the same optimistic protocol as merge: lost
+    * CAS ⇒ ConcurrentModificationException, or transparent recompute
+    * against the new head with `maxRetries > 0`. Deleting keys that are
+    * not in the table is a no-op for those keys (idempotent reruns).
+    *
+    * Scale: `keys` is the removal-request batch (small vs the table);
+    * it drives one semi-join shuffle bounded by the affected files'
+    * rows, never a full-table rewrite. Range clustering ([[init]]'s
+    * `clusterBy`) keeps a key-local removal batch touching few files. */
+  def delete(spark: SparkSession, target: String, keys: DataFrame,
+             pk: Seq[String], maxRetries: Int = 0,
+             snapshotVersion: Option[Int] = None): DeleteStats = {
+    require(pk.nonEmpty, s"delete at $target needs a key")
+    val keyRows = keys.select(pk.map(col): _*)
+      .where(pk.map(col(_).isNotNull).reduce(_ && _)).distinct()
+    deleteRetrying(spark, target, maxRetries, snapshotVersion,
+      live => live.join(keyRows, pk, "left_semi"),
+      live => live.join(keyRows, pk, "left_anti"))
+  }
+
+  /** DELETE by predicate (`DELETE FROM t WHERE p`): rows where `predicate`
+    * is TRUE die; NULL and FALSE survive (SQL DELETE semantics). Same COW
+    * rewrite + CAS commit as the key form. The predicate is pushed into
+    * the snapshot scan, so with range/Z-order clustering the affected-file
+    * probe prunes on parquet min/max stats instead of reading the table. */
+  def deleteWhere(spark: SparkSession, target: String,
+                  predicate: org.apache.spark.sql.Column,
+                  maxRetries: Int = 0,
+                  snapshotVersion: Option[Int] = None): DeleteStats = {
+    val doomed = coalesce(predicate, lit(false))
+    deleteRetrying(spark, target, maxRetries, snapshotVersion,
+      live => live.where(doomed),
+      live => live.where(!doomed))
+  }
+
+  private def deleteRetrying(spark: SparkSession, target: String,
+                             maxRetries: Int, snapshotVersion: Option[Int],
+                             doomed: DataFrame => DataFrame,
+                             survivors: DataFrame => DataFrame): DeleteStats =
+    try deleteOnce(spark, target, snapshotVersion, doomed, survivors)
+    catch {
+      case _: java.util.ConcurrentModificationException if maxRetries > 0 =>
+        // Replay against the FRESH head, exactly like merge's retry.
+        deleteRetrying(spark, target, maxRetries - 1, None, doomed, survivors)
+    }
+
+  private def deleteOnce(spark: SparkSession, target: String,
+                         snapshotVersion: Option[Int],
+                         doomed: DataFrame => DataFrame,
+                         survivors: DataFrame => DataFrame): DeleteStats = {
+    val parentV = snapshotVersion.orElse(currentVersion(target))
+      .getOrElse(sys.error(s"no committed version at $target"))
+    val before = liveFiles(target, Some(parentV))
+    val live = read(spark, target, Some(parentV))
+      .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
+    val dead = doomed(live)
+    val affected = dead.select("__file").distinct()
+      .collect().map(_.getString(0)).toSet
+    if (affected.isEmpty)
+      return DeleteStats(before.size, 0, 0L) // nothing matched: no commit
+    val rowsDeleted = dead.count()
+    val kept = survivors(live.where(col("__file").isin(affected.toSeq: _*)))
+      .drop("__file")
+    // A fully-dead file set writes nothing — the manifest just drops it.
+    val newFiles =
+      if (kept.isEmpty) Seq.empty
+      else writeFiles(kept.repartition(math.max(1, affected.size)), target)
+    commit(target, (before.filterNot(affected) ++ newFiles).distinct, parentV)
+    DeleteStats(before.size, affected.size, rowsDeleted)
+  }
+
   /** Row-level diff between two committed versions (change-data-feed
     * lite): the rows of `toVersion` that are NOT in `fromVersion` — i.e.
     * every inserted row plus the post-image of every update. Because
@@ -332,6 +431,56 @@ object MergeStore {
         // null-fill the appended columns, exactly as read() shows them.
         added.exceptAll(
           added.limit(0).unionByName(removed, allowMissingColumns = true))
+    }
+  }
+
+  /** Typed change feed between two committed versions — [[diff]] plus
+    * removals. Emits every changed row tagged `_change_type`
+    * (Delta CDF's column name): `insert` (key new in `toVersion`),
+    * `update_postimage` (key existed, content changed — the new row),
+    * `delete` (key gone — the old row, so downstream consumers can
+    * propagate the removal). Keyed on `pk`, so it understands DELETEs
+    * the row-multiset [[diff]] cannot distinguish from rewrites.
+    *
+    * Same file-pruning argument as diff: immutable files common to both
+    * manifests cancel exactly, so only each side's unique files are
+    * scanned. A pure compaction (same content, new layout) emits ZERO
+    * rows: post-images are content-diffed (exceptAll) before keying,
+    * not just key-matched. */
+  def changes(spark: SparkSession, target: String,
+              fromVersion: Int, toVersion: Int,
+              pk: Seq[String]): DataFrame = {
+    require(pk.nonEmpty, s"changes at $target needs a key")
+    def readFiles(names: Seq[String]): Option[DataFrame] =
+      if (names.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true").parquet(
+        names.map(f => dataDir(target).resolve(f).toString): _*))
+    val beforeNames = liveFiles(target, Some(fromVersion)).toSet
+    val afterNames = liveFiles(target, Some(toVersion)).toSet
+    val emptyOut = read(spark, target, Some(toVersion)).limit(0)
+      .withColumn("_change_type", lit(""))
+    (readFiles((afterNames -- beforeNames).toSeq.sorted),
+      readFiles((beforeNames -- afterNames).toSeq.sorted)) match {
+      case (None, None) => emptyOut
+      case (added, removed) =>
+        // Align both sides onto the evolved (to-version) schema: removed
+        // pre-evolution files null-fill appended columns, as read() does.
+        val base = emptyOut.drop("_change_type")
+        def align(df: DataFrame): DataFrame =
+          base.unionByName(df, allowMissingColumns = true)
+        val addRows = added.map(align).getOrElse(base)
+        val remRows = removed.map(align).getOrElse(base)
+        val remKeys = remRows.select(pk.map(col): _*).distinct()
+        val addKeys = addRows.select(pk.map(col): _*).distinct()
+        // Content-changed post-images only — a compaction emits nothing.
+        val changedPost = addRows.exceptAll(remRows)
+        val inserts = changedPost.join(remKeys, pk, "left_anti")
+          .withColumn("_change_type", lit("insert"))
+        val updates = changedPost.join(remKeys, pk, "left_semi")
+          .withColumn("_change_type", lit("update_postimage"))
+        val deletes = remRows.join(addKeys, pk, "left_anti")
+          .withColumn("_change_type", lit("delete"))
+        inserts.unionByName(updates).unionByName(deletes)
     }
   }
 
@@ -363,15 +512,26 @@ object MergeStore {
     * vacuum is safe only when nothing reads behind head; a multi-writer/
     * multi-reader deployment sets `retainVersions` to cover its longest
     * reader — exactly Delta's `VACUUM ... RETAIN` contract, expressed in
-    * versions instead of hours. */
-  def vacuum(target: String, retainVersions: Int = 1): Int = {
+    * versions instead of hours.
+    *
+    * Retention also protects IN-FLIGHT WRITERS: a rival merge stages its
+    * data files via writeFiles() BEFORE winning the manifest CAS; in that
+    * window the files are unreferenced and look like orphans. `graceMillis`
+    * (default [[DefaultVacuumGraceMillis]]) skips any data file younger
+    * than the window, so a concurrent vacuum can never delete files a
+    * soon-to-win commit will reference. Pass 0 only when no writer can be
+    * mid-merge (single-writer maintenance windows, tests). */
+  def vacuum(target: String, retainVersions: Int = 1,
+             graceMillis: Long = DefaultVacuumGraceMillis): Int = {
     require(retainVersions >= 1, "must retain at least the head version")
     val head = currentVersion(target)
       .getOrElse(return 0)
     val floor = math.max(0, head - retainVersions + 1)
     val live = (floor to head).flatMap(v => liveFiles(target, Some(v))).toSet
+    val cutoff = System.currentTimeMillis() - graceMillis
     val orphans = Files.list(dataDir(target)).iterator().asScala
-      .filter(p => !live.contains(p.getFileName.toString)).toSeq
+      .filter(p => !live.contains(p.getFileName.toString) &&
+        Files.getLastModifiedTime(p).toMillis <= cutoff).toSeq
     orphans.foreach(Files.deleteIfExists)
     // Manifests below the retention floor reference vanished files —
     // remove them so a stale time travel fails at manifest lookup (a

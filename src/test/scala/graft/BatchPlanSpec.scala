@@ -138,13 +138,17 @@ class BatchPlanSpec extends SparkSpec {
     val target = tmpDir("merge-maint") + "/tbl"
     def batch(lo: Int, hi: Int) =
       (lo until hi).map(i => (i.toLong, s"v$i")).toDF("id", "value")
+    // vacuumGraceMillis = 0: this test IS the single writer, so its own
+    // superseded files are immediately reclaimable (the disk-bound
+    // assertion below); production multi-writer loads keep the default
+    // grace window.
     MergeStore.upsert(spark, batch(0, 100), target,
       pk = Seq("id"), dataCols = Seq("id", "value"),
-      clusterBy = Seq("id"), numFiles = 2)
+      clusterBy = Seq("id"), numFiles = 2, vacuumGraceMillis = 0)
     val counts = (1 to 12).map { b =>
       MergeStore.upsert(spark, batch(b * 100, (b + 1) * 100), target,
         pk = Seq("id"), dataCols = Seq("id", "value"),
-        clusterBy = Seq("id"), numFiles = 2)
+        clusterBy = Seq("id"), numFiles = 2, vacuumGraceMillis = 0)
       MergeStore.liveFiles(target).size
     }
     assert(counts.max <= 8, s"live files grew past the 4x cap: $counts")

@@ -96,6 +96,64 @@ class Bm25Spec extends SparkSpec {
     assert(run(incDir) == run(fullDir))
   }
 
+  test("atomic index publish: a pinned reader never sees a torn append") {
+    val docs = graft.core.Tables.load(spark, sf(), "documents")
+    val a = docs.where($"doc_id" % 3 =!= 0)
+    val b = docs.where($"doc_id" % 3 === 0)
+    val dir = tmpDir("bm25-snap")
+    val v0 = Bm25.buildIndex(a, "doc_id", "text", dir)
+    val qs = Seq(0 -> "dup hash join").toDF("query_id", "qtext")
+    def run(version: Option[Int]) = Bm25
+      .searchTopKIndexed(dir, qs, "query_id", "qtext", k = 10,
+        version = version)
+      .select("query_id", "rank", "doc", "score")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sorted
+    val preAppend = run(Some(v0))
+    val v1 = Bm25.appendToIndex(b, "doc_id", "text", dir)
+    // A reader that resolved v0 before the append still reads EXACTLY
+    // the v0 index — postings, df, doclen, stats all from one atomic
+    // publish, never appended postings with stale summaries.
+    assert(run(Some(v0)) == preAppend)
+    assert(Bm25.currentVersion(dir).contains(v1))
+    // And the default (unpinned) reader sees the complete new snapshot:
+    // identical to an index built at-once over the full corpus.
+    val fullDir = tmpDir("bm25-snap-full")
+    Bm25.buildIndex(docs, "doc_id", "text", fullDir)
+    def runDir(d: String) = Bm25
+      .searchTopKIndexed(d, qs, "query_id", "qtext", k = 10)
+      .select("query_id", "rank", "doc", "score")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sorted
+    assert(runDir(dir) == runDir(fullDir))
+    assert(run(None) != preAppend) // the append actually changed results
+  }
+
+  test("query-side scale flip: shuffle join == broadcast join row-for-row") {
+    // broadcastQueries=false is the web-scale-query-log path (a plain
+    // term-keyed shuffle join instead of broadcasting qterms into the
+    // postings scan) — same plan shape, and it must be score-identical.
+    val docs = graft.core.Tables.load(spark, sf(), "documents")
+    val qs = Seq(0 -> "dup hash join", 1 -> "merge sort batch",
+      2 -> "slow scan filter").toDF("query_id", "qtext")
+    def run(bcast: Boolean) = Bm25
+      .searchTopK(docs, "doc_id", "text", qs, "query_id", "qtext",
+        k = 10, broadcastQueries = bcast)
+      .select("query_id", "rank", "doc_id", "score")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sorted
+    assert(run(true) == run(false))
+    val dir = tmpDir("bm25-flip")
+    Bm25.buildIndex(docs, "doc_id", "text", dir)
+    def runIdx(bcast: Boolean) = Bm25
+      .searchTopKIndexed(dir, qs, "query_id", "qtext", k = 10,
+        broadcastQueries = bcast)
+      .select("query_id", "rank", "doc", "score")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sorted
+    assert(runIdx(true) == runIdx(false))
+  }
+
   test("k cut and multi-query independence") {
     val hits = search(Seq(0 -> "spark", 1 -> "table"), k = 2)
     assert(hits.count(_._1 == 0) == 2 && hits.count(_._1 == 1) == 2)

@@ -371,6 +371,13 @@ class IvfSpec extends SparkSpec {
     assert(r2.drift.get < 0.9 * baseline)
     // The trigger decision never blocks the append itself: all rows landed.
     assert(spark.read.parquet(dir).count() == a.count() + drifted.count())
+    // An EMPTY batch with the trigger on is a benign no-op: avg(proto_cos)
+    // aggregates to null and must come back as absent drift, not an NPE
+    // after the (empty) write already succeeded.
+    val r3 = IvfIndex.appendBatch(spark, emb.where(lit(false)), "embedding",
+      model, dir, retrainBelow = 0.9, baselineDrift = baseline)
+    assert(r3 == IvfIndex.AppendResult(Some(0L), None, retrainDue = false))
+    assert(spark.read.parquet(dir).count() == a.count() + drifted.count())
   }
 
   test("driftStat separates in-distribution batches from drifted ones") {

@@ -110,7 +110,7 @@ class MergeStoreSpec extends SparkSpec {
       .select(col("id"), lit(0).cast("int").as("grp"),
         concat(lit("v2-"), col("id")).as("payload"))
     val stats = MergeStore.merge(spark, updates, t, Seq("id"))
-    val removed = MergeStore.vacuum(t)
+    val removed = MergeStore.vacuum(t, graceMillis = 0)
     assert(removed == stats.filesRewritten) // exactly the replaced files
     val after = MergeStore.read(spark, t)
     assert(after.count() == N)
@@ -126,7 +126,7 @@ class MergeStoreSpec extends SparkSpec {
     MergeStore.merge(spark, spark.range(5L, 9L)
       .select(col("id"), lit(0).cast("int").as("grp"),
         concat(lit("v3-"), col("id")).as("payload")), t, Seq("id")) // v2
-    MergeStore.vacuum(t, retainVersions = 2)
+    MergeStore.vacuum(t, retainVersions = 2, graceMillis = 0)
     // v1 is inside the window: its full snapshot must still read — the
     // guarantee an OCC reader pinned just behind head depends on.
     assert(MergeStore.read(spark, t, Some(1)).count() == N)
@@ -157,7 +157,7 @@ class MergeStoreSpec extends SparkSpec {
       .where(col("id").isin(1L, 2L, 3L))
       .select($"id", $"payload").as[(Long, String)].collect().toMap
     assert(rows(1L) == "b-1" && rows(2L) == "b-2" && rows(3L) == "v1-3")
-    assert(MergeStore.vacuum(t) > 0)
+    assert(MergeStore.vacuum(t, graceMillis = 0) > 0)
     assert(MergeStore.read(spark, t).count() == N)
   }
 
@@ -258,10 +258,116 @@ class MergeStoreSpec extends SparkSpec {
     assert(after.where(col("id") === 52L).select("payload")
       .as[String].head() == "v2-52")
     // vacuum reclaims every file only older versions referenced
-    assert(MergeStore.vacuum(t) > 0)
+    assert(MergeStore.vacuum(t, graceMillis = 0) > 0)
     assert(MergeStore.read(spark, t).count() == N)
     intercept[Exception] { // time travel is gone after vacuum, loudly
       MergeStore.read(spark, t, version = Some(0)).count()
     }
+  }
+
+  test("delete by keys rewrites only affected files; reruns are no-ops") {
+    val t = freshTable() // v0, 16 range-clustered files
+    // 5 keys in one narrow range → 1-2 affected files out of 16.
+    val doomed = (100L until 105L).toDF("id")
+    val stats = MergeStore.delete(spark, t, doomed, pk = Seq("id"))
+    assert(stats.filesTotal == FILES)
+    assert(stats.filesRewritten >= 1 && stats.filesRewritten <= 2)
+    assert(stats.rowsDeleted == 5)
+    val after = MergeStore.read(spark, t)
+    assert(after.count() == N - 5)
+    assert(after.where(col("id").between(100L, 104L)).count() == 0)
+    assert(after.where(col("id") === 99L).count() == 1)
+    assert(after.where(col("id") === 105L).count() == 1)
+    // Rerun: the keys are gone, so no file matches → no rewrite, no new
+    // version — the idempotence a replayed removal-request batch needs.
+    val v = MergeStore.liveFiles(t).size
+    val again = MergeStore.delete(spark, t, doomed, pk = Seq("id"))
+    assert(again.rowsDeleted == 0 && again.filesRewritten == 0)
+    assert(MergeStore.liveFiles(t).size == v)
+    assert(MergeStore.read(spark, t).count() == N - 5)
+  }
+
+  test("deleteWhere: predicate TRUE dies, NULL and FALSE survive") {
+    val target = tmpDir("merge-store") + "/tbl"
+    val withNulls = spark.range(100L)
+      .select(col("id"),
+        when(col("id") % 3 === 0, col("id") % 7).cast("int").as("grp"))
+    MergeStore.init(spark, withNulls, target, 4, clusterBy = Seq("id"))
+    // grp < 3: TRUE for some, NULL for two-thirds — SQL DELETE keeps NULL.
+    val stats = MergeStore.deleteWhere(spark, target, col("grp") < 3)
+    val after = MergeStore.read(spark, target)
+    val expectKilled = (0L until 100L)
+      .count(i => i % 3 == 0 && (i % 7) < 3)
+    assert(stats.rowsDeleted == expectKilled)
+    assert(after.count() == 100 - expectKilled)
+    assert(after.where(col("grp").isNull).count() ==
+      (0L until 100L).count(_ % 3 != 0)) // NULL rows all survived
+  }
+
+  test("delete + compact + vacuum: the row stays gone") {
+    val t = freshTable() // v0
+    MergeStore.delete(spark, t, Seq(42L).toDF("id"), pk = Seq("id")) // v1
+    MergeStore.compact(spark, t, targetFiles = 4, clusterBy = Seq("id")) // v2
+    MergeStore.vacuum(t, graceMillis = 0)
+    val after = MergeStore.read(spark, t)
+    // Compaction reads the post-delete head — it must not resurrect the
+    // row from superseded files, and vacuum reclaims those files.
+    assert(after.count() == N - 1)
+    assert(after.where(col("id") === 42L).count() == 0)
+  }
+
+  test("delete loses the CAS race and replays against the new head") {
+    val t = freshTable() // v0
+    // Writer B commits v1 while the delete is pinned on v0.
+    MergeStore.merge(spark, batch("b", Seq(200L, 201L)), t, pk = Seq("id"))
+    val stats = MergeStore.delete(spark, t, Seq(200L, 300L).toDF("id"),
+      pk = Seq("id"), maxRetries = 1, snapshotVersion = Some(0))
+    assert(stats.rowsDeleted == 2)
+    val rows = MergeStore.read(spark, t)
+    assert(rows.where(col("id").isin(200L, 300L)).count() == 0)
+    // B's other update survived the replayed delete.
+    assert(rows.where(col("id") === 201L).select("payload")
+      .as[String].head() == "b-201")
+    assert(rows.count() == N - 2)
+  }
+
+  test("changes: typed feed emits inserts, update post-images, and deletes") {
+    val t = freshTable() // v0
+    MergeStore.merge(spark, batch("u", Seq(10L, 11L))
+      .union(batch("new", Seq(N.toLong))), t, pk = Seq("id")) // v1
+    MergeStore.delete(spark, t, Seq(11L, 500L).toDF("id"), pk = Seq("id")) // v2
+    val feed = MergeStore.changes(spark, t, 0, 2, pk = Seq("id"))
+      .select($"id", $"payload", $"_change_type")
+      .as[(Long, String, String)].collect().toSet
+    // Key 11 was updated in v1 then deleted in v2: across 0→2 it is a
+    // pure delete (pre-image is the v0 row — the only copy in removed
+    // files not superseded by an added file).
+    assert(feed == Set(
+      (N.toLong, s"new-$N", "insert"),
+      (10L, "u-10", "update_postimage"),
+      (11L, "v1-11", "delete"),
+      (500L, "v1-500", "delete")))
+    // Per-step feeds see the intermediate update.
+    val step1 = MergeStore.changes(spark, t, 0, 1, pk = Seq("id"))
+      .select($"id", $"_change_type").as[(Long, String)].collect().toSet
+    assert(step1 == Set((N.toLong, "insert"), (10L, "update_postimage"),
+      (11L, "update_postimage")))
+    val step2 = MergeStore.changes(spark, t, 1, 2, pk = Seq("id"))
+      .select($"id", $"_change_type").as[(Long, String)].collect().toSet
+    assert(step2 == Set((11L, "delete"), (500L, "delete")))
+    // A pure compaction is layout-only: the typed feed is empty too.
+    MergeStore.compact(spark, t, targetFiles = 4, clusterBy = Seq("id")) // v3
+    assert(MergeStore.changes(spark, t, 2, 3, pk = Seq("id")).count() == 0)
+  }
+
+  test("vacuum grace window protects an in-flight writer's staged files") {
+    val t = freshTable() // v0
+    MergeStore.merge(spark, batch("b", Seq(1L)), t, pk = Seq("id")) // v1
+    // Superseded v0 files are brand-new (this test just wrote them): a
+    // default-grace vacuum must NOT reclaim them — they are
+    // indistinguishable from a rival writer's staged-not-yet-committed
+    // files. With the window waived, they are reclaimed as before.
+    assert(MergeStore.vacuum(t) == 0)
+    assert(MergeStore.vacuum(t, graceMillis = 0) > 0)
   }
 }
