@@ -140,6 +140,153 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Audio kind: second real binary codec behind the same batched-decode
+  // operator shape as images — javax.sound.sampled is public JDK
+  // (java.desktop), exactly the imageio discipline.
+  // ------------------------------------------------------------------
+
+  final case class AudioFeatures(media_id: Long, kind: String,
+                                 sampleRate: Int, channels: Int,
+                                 durationMs: Long, rms: Double,
+                                 features: Array[Float])
+
+  /** REAL audio codec over the JDK's `javax.sound.sampled` WAV reader.
+    * Decodable PCM_SIGNED 16-bit audio yields true signal stats: format
+    * metadata (sample rate, channels), duration from the frame count, RMS
+    * amplitude (samples normalized to [-1, 1]), and a [[featureDim]]-bin
+    * temporal energy envelope (mean |amplitude| per time slice) — the
+    * audio analogue of the image codec's luminance grid. Bytes the sound
+    * registry can't parse (or non-PCM16 encodings) fall back to
+    * [[AudioCodecStub]], the same never-fail-the-job contract as images.
+    * Samples stream through a fixed 8 KiB buffer — a pathological
+    * hours-long record costs O(1) memory, not O(samples). */
+  object WavCodec {
+    private val readBuf = 8192
+
+    def decode(bytes: Array[Byte]): (Int, Int, Long, Double, Array[Float]) = {
+      val ais =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Throwable => null }
+      if (ais == null) AudioCodecStub.decode(bytes)
+      else try {
+        val fmt = ais.getFormat
+        val pcm16 = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian
+        val frames = ais.getFrameLength
+        if (!pcm16 || frames <= 0) AudioCodecStub.decode(bytes)
+        else {
+          val sampleRate = math.round(fmt.getSampleRate)
+          val channels = fmt.getChannels
+          val totalSamples = frames * channels
+          val durationMs = math.round(frames * 1000.0 / fmt.getSampleRate)
+          val sums = new Array[Double](featureDim)
+          val counts = new Array[Long](featureDim)
+          var sumSq = 0.0
+          val buf = new Array[Byte](readBuf)
+          var carry = -1 // low byte of a sample split across reads
+          var idx = 0L   // running sample index
+          var n = ais.read(buf)
+          while (n > 0) {
+            var i = 0
+            if (carry >= 0 && n >= 1) {
+              val v = ((buf(0) << 8) | carry).toShort
+              val a = v / 32768.0
+              sumSq += a * a
+              val bin = math.min(featureDim - 1,
+                (idx * featureDim / totalSamples).toInt)
+              sums(bin) += math.abs(a); counts(bin) += 1
+              idx += 1; carry = -1; i = 1
+            }
+            while (i + 1 < n) {
+              val v = ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort
+              val a = v / 32768.0
+              sumSq += a * a
+              val bin = math.min(featureDim - 1,
+                (idx * featureDim / totalSamples).toInt)
+              sums(bin) += math.abs(a); counts(bin) += 1
+              idx += 1; i += 2
+            }
+            if (i < n) carry = buf(i) & 0xff
+            n = ais.read(buf)
+          }
+          val rms = if (idx == 0) 0.0 else math.sqrt(sumSq / idx)
+          val feats = Array.tabulate(featureDim) { b =>
+            if (counts(b) == 0) 0.0f else (sums(b) / counts(b)).toFloat
+          }
+          (sampleRate, channels, durationMs, rms, feats)
+        }
+      } finally ais.close()
+    }
+  }
+
+  /** Deterministic fallback for audio no installed reader decodes — the
+    * [[MediaCodecStub]] contract, audio-shaped. */
+  object AudioCodecStub {
+    def decode(bytes: Array[Byte]): (Int, Int, Long, Double, Array[Float]) = {
+      val h = java.util.Arrays.hashCode(bytes)
+      val sampleRate = 8000 * (1 + math.abs(h) % 6) // 8k..48k
+      val durationMs = if (bytes.isEmpty) 0L else bytes.length.toLong / 2
+      val rms =
+        if (bytes.isEmpty) 0.0
+        else bytes.map(b => (b & 0xff).toDouble / 255.0).sum / bytes.length
+      val feats = Array.tabulate(featureDim) { i =>
+        if (bytes.isEmpty) 0.0f
+        else (bytes(i % bytes.length) & 0xff).toFloat / 255.0f
+      }
+      (sampleRate, 1, durationMs, rms, feats)
+    }
+  }
+
+  /** Deterministic WAV synthesizer (PCM16 mono): a seeded sine + LCG-noise
+    * mixture under a standard RIFF/WAVE header. This is how the synthetic
+    * corpus gets REAL decodable audio payloads — the container ships no
+    * audio fixtures, and q90's oracle replays this exact pure function
+    * driver-side (StrictMath so the waveform is bit-stable anywhere). */
+  def synthWav(seed: Long, nSamples: Int, sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    val freq = 110.0 + (math.abs(seed) % 330)
+    var state = seed
+    var i = 0
+    while (i < nSamples) {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      val noise = (((state >>> 40) & 0xffff).toInt - 32768) / 32768.0
+      val s = 0.6 * StrictMath.sin(2 * StrictMath.PI * freq * i / sampleRate) +
+        0.2 * noise
+      out.putShort(math.max(-32768,
+        math.min(32767, math.round(s * 32767).toInt)).toShort)
+      i += 1
+    }
+    out.array()
+  }
+
+  /** Batched audio feature extraction — same partition-preserving
+    * fixed-batch shape as [[extractFeatures]]. */
+  def extractAudioFeatures(media: Dataset[MediaRow],
+                           batchSize: Int = 64): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val (sr, ch, dur, rms, feats) = WavCodec.decode(m.content)
+          AudioFeatures(m.media_id, m.kind, sr, ch, dur, rms, feats)
+        }
+      }
+    }
+  }
+
   /** Batched feature extraction: partitions stream through in fixed-size
     * batches (mapInPandas batch shape) — per-batch setup cost (a real codec
     * context) is paid once per `batchSize` records, partitioning preserved,

@@ -73,6 +73,72 @@ object StreamMultimodalQueries extends QueryFamily {
     None,
     oracleGen = Some(multimodalOracle))
 
+  /** q90's deterministic payload recipe, shared by the query and its
+    * oracle: REAL WAV bytes synthesized from each doc_id (seeded sine +
+    * LCG noise, PCM16 mono — [[Multimodal.synthWav]] is a pure function),
+    * so the javax.sound decode path runs on genuinely decodable audio,
+    * not the stub. Sample count varies per doc so durations differ. */
+  private def q90Wav(docId: Long): Array[Byte] =
+    Multimodal.synthWav(seed = docId,
+      nSamples = 800 + (docId % 40).toInt * 100, sampleRate = 8000)
+
+  /** DuckDB twin of q90, generated at Verify time: the same synthWav →
+    * WavCodec pipeline runs driver-side (bounded: 500-row verify corpus)
+    * and injects expected rows as VALUES literals — q32's pattern. What
+    * the comparison verifies is the distributed plumbing: every record
+    * through the batched decoder once, unmangled. */
+  private def audioOracle(s: SparkSession, dir: String): String = {
+    val rows = Tables.load(s, dir, "documents")
+      .select(col("doc_id")).collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val (sr, ch, dur, rms, feats) = Multimodal.WavCodec.decode(q90Wav(id))
+        val rounded = java.math.BigDecimal.valueOf(rms)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        s"($id, $sr, $ch, $dur, $rounded, ${feats.length})"
+      }
+    s"""
+      SELECT CAST(media_id AS BIGINT) AS media_id,
+             'audio' AS kind,
+             CAST(sample_rate AS INTEGER) AS sample_rate,
+             CAST(channels AS INTEGER) AS channels,
+             CAST(duration_ms AS BIGINT) AS duration_ms,
+             CAST(rms AS DOUBLE) AS rms,
+             CAST(feature_dim AS INTEGER) AS feature_dim
+      FROM (VALUES ${rows.mkString(", ")})
+        t(media_id, sample_rate, channels, duration_ms, rms, feature_dim)
+      ORDER BY media_id"""
+  }
+
+  private val q90 = QueryDef(
+    "q90_audio_features",
+    "Second multimodal kind: REAL WAV audio decode (javax.sound.sampled, " +
+      "public JDK — the imageio discipline) behind the same batched " +
+      "per-partition operator as images. Payloads are deterministic " +
+      "synthesized PCM16 WAVs per doc_id; the codec streams samples " +
+      "through a fixed 8 KiB buffer (O(1) memory per record) extracting " +
+      "format metadata, duration, RMS and a 16-bin energy envelope. " +
+      "Oracle generated at Verify time by replaying the same pure " +
+      "synth+decode driver-side (q32's pattern).",
+    (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val payloads = Tables.load(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, q90Wav(id))).toDF("doc_id", "bytes")
+      val media = Multimodal.attach(payloads,
+        "doc_id", "bytes", kind = "audio", mime = "audio/wav")
+      Multimodal.extractAudioFeatures(media).toDF()
+        .select(col("media_id"), col("kind"),
+          col("sampleRate").as("sample_rate"),
+          col("channels"), col("durationMs").as("duration_ms"),
+          round(col("rms"), 6).as("rms"),
+          size(col("features")).as("feature_dim"))
+        .orderBy("media_id")
+    },
+    None,
+    oracleGen = Some(audioOracle))
+
   private val q33 = QueryDef(
     "q33_stream_windowed_agg",
     "Structured Streaming: events replayed through a file-source stream " +
@@ -153,5 +219,5 @@ object StreamMultimodalQueries extends QueryFamily {
       WHERE epoch_ms(ws) + 300000 <= cutoff_ms
       ORDER BY window_start, event_type"""))
 
-  override val defs: Seq[QueryDef] = Seq(q32, q33, q34, q82)
+  override val defs: Seq[QueryDef] = Seq(q32, q33, q34, q82, q90)
 }

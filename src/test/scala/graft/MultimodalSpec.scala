@@ -108,6 +108,84 @@ class MultimodalSpec extends SparkSpec {
     assert((redecoded.getWidth, redecoded.getHeight) == ((50, 25)))
   }
 
+  // ---- real audio codec (javax.sound.sampled) on synthetic WAVs ------
+
+  /** Closed-form WAV: PCM16 mono, constant amplitude A → RMS exactly
+    * A/32768 and every envelope bin |A|/32768. */
+  private def constWav(nSamples: Int, amp: Short,
+                       sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    (0 until nSamples).foreach(_ => out.putShort(amp))
+    out.array()
+  }
+
+  test("wav codec: format metadata, duration, closed-form RMS + envelope") {
+    val amp: Short = 16384 // a/32768 = 0.5 exactly
+    val (sr, ch, dur, rms, feats) = Multimodal.WavCodec.decode(
+      constWav(nSamples = 8000, amp = amp))
+    assert((sr, ch) == ((8000, 1)))
+    assert(dur == 1000L) // 8000 samples at 8 kHz = 1 s
+    assert(math.abs(rms - 0.5) < 1e-12)
+    assert(feats.length == Multimodal.featureDim)
+    assert(feats.forall(f => math.abs(f - 0.5f) < 1e-6f))
+  }
+
+  test("wav codec: sample count not divisible by the read buffer or bins") {
+    // 1037 samples: exercises the split-sample carry across 8 KiB reads
+    // (2074 bytes of data) and ragged envelope bins (1037 % 16 != 0).
+    val (sr, _, dur, rms, feats) = Multimodal.WavCodec.decode(
+      constWav(nSamples = 1037, amp = 8192))
+    assert(sr == 8000)
+    assert(dur == math.round(1037 * 1000.0 / 8000))
+    assert(math.abs(rms - 0.25) < 1e-12)
+    assert(feats.forall(f => math.abs(f - 0.25f) < 1e-6f))
+  }
+
+  test("wav codec: undecodable bytes fall back to the audio stub") {
+    val junk = "certainly not audio".getBytes("UTF-8")
+    val real = Multimodal.WavCodec.decode(junk)
+    val stub = Multimodal.AudioCodecStub.decode(junk)
+    assert((real._1, real._2, real._3, real._4, real._5.toSeq) ==
+      ((stub._1, stub._2, stub._3, stub._4, stub._5.toSeq)))
+  }
+
+  test("synthWav round-trips through the real decoder deterministically") {
+    val bytes = Multimodal.synthWav(seed = 42L, nSamples = 4000)
+    assert(bytes.length == 44 + 8000)
+    val d1 = Multimodal.WavCodec.decode(bytes)
+    val d2 = Multimodal.WavCodec.decode(Multimodal.synthWav(42L, 4000))
+    assert(d1._5.toSeq == d2._5.toSeq && d1._4 == d2._4)
+    assert((d1._1, d1._2, d1._3) == ((8000, 1, 500L)))
+    assert(d1._4 > 0.1 && d1._4 < 0.9) // a real signal, not silence/clipping
+  }
+
+  test("extractAudioFeatures: batched distributed decode == driver codec") {
+    val audio = Multimodal.attach(
+      Seq(20L, 21L, 22L).map(id =>
+          (id, Multimodal.synthWav(id, 1600 + 160 * id.toInt)))
+        .toDF("id", "bytes"),
+      "id", "bytes", kind = "audio", mime = "audio/wav")
+    val rows = Multimodal.extractAudioFeatures(audio, batchSize = 2)
+      .collect().sortBy(_.media_id)
+    assert(rows.map(_.media_id).toSeq == Seq(20L, 21L, 22L))
+    rows.foreach { r =>
+      val exp = Multimodal.WavCodec.decode(
+        Multimodal.synthWav(r.media_id, 1600 + 160 * r.media_id.toInt))
+      assert((r.sampleRate, r.channels, r.durationMs) ==
+        ((exp._1, exp._2, exp._3)))
+      assert(r.rms == exp._4 && r.features.toSeq == exp._5.toSeq)
+    }
+  }
+
   test("resizeToFit: longest edge capped, aspect preserved, no upscale") {
     val dims = Multimodal.extractFeatures(media).collect()
       .map(f => f.media_id -> (f.width, f.height)).toMap

@@ -57,4 +57,40 @@ class StreamingIvfSpec extends SparkSpec {
       "embedding", model, qv, k = 5, nprobe = 3).collect().toSeq
     assert(fromStream == fromBatch)
   }
+
+  test("streaming ANN search == batch knnJoinApprox for the same queries") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val model = IvfIndex.train(emb, "vec_id", "embedding", k = 8)
+    // Static corpus side: the assigned cluster-partitioned table.
+    val corpusDir = tmpDir("ann-corpus") + "/t"
+    IvfIndex.assign(spark, emb, "embedding", model)
+      .write.partitionBy("ivf_cluster").parquet(corpusDir)
+    val corpus = spark.read.parquet(corpusDir)
+    // Query stream: 40 vectors arriving as two file micro-batches.
+    val queries = emb.where(col("vec_id") < 40)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val srcDir = tmpDir("ann-stream-src")
+    queries.where(col("query_id") % 2 === 0).write.parquet(srcDir + "/b0")
+    queries.where(col("query_id") % 2 === 1).write.parquet(srcDir + "/b1")
+    val outDir = tmpDir("ann-stream-out") + "/t"
+    val q = graft.streaming.StreamingAnn.searchStream(
+      spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir + "/b*"),
+      "query_id", corpus, "vec_id", "embedding", model,
+      k = 5, nprobe = 3,
+      outDir = outDir, checkpointDir = tmpDir("ann-stream-ckpt"))
+    q.awaitTermination()
+    val streamed = spark.read.parquet(outDir)
+      .select("src", "dst", "cosine", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSeq.sorted
+    val batchRes = IvfIndex.knnJoinApprox(spark, queries, "query_id",
+        corpus, "vec_id", "embedding", model, k = 5, nprobe = 3)
+      .select("src", "dst", "cosine", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSeq.sorted
+    // Bit-identical: every query's streamed top-k equals the batch join's.
+    assert(streamed == batchRes)
+    assert(streamed.map(_._1).distinct.size == 40)
+  }
 }
