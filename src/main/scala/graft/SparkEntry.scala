@@ -19,7 +19,7 @@ object SparkEntry {
       SimilarityQueries, TextQueries, StreamMultimodalQueries,
       StringCubeQueries, SketchQueries, AsOfQueries, RangeJoinQueries,
       WinnowQueries, CurationQueries, StatsQueries, SelectionQueries,
-      QualityQueries, RetrievalQueries)
+      QualityQueries, RetrievalQueries, StoreQueries)
 
   private lazy val allDefs: Seq[QueryDef] = families.flatMap(_.defs)
 

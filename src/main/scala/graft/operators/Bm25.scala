@@ -72,75 +72,32 @@ object Bm25 {
   }
 
   // ------------------------------------------------------------------
-  // Persisted index: versioned snapshots + atomic commit.
-  //
-  // Layout (Iceberg's snapshot-pointer shape in miniature, same CAS
-  // protocol as store.MergeStore's manifests):
+  // Persisted index: versioned snapshots + atomic commit, via the shared
+  // [[graft.store.SnapshotStore]] protocol (Iceberg's snapshot-pointer
+  // shape in miniature, MergeStore's CAS):
   //
   //   <indexDir>/snap-<N>/{postings,df,doclen,stats}/   immutable tables
   //   <indexDir>/_commits/v<N>                          commit markers
   //
-  // A build/append stages a COMPLETE snapshot under a hidden temp name,
-  // atomically renames it to snap-<N+1>, then publishes by hard-linking
-  // the v<N+1> marker (create-if-absent). Readers resolve the HIGHEST
-  // committed marker and read exactly that snapshot's directories — a
-  // reader racing an append sees either the old index or the new one,
+  // A build/append stages a COMPLETE snapshot and publishes atomically —
+  // a reader racing an append sees either the old index or the new one,
   // never a mix of old df with appended postings (the torn read the old
   // in-place mode("append") layout allowed). A losing writer gets
   // ConcurrentModificationException, same as a lost MergeStore merge.
-  // Old snapshots stay readable (time travel) until vacuumed by
-  // deleting their snap dir + marker.
+  // Old snapshots stay readable (time travel) until
+  // SnapshotStore.vacuum drops them.
   // ------------------------------------------------------------------
 
-  private def commitsDir(indexDir: String): java.nio.file.Path =
-    java.nio.file.Paths.get(indexDir, "_commits")
-
-  private def snapPath(indexDir: String, v: Int): String =
-    s"$indexDir/snap-$v"
+  import graft.store.SnapshotStore
 
   /** Highest committed snapshot version, if any. */
-  def currentVersion(indexDir: String): Option[Int] = {
-    val dir = commitsDir(indexDir)
-    if (!java.nio.file.Files.isDirectory(dir)) None
-    else {
-      import scala.jdk.CollectionConverters._
-      val vs = java.nio.file.Files.list(dir).iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("v") => s.stripPrefix("v").toInt }
-        .toSeq
-      if (vs.isEmpty) None else Some(vs.max)
-    }
-  }
+  def currentVersion(indexDir: String): Option[Int] =
+    SnapshotStore.currentVersion(indexDir)
 
   /** The committed snapshot directory readers should scan (newest by
     * default) — fails loudly on an empty/uncommitted index dir. */
   def resolveSnapshot(indexDir: String, version: Option[Int] = None): String =
-    snapPath(indexDir, version.orElse(currentVersion(indexDir)).getOrElse(
-      sys.error(s"no committed index snapshot at $indexDir")))
-
-  /** Atomically publish the staged snapshot as version parent+1 — the
-    * MergeStore CAS (hard-link create-if-absent) on the marker file. */
-  private def publish(indexDir: String, staged: java.nio.file.Path,
-                      parent: Int): Int = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val next = parent + 1
-    val finalDir = Paths.get(snapPath(indexDir, next))
-    Files.createDirectories(commitsDir(indexDir))
-    val marker = commitsDir(indexDir).resolve(s"v$next")
-    val tmpMarker = commitsDir(indexDir).resolve(
-      s".v$next-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    Files.write(tmpMarker, Array.emptyByteArray)
-    try {
-      Files.move(staged, finalDir, StandardCopyOption.ATOMIC_MOVE)
-      try { Files.createLink(marker, tmpMarker); next }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          throw new java.util.ConcurrentModificationException(
-            s"index commit conflict at $indexDir: another writer " +
-              s"published v$next — re-read and retry")
-      }
-    } finally Files.deleteIfExists(tmpMarker)
-  }
+    SnapshotStore.resolve(indexDir, version)
 
   private def writeSnapshotTables(postings: DataFrame, stage: String,
                                   numFiles: Int): Unit = {
@@ -179,9 +136,7 @@ object Bm25 {
     * above): readers never observe a half-written index. */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
                  indexDir: String, numFiles: Int = 16): Int = {
-    import java.nio.file.{Files, Paths}
-    Files.createDirectories(Paths.get(indexDir))
-    val stage = Files.createTempDirectory(Paths.get(indexDir), ".stage-")
+    val stage = SnapshotStore.stage(indexDir)
     val tf = docs
       .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("term"))
       .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
@@ -190,7 +145,8 @@ object Bm25 {
       .write.mode("overwrite").parquet(s"$stage/postings")
     val postings = docs.sparkSession.read.parquet(s"$stage/postings")
     writeSnapshotTables(postings, stage.toString, numFiles)
-    publish(indexDir, stage, currentVersion(indexDir).getOrElse(-1))
+    SnapshotStore.publish(indexDir, stage,
+      currentVersion(indexDir).getOrElse(-1))
   }
 
   /** Incremental index maintenance — the q77/IvfIndex.appendBatch
@@ -211,30 +167,23 @@ object Bm25 {
     * never appended postings with stale df. */
   def appendToIndex(newDocs: DataFrame, idCol: String, textCol: String,
                     indexDir: String, numFiles: Int = 4): Int = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
     val spark = newDocs.sparkSession
     val parentV = currentVersion(indexDir).getOrElse(
       sys.error(s"appendToIndex: no committed index at $indexDir"))
-    val prevPostings = Paths.get(resolveSnapshot(indexDir, Some(parentV)),
-      "postings")
-    val stage = Files.createTempDirectory(Paths.get(indexDir), ".stage-")
+    val prevPostings = java.nio.file.Paths
+      .get(resolveSnapshot(indexDir, Some(parentV)), "postings")
+    val stage = SnapshotStore.stage(indexDir)
     newDocs
       .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("term"))
       .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
       .repartitionByRange(numFiles, col("term"))
       .sortWithinPartitions("term", "doc")
       .write.mode("overwrite").parquet(s"$stage/postings")
-    Files.list(prevPostings).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .foreach { p =>
-        val target = stage.resolve("postings")
-          .resolve(s"carry-$parentV-${p.getFileName}")
-        Files.createLink(target, p)
-      }
+    SnapshotStore.carryLink(prevPostings, stage.resolve("postings"),
+      s"carry-$parentV-")
     val postings = spark.read.parquet(s"$stage/postings")
     writeSnapshotTables(postings, stage.toString, numFiles)
-    publish(indexDir, stage, parentV)
+    SnapshotStore.publish(indexDir, stage, parentV)
   }
 
   /** [[searchTopK]] against a persisted [[buildIndex]] layout: identical

@@ -7,6 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.core.Tables
 import graft.functions.{Curation, TextAnalysis}
+import graft.operators.SequencePacking
 
 /** Dataset-curation queries over `documents` — the steps between "cleaned
   * corpus" and "training batches": deterministic split assignment,
@@ -308,5 +309,113 @@ object CurationQueries extends QueryFamily {
       WHERE rn = 1 AND quality >= 0.7
       ORDER BY doc_id"""))
 
-  override val defs: Seq[QueryDef] = Seq(q41, q42, q43, q44, q47, q53)
+  private val q93 = QueryDef(
+    "q93_pii_redaction",
+    "PII scrub: deterministic PII (emails, SSNs, dashed phones, IPv4) is " +
+      "planted into each document, then detected (regexp_count per type) " +
+      "and redacted to type tokens — one chained regexp_replace codegen " +
+      "projection, map-local, no shuffle, no UDF. Patterns live in the " +
+      "Java-regex ∩ RE2 subset (no backrefs/lookaround: linear-time on " +
+      "adversarial input), so the oracle replays them verbatim.",
+    (s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact u"), col("doc_id"), lit("@example.com ip 10.0."),
+          col("doc_id") % 256, lit("."), col("doc_id") % 100,
+          lit(" call 555-0"),
+          format_string("%02d", (col("doc_id") % 100).cast(IntegerType)),
+          lit("-"),
+          format_string("%04d", (col("doc_id") % 10000).cast(IntegerType)),
+          lit(" ssn "),
+          format_string("%03d", (col("doc_id") % 1000).cast(IntegerType)),
+          lit("-"),
+          format_string("%02d", (col("doc_id") % 100).cast(IntegerType)),
+          lit("-"),
+          format_string("%04d", (col("doc_id") % 10000).cast(IntegerType)))
+          .as("text"))
+      val counts = graft.functions.Pii.counts(col("text"))
+      planted.select(
+          Seq(col("doc_id")) ++
+            counts.map { case (n, c) => c.cast(IntegerType).as(n) } ++
+            Seq(graft.functions.Pii.redact(col("text")).as("redacted")): _*)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH planted AS (
+        SELECT doc_id,
+               text || ' contact u' || doc_id || '@example.com ip 10.0.' ||
+               (doc_id % 256) || '.' || (doc_id % 100) ||
+               ' call 555-0' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+               '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+               ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+               '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+               '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '${graft.functions.Pii.EmailPattern}')) AS INTEGER) AS n_email,
+             CAST(len(regexp_extract_all(text, '${graft.functions.Pii.SsnPattern}')) AS INTEGER) AS n_ssn,
+             CAST(len(regexp_extract_all(text, '${graft.functions.Pii.PhonePattern}')) AS INTEGER) AS n_phone,
+             CAST(len(regexp_extract_all(text, '${graft.functions.Pii.Ipv4Pattern}')) AS INTEGER) AS n_ip,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+               '${graft.functions.Pii.EmailPattern}', '[EMAIL]', 'g'),
+               '${graft.functions.Pii.SsnPattern}', '[SSN]', 'g'),
+               '${graft.functions.Pii.PhonePattern}', '[PHONE]', 'g'),
+               '${graft.functions.Pii.Ipv4Pattern}', '[IP]', 'g') AS redacted
+      FROM planted
+      ORDER BY doc_id"""))
+
+  private val q94 = QueryDef(
+    "q94_chunk_packing",
+    "Concatenate-and-chunk packing (GPT-style): the corpus as one global " +
+      "token stream in doc_id order, cut into exact 512-token sequences; " +
+      "docs straddle cuts. Per-sequence doc counts and token occupancy " +
+      "(every sequence exactly 512 except the last). The Spark side runs " +
+      "the DISTRIBUTED global running sum (range-partition + partition-" +
+      "local prefix scan + broadcast offsets — never a single-partition " +
+      "window); the oracle replays the naive single-node window, which " +
+      "must agree exactly.",
+    (s, dir) => {
+      val spans = SequencePacking.chunkSpans(
+        docs(s, dir).select(col("doc_id"), col("text")),
+        ord = Seq(col("doc_id")),
+        tokenCount = TextAnalysis.tokenCountWs(col("text")),
+        windowTokens = 512)
+      SequencePacking.chunkStats(spans, windowTokens = 512)
+        .select(col("seq"), col("n_docs"), col("seq_tokens"))
+        .orderBy("seq")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CASE WHEN length(text) = 0 THEN 0
+                    ELSE length(text) - length(replace(text, ' ', '')) + 1
+                    END AS n_tok
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tok,
+               sum(n_tok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cend
+        FROM t),
+      s AS (
+        SELECT doc_id, cend - n_tok AS cstart, cend
+        FROM c WHERE n_tok > 0),
+      exploded AS (
+        SELECT doc_id, cstart, cend,
+               unnest(range(CAST(floor(cstart / 512) AS BIGINT),
+                            CAST(floor((cend - 1) / 512) AS BIGINT) + 1))
+                 AS seq
+        FROM s),
+      ex AS (
+        SELECT doc_id, seq,
+               least(cend, (seq + 1) * 512) -
+                 greatest(cstart, seq * 512) AS tokens_in_seq
+        FROM exploded)
+      SELECT seq, count(*) AS n_docs,
+             CAST(sum(tokens_in_seq) AS BIGINT) AS seq_tokens
+      FROM ex
+      GROUP BY seq
+      ORDER BY seq"""))
+
+  override val defs: Seq[QueryDef] =
+    Seq(q41, q42, q43, q44, q47, q53, q93, q94)
 }

@@ -93,4 +93,41 @@ class StreamingIvfSpec extends SparkSpec {
     assert(streamed == batchRes)
     assert(streamed.map(_._1).distinct.size == 40)
   }
+
+  test("IvfStore: atomic snapshot publish — pinned readers, link-carried appends, vacuum") {
+    import graft.store.IvfStore
+    import spark.implicits._
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val model = IvfIndex.train(emb, "vec_id", "embedding", k = 8)
+    val a = emb.where(col("vec_id") % 2 === 0)
+    val b = emb.where(col("vec_id") % 2 === 1)
+    val dir = tmpDir("ivf-store")
+    val v0 = IvfStore.init(spark, a, "embedding", model, dir)
+    val v0Rows = IvfStore.read(spark, dir, Some(v0))
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    val v1 = IvfStore.append(spark, b, "embedding", model, dir)
+    // Pinned v0 reader: still exactly the first half, complete.
+    assert(IvfStore.read(spark, dir, Some(v0))
+      .select("vec_id").as[Long].collect().sorted.toSeq == v0Rows)
+    // Head: the full corpus with assignments identical to assign-at-once.
+    val head = IvfStore.read(spark, dir)
+    assert(head.count() == emb.count())
+    assert(head.select("vec_id", "ivf_cluster")
+      .except(IvfIndex.assign(spark, emb, "embedding", model)
+        .select("vec_id", "ivf_cluster")).isEmpty)
+    // Probes against the store read == probes against a raw assigned table.
+    val qv = emb.where(col("vec_id") === 0L)
+      .select("embedding").head.getSeq[Float](0).map(_.toDouble).toArray
+    val fromStore = IvfIndex.searchTopK(spark, head, "vec_id",
+      "embedding", model, qv, k = 5, nprobe = 3).collect().toSeq
+    val fromRaw = IvfIndex.searchTopK(spark,
+      IvfIndex.assign(spark, emb, "embedding", model), "vec_id",
+      "embedding", model, qv, k = 5, nprobe = 3).collect().toSeq
+    assert(fromStore == fromRaw)
+    // Vacuum below head: v0 gone (loud at resolve), head intact — the
+    // hard-link carry means shared data files survive snap-0's removal.
+    assert(IvfStore.vacuum(dir) == 1)
+    intercept[Exception] { IvfStore.read(spark, dir, Some(v0)).count() }
+    assert(IvfStore.read(spark, dir, Some(v1)).count() == emb.count())
+  }
 }
