@@ -548,12 +548,22 @@ object ScaleProbe {
       val (mergeStats, tMerge) = time {
         graft.store.MergeStore.merge(spark, updates, mergeDir, Seq("id"))
       }
+      // DELETE of the same 100-key spread: identical COW shape — the
+      // rewrite set is bounded by the keys' file spread, not table size.
+      val (delStats, tDelete) = time {
+        graft.store.MergeStore.delete(spark, mergeDir,
+          keys = docs.select((col("doc_id") + 100).as("id"))
+            .where(col("id") < 200),
+          pk = Seq("id"))
+      }
       docs.unpersist()
       println(s"""{"metric":"scaleprobe","multiple":$m,"docs":$n,""" +
         s""""winnow_sec":${f"$tWinnow%.2f"},"shingle_sec":${f"$tShingle%.2f"},""" +
         s""""exact_dedup_sec":${f"$tExact%.2f"},"minhash_sig_sec":${f"$tSig%.2f"},""" +
         s""""cc_sec":${f"$tCc%.2f"},"merge_sec":${f"$tMerge%.2f"},""" +
-        s""""merge_files_rewritten":${mergeStats.filesRewritten}}""")
+        s""""merge_files_rewritten":${mergeStats.filesRewritten},""" +
+        s""""delete_sec":${f"$tDelete%.2f"},""" +
+        s""""delete_files_rewritten":${delStats.filesRewritten}}""")
     }
     spark.stop()
   }
