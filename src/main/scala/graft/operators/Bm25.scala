@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
@@ -181,6 +181,29 @@ object Bm25 {
       .write.mode("overwrite").parquet(s"$stage/postings")
     SnapshotStore.carryLink(prevPostings, stage.resolve("postings"),
       s"carry-$parentV-")
+    val postings = spark.read.parquet(s"$stage/postings")
+    writeSnapshotTables(postings, stage.toString, numFiles)
+    SnapshotStore.publish(indexDir, stage, parentV)
+  }
+
+  /** Re-cluster the postings globally and publish as a new snapshot —
+    * the maintenance step the append path points at: each
+    * [[appendToIndex]] adds batch-clustered files, so a query's term
+    * IN-list prunes within every batch's files but must OPEN more files
+    * per append; compaction restores one global term order (and the
+    * per-file open count) without changing a single row. df/doclen/stats
+    * are identical by construction but rewritten into the snapshot so it
+    * stays self-contained. MergeStore.compact's role, index-shaped. */
+  def compactIndex(spark: SparkSession, indexDir: String,
+                   numFiles: Int = 16): Int = {
+    val parentV = currentVersion(indexDir).getOrElse(
+      sys.error(s"compactIndex: no committed index at $indexDir"))
+    val stage = SnapshotStore.stage(indexDir)
+    spark.read
+      .parquet(s"${resolveSnapshot(indexDir, Some(parentV))}/postings")
+      .repartitionByRange(numFiles, col("term"))
+      .sortWithinPartitions("term", "doc")
+      .write.mode("overwrite").parquet(s"$stage/postings")
     val postings = spark.read.parquet(s"$stage/postings")
     writeSnapshotTables(postings, stage.toString, numFiles)
     SnapshotStore.publish(indexDir, stage, parentV)

@@ -139,6 +139,67 @@ object StreamMultimodalQueries extends QueryFamily {
     None,
     oracleGen = Some(audioOracle))
 
+  /** q95's deterministic video recipe (q90's pattern): real PNG frames
+    * in the GFV1 container, frame count varying per doc. */
+  private def q95Video(docId: Long): Array[Byte] =
+    Multimodal.synthVideo(seed = docId,
+      nFrames = 3 + (docId % 6).toInt, fps = 4)
+
+  private def videoOracle(s: SparkSession, dir: String): String = {
+    val rows = Tables.load(s, dir, "documents")
+      .select(col("doc_id")).collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val (w, h, n, dur, mean, feats) =
+          Multimodal.VideoCodec.decode(q95Video(id))
+        val rounded = java.math.BigDecimal.valueOf(mean)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        s"($id, $w, $h, $n, $dur, $rounded, ${feats.length})"
+      }
+    s"""
+      SELECT CAST(media_id AS BIGINT) AS media_id,
+             'video' AS kind,
+             CAST(width AS INTEGER) AS width,
+             CAST(height AS INTEGER) AS height,
+             CAST(n_frames AS INTEGER) AS n_frames,
+             CAST(duration_ms AS BIGINT) AS duration_ms,
+             CAST(mean_intensity AS DOUBLE) AS mean_intensity,
+             CAST(feature_dim AS INTEGER) AS feature_dim
+      FROM (VALUES ${rows.mkString(", ")})
+        t(media_id, width, height, n_frames, duration_ms, mean_intensity,
+          feature_dim)
+      ORDER BY media_id"""
+  }
+
+  private val q95 = QueryDef(
+    "q95_video_features",
+    "Third multimodal kind: video as a deterministic length-prefixed " +
+      "PNG-frame container (GFV1 — no public-JDK video demuxer exists, " +
+      "so the demux is ours; every frame decode is the REAL javax.imageio " +
+      "path) behind the same batched per-partition operator: true frame " +
+      "dims, frame count, fps duration, mean luminance, 16-bin temporal " +
+      "luminance envelope. Oracle replays the same synth+decode " +
+      "driver-side (q32/q90's pattern). Real frame EXTRACTION " +
+      "(sampleVideoFrames) is spec-pinned in MultimodalSpec.",
+    (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val payloads = Tables.load(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, q95Video(id))).toDF("doc_id", "bytes")
+      val media = Multimodal.attach(payloads,
+        "doc_id", "bytes", kind = "video", mime = "video/x-graft-frames")
+      Multimodal.extractVideoFeatures(media).toDF()
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("nFrames").as("n_frames"),
+          col("durationMs").as("duration_ms"),
+          round(col("meanIntensity"), 6).as("mean_intensity"),
+          size(col("features")).as("feature_dim"))
+        .orderBy("media_id")
+    },
+    None,
+    oracleGen = Some(videoOracle))
+
   private val q33 = QueryDef(
     "q33_stream_windowed_agg",
     "Structured Streaming: events replayed through a file-source stream " +
@@ -219,5 +280,5 @@ object StreamMultimodalQueries extends QueryFamily {
       WHERE epoch_ms(ws) + 300000 <= cutoff_ms
       ORDER BY window_start, event_type"""))
 
-  override val defs: Seq[QueryDef] = Seq(q32, q33, q34, q82, q90)
+  override val defs: Seq[QueryDef] = Seq(q32, q33, q34, q82, q90, q95)
 }

@@ -91,14 +91,23 @@ object SnapshotStore {
     val tmpMarker = commitsDir(root).resolve(
       s".v$next-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     Files.write(tmpMarker, Array.emptyByteArray)
+    def conflict(): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot commit conflict at $root: another writer took v$next " +
+          s"— re-read the head and retry (a snap-$next dir without a " +
+          s"v$next marker would be a crashed writer's residue: remove it)")
     try {
-      Files.move(staged, finalDir, StandardCopyOption.ATOMIC_MOVE)
+      // The rename is the first CAS arm: a rival's snapshot already at
+      // snap-<next> fails the move — same conflict as losing the marker.
+      try Files.move(staged, finalDir, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => conflict()
+        case e: java.nio.file.FileSystemException
+          if Files.exists(finalDir) => conflict()
+      }
       try { Files.createLink(marker, tmpMarker); next }
       catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          throw new java.util.ConcurrentModificationException(
-            s"snapshot commit conflict at $root: another writer " +
-              s"published v$next — re-read and retry")
+        case _: java.nio.file.FileAlreadyExistsException => conflict()
       }
     } finally Files.deleteIfExists(tmpMarker)
   }

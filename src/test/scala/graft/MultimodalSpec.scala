@@ -186,6 +186,67 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // ---- video container (GFV1): real per-frame imageio decode ---------
+
+  test("video codec: closed-form dims, duration, luminance envelope") {
+    // 4 frames of uniform gray 0, 85, 170, 255 at 2 fps, 8x6 px.
+    val frames = Seq(0, 85, 170, 255).map(g =>
+      png(8, 6)((_, _) => (g << 16) | (g << 8) | g))
+    val packed = Multimodal.VideoCodec.pack(frames, fps = 2)
+    val (w, h, n, dur, mean, feats) = Multimodal.VideoCodec.decode(packed)
+    assert((w, h, n, dur) == ((8, 6, 4, 2000L)))
+    // Gray means are exact multiples of the luminance weights' sum (1.0).
+    assert(mean == (0.0 + 85 + 170 + 255) / 4)
+    // 4 frames over 16 bins: each frame owns 4 consecutive bins.
+    val expected = Seq(0, 85, 170, 255)
+      .flatMap(g => Seq.fill(4)((g / 255.0).toFloat))
+    assert(feats.toSeq == expected)
+  }
+
+  test("video codec: non-container bytes fall back to the stub") {
+    val junk = "definitely not video".getBytes("UTF-8")
+    val (w, h, n, dur, mean, feats) = Multimodal.VideoCodec.decode(junk)
+    val (sw, sh, sm, sf) = Multimodal.MediaCodecStub.decode(junk)
+    assert((w, h, n, dur, mean, feats.toSeq) ==
+      ((sw, sh, 0, 0L, sm, sf.toSeq)))
+  }
+
+  test("synthVideo round-trips; distributed decode == driver codec") {
+    val video = Multimodal.attach(
+      Seq(30L, 31L, 32L).map(id =>
+          (id, Multimodal.synthVideo(id, nFrames = 3 + id.toInt % 4)))
+        .toDF("id", "bytes"),
+      "id", "bytes", kind = "video", mime = "video/x-graft-frames")
+    val rows = Multimodal.extractVideoFeatures(video, batchSize = 2)
+      .collect().sortBy(_.media_id)
+    rows.foreach { r =>
+      val exp = Multimodal.VideoCodec.decode(
+        Multimodal.synthVideo(r.media_id, 3 + r.media_id.toInt % 4))
+      assert((r.width, r.height, r.nFrames, r.durationMs) ==
+        ((exp._1, exp._2, exp._3, exp._4)))
+      assert(r.meanIntensity == exp._5 && r.features.toSeq == exp._6.toSeq)
+    }
+  }
+
+  test("sampleVideoFrames: every-Nth real frame, re-decodable, timed") {
+    val packed = Multimodal.synthVideo(7L, nFrames = 9, fps = 3)
+    val video = Multimodal.attach(Seq((40L, packed)).toDF("id", "bytes"),
+      "id", "bytes", kind = "video", mime = "video/x-graft-frames")
+    val sampled = Multimodal.sampleVideoFrames(video, everyN = 3)
+      .collect().sortBy(_.frame_idx)
+    assert(sampled.map(_.frame_idx).toSeq == Seq(0, 3, 6))
+    assert(sampled.map(_.offset_ms).toSeq == Seq(0L, 1000L, 2000L))
+    // Each sampled payload is a genuinely decodable standalone PNG whose
+    // pixels equal the packed frame's.
+    val Some((_, original)) = Multimodal.VideoCodec.frames(packed)
+    sampled.foreach { f =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(f.content))
+      assert(img != null && img.getWidth == 16 && img.getHeight == 16)
+      assert(f.content.toSeq == original(f.frame_idx).toSeq)
+    }
+  }
+
   test("resizeToFit: longest edge capped, aspect preserved, no upscale") {
     val dims = Multimodal.extractFeatures(media).collect()
       .map(f => f.media_id -> (f.width, f.height)).toMap
