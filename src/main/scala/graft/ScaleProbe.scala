@@ -438,7 +438,58 @@ object ScaleProbe {
     }
   }
 
+  /** Incremental view maintenance advantage: a KPI view over an
+    * n-row COW table, advanced after trickle merges of shrinking batch
+    * size — incremental refresh (change-feed delta + file-granular view
+    * merge) timed against the full rebuild (re-aggregate + rewrite) the
+    * reference's refresh model implies. The refresh should cost the
+    * TRICKLE; the rebuild always costs the TABLE — the gap is the whole
+    * point of shipping [[graft.operators.IncrementalView]]. */
+  private def ivmProbe(spark: SparkSession, n: Long,
+                       batchSizes: Seq[Int]): Unit = {
+    import graft.operators.IncrementalView
+    val spec = IncrementalView.IvmSpec(Seq("grp"),
+      Seq("amount" -> "sum_amount"))
+    val root = java.nio.file.Files.createTempDirectory("graft-ivm-probe")
+      .toString
+    val t = s"$root/tbl"
+    def rows(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id"), (col("id") % 1000).cast("int").as("grp"),
+        (col("id") * lit(0.25)).as("amount"))
+    MergeStore.init(spark, rows(0, n), t, numFiles = 64,
+      clusterBy = Seq("id"))
+    val view = s"$root/view"
+    val (_, tInit) = time(IncrementalView.initView(spark, t, view, spec))
+    println(f"""{"probe":"ivm","n":$n,"init_sec":$tInit%.3f}""")
+    batchSizes.foreach { b =>
+      // A key-local trickle: b consecutive ids get a measure bump.
+      val lo = (n / 2) - (b / 2)
+      MergeStore.merge(spark,
+        rows(lo, lo + b).withColumn("amount", col("amount") + lit(1.0)),
+        t, pk = Seq("id"))
+      val (_, tRefresh) = time(IncrementalView.refresh(spark, t, view, spec))
+      val rebuildDir = s"$root/rebuild-$b"
+      val (_, tRebuild) = time {
+        MergeStore.init(spark,
+          IncrementalView.fullState(MergeStore.read(spark, t), spec),
+          rebuildDir, numFiles = 4, clusterBy = Seq("grp"))
+      }
+      println(f"""{"probe":"ivm","n":$n,"batch":$b,""" +
+        f""""refresh_sec":$tRefresh%.3f,"rebuild_sec":$tRebuild%.3f,""" +
+        f""""advantage_x":${tRebuild / tRefresh}%.1f}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("ivm")) {
+      val spark = GraftSession.local(32)
+      val n = if (args.length > 1) args(1).toLong else 2000000L
+      val batches = if (args.length > 2) args.drop(2).map(_.toInt).toSeq
+        else Seq(100000, 10000, 1000)
+      ivmProbe(spark, n, batches)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("bpe-curve")) {
       val spark = GraftSession.local(32)
       val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"

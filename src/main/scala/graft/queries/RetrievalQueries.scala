@@ -175,15 +175,18 @@ object RetrievalQueries extends QueryFamily {
       "vector (the same ids' embeddings, q51's pattern). Fusion moves " +
       "no corpus data — a union of queries-x-k rank triples, one tiny " +
       "aggregate, one query-partitioned window; each side keeps its own " +
-      "scale path.",
+      "scale path. The lexical side reads the PERSISTED q89 index " +
+      "(spec-pinned bit-identical to the live formulation) — a search " +
+      "stack builds its inverted index once and every retrieval query " +
+      "shares it, hybrid included.",
     (s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
       val qs = querySet.toDF("query_id", "qtext")
-      val bm = Bm25.searchTopK(docs(s, dir), "doc_id", "text",
-          qs, "query_id", "qtext", k = 20)
-        .select(col("query_id"), col("doc_id"), col("rank"))
+      val bm = Bm25.searchTopKIndexed(indexFor(s, dir), qs,
+          "query_id", "qtext", k = 20)
+        .select(col("query_id"), col("doc").as("doc_id"), col("rank"))
       val vec = Similarity.batchTopKNeighbors(s,
           Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
           queryIds = querySet.map(_._1.toLong), k = 20)

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.operators.IncrementalView
 import graft.store.MergeStore
 
 /** MergeStore's record-level verbs under the driver's DuckDB gate: the
@@ -26,14 +27,16 @@ object StoreQueries extends QueryFamily {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def preparedTable(s: org.apache.spark.sql.SparkSession,
-                            dir: String, tag: String)
+                            dir: String, tag: String,
+                            base: org.apache.spark.sql.DataFrame = null,
+                            clusterBy: Seq[String] = Seq("doc_id"))
                            (mutate: String => Unit): String =
     tableCache.computeIfAbsent(s"$dir#$tag", _ => {
       val target = java.nio.file.Files
         .createTempDirectory(s"graft-$tag").toString + "/tbl"
-      MergeStore.init(s,
-        Tables.load(s, dir, "documents").select(col("doc_id"), col("text")),
-        target, numFiles = 8, clusterBy = Seq("doc_id"))
+      val df = Option(base).getOrElse(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("text")))
+      MergeStore.init(s, df, target, numFiles = 8, clusterBy = clusterBy)
       mutate(target)
       target
     })
@@ -107,5 +110,160 @@ object StoreQueries extends QueryFamily {
         FROM documents WHERE doc_id % 29 = 0 AND doc_id % 13 <> 0)
       ORDER BY doc_id, _change_type"""))
 
-  override val defs: Seq[QueryDef] = Seq(q91, q92)
+  private val q96 = QueryDef(
+    "q96_incremental_view",
+    "Incremental view maintenance (Gupta & Mumick 1995): a KPI view " +
+      "(count + exact decimal sum of o_totalprice per priority) over a " +
+      "COW orders table is materialized ONCE, then advanced purely from " +
+      "the pre-image-bearing change feed across two commits — a merge " +
+      "that moves every o_orderkey % 7 == 0 order into priority " +
+      "'9-MOVED', then a delete of o_orderkey % 11 == 0. Each refresh " +
+      "scans only the span's changed files, aggregates +1/-1-weighted " +
+      "deltas to one row per touched group, and merge/deletes the view " +
+      "file-granularly. The oracle re-aggregates the final state from " +
+      "scratch — a drifted delta (missed pre-image, resurrected group, " +
+      "float association) breaks the hash.",
+    (s, dir) => {
+      val spec = IncrementalView.IvmSpec(
+        groupBy = Seq("o_orderpriority"),
+        sums = Seq("o_totalprice" -> "sum_price"))
+      val target = preparedTable(s, dir, "q96",
+        base = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice")),
+        clusterBy = Seq("o_orderkey")) { t =>
+        val view = s"$t-view"
+        IncrementalView.initView(s, t, view, spec) // reflects v0
+        val moved = MergeStore.read(s, t)
+          .where(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderpriority", lit("9-MOVED"))
+        MergeStore.merge(s, moved, t, pk = Seq("o_orderkey")) // v1
+        IncrementalView.refresh(s, t, view, spec)
+        MergeStore.delete(s, t,
+          MergeStore.read(s, t).where(col("o_orderkey") % 11 === 0)
+            .select(col("o_orderkey")),
+          pk = Seq("o_orderkey")) // v2
+        IncrementalView.refresh(s, t, view, spec)
+      }
+      IncrementalView.readView(s, s"$target-view",
+          IncrementalView.IvmSpec(Seq("o_orderpriority"),
+            Seq("o_totalprice" -> "sum_price")))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+               AS sum_price
+      FROM (
+        SELECT CASE WHEN o_orderkey % 7 = 0 THEN '9-MOVED'
+                    ELSE o_orderpriority END AS o_orderpriority,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 11 <> 0)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  private val q97 = QueryDef(
+    "q97_replica_sync",
+    "Change-feed replication: a replica table is deep-cloned from the " +
+      "source's v0 snapshot, then advanced by sync() shipping ONLY the " +
+      "change feed of each span (v0→v1 merge of updates + inserts, " +
+      "v1→v2 delete) — insert/update post-images MERGE, delete keys " +
+      "DELETE, both file-granular on the replica. The read-back must " +
+      "equal the source's final state: a lost update, resurrected " +
+      "delete, or double-applied insert breaks the hash.",
+    (s, dir) => {
+      val target = preparedTable(s, dir, "q97") { t =>
+        val docs = Tables.load(s, dir, "documents")
+        val replica = s"$t-replica"
+        MergeStore.init(s, MergeStore.read(s, t), replica,
+          numFiles = 8, clusterBy = Seq("doc_id")) // clone of v0
+        val updates = docs.where(col("doc_id") % 13 === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"))
+        val inserts = docs.where(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(lit("ins-"), col("doc_id")).as("text"))
+        MergeStore.merge(s, updates.unionByName(inserts), t,
+          pk = Seq("doc_id")) // v1
+        MergeStore.sync(s, t, replica, 0, 1, pk = Seq("doc_id"))
+        MergeStore.delete(s, t,
+          docs.where(col("doc_id") % 29 === 0 && col("doc_id") % 13 =!= 0)
+            .select(col("doc_id")),
+          pk = Seq("doc_id")) // v2
+        MergeStore.sync(s, t, replica, 1, 2, pk = Seq("doc_id"))
+      }
+      MergeStore.read(s, s"$target-replica")
+        .select(col("doc_id"), length(col("text")).as("len"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, len FROM (
+        SELECT doc_id, CAST(length(text || ' v2') AS INTEGER) AS len
+        FROM documents WHERE doc_id % 13 = 0
+        UNION ALL
+        SELECT doc_id, CAST(length(text) AS INTEGER)
+        FROM documents WHERE doc_id % 13 <> 0 AND doc_id % 29 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, CAST(length('ins-' || doc_id) AS INTEGER)
+        FROM documents WHERE doc_id % 13 = 0)
+      ORDER BY doc_id"""))
+
+  private val cdcRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private val q98 = QueryDef(
+    "q98_cdc_stream",
+    "CDC STREAMING source over the COW table (Delta readChangeFeed " +
+      "shape on the v1 Source API): q92's commit sequence tailed by a " +
+      "Structured Streaming query — offset = manifest version, each " +
+      "micro-batch materializes that span's typed per-commit changes, " +
+      "so the merge's rows arrive stamped _commit_version 1 and the " +
+      "delete's 2. Replayed Trigger.AvailableNow into a memory sink; " +
+      "the oracle is q92's relational replay plus exact commit " +
+      "attribution — a mis-batched or double-emitted change breaks it.",
+    (s, dir) => {
+      val target = preparedTable(s, dir, "q98") { t =>
+        val docs = Tables.load(s, dir, "documents")
+        val updates = docs.where(col("doc_id") % 13 === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"))
+        val inserts = docs.where(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(lit("ins-"), col("doc_id")).as("text"))
+        MergeStore.merge(s, updates.unionByName(inserts), t,
+          pk = Seq("doc_id")) // v1
+        MergeStore.delete(s, t,
+          docs.where(col("doc_id") % 29 === 0 && col("doc_id") % 13 =!= 0)
+            .select(col("doc_id")),
+          pk = Seq("doc_id")) // v2
+      }
+      val sink = s"q98_cdc_${cdcRuns.incrementAndGet()}"
+      val ck = java.nio.file.Files
+        .createTempDirectory("graft-q98-ck").toString
+      val q = graft.streaming.MergeStoreCdc
+        .readStream(s, target, pk = Seq("doc_id"), fromVersion = Some(0))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(sink).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(col("doc_id"), col("_change_type"), col("_commit_version"),
+          length(col("text")).as("len"))
+        .orderBy("doc_id", "_change_type")
+    },
+    Some("""
+      SELECT doc_id, _change_type, _commit_version, len FROM (
+        SELECT doc_id + 1000000 AS doc_id, 'insert' AS _change_type,
+               CAST(1 AS BIGINT) AS _commit_version,
+               CAST(length('ins-' || doc_id) AS INTEGER) AS len
+        FROM documents WHERE doc_id % 13 = 0
+        UNION ALL
+        SELECT doc_id, 'update_postimage', CAST(1 AS BIGINT),
+               CAST(length(text || ' v2') AS INTEGER)
+        FROM documents WHERE doc_id % 13 = 0
+        UNION ALL
+        SELECT doc_id, 'delete', CAST(2 AS BIGINT),
+               CAST(length(text) AS INTEGER)
+        FROM documents WHERE doc_id % 29 = 0 AND doc_id % 13 <> 0)
+      ORDER BY doc_id, _change_type"""))
+
+  override val defs: Seq[QueryDef] = Seq(q91, q92, q96, q97, q98)
 }

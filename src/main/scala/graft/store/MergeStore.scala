@@ -78,6 +78,11 @@ object MergeStore {
     }
   }
 
+  /** Newest committed version number, if the table exists — the head a
+    * change-feed consumer (replication [[sync]], incremental view
+    * maintenance) records as its high-water mark. */
+  def version(target: String): Option[Int] = currentVersion(target)
+
   /** Live relative file names of a committed version (newest by default).
     * Old manifests stay readable until [[vacuum]] reclaims their files —
     * cheap time travel for debugging a bad merge. */
@@ -446,10 +451,18 @@ object MergeStore {
     * manifests cancel exactly, so only each side's unique files are
     * scanned. A pure compaction (same content, new layout) emits ZERO
     * rows: post-images are content-diffed (exceptAll) before keying,
-    * not just key-matched. */
+    * not just key-matched.
+    *
+    * `includePreimages = true` additionally emits `update_preimage`
+    * rows (the OLD row of every content-changed key — Delta CDF's
+    * fourth change type). Consumers that must SUBTRACT superseded state
+    * (incremental view maintenance, downstream aggregates) need the
+    * pre-image; plain replication does not, so the default stays the
+    * three-type feed. Pre-images come from the same two already-aligned
+    * per-side unique-file scans — no extra IO. */
   def changes(spark: SparkSession, target: String,
               fromVersion: Int, toVersion: Int,
-              pk: Seq[String]): DataFrame = {
+              pk: Seq[String], includePreimages: Boolean = false): DataFrame = {
     require(pk.nonEmpty, s"changes at $target needs a key")
     def readFiles(names: Seq[String]): Option[DataFrame] =
       if (names.isEmpty) None
@@ -480,8 +493,63 @@ object MergeStore {
           .withColumn("_change_type", lit("update_postimage"))
         val deletes = remRows.join(addKeys, pk, "left_anti")
           .withColumn("_change_type", lit("delete"))
-        inserts.unionByName(updates).unionByName(deletes)
+        val threeTyped = inserts.unionByName(updates).unionByName(deletes)
+        val typed =
+          if (!includePreimages) threeTyped
+          else {
+            // Old rows of content-changed surviving keys — the mirror of
+            // `updates`: content-diff from the REMOVED side, then keep
+            // only keys that still exist (pure-compaction rows cancelled
+            // in the exceptAll, so a layout rewrite still emits nothing).
+            val preimages = remRows.exceptAll(addRows)
+              .join(addKeys, pk, "left_semi")
+              .withColumn("_change_type", lit("update_preimage"))
+            threeTyped.unionByName(preimages)
+          }
+        // Stable contract: table columns in table order, then the tag —
+        // the key-USING joins above float `pk` to the front, which
+        // positional consumers (the CDC source's InternalRow wrap) must
+        // never see vary with the choice of key.
+        typed.select(base.columns.map(col) :+ col("_change_type"): _*)
     }
+  }
+
+  final case class SyncStats(upserted: Long, deleted: Long)
+
+  /** Replicate a version span onto another MergeStore table by shipping
+    * ONLY the change feed — the cross-region/downstream-copy primitive.
+    * At 100 TB a replica cannot re-copy the table per refresh; the
+    * industry shape (Delta deep-clone incremental sync, Iceberg
+    * changelog consumption) is: read changes(from, to), MERGE the
+    * insert/update post-images, DELETE the deleted keys. Both verbs are
+    * file-granular on the replica, so a trickle of source commits costs
+    * a trickle of replica rewrites.
+    *
+    * The replica must exist (initialize it once from
+    * `read(source, Some(fromVersion))` — the "deep clone" step);
+    * `fromVersion` must be the replica's last-applied source version
+    * for the span composition to be exact. Because changes() nets each
+    * key to ONE terminal change across the span, apply order within the
+    * span is immaterial. Idempotent: re-syncing an applied span is a
+    * no-op merge + no-op delete. */
+  def sync(spark: SparkSession, source: String, replica: String,
+           fromVersion: Int, toVersion: Int, pk: Seq[String],
+           maxRetries: Int = 3): SyncStats = {
+    require(exists(replica),
+      s"replica $replica must be initialized from source version $fromVersion")
+    val feed = changes(spark, source, fromVersion, toVersion, pk).cache()
+    try {
+      val upserts = feed.where(col("_change_type").isin(
+        "insert", "update_postimage")).drop("_change_type")
+      val deletes = feed.where(col("_change_type") === "delete")
+        .select(pk.map(col): _*).distinct()
+      val nUp = upserts.count()
+      if (nUp > 0) merge(spark, upserts, replica, pk, maxRetries = maxRetries)
+      val del =
+        if (deletes.isEmpty) DeleteStats(0, 0, 0L)
+        else delete(spark, replica, deletes, pk, maxRetries = maxRetries)
+      SyncStats(nUp, del.rowsDeleted)
+    } finally feed.unpersist()
   }
 
   /** Compact: bin-pack the live rows into `targetFiles` files and commit

@@ -1,0 +1,176 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => ConnectorOffset}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.StreamingBatches
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+import graft.store.MergeStore
+
+/** Structured-Streaming CDC source over a [[MergeStore]] table — tail
+  * the table's commits as a typed change stream (Delta's
+  * `readStream.option("readChangeFeed")` shape, rebuilt on the public
+  * v1 Source API).
+  *
+  * The offset IS the manifest version: `getOffset` reports the current
+  * head, and each micro-batch materializes `changes(v-1, v)` for every
+  * version in its span, tagged `_commit_version` — exact per-commit
+  * attribution, not a span-netted blur. All the scale arguments are the
+  * change feed's own: a micro-batch scans only the files unique to its
+  * versions' manifests, so tailing a trickle-merged 100 TB table costs
+  * the trickle, never the table. Downstream, the same feed drives
+  * [[graft.operators.IncrementalView]] deltas or [[MergeStore.sync]]
+  * replication, now continuously.
+  *
+  * Exactly-once: versions are dense integers committed via manifest
+  * CAS, and data files are immutable, so `changes` over a version span
+  * is deterministic and replayable — a restarted query re-reading its
+  * checkpointed offset range reproduces the identical batch, which is
+  * the whole v1-source replay contract.
+  *
+  * Why the v1 API (`execution.streaming.Source`) and not DSv2
+  * MicroBatchStream: getBatch returns a DataFrame, letting the batch be
+  * DECLARED as the relational changes() plan (file-pruned scans,
+  * exceptAll, anti-joins) with Catalyst planning it per micro-batch; a
+  * DSv2 PartitionReader would force hand-built row scans, re-
+  * implementing the parquet reader outside the optimizer. Spark's own
+  * FileStreamSource makes the same choice on the same API.
+  */
+object MergeStoreCdc {
+
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+
+  /** Table schema + the two CDC columns, resolved at stream start.
+    * Schema evolution mid-stream changes the feed's shape; restart the
+    * query to pick up the evolved schema (Delta's contract too). */
+  def cdcSchema(spark: SparkSession, path: String): StructType =
+    MergeStore.read(spark, path).schema
+      .add(ChangeTypeCol, StringType, nullable = false)
+      .add(CommitVersionCol, LongType, nullable = false)
+
+  /** The BATCH equivalent of a micro-batch span: per-commit typed
+    * changes, unioned. Shared by the source's getBatch and by specs
+    * pinning stream == batch. */
+  def changesByCommit(spark: SparkSession, path: String, pk: Seq[String],
+                      includePreimages: Boolean,
+                      fromVersion: Int, toVersion: Int): DataFrame = {
+    require(toVersion > fromVersion,
+      s"empty CDC span ($fromVersion, $toVersion] at $path")
+    (fromVersion + 1 to toVersion).map { v =>
+      MergeStore.changes(spark, path, v - 1, v, pk, includePreimages)
+        .withColumn(CommitVersionCol, lit(v.toLong))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Open the change stream. `fromVersion`: emit commits AFTER this
+    * version (default: the head at stream start — new changes only;
+    * pass Some(0) to replay history from the initial snapshot). */
+  def readStream(spark: SparkSession, path: String, pk: Seq[String],
+                 includePreimages: Boolean = false,
+                 fromVersion: Option[Int] = None): DataFrame = {
+    val r = spark.readStream
+      .format(classOf[MergeStoreCdcProvider].getName)
+      .option("path", path)
+      .option("pk", pk.mkString(","))
+      .option("includePreimages", includePreimages.toString)
+    fromVersion.foreach(v => r.option("fromVersion", v.toString))
+    r.load()
+  }
+}
+
+/** v1 source provider; registered in META-INF services as `graft-cdc`. */
+class MergeStoreCdcProvider extends StreamSourceProvider with DataSourceRegister {
+  import MergeStoreCdc._
+
+  override def shortName(): String = "graft-cdc"
+
+  private def path(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      sys.error("graft-cdc needs option 'path' (a MergeStore table)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), cdcSchema(sqlContext.sparkSession, path(parameters)))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val pk = parameters.getOrElse("pk",
+        sys.error("graft-cdc needs option 'pk' (comma-separated key columns)"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    new MergeStoreCdcSource(sqlContext.sparkSession, path(parameters), pk,
+      parameters.get("includePreimages").exists(_.toBoolean),
+      parameters.get("fromVersion").map(_.toInt))
+  }
+}
+
+class MergeStoreCdcSource(spark: SparkSession, path: String,
+                          pk: Seq[String], includePreimages: Boolean,
+                          fromVersion: Option[Int])
+    extends Source with SupportsTriggerAvailableNow {
+  import MergeStoreCdc._
+
+  /** Commits at or below this version are NOT emitted. Resolved once at
+    * source creation; on checkpoint restart the engine's stored offsets
+    * take precedence (getBatch receives them), so this only seeds a
+    * fresh query. */
+  private val startVersion: Int = fromVersion.getOrElse(
+    MergeStore.version(path).getOrElse(0))
+
+  override val schema: StructType = cdcSchema(spark, path)
+
+  private def headOffset: Option[Long] =
+    MergeStore.version(path).map(_.toLong).filter(_ > startVersion)
+
+  /** Trigger.AvailableNow support (the FileStreamSource pattern): the
+    * run processes commits up to the head CAPTURED AT START and then
+    * terminates — commits racing in later belong to the next run. */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(headOffset.getOrElse(startVersion.toLong))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: ConnectorOffset,
+                            limit: ReadLimit): ConnectorOffset = {
+    val capped = availableNowCap match {
+      case Some(cap) => headOffset.map(math.min(_, cap))
+        .filter(_ > startVersion)
+      case None => headOffset
+    }
+    capped.map(LongOffset(_)).orNull
+  }
+
+  override def reportLatestOffset(): ConnectorOffset =
+    headOffset.map(LongOffset(_)).orNull
+
+  override def getOffset: Option[V1Offset] =
+    Option(latestOffset(null, null)).map(_.asInstanceOf[V1Offset])
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    // Both LongOffset and the checkpoint-restored SerializedOffset
+    // round-trip through json — a bare long either way.
+    val fromV = start.map(_.json.toLong.toInt).getOrElse(startVersion)
+    val toV = end.json.toLong.toInt
+    // Belt and braces with changes()' stable-order contract: the
+    // InternalRow wrap below is POSITIONAL, so align to the source
+    // schema explicitly before dropping to rows.
+    val batch = changesByCommit(spark, path, pk, includePreimages, fromV, toV)
+      .select(schema.fieldNames.map(col): _*)
+    // v1 contract: the returned plan must be flagged streaming (see
+    // SparkStreamingShim). Rows still compute lazily, inside the
+    // micro-batch's own job.
+    StreamingBatches.asStreamingBatch(spark, batch.queryExecution.toRdd,
+      schema)
+  }
+
+  override def commit(end: V1Offset): Unit = ()
+  override def stop(): Unit = ()
+}

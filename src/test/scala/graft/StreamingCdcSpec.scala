@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.store.MergeStore
+import graft.streaming.MergeStoreCdc
+
+/** CDC streaming contract: tailing a MergeStore table must emit exactly
+  * the per-commit typed change feed — same rows as the batch
+  * changesByCommit over the same span (stream == batch, the house
+  * streaming convention), with exact `_commit_version` attribution,
+  * exactly-once across a checkpointed restart (parquet sink — the
+  * memory sink cannot recover a checkpoint), and nothing at all for a
+  * span with no commits.
+  */
+class StreamingCdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(lo: Long, hi: Long, tag: String) =
+    spark.range(lo, hi).select(col("id"),
+      concat(lit(tag + "-"), col("id")).as("payload"))
+
+  private def runAvailableNow(path: String, out: String, ck: String): Unit = {
+    val q = MergeStoreCdc.readStream(spark, path, pk = Seq("id"),
+        fromVersion = Some(0))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  private def sinkRows(out: String) =
+    spark.read.parquet(out)
+      .select($"id", $"payload", $"_change_type", $"_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+
+  private def batchRows(t: String, fromV: Int, toV: Int) =
+    MergeStoreCdc.changesByCommit(spark, t, Seq("id"),
+        includePreimages = false, fromVersion = fromV, toVersion = toV)
+      .select($"id", $"payload", $"_change_type", $"_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+
+  test("stream == batch change feed; checkpointed restart resumes exactly-once") {
+    val t = tmpDir("cdc-stream") + "/tbl"
+    val out = tmpDir("cdc-stream") + "/out"
+    val ck = tmpDir("cdc-stream") + "/ck"
+    MergeStore.init(spark, rows(0, 1000, "v1"), t, numFiles = 8,
+      clusterBy = Seq("id")) // v0
+    MergeStore.merge(spark, rows(100, 110, "v2")
+      .unionByName(rows(1000, 1005, "new")), t, pk = Seq("id")) // v1
+    MergeStore.delete(spark, t, spark.range(200L, 220L).select(col("id")),
+      pk = Seq("id")) // v2
+
+    runAvailableNow(t, out, ck)
+    val got = sinkRows(out)
+    assert(got == batchRows(t, 0, 2))
+    // Attribution: the merge's rows carry version 1, the delete's 2.
+    assert(got.collect { case (_, _, "update_postimage", v) => v } == Set(1L))
+    assert(got.collect { case (_, _, "delete", v) => v } == Set(2L))
+    assert(got.count(_._3 == "insert") == 5)
+    assert(got.count(_._3 == "delete") == 20)
+
+    // Restart on the SAME checkpoint with a new commit: the sink gains
+    // exactly v3's changes — v1/v2 are not re-emitted (exactly-once).
+    MergeStore.merge(spark, rows(300, 303, "v3"), t, pk = Seq("id")) // v3
+    runAvailableNow(t, out, ck)
+    assert(sinkRows(out) == batchRows(t, 0, 3))
+
+    // Quiesced table: a further run emits nothing.
+    runAvailableNow(t, out, ck)
+    assert(sinkRows(out) == batchRows(t, 0, 3))
+  }
+
+  test("fromVersion defaults to the head at stream start; a LIVE stream tails new commits") {
+    val t = tmpDir("cdc-head") + "/tbl"
+    val ck = tmpDir("cdc-head") + "/ck"
+    MergeStore.init(spark, rows(0, 100, "v1"), t, numFiles = 4,
+      clusterBy = Seq("id")) // v0
+    MergeStore.merge(spark, rows(0, 5, "v2"), t, pk = Seq("id")) // v1
+    // Source resolves startVersion = head (1) at query start: the v0→v1
+    // history must NOT replay; commits landing while the query RUNS do.
+    val q = MergeStoreCdc.readStream(spark, t, pk = Seq("id"),
+        fromVersion = None)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cdc_live").option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdc_live").isEmpty) // no history replay
+      MergeStore.merge(spark, rows(5, 8, "v3"), t, pk = Seq("id")) // v2
+      q.processAllAvailable()
+      val got = spark.table("cdc_live")
+        .select($"id", $"_change_type", $"_commit_version")
+        .as[(Long, String, Long)].collect().toSet
+      assert(got == (5L to 7L).map((_, "update_postimage", 2L)).toSet)
+    } finally q.stop()
+  }
+
+  test("pre-image feed streams too (IVM's input shape)") {
+    val t = tmpDir("cdc-pre") + "/tbl"
+    val ck = tmpDir("cdc-pre") + "/ck"
+    MergeStore.init(spark, rows(0, 50, "v1"), t, numFiles = 2,
+      clusterBy = Seq("id"))
+    MergeStore.merge(spark, rows(7, 8, "v2"), t, pk = Seq("id"))
+    val q = MergeStoreCdc.readStream(spark, t, pk = Seq("id"),
+        includePreimages = true, fromVersion = Some(0))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cdc_pre").option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val byType = spark.table("cdc_pre").groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("update_postimage" -> 1L, "update_preimage" -> 1L))
+  }
+}
