@@ -438,55 +438,80 @@ object ScaleProbe {
     }
   }
 
-  /** Incremental view maintenance advantage: a KPI view over an
-    * n-row COW table, advanced after trickle merges of shrinking batch
-    * size — incremental refresh (change-feed delta + file-granular view
-    * merge) timed against the full rebuild (re-aggregate + rewrite) the
-    * reference's refresh model implies. The refresh should cost the
-    * TRICKLE; the rebuild always costs the TABLE — the gap is the whole
-    * point of shipping [[graft.operators.IncrementalView]]. */
-  private def ivmProbe(spark: SparkSession, n: Long,
-                       batchSizes: Seq[Int]): Unit = {
+  /** Incremental view maintenance advantage: a KPI view over a COW
+    * table, advanced after a FIXED-size trickle merge, at GROWING table
+    * sizes — incremental refresh (change-feed delta + file-granular
+    * view merge) timed against the full rebuild (re-aggregate +
+    * rewrite) the reference's refresh model implies. The claim under
+    * test is the two cost PROPORTIONALITIES: refresh tracks the
+    * rewritten-file bytes (≈ flat as n grows, since the trickle is
+    * fixed and the table is id-clustered), rebuild tracks the table
+    * (linear in n). At local test sizes the table fits in page cache
+    * and per-job overhead dominates refresh, so the raw ratio only
+    * crosses over once n is big enough — which is exactly the point:
+    * at 100 TB, n is 10^6 times "big enough". */
+  private def ivmProbe(spark: SparkSession, ns: Seq[Long],
+                       batch: Int): Unit = {
     import graft.operators.IncrementalView
     val spec = IncrementalView.IvmSpec(Seq("grp"),
       Seq("amount" -> "sum_amount"))
-    val root = java.nio.file.Files.createTempDirectory("graft-ivm-probe")
-      .toString
-    val t = s"$root/tbl"
     def rows(lo: Long, hi: Long) = spark.range(lo, hi)
       .select(col("id"), (col("id") % 1000).cast("int").as("grp"),
         (col("id") * lit(0.25)).as("amount"))
-    MergeStore.init(spark, rows(0, n), t, numFiles = 64,
-      clusterBy = Seq("id"))
-    val view = s"$root/view"
-    val (_, tInit) = time(IncrementalView.initView(spark, t, view, spec))
-    println(f"""{"probe":"ivm","n":$n,"init_sec":$tInit%.3f}""")
-    batchSizes.foreach { b =>
-      // A key-local trickle: b consecutive ids get a measure bump.
-      val lo = (n / 2) - (b / 2)
+    ns.foreach { n =>
+      val root = java.nio.file.Files.createTempDirectory("graft-ivm-probe")
+        .toString
+      val t = s"$root/tbl"
+      // Production holds FILE SIZE roughly constant and grows the file
+      // COUNT with the table (maxPartitionBytes-sized parquet); a fixed
+      // file count would instead grow each file with n and cap the scan
+      // ratio at files/filesTouched.
+      val files = math.max(16, (n / 250000L).toInt)
+      MergeStore.init(spark, rows(0, n), t, numFiles = files,
+        clusterBy = Seq("id"))
+      val view = s"$root/view"
+      val (_, tInit) = time(IncrementalView.initView(spark, t, view, spec))
+      // A key-local trickle: `batch` consecutive ids get a measure bump
+      // (id-clustered table → few files rewritten, the steady-state
+      // shape trickle ingestion produces).
+      val lo = (n / 2) - (batch / 2)
       MergeStore.merge(spark,
-        rows(lo, lo + b).withColumn("amount", col("amount") + lit(1.0)),
+        rows(lo, lo + batch).withColumn("amount", col("amount") + lit(1.0)),
         t, pk = Seq("id"))
       val (_, tRefresh) = time(IncrementalView.refresh(spark, t, view, spec))
-      val rebuildDir = s"$root/rebuild-$b"
+      val rebuildDir = s"$root/rebuild"
       val (_, tRebuild) = time {
         MergeStore.init(spark,
           IncrementalView.fullState(MergeStore.read(spark, t), spec),
           rebuildDir, numFiles = 4, clusterBy = Seq("grp"))
       }
-      println(f"""{"probe":"ivm","n":$n,"batch":$b,""" +
-        f""""refresh_sec":$tRefresh%.3f,"rebuild_sec":$tRebuild%.3f,""" +
-        f""""advantage_x":${tRebuild / tRefresh}%.1f}""")
+      // The overhead-free metric: bytes a refresh SCANS (files unique
+      // to either side of the span) vs bytes a rebuild scans (the
+      // table). Wall clock at these local sizes is fixed job overhead;
+      // the bytes ratio is what survives the 10^6× scale-up.
+      def bytes(names: Iterable[String]): Long = names.map { f =>
+        java.nio.file.Files.size(java.nio.file.Paths.get(t, "data", f))
+      }.sum
+      val v0 = MergeStore.liveFiles(t, Some(0)).toSet
+      val v1 = MergeStore.liveFiles(t, Some(1)).toSet
+      val spanBytes = bytes((v0 -- v1) ++ (v1 -- v0))
+      val tableBytes = bytes(v1)
+      println(f"""{"probe":"ivm","n":$n,"batch":$batch,""" +
+        f""""init_sec":$tInit%.3f,"refresh_sec":$tRefresh%.3f,""" +
+        f""""rebuild_sec":$tRebuild%.3f,""" +
+        f""""advantage_x":${tRebuild / tRefresh}%.2f,""" +
+        f""""span_bytes":$spanBytes,"table_bytes":$tableBytes,""" +
+        f""""scan_advantage_x":${tableBytes.toDouble / math.max(1L, spanBytes)}%.1f}""")
     }
   }
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("ivm")) {
       val spark = GraftSession.local(32)
-      val n = if (args.length > 1) args(1).toLong else 2000000L
-      val batches = if (args.length > 2) args.drop(2).map(_.toInt).toSeq
-        else Seq(100000, 10000, 1000)
-      ivmProbe(spark, n, batches)
+      val batch = if (args.length > 1) args(1).toInt else 10000
+      val ns = if (args.length > 2) args.drop(2).map(_.toLong).toSeq
+        else Seq(2000000L, 8000000L, 32000000L)
+      ivmProbe(spark, ns, batch)
       spark.stop()
       return
     }
