@@ -416,6 +416,53 @@ object CurationQueries extends QueryFamily {
       GROUP BY seq
       ORDER BY seq"""))
 
+  /** One export per sf dir (the q89/q91 caching convention): bench
+    * passes measure the manifest READ, not a re-export per pass. */
+  private val exportCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val q99 = QueryDef(
+    "q99_shard_export",
+    "Materialized training-shard export (WebDataset/MDS layout): the " +
+      "corpus in the deterministic epoch-0 md5 shuffle order, cut " +
+      "greedily at a 4096-token budget without splitting docs, written " +
+      "one parquet file per shard with a manifest, the whole epoch " +
+      "published as ONE atomic snapshot. The cut runs on the " +
+      "DISTRIBUTED global running sum (q94's machinery over q78's " +
+      "order); the query returns the PUBLISHED manifest, so a lost " +
+      "doc, broken order, or drifted cut changes (shard_id, n_docs, " +
+      "shard_tokens) and breaks the hash.",
+    (s, dir) => {
+      val root = exportCache.computeIfAbsent(dir, _ => {
+        val r = java.nio.file.Files
+          .createTempDirectory("graft-q99").toString + "/export"
+        graft.operators.ShardExport.export(s,
+          docs(s, dir).select(col("doc_id"), col("text")),
+          "doc_id", "text", epoch = 0, budgetTokens = 4096, root = r)
+        r
+      })
+      graft.operators.ShardExport.manifest(s, root)
+        .orderBy("shard_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               md5('0:' || CAST(doc_id AS VARCHAR)) AS coin,
+               CASE WHEN length(text) = 0 THEN 0
+                    ELSE length(text) - length(replace(text, ' ', '')) + 1
+                    END AS n_tok
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tok,
+               sum(n_tok) OVER (ORDER BY coin, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t)
+      SELECT CAST(floor((cum - n_tok) / 4096.0) AS INTEGER) AS shard_id,
+             count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS shard_tokens
+      FROM c
+      GROUP BY shard_id
+      ORDER BY shard_id"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q41, q42, q43, q44, q47, q53, q93, q94)
+    Seq(q41, q42, q43, q44, q47, q53, q93, q94, q99)
 }
