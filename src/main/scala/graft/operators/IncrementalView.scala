@@ -41,13 +41,27 @@ import graft.store.MergeStore
 object IncrementalView {
 
   /** View definition: `groupBy` keys + COUNT(*) as `countCol` + one
-    * exact SUM per (source column, output alias). */
+    * exact SUM per (source column, output alias), optionally over a
+    * filtered source (`SELECT ... WHERE filter GROUP BY ...`).
+    *
+    * Selection commutes with the delta algebra row-by-row: the filter
+    * is applied to each change row BEFORE weighting, so an update that
+    * moves a row INTO the selection contributes only its post-image
+    * (+1, a view insert), one moving OUT only its pre-image (−1), one
+    * staying inside contributes both (±measure), and one outside
+    * contributes nothing — exactly σ-view maintenance. The filter must
+    * be deterministic and reference only row columns. */
   final case class IvmSpec(groupBy: Seq[String],
                            sums: Seq[(String, String)],
-                           countCol: String = "n_rows") {
+                           countCol: String = "n_rows",
+                           filter: Option[Column] = None) {
     require(groupBy.nonEmpty, "IVM view needs group-by keys")
     require(sums.map(_._2).distinct.size == sums.size,
       "duplicate sum aliases")
+    /** NULL-safe selection: NULL keeps a row out of the view (SQL WHERE
+      * semantics), applied identically on full and delta paths. */
+    def selected(df: DataFrame): DataFrame =
+      filter.map(f => df.where(coalesce(f, lit(false)))).getOrElse(df)
   }
 
   final case class RefreshStats(fromVersion: Int, toVersion: Int,
@@ -59,7 +73,7 @@ object IncrementalView {
   /** The view's contents computed from scratch — the definition the
     * incremental path must match bit-for-bit (spec-pinned). */
   def fullState(df: DataFrame, spec: IvmSpec): DataFrame =
-    df.groupBy(spec.groupBy.map(col): _*)
+    spec.selected(df).groupBy(spec.groupBy.map(col): _*)
       .agg(count(lit(1)).as(spec.countCol),
         spec.sums.map { case (src, out) =>
           sum(measure(src)).cast(SumType).as(out) }: _*)
@@ -71,7 +85,7 @@ object IncrementalView {
       .when(col("_change_type").isin("delete", "update_preimage"), -1L)
       .otherwise(raise_error(concat(lit("IVM: unknown change type "),
         col("_change_type")))) // loud on a feed built without pre-images
-    changes.withColumn("__w", w)
+    spec.selected(changes).withColumn("__w", w)
       .groupBy(spec.groupBy.map(col): _*)
       .agg(sum(col("__w")).cast(LongType).as(spec.countCol),
         spec.sums.map { case (src, out) =>

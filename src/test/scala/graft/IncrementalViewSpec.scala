@@ -104,6 +104,37 @@ class IncrementalViewSpec extends SparkSpec {
     assertViewCurrent(t, view)
   }
 
+  test("filtered (sigma) view: updates crossing the selection boundary maintain exactly") {
+    val fSpec = IvmSpec(Seq("grp"), Seq("amount" -> "sum_amount"),
+      filter = Some(col("amount") >= 100.0))
+    val t = tmpDir("ivm-filter") + "/tbl"
+    val view = tmpDir("ivm-filter") + "/view"
+    MergeStore.init(spark, rows(400), t, numFiles = 4, clusterBy = Seq("id"))
+    IncrementalView.initView(spark, t, view, fSpec)
+    def current(): Unit = {
+      val got = sorted(MergeStore.read(spark, view))
+      val want = sorted(
+        IncrementalView.fullState(MergeStore.read(spark, t), fSpec))
+      assert(got == want)
+    }
+    current()
+    // One commit with all four crossings: INTO the selection (id 10:
+    // 12.5 -> 150), OUT of it (id 300: 375 -> 10), staying in with a
+    // measure change (id 320: 400 -> 410), staying out (id 20: 25 -> 30).
+    val upd = Seq((10L, 150.0), (300L, 10.0), (320L, 410.0), (20L, 30.0))
+      .toDF("id", "amount")
+      .select(col("id"), (col("id") % 7).cast("int").as("grp"),
+        col("amount"))
+    MergeStore.merge(spark, upd, t, pk = Seq("id"))
+    IncrementalView.refresh(spark, t, view, fSpec)
+    current()
+    // Delete spanning both sides of the boundary.
+    MergeStore.delete(spark, t,
+      spark.range(150L, 250L).select(col("id")), pk = Seq("id"))
+    IncrementalView.refresh(spark, t, view, fSpec)
+    current()
+  }
+
   test("changes with pre-images: typed feed carries old rows; compaction emits nothing") {
     val t = tmpDir("cdf-pre") + "/tbl"
     MergeStore.init(spark, rows(300), t, numFiles = 4, clusterBy = Seq("id"))
