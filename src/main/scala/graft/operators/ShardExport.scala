@@ -70,13 +70,18 @@ object ShardExport {
       .drop("__coin")
       .write.partitionBy("shard_id")
       .parquet(staged.resolve("shards").toString)
-    // Manifest is shard-count-sized (corpus tokens / budget) — bounded
-    // metadata, not corpus data, so few files are the right layout.
-    assigned.groupBy(col("shard_id"))
+    // Manifest derived from the WRITTEN files, not the assignment plan:
+    // one pass over the corpus total (re-running the assignment would
+    // repeat its range shuffle), and the manifest provably describes
+    // the physical artifact. Shard-count-sized (corpus tokens /
+    // budget) — bounded metadata, so one file is the right layout. The
+    // name must not start with '_' (Spark's readers skip hidden paths).
+    spark.read.parquet(staged.resolve("shards").toString)
+      .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("shard_tokens"))
       .coalesce(1)
-      .write.parquet(staged.resolve("_shard_manifest").toString)
+      .write.parquet(staged.resolve("manifest").toString)
     val parent = SnapshotStore.currentVersion(root).getOrElse(0)
     SnapshotStore.publish(root, staged, parent)
   }
@@ -85,7 +90,7 @@ object ShardExport {
   def manifest(spark: SparkSession, root: String,
                version: Option[Int] = None): DataFrame =
     spark.read.parquet(
-      SnapshotStore.resolve(root, version) + "/_shard_manifest")
+      SnapshotStore.resolve(root, version) + "/manifest")
 
   /** Read shards back (newest snapshot by default) — the dataloader's
     * view; `shard_id` partition pruning makes single-shard reads
