@@ -54,10 +54,19 @@ object IncrementalView {
   final case class IvmSpec(groupBy: Seq[String],
                            sums: Seq[(String, String)],
                            countCol: String = "n_rows",
-                           filter: Option[Column] = None) {
+                           filter: Option[Column] = None,
+                           mins: Seq[(String, String)] = Nil,
+                           maxs: Seq[(String, String)] = Nil) {
     require(groupBy.nonEmpty, "IVM view needs group-by keys")
-    require(sums.map(_._2).distinct.size == sums.size,
-      "duplicate sum aliases")
+    private val aliases =
+      (sums ++ mins ++ maxs).map(_._2) :+ countCol
+    require(aliases.distinct.size == aliases.size,
+      "duplicate output aliases")
+    /** MIN/MAX are only SEMI-maintainable (arrivals can only strengthen
+      * an extremum; a departure may remove it, and only the base data
+      * knows the runner-up) — with extremes, refresh recomputes
+      * departure-touched groups from the source snapshot. */
+    def hasExtremes: Boolean = mins.nonEmpty || maxs.nonEmpty
     /** NULL-safe selection: NULL keeps a row out of the view (SQL WHERE
       * semantics), applied identically on full and delta paths. */
     def selected(df: DataFrame): DataFrame =
@@ -68,7 +77,8 @@ object IncrementalView {
                                 groupsUpserted: Long, groupsDeleted: Long)
 
   private val SumType = DecimalType(30, 4)
-  private def measure(src: String): Column = col(src).cast(DecimalType(20, 4))
+  private val ExtType = DecimalType(20, 4)
+  private def measure(src: String): Column = col(src).cast(ExtType)
 
   /** The view's contents computed from scratch — the definition the
     * incremental path must match bit-for-bit (spec-pinned). */
@@ -76,29 +86,51 @@ object IncrementalView {
     spec.selected(df).groupBy(spec.groupBy.map(col): _*)
       .agg(count(lit(1)).as(spec.countCol),
         spec.sums.map { case (src, out) =>
-          sum(measure(src)).cast(SumType).as(out) }: _*)
+          sum(measure(src)).cast(SumType).as(out) } ++
+        spec.mins.map { case (src, out) =>
+          min(measure(src)).cast(ExtType).as(out) } ++
+        spec.maxs.map { case (src, out) =>
+          max(measure(src)).cast(ExtType).as(out) }: _*)
 
   /** Per-group delta from a pre-image-bearing change feed: one
-    * map-side-combinable aggregate over the span's changed rows. */
+    * map-side-combinable aggregate over the span's changed rows. With
+    * extremes, also carries the arriving-rows-only min/max candidates
+    * (`__arr_*`) and a `__has_dep` flag marking groups any row departed
+    * from — [[applyDeltaToStore]] recomputes those from the source. */
   def deltaState(changes: DataFrame, spec: IvmSpec): DataFrame = {
     val w = when(col("_change_type").isin("insert", "update_postimage"), 1L)
       .when(col("_change_type").isin("delete", "update_preimage"), -1L)
       .otherwise(raise_error(concat(lit("IVM: unknown change type "),
         col("_change_type")))) // loud on a feed built without pre-images
+    val extremeAggs =
+      if (!spec.hasExtremes) Nil
+      else spec.mins.map { case (src, out) =>
+        min(when(col("__w") > 0, measure(src))).cast(ExtType)
+          .as(s"__arr_$out") } ++
+        spec.maxs.map { case (src, out) =>
+          max(when(col("__w") > 0, measure(src))).cast(ExtType)
+            .as(s"__arr_$out") } ++
+        Seq(max(when(col("__w") < 0, 1).otherwise(0)).as("__has_dep"))
     spec.selected(changes).withColumn("__w", w)
       .groupBy(spec.groupBy.map(col): _*)
       .agg(sum(col("__w")).cast(LongType).as(spec.countCol),
         spec.sums.map { case (src, out) =>
-          sum(measure(src) * col("__w")).cast(SumType).as(out) }: _*)
+          sum(measure(src) * col("__w")).cast(SumType).as(out) } ++
+          extremeAggs: _*)
   }
 
   /** state ⊕ delta, pure-DataFrame: full outer join on the group keys,
     * coalesced exact addition, groups whose count reaches 0 dropped.
-    * The algebra the materialized [[refresh]] applies via MergeStore. */
+    * The algebra the materialized [[refresh]] applies via MergeStore.
+    * With extremes this is valid ONLY for arrival-only groups (mins via
+    * least(state, arrivals), etc.) — departure-touched groups must be
+    * recomputed, which [[applyDeltaToStore]] routes. */
   def applyDelta(state: DataFrame, delta: DataFrame,
                  spec: IvmSpec): DataFrame = {
     val valueCols = spec.countCol +: spec.sums.map(_._2)
-    val d = valueCols.foldLeft(delta)((df, c) => df.withColumnRenamed(c, s"__d_$c"))
+    val d0 = if (delta.columns.contains("__has_dep"))
+      delta.drop("__has_dep") else delta
+    val d = valueCols.foldLeft(d0)((df, c) => df.withColumnRenamed(c, s"__d_$c"))
     val joined = state.join(d, spec.groupBy, "full_outer")
     val merged = joined.select(
       spec.groupBy.map(col) ++
@@ -107,7 +139,13 @@ object IncrementalView {
         spec.sums.map { case (_, out) =>
           (coalesce(col(out), lit(0).cast(SumType)) +
             coalesce(col(s"__d_$out"), lit(0).cast(SumType)))
-            .cast(SumType).as(out) }: _*)
+            .cast(SumType).as(out) } ++
+        // least/greatest skip nulls: a new group takes the arrival
+        // extremum, an untouched-extremum group keeps the state's.
+        spec.mins.map { case (_, out) =>
+          least(col(out), col(s"__arr_$out")).cast(ExtType).as(out) } ++
+        spec.maxs.map { case (_, out) =>
+          greatest(col(out), col(s"__arr_$out")).cast(ExtType).as(out) }: _*)
     merged.where(col(spec.countCol) > 0)
   }
 
@@ -157,7 +195,7 @@ object IncrementalView {
       pk = spec.groupBy /* unused for typing: any pk works */,
       includePreimages = true)
     val (nUp, del) = applyDeltaToStore(spark, viewTarget,
-      deltaState(feed, spec), spec, head)
+      deltaState(feed, spec), spec, head, Some(sourceTarget))
     RefreshStats(last, head, nUp, del)
   }
 
@@ -165,20 +203,47 @@ object IncrementalView {
     * advance the high-water marker to `newVersion` — the store side of a
     * refresh, shared with [[graft.streaming.StreamingIvm]]'s per-micro-
     * batch application. Reads current state only for touched groups;
-    * returns (groups merged, groups deleted). */
+    * returns (groups merged, groups deleted).
+    *
+    * Extremes routing: with min/max in the spec, groups any row
+    * DEPARTED from (`__has_dep`) are recomputed from the source
+    * snapshot PINNED AT `newVersion` (reading head would leak
+    * not-yet-applied commits into those groups) — a semi-join-filtered
+    * scan, pruned by the source's group clustering; arrival-only groups
+    * stay on the pure delta path. `source` is required then; the
+    * vacuum retention window must cover consumer lag, as for any
+    * pinned reader. */
   def applyDeltaToStore(spark: SparkSession, viewTarget: String,
                         deltaDf: DataFrame, spec: IvmSpec,
-                        newVersion: Int): (Long, Long) = {
+                        newVersion: Int,
+                        source: Option[String] = None): (Long, Long) = {
     val delta = deltaDf.cache()
     try {
+      val (arrDelta, depKeys) =
+        if (!spec.hasExtremes) (delta, None)
+        else (delta.where(col("__has_dep") === 0),
+          Some(delta.where(col("__has_dep") === 1)
+            .select(spec.groupBy.map(col): _*)))
       val touched = MergeStore.read(spark, viewTarget)
-        .join(delta.select(spec.groupBy.map(col): _*), spec.groupBy,
+        .join(arrDelta.select(spec.groupBy.map(col): _*), spec.groupBy,
           "left_semi")
-      val next = applyDelta(touched, delta, spec).cache()
+      val nextArr = applyDelta(touched, arrDelta, spec)
+      val recomputed = depKeys.map { keys =>
+        val src = source.getOrElse(sys.error(
+          "IVM with min/max needs the source table to recompute " +
+            "departure-touched groups"))
+        fullState(MergeStore.read(spark, src, Some(newVersion))
+          .join(keys, spec.groupBy, "left_semi"), spec)
+      }
+      val next = recomputed.map(nextArr.unionByName(_)).getOrElse(nextArr)
+        .cache()
       try {
-        val emptied = delta.select(spec.groupBy.map(col): _*)
-          .join(next.select(spec.groupBy.map(col): _*), spec.groupBy,
-            "left_anti")
+        // Arrival-only groups can never empty; candidates are the
+        // delta's groups (pure path) or the recomputed set (extremes).
+        val candidates = depKeys.getOrElse(
+          delta.select(spec.groupBy.map(col): _*))
+        val emptied = candidates.join(
+          next.select(spec.groupBy.map(col): _*), spec.groupBy, "left_anti")
         val nUp = next.count()
         if (nUp > 0)
           MergeStore.merge(spark, next, viewTarget, pk = spec.groupBy,
@@ -193,11 +258,12 @@ object IncrementalView {
     } finally delta.unpersist()
   }
 
-  /** The view for consumers: exact decimal sums surfaced as DOUBLE (the
-    * q04 edge convention). */
+  /** The view for consumers: exact decimal sums/extremes surfaced as
+    * DOUBLE (the q04 edge convention). */
   def readView(spark: SparkSession, viewTarget: String,
                spec: IvmSpec): DataFrame =
     MergeStore.read(spark, viewTarget).select(
       spec.groupBy.map(col) ++ Seq(col(spec.countCol)) ++
-        spec.sums.map { case (_, out) => col(out).cast("double").as(out) }: _*)
+        (spec.sums ++ spec.mins ++ spec.maxs).map { case (_, out) =>
+          col(out).cast("double").as(out) }: _*)
 }

@@ -120,13 +120,18 @@ object StoreQueries extends QueryFamily {
       "'9-MOVED', then a delete of o_orderkey % 11 == 0. Each refresh " +
       "scans only the span's changed files, aggregates +1/-1-weighted " +
       "deltas to one row per touched group, and merge/deletes the view " +
-      "file-granularly. The oracle re-aggregates the final state from " +
-      "scratch — a drifted delta (missed pre-image, resurrected group, " +
+      "file-granularly. MIN/MAX ride along: arrival-only groups update " +
+      "by least/greatest, groups a row departed from recompute from " +
+      "the pinned source snapshot (the removed-extremum rule). The " +
+      "oracle re-aggregates the final state from scratch — a drifted " +
+      "delta (missed pre-image, resurrected group, stale extremum, " +
       "float association) breaks the hash.",
     (s, dir) => {
       val spec = IncrementalView.IvmSpec(
         groupBy = Seq("o_orderpriority"),
-        sums = Seq("o_totalprice" -> "sum_price"))
+        sums = Seq("o_totalprice" -> "sum_price"),
+        mins = Seq("o_totalprice" -> "min_price"),
+        maxs = Seq("o_totalprice" -> "max_price"))
       val target = preparedTable(s, dir, "q96",
         base = Tables.load(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderpriority"),
@@ -147,13 +152,19 @@ object StoreQueries extends QueryFamily {
       }
       IncrementalView.readView(s, s"$target-view",
           IncrementalView.IvmSpec(Seq("o_orderpriority"),
-            Seq("o_totalprice" -> "sum_price")))
+            Seq("o_totalprice" -> "sum_price"),
+            mins = Seq("o_totalprice" -> "min_price"),
+            maxs = Seq("o_totalprice" -> "max_price")))
         .orderBy("o_orderpriority")
     },
     Some("""
       SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
              CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
-               AS sum_price
+               AS sum_price,
+             CAST(min(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+               AS min_price,
+             CAST(max(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+               AS max_price
       FROM (
         SELECT CASE WHEN o_orderkey % 7 = 0 THEN '9-MOVED'
                     ELSE o_orderpriority END AS o_orderpriority,

@@ -46,16 +46,20 @@ object StreamingIvm {
         fromVersion = Some(0) /* guarded below; checkpoint advances it */)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyCdcBatch(batch, viewTarget, spec): Unit
+        applyCdcBatch(batch, viewTarget, spec,
+          source = Some(sourceTarget)): Unit
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
 
-  /** Apply one CDC micro-batch to the view, exactly once. Visible for
-    * specs; returns true iff the batch advanced the view. */
+  /** Apply one CDC micro-batch to the view, exactly once. `source` is
+    * required when the spec carries min/max (departure-touched groups
+    * recompute from the source pinned at the batch's high version).
+    * Visible for specs; returns true iff the batch advanced the view. */
   def applyCdcBatch(batch: DataFrame, viewTarget: String,
-                    spec: IvmSpec): Boolean = {
+                    spec: IvmSpec,
+                    source: Option[String] = None): Boolean = {
     if (batch.isEmpty) return false
     val spark = batch.sparkSession
     val Array(lo, hi) = batch
@@ -70,7 +74,7 @@ object StreamingIvm {
     val delta = IncrementalView.deltaState(
       batch.drop(MergeStoreCdc.CommitVersionCol), spec)
     IncrementalView.applyDeltaToStore(spark, viewTarget, delta, spec,
-      hi.toInt)
+      hi.toInt, source)
     true
   }
 }

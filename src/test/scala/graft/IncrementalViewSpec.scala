@@ -135,6 +135,57 @@ class IncrementalViewSpec extends SparkSpec {
     current()
   }
 
+  test("min/max view: arrivals strengthen incrementally, departures recompute the group") {
+    val eSpec = IvmSpec(Seq("grp"), Seq("amount" -> "sum_amount"),
+      mins = Seq("amount" -> "min_amount"),
+      maxs = Seq("amount" -> "max_amount"))
+    val t = tmpDir("ivm-ext") + "/tbl"
+    val view = tmpDir("ivm-ext") + "/view"
+    MergeStore.init(spark, rows(700), t, numFiles = 8, clusterBy = Seq("id"))
+    IncrementalView.initView(spark, t, view, eSpec)
+    def current(): Unit = {
+      val got = MergeStore.read(spark, view)
+        .select(col("grp").cast("int"), col("n_rows"),
+          col("sum_amount").cast("decimal(30,4)"),
+          col("min_amount").cast("decimal(20,4)"),
+          col("max_amount").cast("decimal(20,4)"))
+        .as[(Int, Long, java.math.BigDecimal, java.math.BigDecimal,
+          java.math.BigDecimal)].collect().sortBy(_._1).toSeq
+      val want = IncrementalView
+        .fullState(MergeStore.read(spark, t), eSpec)
+        .select(col("grp").cast("int"), col("n_rows"),
+          col("sum_amount").cast("decimal(30,4)"),
+          col("min_amount").cast("decimal(20,4)"),
+          col("max_amount").cast("decimal(20,4)"))
+        .as[(Int, Long, java.math.BigDecimal, java.math.BigDecimal,
+          java.math.BigDecimal)].collect().sortBy(_._1).toSeq
+      assert(got == want)
+    }
+    current()
+    // Arrival-only commit: inserts with a new global max per group —
+    // the incremental least/greatest path.
+    MergeStore.merge(spark,
+      spark.range(700L, 750L).select(col("id"),
+        (col("id") % 7).cast("int").as("grp"),
+        (col("id") * lit(10.0)).as("amount")),
+      t, pk = Seq("id"))
+    IncrementalView.refresh(spark, t, view, eSpec)
+    current()
+    // Departure commit: delete exactly the rows holding each group's
+    // max (the 700-749 inserts) — the removed-extremum case only a
+    // group recompute can answer.
+    MergeStore.delete(spark, t,
+      spark.range(700L, 750L).select(col("id")), pk = Seq("id"))
+    IncrementalView.refresh(spark, t, view, eSpec)
+    current()
+    // Update that LOWERS a group's min holder (id 0: amount 0 -> 500):
+    // pre-image departs, group recomputes, min moves to the runner-up.
+    MergeStore.merge(spark,
+      Seq((0L, 0, 500.0)).toDF("id", "grp", "amount"), t, pk = Seq("id"))
+    IncrementalView.refresh(spark, t, view, eSpec)
+    current()
+  }
+
   test("changes with pre-images: typed feed carries old rows; compaction emits nothing") {
     val t = tmpDir("cdf-pre") + "/tbl"
     MergeStore.init(spark, rows(300), t, numFiles = 4, clusterBy = Seq("id"))
