@@ -465,6 +465,104 @@ object Multimodal {
     }
   }
 
+  final case class MediaHash(media_id: Long, dhash: Long)
+
+  /** 64-bit difference hash (dHash — the public perceptual-hash
+    * algorithm image pipelines use for near-dup detection): the decoded
+    * image is area-averaged onto a 9x8 grayscale grid (Rec.601
+    * luminance, integer math — deterministic, unlike interpolated
+    * rescales) and bit r*8+c is set iff cell(r, c+1) > cell(r, c).
+    * Horizontal gradients survive uniform brightness/contrast shifts
+    * and re-encodes, which is exactly what makes dHash a DEDUP key
+    * rather than a checksum. Undecodable or sub-grid (<9x8) bytes fall
+    * back to an md5-derived hash — deterministic, and essentially never
+    * within hamming radius of a real image's hash. */
+  object DHashCodec {
+    def dhash(bytes: Array[Byte]): Long = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Throwable => null }
+      if (img == null || img.getWidth < 9 || img.getHeight < 8)
+        return stubHash(bytes)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val cells = Array.ofDim[Long](8, 9) // row x col luminance sums
+      val counts = Array.ofDim[Long](8, 9)
+      var y = 0
+      while (y < h) {
+        val r = math.min(7, y * 8 / h)
+        var x = 0
+        while (x < w) {
+          val c = math.min(8, x * 9 / w)
+          val rgb = img.getRGB(x, y)
+          val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+            114 * (rgb & 0xff)) / 1000
+          cells(r)(c) += lum; counts(r)(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var bits = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          val left = cells(r)(c) * counts(r)(c + 1)
+          val right = cells(r)(c + 1) * counts(r)(c)
+          if (right > left) bits |= 1L << (r * 8 + c) // cross-multiplied avg compare: exact
+          c += 1
+        }
+        r += 1
+      }
+      bits
+    }
+
+    private def stubHash(bytes: Array[Byte]): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+    }
+  }
+
+  /** Deterministic synthetic image for the dedup corpus ([[synthWav]]'s
+    * role): a seed-structured luminance pattern, a uniform `brightness`
+    * lift (dHash-INVARIANT — the within-cluster "re-export" variant),
+    * and optionally one inverted grid cell (`tweak` — flips only the
+    * few hash bits whose comparisons cross that cell). */
+  def synthImage(seed: Long, brightness: Int = 0, tweak: Boolean = false,
+                 w: Int = 36, h: Int = 32): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = (((x / 4) * 7 + (y / 4) * 13 + seed * 31) % 97).toInt * 2 + 20
+        val inCell = tweak && x >= 8 && x < 12 && y >= 8 && y < 12
+        val v0 = if (inCell) 255 - base else base
+        val v = math.min(255, math.max(0, v0 + brightness))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Batched per-partition dHash — the signature stage of image near-dup
+    * dedup (pair generation is [[graft.operators.Dedup.hammingPairs64]]'s
+    * banded join). Same mapInPandas batch shape as [[extractFeatures]]. */
+  def imageDHash(media: Dataset[MediaRow],
+                 batchSize: Int = 64): Dataset[MediaHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map(m => MediaHash(m.media_id, DHashCodec.dhash(m.content)))
+      }
+    }
+  }
+
   /** Frame sampling for video-kind media: every `everyNMillis` over the
     * (stub) duration — pure column math, no decode needed for planning. */
   def frameOffsets(df: DataFrame, durationMsCol: String,

@@ -502,13 +502,23 @@ object Dedup {
     * banding: split 64 bits into `maxHamming+1` bands — any pair within
     * the radius matches exactly on at least one band. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3): DataFrame =
+    hammingPairs64(simhash64(df, idCol, textCol), idCol, "simhash",
+      maxHamming)
+
+  /** Pigeonhole-banded near-dup pairs over ANY 64-bit signature column
+    * (text SimHash, image dHash, ...): split the 64 bits into
+    * `maxHamming + 1` bands — a pair within the radius agrees exactly on
+    * at least one band, so candidates come from an equi-join on
+    * (band, band-bits), never all-pairs. */
+  def hammingPairs64(hashes: DataFrame, idCol: String, hashCol: String,
+                     maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "radius must be in [0, 64)")
     val numBands = maxHamming + 1
     val width = 64 / numBands
-    val hashes = simhash64(df, idCol, textCol)
-    val bands = hashes.select(col(idCol), col("simhash"), posexplode(
+    val bands = hashes.select(col(idCol), col(hashCol), posexplode(
         array((0 until numBands).map { b =>
-          shiftright(col("simhash"), b * width)
+          shiftright(col(hashCol), b * width)
             .bitwiseAND((1L << width) - 1)
         }: _*)).as(Seq("band", "key")))
     // Hamming filter INSIDE the join: rejected pairs never reach the
@@ -517,9 +527,9 @@ object Dedup {
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key")
           && col(s"x.$idCol") < col(s"y.$idCol")
-          && bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= maxHamming)
+          && bit_count(col(s"x.$hashCol").bitwiseXOR(col(s"y.$hashCol"))) <= maxHamming)
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        bit_count(col(s"x.$hashCol").bitwiseXOR(col(s"y.$hashCol"))).as("hamming"))
       .distinct()
   }
 }

@@ -280,5 +280,66 @@ object StreamMultimodalQueries extends QueryFamily {
       WHERE epoch_ms(ws) + 300000 <= cutoff_ms
       ORDER BY window_start, event_type"""))
 
-  override val defs: Seq[QueryDef] = Seq(q32, q33, q34, q82, q90, q95)
+  /** q100's deterministic image recipe, shared by query and oracle:
+    * 50 pattern clusters; within a cluster, variants differ by a
+    * uniform brightness lift (dHash distance 0) or one inverted grid
+    * cell (distance <= 2) — the re-export / small-edit duplicates an
+    * image dedup pass exists to catch. */
+  private def q100Png(docId: Long): Array[Byte] =
+    Multimodal.synthImage(seed = docId % 50,
+      brightness = ((docId / 50) % 3).toInt * 8,
+      tweak = (docId / 50) % 2 == 1)
+
+  /** DuckDB twin of q100, generated at Verify time: the same synthImage →
+    * DHashCodec pipeline runs driver-side (bounded: the verify corpus),
+    * injects (id, hash) literals, and DuckDB replays the PAIR PREDICATE
+    * itself — bit_count(xor(...)) has identical two's-complement
+    * semantics on both engines — so the banded join must produce exactly
+    * the all-pairs answer at the radius. */
+  private def imageDedupOracle(s: SparkSession, dir: String): String = {
+    val rows = Tables.load(s, dir, "documents")
+      .select(col("doc_id")).collect()
+      .map { r =>
+        val id = r.getLong(0)
+        s"($id, CAST(${Multimodal.DHashCodec.dhash(q100Png(id))} AS BIGINT))"
+      }
+    s"""
+      WITH h(media_id, dhash) AS (VALUES ${rows.mkString(", ")})
+      SELECT CAST(a.media_id AS BIGINT) AS id_a,
+             CAST(b.media_id AS BIGINT) AS id_b,
+             CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+      FROM h a JOIN h b
+        ON a.media_id < b.media_id
+       AND bit_count(xor(a.dhash, b.dhash)) <= 4
+      ORDER BY id_a, id_b"""
+  }
+
+  private val q100 = QueryDef(
+    "q100_image_neardup",
+    "Image near-dup dedup via perceptual hashing: REAL PNG decode -> " +
+      "64-bit dHash (area-averaged 9x8 grid, horizontal gradient bits — " +
+      "invariant to the uniform brightness shifts and re-encodes that " +
+      "defeat byte checksums) in the batched per-partition codec shape, " +
+      "then hamming <= 4 pairs by pigeonhole banding (5 bands; a pair " +
+      "inside the radius agrees exactly on one band) — an equi-join, " +
+      "never all-pairs. The generated oracle replays the predicate over " +
+      "driver-computed hashes, so a missed candidate (banding bug) or " +
+      "phantom pair breaks the match.",
+    (s, dir) => {
+      import s.implicits._
+      val media = Multimodal.attach(
+        Tables.load(s, dir, "documents").select(col("doc_id"))
+          .map(r => (r.getLong(0), q100Png(r.getLong(0))))
+          .toDF("doc_id", "bytes"),
+        "doc_id", "bytes", kind = "image", mime = "image/png")
+      graft.operators.Dedup.hammingPairs64(
+          Multimodal.imageDHash(media).toDF(),
+          "media_id", "dhash", maxHamming = 4)
+        .orderBy("id_a", "id_b")
+    },
+    None,
+    oracleGen = Some(imageDedupOracle))
+
+  override val defs: Seq[QueryDef] =
+    Seq(q32, q33, q34, q82, q90, q95, q100)
 }

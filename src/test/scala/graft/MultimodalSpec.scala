@@ -247,6 +247,44 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("dHash: brightness-invariant, cell-tweak flips few bits, clusters separate, stub deterministic") {
+    import graft.multimodal.Multimodal.DHashCodec.dhash
+    import graft.multimodal.Multimodal.synthImage
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = dhash(synthImage(seed = 3))
+    // A uniform brightness lift preserves every horizontal gradient:
+    // the exact invariance that makes dHash a dedup key, not a checksum.
+    assert(ham(base, dhash(synthImage(seed = 3, brightness = 16))) == 0)
+    // Inverting one 4x4 grid cell can only flip the comparisons that
+    // touch that cell (2 bits of 64).
+    assert(ham(base, dhash(synthImage(seed = 3, tweak = true))) <= 2)
+    // Different pattern seeds are far apart relative to the tweak.
+    assert(ham(base, dhash(synthImage(seed = 4))) > 2)
+    // Undecodable bytes: md5-derived, deterministic, input-sensitive.
+    val junk = "definitely not a png".getBytes("UTF-8")
+    assert(dhash(junk) == dhash(junk.clone()))
+    assert(dhash(junk) != dhash("other junk".getBytes("UTF-8")))
+    // Sub-grid images route to the stub, not a degenerate grid.
+    assert(dhash(synthImage(seed = 1, w = 4, h = 4)) !=
+      dhash(synthImage(seed = 1, w = 36, h = 32)))
+  }
+
+  test("hammingPairs64 banded join equals the all-pairs answer on dHashes") {
+    import spark.implicits._
+    val hashes = (0L until 120L)
+      .map(i => (i, graft.multimodal.Multimodal.DHashCodec.dhash(
+        graft.multimodal.Multimodal.synthImage(seed = i % 12,
+          brightness = ((i / 12) % 3).toInt * 8, tweak = (i / 12) % 2 == 1))))
+    val got = graft.operators.Dedup.hammingPairs64(
+        hashes.toDF("id", "h"), "id", "h", maxHamming = 6)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 6
+    } yield (a, b, java.lang.Long.bitCount(ha ^ hb))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("resizeToFit: longest edge capped, aspect preserved, no upscale") {
     val dims = Multimodal.extractFeatures(media).collect()
       .map(f => f.media_id -> (f.width, f.height)).toMap
