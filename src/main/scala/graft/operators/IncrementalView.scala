@@ -56,7 +56,8 @@ object IncrementalView {
                            countCol: String = "n_rows",
                            filter: Option[Column] = None,
                            mins: Seq[(String, String)] = Nil,
-                           maxs: Seq[(String, String)] = Nil) {
+                           maxs: Seq[(String, String)] = Nil,
+                           enrich: DataFrame => DataFrame = identity) {
     require(groupBy.nonEmpty, "IVM view needs group-by keys")
     private val aliases =
       (sums ++ mins ++ maxs).map(_._2) :+ countCol
@@ -71,6 +72,16 @@ object IncrementalView {
       * semantics), applied identically on full and delta paths. */
     def selected(df: DataFrame): DataFrame =
       filter.map(f => df.where(coalesce(f, lit(false)))).getOrElse(df)
+    /** `enrich` then `filter` — every row the aggregate sees, on full,
+      * delta, and recompute paths alike. `enrich` makes JOIN VIEWS
+      * maintainable: it must be ROW-LOCAL (each input row → exactly one
+      * output row, keeping all input columns — e.g. a left join against
+      * a broadcast-sized STATIC dimension). A pre-image then enriches
+      * identically to when it arrived, so subtraction stays exact.
+      * Dimension churn is out of scope by construction: a changed dim
+      * row silently changes history's enrichment — rebuild the view
+      * when a dimension changes (the Kimball Type-1 trade-off). */
+    def prepared(df: DataFrame): DataFrame = selected(enrich(df))
   }
 
   final case class RefreshStats(fromVersion: Int, toVersion: Int,
@@ -80,10 +91,10 @@ object IncrementalView {
   private val ExtType = DecimalType(20, 4)
   private def measure(src: String): Column = col(src).cast(ExtType)
 
-  /** The view's contents computed from scratch — the definition the
-    * incremental path must match bit-for-bit (spec-pinned). */
-  def fullState(df: DataFrame, spec: IvmSpec): DataFrame =
-    spec.selected(df).groupBy(spec.groupBy.map(col): _*)
+  /** Aggregate an already-prepared (enriched + filtered) row set. */
+  private def aggregateState(preparedDf: DataFrame,
+                             spec: IvmSpec): DataFrame =
+    preparedDf.groupBy(spec.groupBy.map(col): _*)
       .agg(count(lit(1)).as(spec.countCol),
         spec.sums.map { case (src, out) =>
           sum(measure(src)).cast(SumType).as(out) } ++
@@ -91,6 +102,11 @@ object IncrementalView {
           min(measure(src)).cast(ExtType).as(out) } ++
         spec.maxs.map { case (src, out) =>
           max(measure(src)).cast(ExtType).as(out) }: _*)
+
+  /** The view's contents computed from scratch — the definition the
+    * incremental path must match bit-for-bit (spec-pinned). */
+  def fullState(df: DataFrame, spec: IvmSpec): DataFrame =
+    aggregateState(spec.prepared(df), spec)
 
   /** Per-group delta from a pre-image-bearing change feed: one
     * map-side-combinable aggregate over the span's changed rows. With
@@ -111,7 +127,7 @@ object IncrementalView {
           max(when(col("__w") > 0, measure(src))).cast(ExtType)
             .as(s"__arr_$out") } ++
         Seq(max(when(col("__w") < 0, 1).otherwise(0)).as("__has_dep"))
-    spec.selected(changes).withColumn("__w", w)
+    spec.prepared(changes).withColumn("__w", w)
       .groupBy(spec.groupBy.map(col): _*)
       .agg(sum(col("__w")).cast(LongType).as(spec.countCol),
         spec.sums.map { case (src, out) =>
@@ -191,9 +207,13 @@ object IncrementalView {
       .getOrElse(sys.error(s"no committed version at $sourceTarget"))
     if (head == last) return RefreshStats(last, head, 0L, 0L)
     require(head > last, s"view at $viewTarget is ahead of its source")
+    // The +1/−1 weight algebra is pk-independent (every arriving row
+    // counts +1 and departing −1 whatever the classification), so ANY
+    // physical column keys the feed — it must be a TABLE column though,
+    // never a groupBy name, which may be an enriched (dimension) one.
+    val anyKey = Seq(MergeStore.read(spark, sourceTarget).columns.head)
     val feed = MergeStore.changes(spark, sourceTarget, last, head,
-      pk = spec.groupBy /* unused for typing: any pk works */,
-      includePreimages = true)
+      pk = anyKey, includePreimages = true)
     val (nUp, del) = applyDeltaToStore(spark, viewTarget,
       deltaState(feed, spec), spec, head, Some(sourceTarget))
     RefreshStats(last, head, nUp, del)
@@ -232,8 +252,11 @@ object IncrementalView {
         val src = source.getOrElse(sys.error(
           "IVM with min/max needs the source table to recompute " +
             "departure-touched groups"))
-        fullState(MergeStore.read(spark, src, Some(newVersion))
-          .join(keys, spec.groupBy, "left_semi"), spec)
+        // Enrich BEFORE the key semi-join: group keys may themselves be
+        // enriched (dimension) columns.
+        aggregateState(
+          spec.prepared(MergeStore.read(spark, src, Some(newVersion)))
+            .join(keys, spec.groupBy, "left_semi"), spec)
       }
       val next = recomputed.map(nextArr.unionByName(_)).getOrElse(nextArr)
         .cache()

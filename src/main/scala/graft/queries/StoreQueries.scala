@@ -218,6 +218,65 @@ object StoreQueries extends QueryFamily {
         FROM documents WHERE doc_id % 13 = 0)
       ORDER BY doc_id"""))
 
+  private val q101 = QueryDef(
+    "q101_incremental_join_view",
+    "Incremental JOIN view: revenue per NATION — the fact (orders) " +
+      "enriched through two broadcast dimension joins (customer -> " +
+      "nation) by the spec's row-local enrich hook, grouped by the " +
+      "DIMENSION attribute n_name, maintained purely from fact-table " +
+      "change feeds: v1 bumps every o_orderkey % 7 == 0 total by 100, " +
+      "v2 deletes o_orderkey % 11 == 0. Pre-images enrich exactly as " +
+      "their rows did on arrival (static dims), so subtraction is " +
+      "exact. The oracle replays the joins + mutations from scratch.",
+    (s, dir) => {
+      def spec = {
+        val cust = Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        val nation = Tables.load(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        IncrementalView.IvmSpec(
+          groupBy = Seq("n_name"),
+          sums = Seq("o_totalprice" -> "sum_price"),
+          enrich = df => df
+            .join(broadcast(cust), col("o_custkey") === col("c_custkey"),
+              "left")
+            .join(broadcast(nation),
+              col("c_nationkey") === col("n_nationkey"), "left")
+            .drop("c_custkey", "c_nationkey", "n_nationkey"))
+      }
+      val target = preparedTable(s, dir, "q101",
+        base = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        clusterBy = Seq("o_orderkey")) { t =>
+        val view = s"$t-view"
+        IncrementalView.initView(s, t, view, spec)
+        MergeStore.merge(s,
+          MergeStore.read(s, t).where(col("o_orderkey") % 7 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + lit(100.0)),
+          t, pk = Seq("o_orderkey")) // v1
+        IncrementalView.refresh(s, t, view, spec)
+        MergeStore.delete(s, t,
+          MergeStore.read(s, t).where(col("o_orderkey") % 11 === 0)
+            .select(col("o_orderkey")),
+          pk = Seq("o_orderkey")) // v2
+        IncrementalView.refresh(s, t, view, spec)
+      }
+      IncrementalView.readView(s, s"$target-view", spec)
+        .orderBy("n_name")
+    },
+    Some("""
+      SELECT n_name, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(CASE WHEN o_orderkey % 7 = 0
+                                THEN o_totalprice + 100.0
+                                ELSE o_totalprice END
+                           AS DECIMAL(20,4))) AS DOUBLE) AS sum_price
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderkey % 11 <> 0
+      GROUP BY n_name
+      ORDER BY n_name"""))
+
   private val cdcRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val q98 = QueryDef(
@@ -276,5 +335,5 @@ object StoreQueries extends QueryFamily {
         FROM documents WHERE doc_id % 29 = 0 AND doc_id % 13 <> 0)
       ORDER BY doc_id, _change_type"""))
 
-  override val defs: Seq[QueryDef] = Seq(q91, q92, q96, q97, q98)
+  override val defs: Seq[QueryDef] = Seq(q91, q92, q96, q97, q98, q101)
 }

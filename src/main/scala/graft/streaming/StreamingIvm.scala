@@ -41,7 +41,11 @@ object StreamingIvm {
                viewTarget: String, spec: IvmSpec, checkpoint: String,
                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     MergeStoreCdc.readStream(spark, sourceTarget,
-        pk = spec.groupBy /* weight algebra is pk-independent */,
+        // Any TABLE column keys the feed (the weight algebra is
+        // pk-independent); groupBy may name enriched dimension columns
+        // the table doesn't have.
+        pk = Seq(graft.store.MergeStore.read(spark, sourceTarget)
+          .columns.head),
         includePreimages = true,
         fromVersion = Some(0) /* guarded below; checkpoint advances it */)
       .writeStream

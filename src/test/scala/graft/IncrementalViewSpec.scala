@@ -135,6 +135,43 @@ class IncrementalViewSpec extends SparkSpec {
     current()
   }
 
+  test("join view: grouped by a broadcast-dimension attribute, maintained from fact changes") {
+    val dim = Seq((0, "alpha"), (1, "beta"), (2, "gamma"), (3, "alpha"),
+      (4, "beta"), (5, "gamma"), (6, "delta"))
+      .toDF("dkey", "region")
+    val jSpec = IvmSpec(Seq("region"), Seq("amount" -> "sum_amount"),
+      maxs = Seq("amount" -> "max_amount"),
+      enrich = df => df.join(broadcast(dim), col("grp") === col("dkey"),
+        "left").drop("dkey"))
+    val t = tmpDir("ivm-join") + "/tbl"
+    val view = tmpDir("ivm-join") + "/view"
+    MergeStore.init(spark, rows(600), t, numFiles = 4, clusterBy = Seq("id"))
+    IncrementalView.initView(spark, t, view, jSpec)
+    def current(): Unit = {
+      def shape(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("region"), col("n_rows"),
+          col("sum_amount").cast("decimal(30,4)"),
+          col("max_amount").cast("decimal(20,4)"))
+        .as[(String, Long, java.math.BigDecimal, java.math.BigDecimal)]
+        .collect().sortBy(_._1).toSeq
+      assert(shape(MergeStore.read(spark, view)) ==
+        shape(IncrementalView.fullState(MergeStore.read(spark, t), jSpec)))
+    }
+    current()
+    // Fact update that MOVES rows across dimension groups (grp 1 -> 6,
+    // beta -> delta) — pre-image departs beta (max may vacate:
+    // recompute), post-image arrives in delta.
+    MergeStore.merge(spark,
+      rows(600).where(col("id") % 50 === 1).withColumn("grp", lit(6)),
+      t, pk = Seq("id"))
+    IncrementalView.refresh(spark, t, view, jSpec)
+    current()
+    MergeStore.delete(spark, t,
+      spark.range(0L, 100L).select(col("id")), pk = Seq("id"))
+    IncrementalView.refresh(spark, t, view, jSpec)
+    current()
+  }
+
   test("min/max view: arrivals strengthen incrementally, departures recompute the group") {
     val eSpec = IvmSpec(Seq("grp"), Seq("amount" -> "sum_amount"),
       mins = Seq("amount" -> "min_amount"),
