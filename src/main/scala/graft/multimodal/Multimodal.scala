@@ -467,6 +467,99 @@ object Multimodal {
 
   final case class MediaHash(media_id: Long, dhash: Long)
 
+  /** 64-bit audio fingerprint: 65 mean-|amplitude| envelope bins over
+    * the PCM stream (WavCodec's streaming read — O(1) memory), bit i set
+    * iff bin(i+1) > bin(i). Adjacent-bin COMPARISONS are invariant to a
+    * uniform gain change (every bin mean scales together), which is what
+    * makes this a dedup key for re-levelled copies of the same
+    * recording, the audio analogue of dHash's brightness invariance.
+    * Cross-multiplied exact compare of (sum, count) pairs — no float
+    * division. Undecodable bytes fall back to an md5-derived hash. */
+  object AudioFingerprint {
+    private val bins = 65
+    private val readBuf = 8192
+
+    def fingerprint(bytes: Array[Byte]): Long = {
+      val ais =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Throwable => null }
+      if (ais == null) return stubHash(bytes)
+      try {
+        val fmt = ais.getFormat
+        val pcm16 = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian
+        val frames = ais.getFrameLength
+        if (!pcm16 || frames <= 0) return stubHash(bytes)
+        val totalSamples = frames * fmt.getChannels
+        val sums = new Array[Long](bins) // |sample| in raw int units: exact
+        val counts = new Array[Long](bins)
+        val buf = new Array[Byte](readBuf)
+        var carry = -1
+        var idx = 0L
+        var n = ais.read(buf)
+        while (n > 0) {
+          var i = 0
+          if (carry >= 0 && n >= 1) {
+            val v = ((buf(0) << 8) | carry).toShort
+            val bin = math.min(bins - 1, (idx * bins / totalSamples).toInt)
+            sums(bin) += math.abs(v.toLong); counts(bin) += 1
+            idx += 1; carry = -1; i = 1
+          }
+          while (i + 1 < n) {
+            val v = ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort
+            val bin = math.min(bins - 1, (idx * bins / totalSamples).toInt)
+            sums(bin) += math.abs(v.toLong); counts(bin) += 1
+            idx += 1; i += 2
+          }
+          if (i < n) carry = buf(i) & 0xff
+          n = ais.read(buf)
+        }
+        var bits = 0L
+        var b = 0
+        while (b < bins - 1) {
+          // mean(b+1) > mean(b), cross-multiplied: exact integer compare.
+          if (sums(b + 1) * counts(b) > sums(b) * counts(b + 1))
+            bits |= 1L << b
+          b += 1
+        }
+        bits
+      } finally ais.close()
+    }
+
+    private def stubHash(bytes: Array[Byte]): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+    }
+  }
+
+  /** Scale a (our-synth, 44-byte-header) PCM16 WAV's samples by
+    * `num/den` with integer truncation — the deterministic "re-levelled
+    * copy" generator for the audio-dedup corpus. */
+  def scaleWavAmplitude(bytes: Array[Byte], num: Int, den: Int): Array[Byte] = {
+    val out = bytes.clone()
+    var i = 44
+    while (i + 1 < out.length) {
+      val v = (((out(i + 1) << 8) | (out(i) & 0xff)).toShort.toInt * num) / den
+      out(i) = (v & 0xff).toByte
+      out(i + 1) = ((v >> 8) & 0xff).toByte
+      i += 2
+    }
+    out
+  }
+
+  /** Deterministic PATTERNED synthetic video ([[synthImage]] frames in
+    * the GFV1 container): per-frame spatial structure, so per-frame
+    * dHashes are informative — [[synthVideo]]'s uniform-gray frames all
+    * hash to zero gradients. Same brightness/tweak variant knobs as the
+    * image corpus, applied to every frame. */
+  def synthVideoPatterned(seed: Long, nFrames: Int, brightness: Int = 0,
+                          tweak: Boolean = false, fps: Int = 4): Array[Byte] =
+    VideoCodec.pack(
+      (0 until nFrames).map(i =>
+        synthImage(seed * 7 + i, brightness, tweak)), fps)
+
   /** 64-bit difference hash (dHash — the public perceptual-hash
     * algorithm image pipelines use for near-dup detection): the decoded
     * image is area-averaged onto a 9x8 grayscale grid (Rec.601

@@ -507,29 +507,52 @@ object Dedup {
       maxHamming)
 
   /** Pigeonhole-banded near-dup pairs over ANY 64-bit signature column
-    * (text SimHash, image dHash, ...): split the 64 bits into
-    * `maxHamming + 1` bands — a pair within the radius agrees exactly on
-    * at least one band, so candidates come from an equi-join on
-    * (band, band-bits), never all-pairs. */
+    * (text SimHash, image dHash, audio fingerprint ...): split the 64
+    * bits into `maxHamming + 1` bands — a pair within the radius agrees
+    * exactly on at least one band, so candidates come from an equi-join
+    * on (band, band-bits), never all-pairs. `alsoOn` adds extra
+    * equality columns to the join (and the output) — e.g. a frame index,
+    * so video frames only pair with the SAME-position frame. */
   def hammingPairs64(hashes: DataFrame, idCol: String, hashCol: String,
-                     maxHamming: Int): DataFrame = {
+                     maxHamming: Int,
+                     alsoOn: Seq[String] = Nil): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "radius must be in [0, 64)")
     val numBands = maxHamming + 1
     val width = 64 / numBands
-    val bands = hashes.select(col(idCol), col(hashCol), posexplode(
+    val bands = hashes.select(
+      (Seq(col(idCol), col(hashCol)) ++ alsoOn.map(col) :+ posexplode(
         array((0 until numBands).map { b =>
           shiftright(col(hashCol), b * width)
             .bitwiseAND((1L << width) - 1)
-        }: _*)).as(Seq("band", "key")))
+        }: _*)).as(Seq("band", "key"))): _*)
     // Hamming filter INSIDE the join: rejected pairs never reach the
     // distinct, which otherwise dominates on clustered corpora where
     // 16-bit band buckets get hot.
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key")
-          && col(s"x.$idCol") < col(s"y.$idCol")
-          && bit_count(col(s"x.$hashCol").bitwiseXOR(col(s"y.$hashCol"))) <= maxHamming)
-      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
-        bit_count(col(s"x.$hashCol").bitwiseXOR(col(s"y.$hashCol"))).as("hamming"))
+    val joinCond = (Seq(
+      col("x.band") === col("y.band"), col("x.key") === col("y.key"),
+      col(s"x.$idCol") < col(s"y.$idCol"),
+      bit_count(col(s"x.$hashCol").bitwiseXOR(col(s"y.$hashCol"))) <= maxHamming) ++
+      alsoOn.map(k => col(s"x.$k") === col(s"y.$k"))).reduce(_ && _)
+    bands.as("x").join(bands.as("y"), joinCond)
+      .select(Seq(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b")) ++
+        alsoOn.map(k => col(s"x.$k")) :+
+        bit_count(col(s"x.$hashCol").bitwiseXOR(col(s"y.$hashCol"))).as("hamming"): _*)
       .distinct()
   }
+
+  /** Video near-dup pairs from per-frame signatures: frames pair only at
+    * the SAME frame index (the banded join with `alsoOn`), and a pair of
+    * VIDEOS is a near-dup when at least `minMatching` of their aligned
+    * frames land within the radius — the frame-voting scheme video
+    * dedup pipelines use so one corrupted frame can't split a dup pair
+    * and one coincidental frame can't join a false one. */
+  def videoNearDupPairs(frameHashes: DataFrame, idCol: String,
+                        frameCol: String, hashCol: String,
+                        maxHamming: Int, minMatching: Int): DataFrame =
+    hammingPairs64(frameHashes, idCol, hashCol, maxHamming,
+      alsoOn = Seq(frameCol))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_matching"),
+        max(col("hamming")).cast("int").as("max_hamming"))
+      .where(col("n_matching") >= minMatching)
 }

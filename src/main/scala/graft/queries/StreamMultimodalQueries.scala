@@ -340,6 +340,124 @@ object StreamMultimodalQueries extends QueryFamily {
     None,
     oracleGen = Some(imageDedupOracle))
 
+  /** q102's deterministic video recipe: 30 pattern clusters of 4-frame
+    * videos; variants differ per-frame by the same brightness lift /
+    * cell tweak as the image corpus. */
+  private def q102Video(docId: Long): Array[Byte] =
+    Multimodal.synthVideoPatterned(seed = docId % 30, nFrames = 4,
+      brightness = ((docId / 30) % 3).toInt * 8,
+      tweak = (docId / 30) % 2 == 1)
+
+  private def videoDedupOracle(s: SparkSession, dir: String): String = {
+    val rows = Tables.load(s, dir, "documents")
+      .select(col("doc_id")).collect()
+      .flatMap { r =>
+        val id = r.getLong(0)
+        val Some((_, frames)) = Multimodal.VideoCodec.frames(q102Video(id))
+        frames.zipWithIndex.map { case (png, i) =>
+          s"($id, $i, CAST(${Multimodal.DHashCodec.dhash(png)} AS BIGINT))"
+        }
+      }
+    s"""
+      WITH f(media_id, frame_idx, fhash) AS (VALUES ${rows.mkString(", ")}),
+      m AS (
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+               bit_count(xor(a.fhash, b.fhash)) AS h
+        FROM f a JOIN f b
+          ON a.media_id < b.media_id
+         AND a.frame_idx = b.frame_idx
+         AND bit_count(xor(a.fhash, b.fhash)) <= 4)
+      SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+             CAST(count(*) AS BIGINT) AS n_matching,
+             CAST(max(h) AS INTEGER) AS max_hamming
+      FROM m
+      GROUP BY id_a, id_b
+      HAVING count(*) >= 3
+      ORDER BY id_a, id_b"""
+  }
+
+  private val q102 = QueryDef(
+    "q102_video_neardup",
+    "Video near-dup dedup: every sampled frame dHashed (real per-frame " +
+      "PNG decode), frames pair only at the SAME index via the banded " +
+      "hamming join's extra equi-key, and a video pair is a dup when " +
+      ">= 3 of its 4 aligned frames land within radius 4 — frame " +
+      "voting, so one corrupt frame can't split a dup and one " +
+      "coincidental frame can't fake one. Oracle replays per-frame " +
+      "hashes and the vote in DuckDB.",
+    (s, dir) => {
+      import s.implicits._
+      val media = Multimodal.attach(
+        Tables.load(s, dir, "documents").select(col("doc_id"))
+          .map(r => (r.getLong(0), q102Video(r.getLong(0))))
+          .toDF("doc_id", "bytes"),
+        "doc_id", "bytes", kind = "video", mime = "video/gfv1")
+      val frameHashes = Multimodal.sampleVideoFrames(media, everyN = 1)
+        .map(f => (f.media_id, f.frame_idx,
+          Multimodal.DHashCodec.dhash(f.content)))
+        .toDF("media_id", "frame_idx", "fhash")
+      graft.operators.Dedup.videoNearDupPairs(frameHashes,
+          "media_id", "frame_idx", "fhash",
+          maxHamming = 4, minMatching = 3)
+        .orderBy("id_a", "id_b")
+    },
+    None,
+    oracleGen = Some(videoDedupOracle))
+
+  /** q103's deterministic audio recipe: 40 waveform clusters (fixed
+    * sample count per cluster so envelope bins align); odd variants are
+    * the SAME recording re-levelled to half amplitude — the gain change
+    * the fingerprint's adjacent-bin comparisons are invariant to. */
+  private def q103Wav(docId: Long): Array[Byte] = {
+    val cluster = docId % 40
+    val base = Multimodal.synthWav(seed = cluster,
+      nSamples = 3200 + (cluster % 5).toInt * 800, sampleRate = 8000)
+    if ((docId / 40) % 2 == 1) Multimodal.scaleWavAmplitude(base, 1, 2)
+    else base
+  }
+
+  private def audioDedupOracle(s: SparkSession, dir: String): String = {
+    val rows = Tables.load(s, dir, "documents")
+      .select(col("doc_id")).collect()
+      .map { r =>
+        val id = r.getLong(0)
+        s"($id, CAST(${Multimodal.AudioFingerprint.fingerprint(q103Wav(id))} AS BIGINT))"
+      }
+    s"""
+      WITH h(media_id, fp) AS (VALUES ${rows.mkString(", ")})
+      SELECT CAST(a.media_id AS BIGINT) AS id_a,
+             CAST(b.media_id AS BIGINT) AS id_b,
+             CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+      FROM h a JOIN h b
+        ON a.media_id < b.media_id
+       AND bit_count(xor(a.fp, b.fp)) <= 6
+      ORDER BY id_a, id_b"""
+  }
+
+  private val q103 = QueryDef(
+    "q103_audio_neardup",
+    "Audio near-dup dedup: streaming PCM decode to a 64-bit envelope " +
+      "fingerprint (65 mean-|amplitude| bins, bit = adjacent-bin " +
+      "comparison — invariant to uniform gain changes, the audio " +
+      "analogue of dHash's brightness invariance; exact integer " +
+      "cross-multiplied compares), pairs at hamming <= 6 by the banded " +
+      "join. Odd variants are re-levelled half-amplitude copies whose " +
+      "fingerprints sit a truncation-noise distance from their " +
+      "originals. Oracle replays the predicate over driver-computed " +
+      "fingerprints.",
+    (s, dir) => {
+      import s.implicits._
+      val fps = Tables.load(s, dir, "documents").select(col("doc_id"))
+        .map(r => (r.getLong(0),
+          Multimodal.AudioFingerprint.fingerprint(q103Wav(r.getLong(0)))))
+        .toDF("media_id", "fp")
+      graft.operators.Dedup.hammingPairs64(fps, "media_id", "fp",
+          maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    },
+    None,
+    oracleGen = Some(audioDedupOracle))
+
   override val defs: Seq[QueryDef] =
-    Seq(q32, q33, q34, q82, q90, q95, q100)
+    Seq(q32, q33, q34, q82, q90, q95, q100, q102, q103)
 }
