@@ -71,6 +71,18 @@ object Bench {
         System.err.println(s"[bench] bm25 index prebuild FAILED: ${e.getMessage}")
         None
       }
+    // Same discipline for the multimodal dedup signatures (q100/q102/
+    // q103): the synth+decode+hash corpus pass is the one-off a dedup
+    // pipeline persists; the queries measure the banded pair joins.
+    val mediaSigBuildSec: Option[Double] =
+      try {
+        val t0 = System.nanoTime()
+        graft.queries.StreamMultimodalQueries.signaturesFor(spark, sfDir)
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] media signature prebuild FAILED: ${e.getMessage}")
+        None
+      }
     // Local-iteration filter (comma-separated names); the driver never
     // sets it, so the recorded bench always covers the full surface.
     val only: Option[Set[String]] =
@@ -152,13 +164,14 @@ object Bench {
     // spread maps so it fits the capture window; `bench_out.json` in the
     // repo carries everything for round-over-round comparison.
     val buildJson = bm25BuildSec.map(t => f"$t%.3f").getOrElse("null")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(mainQs)},"queries_spread":${spreadJson(mainQs)},"skew":${jsonMap(skewQs)},"skew_spread":${spreadJson(skewQs)},"failed":$failedJson,"passes":$passes,"probe_sec":$probeJson,"bm25_index_build_sec":$buildJson,"sf":"$sfDir"}"""
+    val sigJson = mediaSigBuildSec.map(t => f"$t%.3f").getOrElse("null")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(mainQs)},"queries_spread":${spreadJson(mainQs)},"skew":${jsonMap(skewQs)},"skew_spread":${spreadJson(skewQs)},"failed":$failedJson,"passes":$passes,"probe_sec":$probeJson,"bm25_index_build_sec":$buildJson,"media_sig_build_sec":$sigJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(mainQs)},"skew":${jsonMap(skewQs)},"failed":$failedJson,"passes":$passes,"probe_sec":$probeJson,"bm25_index_build_sec":$buildJson,"full":"$outPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(mainQs)},"skew":${jsonMap(skewQs)},"failed":$failedJson,"passes":$passes,"probe_sec":$probeJson,"bm25_index_build_sec":$buildJson,"media_sig_build_sec":$sigJson,"full":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -628,7 +628,15 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
-        val base = (((x / 4) * 7 + (y / 4) * 13 + seed * 31) % 97).toInt * 2 + 20
+        // The cell×seed cross-term DECORRELATES patterns across seeds: a
+        // purely additive seed offset would make every seed the same
+        // gradient structure shifted mod the period — hashes a handful
+        // of wrap-bits apart, i.e. accidental cross-cluster "near-dups"
+        // the dedup corpus shouldn't have.
+        val cx = x / 4; val cy = y / 4
+        val base =
+          ((cx * 7 + cy * 13 + seed * 31 + cx * cy * (seed % 89)) % 97)
+            .toInt * 2 + 20
         val inCell = tweak && x >= 8 && x < 12 && y >= 8 && y < 12
         val v0 = if (inCell) 255 - base else base
         val v = math.min(255, math.max(0, v0 + brightness))
