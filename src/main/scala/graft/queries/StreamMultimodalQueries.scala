@@ -475,6 +475,57 @@ object StreamMultimodalQueries extends QueryFamily {
     None,
     oracleGen = Some(audioDedupOracle))
 
+  private def imageClusterOracle(s: SparkSession, dir: String): String = {
+    val rows = Tables.load(s, dir, "documents")
+      .select(col("doc_id")).collect()
+      .map { r =>
+        val id = r.getLong(0)
+        s"($id, CAST(${Multimodal.DHashCodec.dhash(q100Png(id))} AS BIGINT))"
+      }
+    s"""
+      WITH RECURSIVE
+      h(media_id, dhash) AS (VALUES ${rows.mkString(", ")}),
+      dup AS (
+        SELECT a.media_id AS id_a, b.media_id AS id_b
+        FROM h a JOIN h b
+          ON a.media_id < b.media_id
+         AND bit_count(xor(a.dhash, b.dhash)) <= 4),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM dup),
+      walk(id, comp) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id)
+      SELECT CAST(id AS BIGINT) AS media_id,
+             CAST(min(comp) AS BIGINT) AS cluster_id,
+             CAST(id = min(comp) AS BOOLEAN) AS is_canonical
+      FROM walk
+      GROUP BY id
+      ORDER BY media_id"""
+  }
+
+  private val q104 = QueryDef(
+    "q104_image_dup_clusters",
+    "Canonical selection over image near-dups (the step after q100 that " +
+      "actually SHRINKS the corpus): connected components over the " +
+      "banded dHash pair set — size-adaptive min-label resolution, " +
+      "q49's machinery on perceptual edges — with cluster_id = smallest " +
+      "member and is_canonical marking the one copy training keeps. " +
+      "Oracle: recursive-CTE label flood over the same driver-computed " +
+      "hashes' pair predicate.",
+    (s, dir) => {
+      val pairs = graft.operators.Dedup.hammingPairs64(
+        s.read.parquet(signaturesFor(s, dir) + "/image"),
+        "media_id", "dhash", maxHamming = 4)
+      graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("media_id"), col("comp").as("cluster_id"),
+          (col("id") === col("comp")).as("is_canonical"))
+        .orderBy("media_id")
+    },
+    None,
+    oracleGen = Some(imageClusterOracle))
+
   override val defs: Seq[QueryDef] =
-    Seq(q32, q33, q34, q82, q90, q95, q100, q102, q103)
+    Seq(q32, q33, q34, q82, q90, q95, q100, q102, q103, q104)
 }
