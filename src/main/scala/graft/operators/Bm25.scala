@@ -170,9 +170,22 @@ object Bm25 {
     val spark = newDocs.sparkSession
     val parentV = currentVersion(indexDir).getOrElse(
       sys.error(s"appendToIndex: no committed index at $indexDir"))
-    val prevPostings = java.nio.file.Paths
-      .get(resolveSnapshot(indexDir, Some(parentV)), "postings")
+    val snap = resolveSnapshot(indexDir, Some(parentV))
+    val prevPostings = java.nio.file.Paths.get(snap, "postings")
     val stage = SnapshotStore.stage(indexDir)
+    // Tombstones carry forward unchanged — but a batch may NOT re-insert
+    // a tombstoned id: un-tombstoning would resurrect the doc's OLD
+    // carried postings next to the new ones (doubled tf). Compact first
+    // (folds tombstones physically), then append. Loud, not silent.
+    tombstones(spark, snap).foreach { t =>
+      val clash = newDocs.select(col(idCol).as("doc"))
+        .join(t, Seq("doc"), "left_semi").limit(1).count()
+      require(clash == 0,
+        s"appendToIndex: batch re-inserts tombstoned doc ids at $indexDir" +
+          " — run compactIndex first to fold deletes, then append")
+      t.repartitionByRange(math.max(1, numFiles), col("doc"))
+        .write.mode("overwrite").parquet(s"$stage/tombstones")
+    }
     newDocs
       .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("term"))
       .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
@@ -181,8 +194,59 @@ object Bm25 {
       .write.mode("overwrite").parquet(s"$stage/postings")
     SnapshotStore.carryLink(prevPostings, stage.resolve("postings"),
       s"carry-$parentV-")
-    val postings = spark.read.parquet(s"$stage/postings")
-    writeSnapshotTables(postings, stage.toString, numFiles)
+    writeSnapshotTables(effectivePostings(spark, stage.toString),
+      stage.toString, numFiles)
+    SnapshotStore.publish(indexDir, stage, parentV)
+  }
+
+  /** Tombstone table of a snapshot, if it has one (created by
+    * [[deleteFromIndex]], folded away by [[compactIndex]]). */
+  private def tombstones(spark: SparkSession, snap: String): Option[DataFrame] = {
+    val p = java.nio.file.Paths.get(snap, "tombstones")
+    if (java.nio.file.Files.isDirectory(p)) Some(spark.read.parquet(p.toString))
+    else None
+  }
+
+  /** Effective postings of a snapshot: physical rows minus tombstoned
+    * docs — what every summary recompute and every search must see. */
+  private def effectivePostings(spark: SparkSession, snap: String): DataFrame = {
+    val physical = spark.read.parquet(s"$snap/postings")
+    tombstones(spark, snap)
+      .map(t => physical.join(t, Seq("doc"), "left_anti"))
+      .getOrElse(physical)
+  }
+
+  /** DELETE documents from the index WITHOUT rewriting the postings —
+    * the compliance delete (MergeStore.delete's verb) reaching the
+    * derived retrieval structure. Postings are TERM-clustered, so a
+    * doomed doc's rows are smeared across every file and a physical
+    * rewrite would cost the whole index per delete batch; the table-
+    * format answer is a TOMBSTONE (Lucene's deleted-docs bitset,
+    * Delta's deletion vectors): postings carry by hard link, the
+    * doomed doc ids land in `tombstones/`, and df/doclen/stats are
+    * recomputed EXACTLY from the effective (anti-joined) postings — one
+    * index-sized pass, no corpus access, so scores over the survivors
+    * are bit-identical to an index built without the victims
+    * (spec-pinned). Search pays one anti-join of its term-pruned
+    * postings slice against the tombstone set; [[compactIndex]] folds
+    * tombstones into a physical rewrite and drops them. */
+  def deleteFromIndex(spark: SparkSession, indexDir: String,
+                      doomedDocs: DataFrame, numFiles: Int = 16): Int = {
+    val parentV = currentVersion(indexDir).getOrElse(
+      sys.error(s"deleteFromIndex: no committed index at $indexDir"))
+    val snap = resolveSnapshot(indexDir, Some(parentV))
+    val stage = SnapshotStore.stage(indexDir)
+    val doomed = doomedDocs.select(col(doomedDocs.columns.head).as("doc"))
+      .distinct()
+    val allTomb = tombstones(spark, snap)
+      .map(_.unionByName(doomed).distinct()).getOrElse(doomed)
+    allTomb.repartitionByRange(math.max(1, numFiles / 8), col("doc"))
+      .write.mode("overwrite").parquet(s"$stage/tombstones")
+    SnapshotStore.carryLink(
+      java.nio.file.Paths.get(snap, "postings"),
+      stage.resolve("postings"), s"carry-$parentV-")
+    writeSnapshotTables(effectivePostings(spark, stage.toString),
+      stage.toString, numFiles)
     SnapshotStore.publish(indexDir, stage, parentV)
   }
 
@@ -191,16 +255,18 @@ object Bm25 {
     * [[appendToIndex]] adds batch-clustered files, so a query's term
     * IN-list prunes within every batch's files but must OPEN more files
     * per append; compaction restores one global term order (and the
-    * per-file open count) without changing a single row. df/doclen/stats
-    * are identical by construction but rewritten into the snapshot so it
-    * stays self-contained. MergeStore.compact's role, index-shaped. */
+    * per-file open count) without changing a single row's meaning. Any
+    * tombstones FOLD here: the rewrite drops the tombstoned rows
+    * physically, and the new snapshot carries no tombstone table.
+    * df/doclen/stats are identical by construction but rewritten into
+    * the snapshot so it stays self-contained. MergeStore.compact's
+    * role, index-shaped. */
   def compactIndex(spark: SparkSession, indexDir: String,
                    numFiles: Int = 16): Int = {
     val parentV = currentVersion(indexDir).getOrElse(
       sys.error(s"compactIndex: no committed index at $indexDir"))
     val stage = SnapshotStore.stage(indexDir)
-    spark.read
-      .parquet(s"${resolveSnapshot(indexDir, Some(parentV))}/postings")
+    effectivePostings(spark, resolveSnapshot(indexDir, Some(parentV)))
       .repartitionByRange(numFiles, col("term"))
       .sortWithinPartitions("term", "doc")
       .write.mode("overwrite").parquet(s"$stage/postings")
@@ -231,8 +297,15 @@ object Bm25 {
     // filter it prunes postings/df row groups before any join runs.
     val termList = qterms0.select("term").distinct()
       .collect().map(_.getString(0)).toSeq
-    val postings = spark.read.parquet(s"$snap/postings")
+    // Tombstoned docs (deleteFromIndex) are dead rows still physically
+    // present in the carried postings; the anti-join applies AFTER the
+    // term pruning, so it costs the matched slice, not the index.
+    // df/doclen/stats were recomputed effective at delete time.
+    val prunedPhysical = spark.read.parquet(s"$snap/postings")
       .where(col("term").isin(termList: _*))
+    val postings = tombstones(spark, snap)
+      .map(t => prunedPhysical.join(t, Seq("doc"), "left_anti"))
+      .getOrElse(prunedPhysical)
     val df_ = spark.read.parquet(s"$snap/df")
       .where(col("term").isin(termList: _*))
     val doclen = spark.read.parquet(s"$snap/doclen")

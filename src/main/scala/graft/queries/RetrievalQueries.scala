@@ -42,14 +42,16 @@ object RetrievalQueries extends QueryFamily {
     3 -> "vector window stream",
     4 -> "customer order value")
 
-  /** The q76 BM25 oracle, shared VERBATIM by q89: the persisted index
-    * must reproduce the live formulation's scores exactly. */
-  private lazy val bm25OracleSql: String =
+  /** The q76 BM25 oracle, shared VERBATIM by q89 (and, with a corpus
+    * predicate, by q105): the persisted index must reproduce the live
+    * formulation's scores exactly — over exactly the docs it holds. */
+  private def bm25OracleSqlWhere(corpusWhere: String): String =
     s"""
       WITH q(query_id, qtext) AS (VALUES
         ${querySet.map { case (i, t) => s"($i, '$t')" }.mkString(", ")}),
       toks AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE $corpusWhere),
       tf AS (
         SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
       dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
@@ -82,6 +84,8 @@ object RetrievalQueries extends QueryFamily {
       SELECT query_id, rank, doc_id, score FROM ranked
       WHERE rank <= 10
       ORDER BY query_id, rank"""
+
+  private lazy val bm25OracleSql: String = bm25OracleSqlWhere("TRUE")
 
   private val q76 = QueryDef(
     "q76_bm25_topk",
@@ -288,5 +292,45 @@ object RetrievalQueries extends QueryFamily {
     },
     Some(bm25OracleSql))
 
-  override val defs: Seq[QueryDef] = Seq(q76, q80, q87, q89)
+  /** q105's index: built on the FULL corpus, then every doc_id % 13 == 0
+    * tombstoned via [[Bm25.deleteFromIndex]] — its own cache entry (it
+    * must never mutate q89's shared index). */
+  private val deletedIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def deletedIndexFor(s: SparkSession, dir: String): String =
+    deletedIndexCache.computeIfAbsent(dir, _ => {
+      import org.apache.spark.sql.functions.col
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-bm25-del-index").toString
+      Bm25.buildIndex(docs(s, dir), "doc_id", "text", d)
+      Bm25.deleteFromIndex(s, d,
+        docs(s, dir).where(col("doc_id") % 13 === 0).select(col("doc_id")))
+      d
+    })
+
+  private val q105 = QueryDef(
+    "q105_bm25_index_delete",
+    "Compliance DELETE reaching the RETRIEVAL INDEX: the full-corpus " +
+      "persisted BM25 index tombstones every doc_id % 13 == 0 (postings " +
+      "carry by hard link — term-clustered files smear a doc across the " +
+      "whole index, so a physical rewrite would cost the index per " +
+      "batch; Lucene's deleted-docs / Delta's deletion-vector shape), " +
+      "df/doclen/stats recomputed EXACTLY from the effective postings " +
+      "in one index-only pass. The oracle is the live BM25 formulation " +
+      "over the surviving documents — a stale df, leaked victim, or " +
+      "drifted avgdl breaks the hash.",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      val qs = querySet.toDF("query_id", "qtext")
+      Bm25.searchTopKIndexed(deletedIndexFor(s, dir), qs,
+          "query_id", "qtext", k = 10)
+        .select(col("query_id"), col("rank"), col("doc").as("doc_id"),
+          col("score"))
+        .orderBy("query_id", "rank")
+    },
+    Some(bm25OracleSqlWhere("doc_id % 13 <> 0")))
+
+  override val defs: Seq[QueryDef] = Seq(q76, q80, q87, q89, q105)
 }

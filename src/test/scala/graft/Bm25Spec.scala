@@ -129,6 +129,54 @@ class Bm25Spec extends SparkSpec {
     assert(run(None) != preAppend) // the append actually changed results
   }
 
+  test("deleteFromIndex: tombstoned search == index built without victims; compact folds") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.load(spark, sf(), "documents")
+    val survivors = docs.where(col("doc_id") % 5 =!= 0)
+    val dir = tmpDir("bm25-del")
+    val cleanDir = tmpDir("bm25-del-clean")
+    Bm25.buildIndex(docs, "doc_id", "text", dir) // v0, full corpus
+    Bm25.buildIndex(survivors, "doc_id", "text", cleanDir)
+    val qs = Seq(0 -> "dup hash join", 1 -> "merge sort batch")
+      .toDF("query_id", "qtext")
+    def run(d: String, v: Option[Int] = None) =
+      Bm25.searchTopKIndexed(d, qs, "query_id", "qtext", k = 10,
+          version = v)
+        .select(col("query_id"), col("rank"), col("doc"), col("score"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSeq.sorted
+    val before = run(dir)
+    Bm25.deleteFromIndex(spark, dir,
+      docs.where(col("doc_id") % 5 === 0).select(col("doc_id"))) // v1
+    // Scores over survivors bit-identical to an index that never held
+    // the victims: df/doclen/stats recomputed effective, postings
+    // tombstone-filtered.
+    assert(run(dir) == run(cleanDir))
+    assert(run(dir) != before) // deletion visible (df/avgdl moved)
+    // Pinned reader on v0 still sees the pre-delete index.
+    assert(run(dir, Some(0)) == before)
+    // Append of NON-deleted new docs works and stays effective.
+    import spark.implicits._
+    val extra = Seq((9000001L, "dup hash join extra")).toDF("doc_id", "text")
+    Bm25.appendToIndex(extra, "doc_id", "text", dir) // v2
+    Bm25.appendToIndex(extra, "doc_id", "text", cleanDir)
+    assert(run(dir) == run(cleanDir))
+    // Re-inserting a tombstoned id is refused loudly (compact first).
+    val clash = docs.where(col("doc_id") % 5 === 0).limit(1)
+      .select(col("doc_id"), col("text"))
+    intercept[IllegalArgumentException] {
+      Bm25.appendToIndex(clash, "doc_id", "text", dir)
+    }
+    // Compaction folds tombstones physically: same results, no
+    // tombstone table, and the previously-refused append now passes.
+    Bm25.compactIndex(spark, dir) // v3
+    assert(run(dir) == run(cleanDir))
+    assert(!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(
+      Bm25.resolveSnapshot(dir), "tombstones")))
+    Bm25.appendToIndex(clash, "doc_id", "text", dir) // v4: ok now
+    assert(run(dir) != run(cleanDir)) // the re-inserted doc is back
+  }
+
   test("query-side scale flip: shuffle join == broadcast join row-for-row") {
     // broadcastQueries=false is the web-scale-query-log path (a plain
     // term-keyed shuffle join instead of broadcasting qterms into the
