@@ -836,7 +836,84 @@ object SimilarityQueries extends QueryFamily {
     None,
     oracleGen = Some((s, dir) => ivfFilteredOracle(s, dir)))
 
+  /** q106's oracle: q39's retrained-model replay, restricted to the
+    * SURVIVING vectors (vec_id % 9 <> 0) in the assignment — the model
+    * stays the one trained on the FULL corpus (deletion does not
+    * retrain the quantizer; drift-triggered retraining is appendBatch's
+    * separate lever), and the query vector is vec_id = 1 (a survivor). */
+  private def ivfDeleteOracle(s: SparkSession, dir: String): String = {
+    val e = emb(s, dir)
+    val model = IvfIndex.train(e, "vec_id", "embedding", k = 16)
+    val qv = e.where(org.apache.spark.sql.functions.col("vec_id") === 1L)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val probes = model.rankClusters(qv).take(4)
+    val centRows = model.centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+    s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                 WHERE vec_id % 9 <> 0),
+      cents AS (SELECT * FROM (VALUES $centRows) t(cid, c)),
+      scored AS (
+        SELECT e.vec_id, e.v, cents.cid,
+               COALESCE(${fold("e.v", "c")} /
+                 (sqrt(${fold("e.v", "e.v")}) * sqrt(${fold("c", "c")})), -2.0)
+                 AS cs
+        FROM e CROSS JOIN cents),
+      asg AS (
+        SELECT vec_id, v FROM (
+          SELECT vec_id, v, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cs DESC, cid) AS rn
+          FROM scored)
+        WHERE rn = 1 AND cid IN (${probes.mkString(", ")})),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 1)
+      SELECT a.vec_id,
+             round(${fold("a.v", "qv")} /
+               (sqrt(${fold("a.v", "a.v")}) * sqrt(${fold("qv", "qv")})), 6)
+               AS cosine
+      FROM asg a, q
+      ORDER BY cosine DESC, vec_id
+      LIMIT 10"""
+  }
+
+  /** One deleted IvfStore per sf dir (the q89/q105 caching convention). */
+  private val deletedIvfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val q106 = QueryDef(
+    "q106_ivf_index_delete",
+    "Compliance DELETE reaching the VECTOR index, PARTITION-GRANULAR: " +
+      "the IvfStore table is cluster-partitioned, so a doomed id lives " +
+      "exactly where its assignment put it — only the affected cluster " +
+      "partitions rewrite (anti-joined), everything else hard-link " +
+      "carries into the new atomic snapshot (the text index needed " +
+      "tombstones because term clustering smears docs across files; " +
+      "here the layout already co-locates by the delete's unit). " +
+      "Search over the survivors is exact by construction — no " +
+      "query-time anti-join. Oracle: q39's retrained-model replay over " +
+      "the surviving vectors, query vec_id = 1.",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val e = emb(s, dir)
+      val model = IvfIndex.train(e, "vec_id", "embedding", k = 16)
+      val indexDir = deletedIvfCache.computeIfAbsent(dir, _ => {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-ivf-del").toString
+        graft.store.IvfStore.init(s, e, "embedding", model, d)
+        graft.store.IvfStore.delete(s, d,
+          e.where(col("vec_id") % 9 === 0).select(col("vec_id")), "vec_id")
+        d
+      })
+      val qv = e.where(col("vec_id") === 1L)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+      IvfIndex.searchTopK(s, graft.store.IvfStore.read(s, indexDir),
+        "vec_id", "embedding", model, qv, k = 10, nprobe = 4)
+    },
+    None,
+    oracleGen = Some((s, dir) => ivfDeleteOracle(s, dir)))
+
   override val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q39, q40, q50, q51, q59, q60, q61, q64, q70, q73, q74,
-      q79, q81)
+      q79, q81, q106)
 }

@@ -1,5 +1,7 @@
 package graft.store
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.IvfIndex
@@ -66,6 +68,50 @@ object IvfStore {
            version: Option[Int] = None): DataFrame =
     spark.read.parquet(
       s"${SnapshotStore.resolve(indexDir, version)}/$Vectors")
+
+  /** DELETE vectors by id — the compliance verb for the ANN index,
+    * PARTITION-GRANULAR: the table is cluster-partitioned and a doomed
+    * id lives in exactly the partition its assignment put it in, so
+    * only the AFFECTED cluster partitions rewrite (anti-joined); every
+    * other partition carries into the new snapshot by hard link. The
+    * text index needed tombstones because term clustering smears a doc
+    * across all files (Bm25.deleteFromIndex); here the layout already
+    * co-locates by the delete's unit, so the MergeStore-style
+    * file-granular rewrite applies directly — no tombstones, no
+    * query-time anti-join, and searches over the survivors are exact by
+    * construction. Returns the new version (parent if nothing matched). */
+  def delete(spark: SparkSession, indexDir: String, doomedIds: DataFrame,
+             idCol: String, clusterCol: String = "ivf_cluster"): Int = {
+    import org.apache.spark.sql.functions.col
+    val parentV = currentVersion(indexDir).getOrElse(
+      sys.error(s"IvfStore.delete: no committed index at $indexDir"))
+    val prev = java.nio.file.Paths
+      .get(SnapshotStore.resolve(indexDir, Some(parentV)), Vectors)
+    val vectors = read(spark, indexDir, Some(parentV))
+    val doomed = doomedIds
+      .select(col(doomedIds.columns.head).as(idCol)).distinct()
+    // Affected cluster list: bounded by k (the coarse-quantizer size),
+    // driver-safe by construction.
+    val affected = vectors.join(doomed, Seq(idCol), "left_semi")
+      .select(col(clusterCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    if (affected.isEmpty) return parentV
+    val stage = SnapshotStore.stage(indexDir)
+    vectors.where(col(clusterCol).isin(affected: _*)) // partition-pruned
+      .join(doomed, Seq(idCol), "left_anti")
+      .write.partitionBy(clusterCol).parquet(s"$stage/$Vectors")
+    // Carry every UNaffected partition directory by hard link.
+    val affectedDirs = affected.map(c => s"$clusterCol=$c").toSet
+    java.nio.file.Files.list(prev).iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        !affectedDirs.contains(p.getFileName.toString))
+      .foreach { p =>
+        SnapshotStore.carryLink(p,
+          stage.resolve(Vectors).resolve(p.getFileName.toString),
+          s"carry-$parentV-")
+      }
+    SnapshotStore.publish(indexDir, stage, parentV)
+  }
 
   /** Drop snapshots below the newest `retainVersions` — hard-link
     * reference counting keeps shared files alive while any retained

@@ -130,4 +130,59 @@ class StreamingIvfSpec extends SparkSpec {
     intercept[Exception] { IvfStore.read(spark, dir, Some(v0)).count() }
     assert(IvfStore.read(spark, dir, Some(v1)).count() == emb.count())
   }
+
+  test("IvfStore.delete: partition-granular rewrite, unaffected clusters hard-link carry") {
+    import graft.store.IvfStore
+    import spark.implicits._
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val model = IvfIndex.train(emb, "vec_id", "embedding", k = 8)
+    val dir = tmpDir("ivf-del")
+    val v0 = IvfStore.init(spark, emb, "embedding", model, dir)
+    // Doom every id in ONE cluster plus a couple of strays, so some
+    // partitions are affected and some are provably untouched.
+    val assigned = IvfIndex.assign(spark, emb, "embedding", model)
+    val targetCluster = assigned.groupBy("ivf_cluster").count()
+      .orderBy(col("count").desc).select("ivf_cluster").head.getInt(0)
+    val doomed = assigned.where(col("ivf_cluster") === targetCluster)
+      .select("vec_id").limit(10)
+      .unionByName(emb.select("vec_id").orderBy("vec_id").limit(2))
+      .distinct()
+    val doomedIds = doomed.as[Long].collect().toSet
+    val v1 = IvfStore.delete(spark, dir, doomed, "vec_id")
+    assert(v1 == v0 + 1)
+    // Survivors exactly; assignments untouched for the rest.
+    val head = IvfStore.read(spark, dir)
+    assert(head.select("vec_id").as[Long].collect().toSet ==
+      emb.select("vec_id").as[Long].collect().toSet -- doomedIds)
+    assert(head.select("vec_id", "ivf_cluster")
+      .except(assigned.join(doomed, Seq("vec_id"), "left_anti")
+        .select("vec_id", "ivf_cluster")).isEmpty)
+    // Pinned v0 still holds the victims; unaffected partitions in v1
+    // are hard-link carries (carry- prefixed files), affected ones are
+    // fresh rewrites (no carry files).
+    assert(IvfStore.read(spark, dir, Some(v0)).count() == emb.count())
+    val affectedClusters = assigned.join(doomed, Seq("vec_id"), "left_semi")
+      .select("ivf_cluster").distinct().as[Int].collect().toSet
+    val vecDir = java.nio.file.Paths.get(
+      graft.store.SnapshotStore.resolve(dir, Some(v1)), "vectors")
+    java.nio.file.Files.list(vecDir).iterator().forEachRemaining { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith("ivf_cluster=")) {
+        val c = name.stripPrefix("ivf_cluster=").toInt
+        val files = java.nio.file.Files.list(p).iterator()
+        var carried = 0; var fresh = 0
+        files.forEachRemaining { f =>
+          if (f.getFileName.toString.startsWith("carry-")) carried += 1
+          else if (f.getFileName.toString.endsWith(".parquet")) fresh += 1
+        }
+        if (affectedClusters.contains(c))
+          assert(carried == 0 && fresh > 0, s"cluster $c should be rewritten")
+        else
+          assert(carried > 0 && fresh == 0, s"cluster $c should be carried")
+      }
+    }
+    // Deleting ids that match nothing is a no-op (no new version).
+    assert(IvfStore.delete(spark, dir,
+      Seq(99999999L).toDF("vec_id"), "vec_id") == v1)
+  }
 }
