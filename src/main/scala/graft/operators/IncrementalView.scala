@@ -73,14 +73,24 @@ object IncrementalView {
     def selected(df: DataFrame): DataFrame =
       filter.map(f => df.where(coalesce(f, lit(false)))).getOrElse(df)
     /** `enrich` then `filter` — every row the aggregate sees, on full,
-      * delta, and recompute paths alike. `enrich` makes JOIN VIEWS
-      * maintainable: it must be ROW-LOCAL (each input row → exactly one
-      * output row, keeping all input columns — e.g. a left join against
-      * a broadcast-sized STATIC dimension). A pre-image then enriches
-      * identically to when it arrived, so subtraction stays exact.
-      * Dimension churn is out of scope by construction: a changed dim
-      * row silently changes history's enrichment — rebuild the view
-      * when a dimension changes (the Kimball Type-1 trade-off). */
+      * delta, and recompute paths alike. `enrich` must be ROW-LOCAL: a
+      * DETERMINISTIC function of each input row alone, producing zero
+      * or more output rows (all carrying `_change_type` through when
+      * present). That admits two big view families:
+      *
+      *   - JOIN views: a left join against a broadcast-sized STATIC
+      *     dimension (1 → 1). Dimension churn is out of scope by
+      *     construction — a changed dim row silently changes history's
+      *     enrichment; rebuild the view when a dimension changes (the
+      *     Kimball Type-1 trade-off).
+      *   - FLATMAP views: a deterministic explode (1 → n), e.g. text →
+      *     tokens — corpus STATISTICS (vocabulary counts, n-gram
+      *     frequencies) maintained incrementally from the document
+      *     feed, because a pre-image explodes into exactly the rows its
+      *     arrival did, so subtraction cancels token-for-token.
+      *
+      * Either way the invariant is the same: enrich(pre-image) must
+      * equal what enrich(that row) produced when it arrived. */
     def prepared(df: DataFrame): DataFrame = selected(enrich(df))
   }
 

@@ -335,5 +335,49 @@ object StoreQueries extends QueryFamily {
         FROM documents WHERE doc_id % 29 = 0 AND doc_id % 13 <> 0)
       ORDER BY doc_id, _change_type"""))
 
-  override val defs: Seq[QueryDef] = Seq(q91, q92, q96, q97, q98, q101)
+  private val q107 = QueryDef(
+    "q107_incremental_vocab",
+    "Incremental CORPUS STATISTICS: the vocabulary (token -> count) as " +
+      "a materialized view following the documents table's change feed " +
+      "— the spec's enrich hook is a deterministic EXPLODE (1 row -> n " +
+      "tokens), so a pre-image expands into exactly the rows its " +
+      "arrival did and subtraction cancels token-for-token. v1 appends " +
+      "' vocadd vocadd' to every doc_id % 13 == 0 (a brand-new token " +
+      "group is born), v2 deletes doc_id % 29 == 0. Each refresh " +
+      "re-tokenizes only the span's changed docs, never the corpus. " +
+      "The oracle re-tokenizes the final state from scratch.",
+    (s, dir) => {
+      val spec = IncrementalView.IvmSpec(Seq("token"), sums = Nil,
+        enrich = df => df.withColumn("token",
+          explode(split(col("text"), " "))))
+      val target = preparedTable(s, dir, "q107") { t =>
+        val view = s"$t-view"
+        IncrementalView.initView(s, t, view, spec)
+        MergeStore.merge(s,
+          MergeStore.read(s, t).where(col("doc_id") % 13 === 0)
+            .withColumn("text", concat(col("text"), lit(" vocadd vocadd"))),
+          t, pk = Seq("doc_id")) // v1
+        IncrementalView.refresh(s, t, view, spec)
+        MergeStore.delete(s, t,
+          MergeStore.read(s, t).where(col("doc_id") % 29 === 0)
+            .select(col("doc_id")),
+          pk = Seq("doc_id")) // v2
+        IncrementalView.refresh(s, t, view, spec)
+      }
+      IncrementalView.readView(s, s"$target-view",
+          IncrementalView.IvmSpec(Seq("token"), sums = Nil))
+        .orderBy("token")
+    },
+    Some("""
+      SELECT token, CAST(count(*) AS BIGINT) AS n_rows FROM (
+        SELECT unnest(string_split(
+          CASE WHEN doc_id % 13 = 0 THEN text || ' vocadd vocadd'
+               ELSE text END, ' ')) AS token
+        FROM documents
+        WHERE doc_id % 29 <> 0)
+      GROUP BY token
+      ORDER BY token"""))
+
+  override val defs: Seq[QueryDef] =
+    Seq(q91, q92, q96, q97, q98, q101, q107)
 }

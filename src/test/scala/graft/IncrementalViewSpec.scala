@@ -172,6 +172,46 @@ class IncrementalViewSpec extends SparkSpec {
     current()
   }
 
+  test("flatmap view: token counts maintained from document changes") {
+    // enrich = deterministic explode (1 -> n): the corpus vocabulary as
+    // an incrementally-maintained view — a pre-image explodes into
+    // exactly the rows its arrival did, so subtraction cancels
+    // token-for-token.
+    val tSpec = IvmSpec(Seq("token"), sums = Nil,
+      enrich = df => df.withColumn("token",
+        explode(split(col("text"), " "))))
+    val t = tmpDir("ivm-flat") + "/tbl"
+    val view = tmpDir("ivm-flat") + "/view"
+    val docs = spark.range(200).select(col("id"),
+      concat_ws(" ", lit("w"), (col("id") % 11).cast("string"),
+        (col("id") % 7).cast("string")).as("text"))
+    MergeStore.init(spark, docs, t, numFiles = 4, clusterBy = Seq("id"))
+    IncrementalView.initView(spark, t, view, tSpec)
+    def current(): Unit = {
+      def shape(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("token"), col("n_rows"))
+        .as[(String, Long)].collect().sortBy(_._1).toSeq
+      assert(shape(MergeStore.read(spark, view)) ==
+        shape(IncrementalView.fullState(MergeStore.read(spark, t), tSpec)))
+    }
+    current()
+    // Update rewrites some docs' text (tokens change sets), insert new
+    // docs, then delete others — counts must track exactly.
+    MergeStore.merge(spark,
+      docs.where(col("id") % 13 === 0)
+        .withColumn("text", concat(col("text"), lit(" extra extra"))),
+      t, pk = Seq("id"))
+    IncrementalView.refresh(spark, t, view, tSpec)
+    current()
+    assert(MergeStore.read(spark, view)
+      .where(col("token") === "extra").head().getAs[Long]("n_rows") ==
+      2L * docs.where(col("id") % 13 === 0).count())
+    MergeStore.delete(spark, t,
+      spark.range(0L, 50L).select(col("id")), pk = Seq("id"))
+    IncrementalView.refresh(spark, t, view, tSpec)
+    current()
+  }
+
   test("min/max view: arrivals strengthen incrementally, departures recompute the group") {
     val eSpec = IvmSpec(Seq("grp"), Seq("amount" -> "sum_amount"),
       mins = Seq("amount" -> "min_amount"),
