@@ -505,7 +505,88 @@ object ScaleProbe {
     }
   }
 
+  /** STREAMING IVM at scale — [[ivmProbe]]'s continuous twin: the view
+    * follows a trickle-merging table through [[graft.streaming.StreamingIvm]]
+    * (CDC source → foreachBatch delta application), and the claim under
+    * test is that the PER-TRICKLE maintenance cost tracks the TRICKLE,
+    * not the table: each micro-batch scans only its commit's unique
+    * files, aggregates one row per touched group, and lands one
+    * file-granular view commit. Wall-clock per trickle should stay
+    * ~flat as n grows 2M→64M (micro-batch machinery is fixed overhead;
+    * the data work is batch-sized), while the span-bytes/table-bytes
+    * ratio — the metric that survives the 10^6× scale-up — widens
+    * linearly with n exactly as in the batch probe. */
+  private def streamingIvmProbe(spark: SparkSession, ns: Seq[Long],
+                                batch: Int, trickles: Int): Unit = {
+    import graft.operators.IncrementalView
+    import graft.streaming.StreamingIvm
+    val spec = IncrementalView.IvmSpec(Seq("grp"),
+      Seq("amount" -> "sum_amount"))
+    def rows(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id"), (col("id") % 1000).cast("int").as("grp"),
+        (col("id") * lit(0.25)).as("amount"))
+    ns.foreach { n =>
+      val root = java.nio.file.Files.createTempDirectory("graft-sivm-probe")
+        .toString
+      val t = s"$root/tbl"
+      val files = math.max(16, (n / 250000L).toInt)
+      MergeStore.init(spark, rows(0, n), t, numFiles = files,
+        clusterBy = Seq("id"))
+      val view = s"$root/view"
+      IncrementalView.initView(spark, t, view, spec)
+      val ck = s"$root/ck"
+      // One cold run to pay the checkpoint-creation cost outside the
+      // per-trickle measurement (it has nothing to drain).
+      StreamingIvm.maintain(spark, t, view, spec, ck).awaitTermination()
+      var total = 0.0
+      var spanBytesSum = 0L
+      (1 to trickles).foreach { i =>
+        // Key-local trickles at rotating offsets: the id-clustered
+        // steady-state shape (few files rewritten per commit).
+        val lo = (n / (trickles + 1)) * i
+        MergeStore.merge(spark,
+          rows(lo, lo + batch).withColumn("amount",
+            col("amount") + lit(i.toDouble)),
+          t, pk = Seq("id"))
+        val (_, tRun) = time(
+          StreamingIvm.maintain(spark, t, view, spec, ck)
+            .awaitTermination())
+        total += tRun
+        val v = MergeStore.version(t).get
+        def bytes(names: Iterable[String]): Long = names.map { f =>
+          java.nio.file.Files.size(java.nio.file.Paths.get(t, "data", f))
+        }.sum
+        val prev = MergeStore.liveFiles(t, Some(v - 1)).toSet
+        val cur = MergeStore.liveFiles(t, Some(v)).toSet
+        spanBytesSum += bytes((prev -- cur) ++ (cur -- prev))
+      }
+      val tableBytes = MergeStore.liveFiles(t).map { f =>
+        java.nio.file.Files.size(java.nio.file.Paths.get(t, "data", f))
+      }.sum
+      // Sanity: the followed view must equal the marker's promise.
+      require(IncrementalView.appliedVersion(view)
+        == MergeStore.version(t).get, "view fell behind its source")
+      println(f"""{"probe":"sivm","n":$n,"batch":$batch,""" +
+        f""""trickles":$trickles,""" +
+        f""""per_trickle_sec":${total / trickles}%.3f,""" +
+        f""""span_bytes_per_trickle":${spanBytesSum / trickles},""" +
+        f""""table_bytes":$tableBytes,""" +
+        f""""scan_advantage_x":${tableBytes.toDouble * trickles /
+          math.max(1L, spanBytesSum)}%.1f}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("sivm")) {
+      val spark = GraftSession.local(32)
+      val batch = if (args.length > 1) args(1).toInt else 10000
+      val trickles = if (args.length > 2) args(2).toInt else 5
+      val ns = if (args.length > 3) args.drop(3).map(_.toLong).toSeq
+        else Seq(2000000L, 8000000L, 32000000L)
+      streamingIvmProbe(spark, ns, batch, trickles)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("ivm")) {
       val spark = GraftSession.local(32)
       val batch = if (args.length > 1) args(1).toInt else 10000

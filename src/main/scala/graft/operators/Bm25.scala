@@ -134,19 +134,30 @@ object Bm25 {
     *
     * Published as an atomic versioned snapshot (see the layout notes
     * above): readers never observe a half-written index. */
-  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
-                 indexDir: String, numFiles: Int = 16): Int = {
-    val stage = SnapshotStore.stage(indexDir)
-    val tf = docs
+  /** Tokenize a batch into (doc, term, tf, seg) postings. `seg` is the
+    * SEGMENT id — the snapshot version these postings publish under —
+    * which is what makes tombstones revision-aware: a tombstone kills
+    * postings with `seg <= max_seg` only, so an upsert can bury a doc's
+    * old postings and land its new ones in ONE snapshot (Lucene's
+    * per-segment deleted-docs, relationally). */
+  private def tokenize(docs: DataFrame, idCol: String, textCol: String,
+                       seg: Int): DataFrame =
+    docs
       .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("term"))
       .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
-    tf.repartitionByRange(numFiles, col("term"))
+      .withColumn("seg", lit(seg.toLong))
+
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+                 indexDir: String, numFiles: Int = 16): Int = {
+    val parentV = currentVersion(indexDir).getOrElse(-1)
+    val stage = SnapshotStore.stage(indexDir)
+    tokenize(docs, idCol, textCol, seg = parentV + 1)
+      .repartitionByRange(numFiles, col("term"))
       .sortWithinPartitions("term", "doc")
       .write.mode("overwrite").parquet(s"$stage/postings")
     val postings = docs.sparkSession.read.parquet(s"$stage/postings")
     writeSnapshotTables(postings, stage.toString, numFiles)
-    SnapshotStore.publish(indexDir, stage,
-      currentVersion(indexDir).getOrElse(-1))
+    SnapshotStore.publish(indexDir, stage, parentV)
   }
 
   /** Incremental index maintenance — the q77/IvfIndex.appendBatch
@@ -173,22 +184,17 @@ object Bm25 {
     val snap = resolveSnapshot(indexDir, Some(parentV))
     val prevPostings = java.nio.file.Paths.get(snap, "postings")
     val stage = SnapshotStore.stage(indexDir)
-    // Tombstones carry forward unchanged — but a batch may NOT re-insert
-    // a tombstoned id: un-tombstoning would resurrect the doc's OLD
-    // carried postings next to the new ones (doubled tf). Compact first
-    // (folds tombstones physically), then append. Loud, not silent.
+    // Tombstones carry forward unchanged. Re-inserting a TOMBSTONED id
+    // is well-defined now that tombstones are segment-scoped (the new
+    // postings' seg exceeds the tombstone's max_seg, the buried old ones
+    // stay dead — nothing can resurrect); re-inserting a LIVE id remains
+    // the caller's contract violation (doubled tf) — that revision verb
+    // is [[upsertToIndex]].
     tombstones(spark, snap).foreach { t =>
-      val clash = newDocs.select(col(idCol).as("doc"))
-        .join(t, Seq("doc"), "left_semi").limit(1).count()
-      require(clash == 0,
-        s"appendToIndex: batch re-inserts tombstoned doc ids at $indexDir" +
-          " — run compactIndex first to fold deletes, then append")
       t.repartitionByRange(math.max(1, numFiles), col("doc"))
         .write.mode("overwrite").parquet(s"$stage/tombstones")
     }
-    newDocs
-      .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("term"))
-      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    tokenize(newDocs, idCol, textCol, seg = parentV + 1)
       .repartitionByRange(numFiles, col("term"))
       .sortWithinPartitions("term", "doc")
       .write.mode("overwrite").parquet(s"$stage/postings")
@@ -199,20 +205,100 @@ object Bm25 {
     SnapshotStore.publish(indexDir, stage, parentV)
   }
 
+  /** UPDATE documents in-place — revise without compacting: the batch's
+    * ids are tombstoned AT the parent version (burying every posting
+    * they have in the carried files) AND the batch's new postings land
+    * as segment parent+1 in the SAME snapshot publish, above the
+    * tombstone's reach. The doubled-tf hazard that made append refuse
+    * revisions only existed because a doc-level tombstone couldn't
+    * distinguish old postings from new; the segment scope removes it,
+    * so a k-doc revision costs the batch plus the index-summary pass —
+    * never an index rewrite. Summaries recompute exactly from the
+    * effective postings, so scores over the final corpus are
+    * bit-identical to an index built from scratch on it (spec-pinned;
+    * the q105 oracle convention). Delta's MERGE semantics, index-shaped. */
+  def upsertToIndex(newDocs: DataFrame, idCol: String, textCol: String,
+                    indexDir: String, numFiles: Int = 4): Int = {
+    val spark = newDocs.sparkSession
+    val parentV = currentVersion(indexDir).getOrElse(
+      sys.error(s"upsertToIndex: no committed index at $indexDir"))
+    val snap = resolveSnapshot(indexDir, Some(parentV))
+    val stage = SnapshotStore.stage(indexDir)
+    val batchIds = newDocs.select(col(idCol).as("doc")).distinct()
+    // Tombstone only batch ids that PHYSICALLY appear in carried
+    // postings (live docs via doclen, dead-but-physical via the old
+    // tombstone table) — a fresh id needs no marker. Batch-id rows
+    // REPLACE any prior marker for the same doc: the new marker's
+    // parentV covers every already-buried segment, and a stale
+    // higher marker would wrongly bury the revision itself.
+    val oldTomb = tombstones(spark, snap)
+    val physicalDocs = spark.read.parquet(s"$snap/doclen").select(col("doc"))
+      .unionByName(oldTomb.map(_.select(col("doc")))
+        .getOrElse(spark.read.parquet(s"$snap/doclen").select(col("doc"))
+          .limit(0)))
+      .distinct()
+    val batchMarkers = batchIds.join(physicalDocs, Seq("doc"), "left_semi")
+      .withColumn("max_seg", lit(parentV.toLong))
+    val allTomb = oldTomb
+      .map(_.join(batchIds, Seq("doc"), "left_anti")
+        .unionByName(batchMarkers))
+      .getOrElse(batchMarkers)
+    allTomb.repartitionByRange(math.max(1, numFiles), col("doc"))
+      .write.mode("overwrite").parquet(s"$stage/tombstones")
+    tokenize(newDocs, idCol, textCol, seg = parentV + 1)
+      .repartitionByRange(numFiles, col("term"))
+      .sortWithinPartitions("term", "doc")
+      .write.mode("overwrite").parquet(s"$stage/postings")
+    SnapshotStore.carryLink(java.nio.file.Paths.get(snap, "postings"),
+      stage.resolve("postings"), s"carry-$parentV-")
+    writeSnapshotTables(effectivePostings(spark, stage.toString),
+      stage.toString, numFiles)
+    SnapshotStore.publish(indexDir, stage, parentV)
+  }
+
   /** Tombstone table of a snapshot, if it has one (created by
-    * [[deleteFromIndex]], folded away by [[compactIndex]]). */
+    * [[deleteFromIndex]]/[[upsertToIndex]], folded away by
+    * [[compactIndex]]): (doc, max_seg) — postings of `doc` with
+    * `seg <= max_seg` are dead. A legacy doc-only table reads as
+    * max_seg = MaxValue (kill all segments — the old semantics). */
   private def tombstones(spark: SparkSession, snap: String): Option[DataFrame] = {
     val p = java.nio.file.Paths.get(snap, "tombstones")
-    if (java.nio.file.Files.isDirectory(p)) Some(spark.read.parquet(p.toString))
-    else None
+    if (!java.nio.file.Files.isDirectory(p)) None
+    else {
+      val t = spark.read.parquet(p.toString)
+      Some(if (t.columns.contains("max_seg")) t
+        else t.withColumn("max_seg", lit(Long.MaxValue)))
+    }
+  }
+
+  /** Read a snapshot's physical postings with a normalized `seg` column
+    * (legacy files without one read as segment 0). */
+  private def readPostings(spark: SparkSession, snap: String): DataFrame = {
+    val p = spark.read.option("mergeSchema", "true")
+      .parquet(s"$snap/postings")
+    if (p.columns.contains("seg"))
+      p.withColumn("seg", coalesce(col("seg"), lit(0L)))
+    else p.withColumn("seg", lit(0L))
+  }
+
+  /** Drop tombstoned rows: a (doc, max_seg) marker kills that doc's
+    * postings in segments AT OR BELOW it — later segments (an upsert's
+    * revision) survive. */
+  private def dropTombstoned(postings: DataFrame,
+                             tomb: DataFrame): DataFrame = {
+    val t = tomb.select(col("doc").as("__tdoc"), col("max_seg"))
+    postings.join(t,
+      postings("doc") === col("__tdoc") &&
+        postings("seg") <= col("max_seg"), "left_anti")
   }
 
   /** Effective postings of a snapshot: physical rows minus tombstoned
-    * docs — what every summary recompute and every search must see. */
+    * (doc, segment) combinations — what every summary recompute and
+    * every search must see. */
   private def effectivePostings(spark: SparkSession, snap: String): DataFrame = {
-    val physical = spark.read.parquet(s"$snap/postings")
+    val physical = readPostings(spark, snap)
     tombstones(spark, snap)
-      .map(t => physical.join(t, Seq("doc"), "left_anti"))
+      .map(t => dropTombstoned(physical, t))
       .getOrElse(physical)
   }
 
@@ -238,8 +324,16 @@ object Bm25 {
     val stage = SnapshotStore.stage(indexDir)
     val doomed = doomedDocs.select(col(doomedDocs.columns.head).as("doc"))
       .distinct()
+      // Segment-scoped marker: kill every posting the doc has in any
+      // CURRENTLY COMMITTED segment (all have seg <= parentV). A later
+      // append/upsert of the same id legitimately re-adds the doc as a
+      // fresh revision above this marker — deletion removes data, it
+      // does not ban the id.
+      .withColumn("max_seg", lit(parentV.toLong))
     val allTomb = tombstones(spark, snap)
-      .map(_.unionByName(doomed).distinct()).getOrElse(doomed)
+      .map(_.join(doomed.select("doc"), Seq("doc"), "left_anti")
+        .unionByName(doomed))
+      .getOrElse(doomed)
     allTomb.repartitionByRange(math.max(1, numFiles / 8), col("doc"))
       .write.mode("overwrite").parquet(s"$stage/tombstones")
     SnapshotStore.carryLink(
@@ -297,15 +391,17 @@ object Bm25 {
     // filter it prunes postings/df row groups before any join runs.
     val termList = qterms0.select("term").distinct()
       .collect().map(_.getString(0)).toSeq
-    // Tombstoned docs (deleteFromIndex) are dead rows still physically
-    // present in the carried postings; the anti-join applies AFTER the
-    // term pruning, so it costs the matched slice, not the index.
-    // df/doclen/stats were recomputed effective at delete time.
-    val prunedPhysical = spark.read.parquet(s"$snap/postings")
+    // Tombstoned (doc, segment) rows (deleteFromIndex/upsertToIndex)
+    // are dead postings still physically present in the carried files;
+    // the anti-join applies AFTER the term pruning, so it costs the
+    // matched slice, not the index. df/doclen/stats were recomputed
+    // effective at delete/upsert time.
+    val prunedPhysical = readPostings(spark, snap)
       .where(col("term").isin(termList: _*))
     val postings = tombstones(spark, snap)
-      .map(t => prunedPhysical.join(t, Seq("doc"), "left_anti"))
+      .map(t => dropTombstoned(prunedPhysical, t))
       .getOrElse(prunedPhysical)
+      .drop("seg")
     val df_ = spark.read.parquet(s"$snap/df")
       .where(col("term").isin(termList: _*))
     val doclen = spark.read.parquet(s"$snap/doclen")

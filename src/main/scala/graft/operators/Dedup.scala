@@ -519,25 +519,35 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming < 64, "radius must be in [0, 64)")
     val numBands = maxHamming + 1
     val width = 64 / numBands
+    def bandKey(h: Column, b: Int): Column =
+      shiftright(h, b * width).bitwiseAND((1L << width) - 1)
     val bands = hashes.select(
       (Seq(col(idCol), col(hashCol)) ++ alsoOn.map(col) :+ posexplode(
-        array((0 until numBands).map { b =>
-          shiftright(col(hashCol), b * width)
-            .bitwiseAND((1L << width) - 1)
-        }: _*)).as(Seq("band", "key"))): _*)
+        array((0 until numBands).map(bandKey(col(hashCol), _)): _*))
+        .as(Seq("band", "key"))): _*)
     // Hamming filter INSIDE the join: rejected pairs never reach the
-    // distinct, which otherwise dominates on clustered corpora where
-    // 16-bit band buckets get hot.
+    // output. CANONICAL-BAND emission kills the cross-band duplicates
+    // at the source: a pair within the radius matches on >= 1 band
+    // (pigeonhole), and both hashes sit in the joined row, so "this is
+    // the pair's FIRST matching band" is just one more join-side
+    // predicate (least over the per-band xor-segment tests) — each
+    // qualifying pair emits EXACTLY once and the distinct() that used
+    // to dedup band collisions (a full extra wide exchange on the
+    // candidate set, the dominant cost on clustered corpora) vanishes.
+    val xor = col(s"x.$hashCol").bitwiseXOR(col(s"y.$hashCol"))
+    val firstMatchingBand = least((0 until numBands).map { b =>
+      when(bandKey(xor, b) === 0, lit(b))
+    }: _*)
     val joinCond = (Seq(
       col("x.band") === col("y.band"), col("x.key") === col("y.key"),
       col(s"x.$idCol") < col(s"y.$idCol"),
-      bit_count(col(s"x.$hashCol").bitwiseXOR(col(s"y.$hashCol"))) <= maxHamming) ++
+      bit_count(xor) <= maxHamming,
+      col("x.band") === firstMatchingBand) ++
       alsoOn.map(k => col(s"x.$k") === col(s"y.$k"))).reduce(_ && _)
     bands.as("x").join(bands.as("y"), joinCond)
       .select(Seq(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b")) ++
         alsoOn.map(k => col(s"x.$k")) :+
-        bit_count(col(s"x.$hashCol").bitwiseXOR(col(s"y.$hashCol"))).as("hamming"): _*)
-      .distinct()
+        bit_count(xor).as("hamming"): _*)
   }
 
   /** Video near-dup pairs from per-frame signatures: frames pair only at

@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
@@ -57,12 +55,27 @@ object IncrementalView {
                            filter: Option[Column] = None,
                            mins: Seq[(String, String)] = Nil,
                            maxs: Seq[(String, String)] = Nil,
-                           enrich: DataFrame => DataFrame = identity) {
+                           enrich: DataFrame => DataFrame = identity,
+                           avgs: Seq[(String, String)] = Nil) {
     require(groupBy.nonEmpty, "IVM view needs group-by keys")
     private val aliases =
-      (sums ++ mins ++ maxs).map(_._2) :+ countCol
+      (sums ++ mins ++ maxs ++ avgs).map(_._2) :+ countCol
     require(aliases.distinct.size == aliases.size,
       "duplicate output aliases")
+
+    /** AVG is fully distributive once desugared: each avg maintains a
+      * hidden exact SUM and a hidden NON-NULL COUNT (COUNT(x), not
+      * COUNT(*) — SQL AVG skips nulls), both plain ±-weighted decimal
+      * accumulators; [[readView]] surfaces sum/count as the double AVG.
+      * These are the materialized columns backing each declared sum AND
+      * each avg: (alias, per-row measure). */
+    private[IncrementalView] def accumulators: Seq[(String, Column)] =
+      sums.map { case (src, out) => out -> measure(src) } ++
+        avgs.flatMap { case (src, out) => Seq(
+          s"__avg_sum_$out" -> measure(src),
+          s"__avg_cnt_$out" ->
+            when(col(src).isNotNull, lit(1)).otherwise(lit(0)).cast(SumType))
+        }
     /** MIN/MAX are only SEMI-maintainable (arrivals can only strengthen
       * an extremum; a departure may remove it, and only the base data
       * knows the runner-up) — with extremes, refresh recomputes
@@ -106,8 +119,8 @@ object IncrementalView {
                              spec: IvmSpec): DataFrame =
     preparedDf.groupBy(spec.groupBy.map(col): _*)
       .agg(count(lit(1)).as(spec.countCol),
-        spec.sums.map { case (src, out) =>
-          sum(measure(src)).cast(SumType).as(out) } ++
+        spec.accumulators.map { case (out, m) =>
+          sum(m).cast(SumType).as(out) } ++
         spec.mins.map { case (src, out) =>
           min(measure(src)).cast(ExtType).as(out) } ++
         spec.maxs.map { case (src, out) =>
@@ -140,8 +153,8 @@ object IncrementalView {
     spec.prepared(changes).withColumn("__w", w)
       .groupBy(spec.groupBy.map(col): _*)
       .agg(sum(col("__w")).cast(LongType).as(spec.countCol),
-        spec.sums.map { case (src, out) =>
-          sum(measure(src) * col("__w")).cast(SumType).as(out) } ++
+        spec.accumulators.map { case (out, m) =>
+          sum(m * col("__w")).cast(SumType).as(out) } ++
           extremeAggs: _*)
   }
 
@@ -153,7 +166,7 @@ object IncrementalView {
     * recomputed, which [[applyDeltaToStore]] routes. */
   def applyDelta(state: DataFrame, delta: DataFrame,
                  spec: IvmSpec): DataFrame = {
-    val valueCols = spec.countCol +: spec.sums.map(_._2)
+    val valueCols = spec.countCol +: spec.accumulators.map(_._1)
     val d0 = if (delta.columns.contains("__has_dep"))
       delta.drop("__has_dep") else delta
     val d = valueCols.foldLeft(d0)((df, c) => df.withColumnRenamed(c, s"__d_$c"))
@@ -162,7 +175,7 @@ object IncrementalView {
       spec.groupBy.map(col) ++
         Seq((coalesce(col(spec.countCol), lit(0L)) +
           coalesce(col(s"__d_${spec.countCol}"), lit(0L))).as(spec.countCol)) ++
-        spec.sums.map { case (_, out) =>
+        spec.accumulators.map { case (out, _) =>
           (coalesce(col(out), lit(0).cast(SumType)) +
             coalesce(col(s"__d_$out"), lit(0).cast(SumType)))
             .cast(SumType).as(out) } ++
@@ -175,24 +188,32 @@ object IncrementalView {
     merged.where(col(spec.countCol) > 0)
   }
 
-  private def markerPath(viewTarget: String) =
-    Paths.get(viewTarget, "_ivm", "applied.v")
+  /** Manifest-metadata key holding the applied source version. The
+    * marker rides INSIDE the view table's own commit (MergeStore
+    * manifest metadata — Delta's txnVersion idiom), so "delta applied"
+    * and "high-water mark advanced" are one atomic CAS write: no crash
+    * window can leave the data merged but the marker stale, which is
+    * what made a redelivered foreachBatch batch double-apply. */
+  private[graft] val AppliedKey = "ivm.applied"
 
-  /** Source version the view currently reflects. */
-  def appliedVersion(viewTarget: String): Int =
-    new String(Files.readAllBytes(markerPath(viewTarget)), "UTF-8").trim.toInt
-
-  private def writeMarker(viewTarget: String, v: Int): Unit = {
-    val p = markerPath(viewTarget)
-    Files.createDirectories(p.getParent)
-    val tmp = Files.createTempFile(p.getParent, "applied", ".tmp")
-    Files.write(tmp, v.toString.getBytes("UTF-8"))
-    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+  /** Source version the view currently reflects — read from the newest
+    * manifest carrying [[AppliedKey]] (a compaction or other non-IVM
+    * commit to the view doesn't carry it; walk back past those). */
+  def appliedVersion(viewTarget: String): Int = {
+    val head = MergeStore.version(viewTarget)
+      .getOrElse(sys.error(s"no committed view at $viewTarget"))
+    (head to 0 by -1).iterator
+      .flatMap(v => MergeStore.manifestMeta(viewTarget, Some(v)).get(AppliedKey))
+      .map(_.toInt)
+      .nextOption()
+      .getOrElse(sys.error(
+        s"$viewTarget carries no $AppliedKey marker — not an IVM view " +
+          "(or every marked manifest was vacuumed; rebuild with initView)"))
   }
 
   /** Materialize the view from the source table's head snapshot — the
-    * one full aggregation the view ever runs. */
+    * one full aggregation the view ever runs. The applied marker
+    * commits atomically with the data (manifest metadata). */
   def initView(spark: SparkSession, sourceTarget: String,
                viewTarget: String, spec: IvmSpec,
                numFiles: Int = 4): Int = {
@@ -200,8 +221,8 @@ object IncrementalView {
       .getOrElse(sys.error(s"no committed version at $sourceTarget"))
     MergeStore.init(spark,
       fullState(MergeStore.read(spark, sourceTarget, Some(head)), spec),
-      viewTarget, numFiles, clusterBy = spec.groupBy)
-    writeMarker(viewTarget, head)
+      viewTarget, numFiles, clusterBy = spec.groupBy,
+      meta = Map(AppliedKey -> head.toString))
     head
   }
 
@@ -277,26 +298,65 @@ object IncrementalView {
           delta.select(spec.groupBy.map(col): _*))
         val emptied = candidates.join(
           next.select(spec.groupBy.map(col): _*), spec.groupBy, "left_anti")
-        val nUp = next.count()
-        if (nUp > 0)
-          MergeStore.merge(spark, next, viewTarget, pk = spec.groupBy,
-            maxRetries = 3)
-        val del =
-          if (emptied.isEmpty) 0L
-          else MergeStore.delete(spark, viewTarget, emptied,
-            pk = spec.groupBy, maxRetries = 3).rowsDeleted
-        writeMarker(viewTarget, newVersion)
-        (nUp, del)
+        // ONE commit: merged groups + emptied-group deletes + the
+        // applied marker, all behind the same manifest CAS — a crash
+        // either applied the whole batch (marker advanced, replay
+        // dropped by the high-water guard) or none of it (marker stale,
+        // replay re-applies cleanly). An empty delta still commits a
+        // metadata-only version so the marker advances past the span.
+        val stats = MergeStore.applyChanges(spark, viewTarget,
+          upserts = next, deleteKeys = emptied, pk = spec.groupBy,
+          meta = Map(AppliedKey -> newVersion.toString), maxRetries = 3)
+        (stats.rowsUpserted, stats.rowsDeleted)
       } finally next.unpersist()
     } finally delta.unpersist()
   }
 
   /** The view for consumers: exact decimal sums/extremes surfaced as
-    * DOUBLE (the q04 edge convention). */
+    * DOUBLE (the q04 edge convention); each AVG surfaced as its exact
+    * hidden sum over its exact hidden non-null count — both cast to
+    * double FIRST so one IEEE division decides the value on every
+    * engine; NULL when the group holds no non-null measure (SQL AVG). */
   def readView(spark: SparkSession, viewTarget: String,
                spec: IvmSpec): DataFrame =
     MergeStore.read(spark, viewTarget).select(
       spec.groupBy.map(col) ++ Seq(col(spec.countCol)) ++
         (spec.sums ++ spec.mins ++ spec.maxs).map { case (_, out) =>
-          col(out).cast("double").as(out) }: _*)
+          col(out).cast("double").as(out) } ++
+        spec.avgs.map { case (_, out) =>
+          when(col(s"__avg_cnt_$out") === 0, lit(null))
+            .otherwise(col(s"__avg_sum_$out").cast("double") /
+              col(s"__avg_cnt_$out").cast("double"))
+            .as(out) }: _*)
+
+  // ------------------------------------------------------------------
+  // COUNT(DISTINCT x) — exact, as a COMPOSITION of the machinery above
+  // (the classic IVM reduction): maintain a sub-view grouped by
+  // (groupBy ++ x) — each live sub-view row IS one distinct (group, x)
+  // pair, born when its first contributing fact arrives and dying with
+  // its last via the ordinary count-reaches-zero rule — then roll the
+  // distinct count up as a count of sub-view rows per group at READ
+  // time. The roll-up aggregates the view (tiny), never the facts, and
+  // both levels advance from the SAME change feed through refresh().
+  // ------------------------------------------------------------------
+
+  /** Spec for the (group, x) sub-view backing an exact per-group
+    * COUNT(DISTINCT `distinctCol`). NULLs don't count (SQL semantics):
+    * the selection filters them before weighting, identically on full
+    * and delta paths. Compose with a row-local `enrich` exactly as for
+    * any other view (flatmap enrichment counts distinct TOKENS, etc.). */
+  def distinctCountSpec(groupBy: Seq[String], distinctCol: String,
+                        enrich: DataFrame => DataFrame = identity): IvmSpec =
+    IvmSpec(groupBy :+ distinctCol, sums = Nil,
+      filter = Some(col(distinctCol).isNotNull), enrich = enrich)
+
+  /** Read a [[distinctCountSpec]] sub-view as (groupBy, `outCol` =
+    * COUNT(DISTINCT x)). Groups with zero distinct values are absent —
+    * the same group-death convention as every other view. */
+  def readDistinctCount(spark: SparkSession, viewTarget: String,
+                        groupBy: Seq[String],
+                        outCol: String = "n_distinct"): DataFrame =
+    MergeStore.read(spark, viewTarget)
+      .groupBy(groupBy.map(col): _*)
+      .agg(count(lit(1)).cast(LongType).as(outCol))
 }

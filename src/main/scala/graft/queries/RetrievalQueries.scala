@@ -42,16 +42,17 @@ object RetrievalQueries extends QueryFamily {
     3 -> "vector window stream",
     4 -> "customer order value")
 
-  /** The q76 BM25 oracle, shared VERBATIM by q89 (and, with a corpus
-    * predicate, by q105): the persisted index must reproduce the live
-    * formulation's scores exactly — over exactly the docs it holds. */
-  private def bm25OracleSqlWhere(corpusWhere: String): String =
+  /** The q76 BM25 oracle, shared VERBATIM by q89 (with a corpus
+    * predicate by q105, with a revised corpus by q108): the persisted
+    * index must reproduce the live formulation's scores exactly — over
+    * exactly the docs (and revisions) it holds. */
+  private def bm25OracleSqlOver(corpusSql: String): String =
     s"""
       WITH q(query_id, qtext) AS (VALUES
         ${querySet.map { case (i, t) => s"($i, '$t')" }.mkString(", ")}),
       toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        FROM documents WHERE $corpusWhere),
+        FROM ($corpusSql)),
       tf AS (
         SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
       dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
@@ -84,6 +85,9 @@ object RetrievalQueries extends QueryFamily {
       SELECT query_id, rank, doc_id, score FROM ranked
       WHERE rank <= 10
       ORDER BY query_id, rank"""
+
+  private def bm25OracleSqlWhere(corpusWhere: String): String =
+    bm25OracleSqlOver(s"SELECT doc_id, text FROM documents WHERE $corpusWhere")
 
   private lazy val bm25OracleSql: String = bm25OracleSqlWhere("TRUE")
 
@@ -332,5 +336,51 @@ object RetrievalQueries extends QueryFamily {
     },
     Some(bm25OracleSqlWhere("doc_id % 13 <> 0")))
 
-  override val defs: Seq[QueryDef] = Seq(q76, q80, q87, q89, q105)
+  /** q108's index: full corpus, then every doc_id % 13 == 0 REVISED via
+    * [[Bm25.upsertToIndex]] (two new ' upserttok' occurrences each) —
+    * one snapshot publish buries the old postings and lands the new. */
+  private val upsertedIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def upsertedIndexFor(s: SparkSession, dir: String): String =
+    upsertedIndexCache.computeIfAbsent(dir, _ => {
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-bm25-upsert-index").toString
+      Bm25.buildIndex(docs(s, dir), "doc_id", "text", d)
+      Bm25.upsertToIndex(docs(s, dir).where(col("doc_id") % 13 === 0)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" upserttok upserttok")).as("text")),
+        "doc_id", "text", d)
+      d
+    })
+
+  private val q108 = QueryDef(
+    "q108_bm25_index_upsert",
+    "Document UPDATE reaching the RETRIEVAL INDEX without a compaction: " +
+      "every doc_id % 13 == 0 is revised through Bm25.upsertToIndex — " +
+      "the batch's ids get a SEGMENT-SCOPED tombstone (kills their " +
+      "postings in all committed segments) and the revised postings " +
+      "land one segment higher, both inside ONE snapshot publish " +
+      "(Lucene's per-segment deleted-docs; Delta MERGE, index-shaped). " +
+      "df/doclen/stats recompute from the effective postings, so the " +
+      "oracle is the live BM25 formulation over the REVISED corpus — a " +
+      "doubled tf (old postings leaking), stale df, or drifted " +
+      "dl/avgdl breaks the hash.",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      val qs = querySet.toDF("query_id", "qtext")
+      Bm25.searchTopKIndexed(upsertedIndexFor(s, dir), qs,
+          "query_id", "qtext", k = 10)
+        .select(col("query_id"), col("rank"), col("doc").as("doc_id"),
+          col("score"))
+        .orderBy("query_id", "rank")
+    },
+    Some(bm25OracleSqlOver(
+      "SELECT doc_id, CASE WHEN doc_id % 13 = 0 " +
+        "THEN text || ' upserttok upserttok' ELSE text END AS text " +
+        "FROM documents")))
+
+  override val defs: Seq[QueryDef] = Seq(q76, q80, q87, q89, q105, q108)
 }

@@ -158,6 +158,24 @@ object SimilarityQueries extends QueryFamily {
       LIMIT 10"""
   }
 
+  /** One persisted IVF index per sf dir (the q89/q105 caching
+    * convention): built once through [[graft.store.IvfStore]]'s atomic
+    * snapshot protocol, reused by every later pass — so the ORACLED ANN
+    * query exercises the transactional cluster-partitioned layout, and
+    * the search resolves vectors AND model from one pinned snapshot. */
+  private val ivfStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivfStoreDir(s: SparkSession, dir: String): String =
+    ivfStoreCache.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-ivf-q39")
+        .toString
+      val e = emb(s, dir)
+      graft.store.IvfStore.init(s, e, "embedding",
+        IvfIndex.train(e, "vec_id", "embedding", k = 16), d)
+      d
+    })
+
   private val q39 = QueryDef(
     "q39_ann_ivf_topk",
     "IVF ANN top-10 for vec_id=0: spherical k-means coarse quantizer " +
@@ -165,18 +183,21 @@ object SimilarityQueries extends QueryFamily {
       "assignment in one codegen projection, search probes the 4 best " +
       "clusters only — at scale the probe is partition pruning over a " +
       "partitionBy(ivf_cluster) table, reading nprobe/k of the corpus. " +
-      "Approximate by design, but fully deterministic: the oracle retrains " +
-      "the identical model at Verify time and replicates assignment + " +
-      "probing with injected centroid literals. IvfSpec additionally pins " +
-      "nprobe=k == exact brute force and measured recall at nprobe=4.",
+      "The corpus here IS that table: IvfStore's committed snapshot " +
+      "(atomic publish, version pinning), with the search resolving " +
+      "vectors and centroids from the same snapshot so a model/version " +
+      "mismatch is impossible. Approximate by design, but fully " +
+      "deterministic: the oracle retrains the identical model at Verify " +
+      "time and replicates assignment + probing with injected centroid " +
+      "literals. IvfSpec additionally pins nprobe=k == exact brute " +
+      "force and measured recall at nprobe=4.",
     (s, dir) => {
       val e = emb(s, dir)
-      val model = IvfIndex.train(e, "vec_id", "embedding", k = 16)
-      val indexed = IvfIndex.assign(s, e, "embedding", model)
+      val indexDir = ivfStoreDir(s, dir)
       val qv = e.where(org.apache.spark.sql.functions.col("vec_id") === 0L)
         .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
-      IvfIndex.searchTopK(s, indexed, "vec_id", "embedding", model, qv,
-        k = 10, nprobe = 4)
+      graft.store.IvfStore.searchTopK(s, indexDir, "vec_id", "embedding",
+        qv, k = 10, nprobe = 4)
     },
     None,
     oracleGen = Some((s, dir) => ivfOracle(s, dir)))

@@ -378,6 +378,104 @@ object StoreQueries extends QueryFamily {
       GROUP BY token
       ORDER BY token"""))
 
+  private val q109 = QueryDef(
+    "q109_incremental_avg",
+    "Incremental AVG: a KPI view (count + exact sum + AVG of " +
+      "o_totalprice per priority) maintained purely from the change " +
+      "feed — AVG desugars to a hidden exact-decimal SUM and a hidden " +
+      "non-null COUNT, both ordinary ±-weighted accumulators, surfaced " +
+      "as one double division at read. Same mutation script as q96 " +
+      "(priority moves, then deletes); the oracle recomputes " +
+      "sum(decimal)/count from scratch — a drifted hidden counter or a " +
+      "float-associated sum breaks the hash.",
+    (s, dir) => {
+      val spec = IncrementalView.IvmSpec(
+        groupBy = Seq("o_orderpriority"),
+        sums = Seq("o_totalprice" -> "sum_price"),
+        avgs = Seq("o_totalprice" -> "avg_price"))
+      val target = preparedTable(s, dir, "q109",
+        base = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice")),
+        clusterBy = Seq("o_orderkey")) { t =>
+        val view = s"$t-view"
+        IncrementalView.initView(s, t, view, spec)
+        MergeStore.merge(s,
+          MergeStore.read(s, t).where(col("o_orderkey") % 7 === 0)
+            .withColumn("o_orderpriority", lit("9-MOVED")),
+          t, pk = Seq("o_orderkey")) // v1
+        IncrementalView.refresh(s, t, view, spec)
+        MergeStore.delete(s, t,
+          MergeStore.read(s, t).where(col("o_orderkey") % 11 === 0)
+            .select(col("o_orderkey")),
+          pk = Seq("o_orderkey")) // v2
+        IncrementalView.refresh(s, t, view, spec)
+      }
+      IncrementalView.readView(s, s"$target-view", spec)
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+               AS sum_price,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) /
+               CAST(count(o_totalprice) AS DOUBLE) AS avg_price
+      FROM (
+        SELECT CASE WHEN o_orderkey % 7 = 0 THEN '9-MOVED'
+                    ELSE o_orderpriority END AS o_orderpriority,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 11 <> 0)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  private val q110 = QueryDef(
+    "q110_incremental_distinct",
+    "Incremental COUNT(DISTINCT): distinct customers per priority as a " +
+      "COMPOSITION — a (priority, custkey) sub-view where each live " +
+      "row IS one distinct pair (born with its first contributing " +
+      "order, dead with its last via count-reaches-zero), rolled up as " +
+      "a count of sub-view rows per priority at read time. v1 rewires " +
+      "every o_orderkey % 7 == 0 to custkey % 50 (pairs die where the " +
+      "moved order was the sole contributor, small-key pairs are " +
+      "born), v2 deletes o_orderkey % 11 == 0. The oracle recomputes " +
+      "count(DISTINCT) from scratch — a lingering dead pair or a " +
+      "missed birth breaks the hash.",
+    (s, dir) => {
+      val spec = IncrementalView.distinctCountSpec(
+        Seq("o_orderpriority"), "o_custkey")
+      val target = preparedTable(s, dir, "q110",
+        base = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_custkey")),
+        clusterBy = Seq("o_orderkey")) { t =>
+        val view = s"$t-view"
+        IncrementalView.initView(s, t, view, spec)
+        MergeStore.merge(s,
+          MergeStore.read(s, t).where(col("o_orderkey") % 7 === 0)
+            .withColumn("o_custkey", col("o_custkey") % 50),
+          t, pk = Seq("o_orderkey")) // v1
+        IncrementalView.refresh(s, t, view, spec)
+        MergeStore.delete(s, t,
+          MergeStore.read(s, t).where(col("o_orderkey") % 11 === 0)
+            .select(col("o_orderkey")),
+          pk = Seq("o_orderkey")) // v2
+        IncrementalView.refresh(s, t, view, spec)
+      }
+      IncrementalView.readDistinctCount(s, s"$target-view",
+          Seq("o_orderpriority"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+      FROM (
+        SELECT o_orderpriority,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_custkey % 50
+                    ELSE o_custkey END AS o_custkey
+        FROM orders WHERE o_orderkey % 11 <> 0)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q91, q92, q96, q97, q98, q101, q107)
+    Seq(q91, q92, q96, q97, q98, q101, q107, q109, q110)
 }

@@ -28,25 +28,67 @@ import graft.operators.IvfIndex
 object IvfStore {
 
   private val Vectors = "vectors"
+  private val Model = "model"
 
   def currentVersion(indexDir: String): Option[Int] =
     SnapshotStore.currentVersion(indexDir)
 
-  /** Create the index: assign the corpus and publish snapshot v0. */
+  /** The snapshot carries its own MODEL (`model/` — (cid, centroid)
+    * parquet) next to the vectors: a probe against snapshot v is only
+    * correct with the exact centroids that assigned v, so the model must
+    * ride the same atomic publish — a pinned/time-travel reader after a
+    * drift retrain would otherwise probe old clusters with new
+    * centroids, silently wrong. The BM25 snapshot's self-containment
+    * (postings + df + doclen + stats in one publish), applied to the
+    * vector index; the reference's registry-as-single-source-of-truth
+    * principle (`registry.py:5-10`) for index metadata. */
+  private def writeModel(spark: SparkSession, model: IvfIndex.Model,
+                         stage: java.nio.file.Path): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("cid", IntegerType, nullable = false),
+      StructField("centroid", ArrayType(DoubleType), nullable = false)))
+    spark.createDataFrame(
+        model.centroids.zipWithIndex
+          .map { case (c, i) => Row(i, c.toSeq) }.toList.asJava, schema)
+      .coalesce(1) // k rows — genuinely tiny, one file by design
+      .write.parquet(s"$stage/$Model")
+  }
+
+  /** The model a committed snapshot's vectors were assigned with
+    * (newest snapshot by default). Doubles round-trip parquet exactly,
+    * so the read-back centroids are bit-identical to the trained ones. */
+  def model(spark: SparkSession, indexDir: String,
+            version: Option[Int] = None): IvfIndex.Model = {
+    val rows = spark.read
+      .parquet(s"${SnapshotStore.resolve(indexDir, version)}/$Model")
+      .orderBy("cid").collect()
+    val centroids = rows.map(r => r.getSeq[Double](1).toArray)
+    require(rows.map(_.getInt(0)).toSeq == centroids.indices,
+      s"corrupt model table at $indexDir: cids not contiguous from 0")
+    IvfIndex.Model(centroids)
+  }
+
+  /** Create the index: assign the corpus with `model` and publish
+    * snapshot v0 — vectors AND the model that assigned them, atomically. */
   def init(spark: SparkSession, df: DataFrame, vecCol: String,
            model: IvfIndex.Model, indexDir: String,
            clusterCol: String = "ivf_cluster"): Int = {
     val stage = SnapshotStore.stage(indexDir)
     IvfIndex.assign(spark, df, vecCol, model, clusterCol)
       .write.partitionBy(clusterCol).parquet(s"$stage/$Vectors")
+    writeModel(spark, model, stage)
     SnapshotStore.publish(indexDir, stage,
       currentVersion(indexDir).getOrElse(-1))
   }
 
   /** Append a batch as a new atomic snapshot: batch files written fresh,
-    * prior snapshot carried by hard link. A concurrent reader pinned on
-    * the old version keeps a complete consistent index; the next
-    * resolve sees the complete new one. */
+    * prior snapshot carried by hard link, and the (possibly retrained)
+    * `model` republished INSIDE the snapshot — a drift retrain swaps
+    * model + vectors in one publish, so no reader can ever pair a
+    * version with the wrong centroids. A concurrent reader pinned on
+    * the old version keeps the old model with the old vectors. */
   def append(spark: SparkSession, batch: DataFrame, vecCol: String,
              model: IvfIndex.Model, indexDir: String,
              clusterCol: String = "ivf_cluster"): Int = {
@@ -58,7 +100,21 @@ object IvfStore {
     IvfIndex.assign(spark, batch, vecCol, model, clusterCol)
       .write.partitionBy(clusterCol).parquet(s"$stage/$Vectors")
     SnapshotStore.carryLink(prev, stage.resolve(Vectors), s"carry-$parentV-")
+    writeModel(spark, model, stage)
     SnapshotStore.publish(indexDir, stage, parentV)
+  }
+
+  /** [[IvfIndex.searchTopK]] against ONE committed snapshot: vectors and
+    * model resolve from the SAME version, so a model/vector mismatch is
+    * impossible by construction — the probe list comes from the
+    * centroids that actually assigned the partitions being pruned. */
+  def searchTopK(spark: SparkSession, indexDir: String, idCol: String,
+                 vecCol: String, queryVec: Array[Double], k: Int,
+                 nprobe: Int, version: Option[Int] = None,
+                 clusterCol: String = "ivf_cluster"): DataFrame = {
+    val v = version.orElse(currentVersion(indexDir))
+    IvfIndex.searchTopK(spark, read(spark, indexDir, v), idCol, vecCol,
+      model(spark, indexDir, v), queryVec, k, nprobe, clusterCol)
   }
 
   /** Read a committed snapshot's vector table (newest by default) —
@@ -88,6 +144,22 @@ object IvfStore {
     val prev = java.nio.file.Paths
       .get(SnapshotStore.resolve(indexDir, Some(parentV)), Vectors)
     val vectors = read(spark, indexDir, Some(parentV))
+    // The carry step below matches partition DIRECTORIES by the raw
+    // string s"$clusterCol=$value" — correct only while the value needs
+    // none of Spark's partition-path escaping. Integral cluster ids
+    // (what assign() produces) never do; anything else must not reach
+    // this path silently, or an escaped on-disk dir name would miss the
+    // affectedDirs match and the old full partition would be hard-link
+    // carried NEXT TO the survivor rewrite (duplicating survivors and
+    // resurrecting doomed rows).
+    val clusterType = vectors.schema(clusterCol).dataType
+    require(Seq(org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(clusterType),
+      s"IvfStore.delete: cluster column '$clusterCol' must be integral " +
+        s"(got $clusterType) — non-integral values need partition-path " +
+        "escaping the directory carry does not apply")
     val doomed = doomedIds
       .select(col(doomedIds.columns.head).as(idCol)).distinct()
     // Affected cluster list: bounded by k (the coarse-quantizer size),
@@ -97,6 +169,12 @@ object IvfStore {
       .collect().map(_.get(0)).toSeq
     if (affected.isEmpty) return parentV
     val stage = SnapshotStore.stage(indexDir)
+    // Deletion never retrains the quantizer: the parent's model carries
+    // by hard link so the new snapshot stays self-contained.
+    SnapshotStore.carryLink(
+      java.nio.file.Paths.get(SnapshotStore.resolve(indexDir, Some(parentV)),
+        Model),
+      stage.resolve(Model), s"carry-$parentV-")
     vectors.where(col(clusterCol).isin(affected: _*)) // partition-pruned
       .join(doomed, Seq(idCol), "left_anti")
       .write.partitionBy(clusterCol).parquet(s"$stage/$Vectors")

@@ -85,13 +85,38 @@ object MergeStore {
 
   /** Live relative file names of a committed version (newest by default).
     * Old manifests stay readable until [[vacuum]] reclaims their files —
-    * cheap time travel for debugging a bad merge. */
+    * cheap time travel for debugging a bad merge. Metadata lines
+    * (`#key=value`, see [[manifestMeta]]) are not files. */
   def liveFiles(target: String, version: Option[Int] = None): Seq[String] =
     version.orElse(currentVersion(target)) match {
       case None => Seq.empty
       case Some(v) =>
         Files.readAllLines(manifestDir(target).resolve(s"v$v.list"))
-          .asScala.toSeq.filter(_.nonEmpty)
+          .asScala.toSeq.filter(l => l.nonEmpty && !l.startsWith("#"))
+    }
+
+  /** Metadata recorded INSIDE a manifest commit — `#key=value` lines
+    * ahead of the file list. State that must advance atomically with a
+    * commit (an IVM view's applied source version, a sink's transaction
+    * watermark) rides the same create-if-absent CAS write as the file
+    * list, so no crash window can separate "data applied" from "marker
+    * advanced" — Delta's txnAppId/txnVersion idiom. Empty for versions
+    * whose writer attached none, and for vacuumed (missing) manifests. */
+  def manifestMeta(target: String,
+                   version: Option[Int] = None): Map[String, String] =
+    version.orElse(currentVersion(target)) match {
+      case None => Map.empty
+      case Some(v) =>
+        val p = manifestDir(target).resolve(s"v$v.list")
+        if (!Files.exists(p)) Map.empty
+        else Files.readAllLines(p).asScala
+          .filter(_.startsWith("#"))
+          .map { l =>
+            val kv = l.stripPrefix("#")
+            val i = kv.indexOf('=')
+            require(i > 0, s"malformed manifest metadata line at $target v$v: $l")
+            kv.take(i) -> kv.drop(i + 1)
+          }.toMap
     }
 
   /** Atomically publish `files` as version `parent + 1`, FAILING if that
@@ -109,13 +134,20 @@ object MergeStore {
     * two racing writers silently lost one commit.) On an object store
     * the same slot maps to a conditional PUT (If-None-Match) or a
     * commit/catalog service. */
-  private def commit(target: String, files: Seq[String], parent: Int): Int = {
+  private def commit(target: String, files: Seq[String], parent: Int,
+                     meta: Map[String, String] = Map.empty): Int = {
     val next = parent + 1
     val dir = manifestDir(target)
     Files.createDirectories(dir)
+    meta.foreach { case (k, v) =>
+      require(k.nonEmpty && !k.contains('=') && !(k + v).exists(c => c == '\n' || c == '\r'),
+        s"manifest metadata key/value must be newline-free and '='-free keys: $k=$v")
+    }
+    val metaLines = meta.toSeq.sorted.map { case (k, v) => s"#$k=$v" }
     val tmp = dir.resolve(
       s".v$next-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    Files.write(tmp, files.sorted.mkString("\n").getBytes("UTF-8"))
+    Files.write(tmp,
+      (metaLines ++ files.sorted).mkString("\n").getBytes("UTF-8"))
     try {
       Files.createLink(dir.resolve(s"v$next.list"), tmp)
       next
@@ -157,12 +189,13 @@ object MergeStore {
     * range — the layout that makes a key-local update batch touch few
     * files (and parquet min/max stats prune scans). */
   def init(spark: SparkSession, df: DataFrame, target: String,
-           numFiles: Int, clusterBy: Seq[String] = Nil): Unit = {
+           numFiles: Int, clusterBy: Seq[String] = Nil,
+           meta: Map[String, String] = Map.empty): Unit = {
     val arranged =
       if (clusterBy.nonEmpty) df.repartitionByRange(numFiles, clusterBy.map(col): _*)
       else df.repartition(numFiles)
     val files = writeFiles(arranged, target)
-    commit(target, files, currentVersion(target).getOrElse(-1))
+    commit(target, files, currentVersion(target).getOrElse(-1), meta)
   }
 
   /** Read a committed version (newest by default) — exactly the
@@ -411,6 +444,106 @@ object MergeStore {
     DeleteStats(before.size, affected.size, rowsDeleted)
   }
 
+  final case class ApplyStats(filesTotal: Int, filesRewritten: Int,
+                              rowsUpserted: Long, rowsDeleted: Long)
+
+  /** MERGE `upserts` and DELETE `deleteKeys` in ONE atomic commit, with
+    * optional manifest metadata — the transactional sink for a consumer
+    * that must apply a change batch PLUS its progress marker
+    * all-or-nothing (IncrementalView's delta application: separate
+    * merge / delete / marker steps left a crash window where a
+    * redelivered batch double-applied the delta). Same file-granular
+    * COW shape as [[merge]] + [[delete]] fused: affected files are
+    * those holding a matched upsert key OR a doomed delete key; their
+    * survivors (rows matching neither) rewrite together with the
+    * incoming batch, everything else carries by manifest reference. A
+    * key in BOTH sets ends PRESENT (delete-then-upsert composition). A
+    * batch that touches nothing still commits a metadata-only version
+    * when `meta` is non-empty, so progress markers advance past empty
+    * spans. OCC retry semantics match the single verbs. */
+  def applyChanges(spark: SparkSession, target: String, upserts: DataFrame,
+                   deleteKeys: DataFrame, pk: Seq[String],
+                   ordCols: Seq[String] = Nil,
+                   meta: Map[String, String] = Map.empty,
+                   maxRetries: Int = 0,
+                   snapshotVersion: Option[Int] = None): ApplyStats =
+    try applyChangesOnce(spark, target, upserts, deleteKeys, pk, ordCols,
+      meta, snapshotVersion)
+    catch {
+      case _: java.util.ConcurrentModificationException if maxRetries > 0 =>
+        applyChanges(spark, target, upserts, deleteKeys, pk, ordCols, meta,
+          maxRetries - 1)
+    }
+
+  private def applyChangesOnce(spark: SparkSession, target: String,
+                               upserts: DataFrame, deleteKeys: DataFrame,
+                               pk: Seq[String], ordCols: Seq[String],
+                               meta: Map[String, String],
+                               snapshotVersion: Option[Int]): ApplyStats = {
+    require(pk.nonEmpty, s"applyChanges at $target needs a key")
+    val parentV = snapshotVersion.orElse(currentVersion(target))
+      .getOrElse(sys.error(s"no committed version at $target"))
+    val before = liveFiles(target, Some(parentV))
+    val snapshot = read(spark, target, Some(parentV))
+    val ord = if (ordCols.nonEmpty) ordCols.map(col)
+      else Seq(monotonically_increasing_id())
+    val incoming = Upsert.dedupByKey(
+        upserts.where(pk.map(col(_).isNotNull).reduce(_ && _)), pk, ord)
+      .select(snapshot.columns.map(col).toIndexedSeq: _*).cache()
+    val keys = deleteKeys.select(pk.map(col): _*)
+      .where(pk.map(col(_).isNotNull).reduce(_ && _)).distinct().cache()
+    try {
+      val live = snapshot
+        .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
+      val matchedUp = live.join(incoming, pk, "left_semi")
+      val matchedDel = live.join(keys, pk, "left_semi")
+      val affected = matchedUp.select("__file")
+        .union(matchedDel.select("__file")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val rowsUpserted = incoming.count()
+      // Deleted = doomed keys present in the snapshot and NOT re-upserted
+      // (delete-then-upsert composition: such a key survives as the
+      // incoming row, so it did not end deleted).
+      val rowsDeleted = matchedDel.join(incoming, pk, "left_anti").count()
+      if (affected.isEmpty && rowsUpserted == 0L) {
+        // Nothing to rewrite: a metadata-only commit still advances the
+        // progress marker atomically (same file list, next version).
+        if (meta.nonEmpty) commit(target, before, parentV, meta)
+        return ApplyStats(before.size, 0, 0L, 0L)
+      }
+      val survivors = live
+        .where(col("__file").isin(affected.toSeq: _*))
+        .join(incoming, pk, "left_anti")
+        .join(keys, pk, "left_anti")
+        .drop("__file")
+      val replacement = survivors.unionByName(incoming)
+      val newFiles =
+        if (affected.isEmpty) writeFiles(incoming, target)
+        else if (replacement.isEmpty) Seq.empty
+        else writeFiles(
+          replacement.repartition(math.max(1, affected.size)), target)
+      commit(target, (before.filterNot(affected) ++ newFiles).distinct,
+        parentV, meta)
+      ApplyStats(before.size, affected.size, rowsUpserted, rowsDeleted)
+    } finally { incoming.unpersist(); keys.unpersist() }
+  }
+
+  /** Loud contract for consumers reading BEHIND head: every manifest a
+    * change-feed span touches must still exist. After a vacuum dropped
+    * one, the raw failure was a NoSuchFileException mid-plan (or a
+    * FileNotFoundException mid-job); this names the cause and the
+    * remedy instead. */
+  private def requireSpanReadable(target: String, versions: Int*): Unit = {
+    val missing = versions.distinct.sorted.filterNot(v =>
+      Files.exists(manifestDir(target).resolve(s"v$v.list")))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"change-feed span version(s) ${missing.mkString(", ")} vacuumed " +
+          s"at $target — increase retainVersions (or the vacuum grace " +
+          "window) so retention covers this consumer's lag, and rebuild " +
+          "the consumer from a retained snapshot")
+  }
+
   /** Row-level diff between two committed versions (change-data-feed
     * lite): the rows of `toVersion` that are NOT in `fromVersion` — i.e.
     * every inserted row plus the post-image of every update. Because
@@ -421,6 +554,7 @@ object MergeStore {
     * multiplicity honest. */
   def diff(spark: SparkSession, target: String,
            fromVersion: Int, toVersion: Int): DataFrame = {
+    requireSpanReadable(target, fromVersion, toVersion)
     def readFiles(names: Seq[String]): Option[DataFrame] =
       if (names.isEmpty) None
       else Some(spark.read.option("mergeSchema", "true").parquet(
@@ -464,6 +598,7 @@ object MergeStore {
               fromVersion: Int, toVersion: Int,
               pk: Seq[String], includePreimages: Boolean = false): DataFrame = {
     require(pk.nonEmpty, s"changes at $target needs a key")
+    requireSpanReadable(target, fromVersion, toVersion)
     def readFiles(names: Seq[String]): Option[DataFrame] =
       if (names.isEmpty) None
       else Some(spark.read.option("mergeSchema", "true").parquet(

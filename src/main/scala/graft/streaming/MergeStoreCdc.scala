@@ -106,22 +106,64 @@ class MergeStoreCdcProvider extends StreamSourceProvider with DataSourceRegister
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     new MergeStoreCdcSource(sqlContext.sparkSession, path(parameters), pk,
       parameters.get("includePreimages").exists(_.toBoolean),
-      parameters.get("fromVersion").map(_.toInt))
+      parameters.get("fromVersion").map(_.toInt), metadataPath)
   }
 }
 
 class MergeStoreCdcSource(spark: SparkSession, path: String,
                           pk: Seq[String], includePreimages: Boolean,
-                          fromVersion: Option[Int])
+                          fromVersion: Option[Int], metadataPath: String)
     extends Source with SupportsTriggerAvailableNow {
   import MergeStoreCdc._
 
-  /** Commits at or below this version are NOT emitted. Resolved once at
-    * source creation; on checkpoint restart the engine's stored offsets
-    * take precedence (getBatch receives them), so this only seeds a
-    * fresh query. */
-  private val startVersion: Int = fromVersion.getOrElse(
-    MergeStore.version(path).getOrElse(0))
+  // ------------------------------------------------------------------
+  // The start version — commits at or below it are never emitted — is
+  // resolved ONCE per CHECKPOINT and persisted under the source's
+  // checkpoint metadata dir (the FileStreamSource own-log pattern;
+  // Delta's startingVersion semantic). Re-resolving `fromVersion = None`
+  // to "the current head" at every source CREATION was wrong twice
+  // over: commits landing while the query was down (checkpointed offset
+  // < v <= restart-time head) were hidden behind the new start and an
+  // AvailableNow run terminated without draining them; and the v1
+  // restart contract — the engine re-calls getBatch(None, lastEnd) for
+  // batch 0 both to re-initialize a source after a committed batch and
+  // to RERUN an uncommitted one — needs the start that batch was
+  // originally built against, or the rerun returns the wrong span.
+  // ------------------------------------------------------------------
+
+  private def startFile: java.nio.file.Path = {
+    val base =
+      try {
+        val uri = java.net.URI.create(metadataPath)
+        if (uri.getScheme == null) java.nio.file.Paths.get(metadataPath)
+        else java.nio.file.Paths.get(uri)
+      } catch {
+        case _: IllegalArgumentException =>
+          java.nio.file.Paths.get(metadataPath)
+      }
+    base.resolve("graft-cdc-start.v")
+  }
+
+  /** Commits at or below this version are NOT emitted. First creation
+    * under a checkpoint resolves it (explicit `fromVersion`, else the
+    * current head — "new changes only") and persists it; every later
+    * creation reads it back, so the stream's origin is a property of
+    * the CHECKPOINT, not of when the process happened to restart. */
+  private val startVersion: Int = {
+    val p = startFile
+    if (java.nio.file.Files.exists(p))
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toInt
+    else {
+      val v = fromVersion.getOrElse(MergeStore.version(path).getOrElse(0))
+      java.nio.file.Files.createDirectories(p.getParent)
+      val tmp = java.nio.file.Files.createTempFile(p.getParent, ".start", ".tmp")
+      java.nio.file.Files.write(tmp, v.toString.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      v
+    }
+  }
 
   override val schema: StructType = cdcSchema(spark, path)
 
@@ -162,8 +204,17 @@ class MergeStoreCdcSource(spark: SparkSession, path: String,
     // Belt and braces with changes()' stable-order contract: the
     // InternalRow wrap below is POSITIONAL, so align to the source
     // schema explicitly before dropping to rows.
-    val batch = changesByCommit(spark, path, pk, includePreimages, fromV, toV)
-      .select(schema.fieldNames.map(col): _*)
+    // An empty/inverted span is a no-op batch, not an error: the engine's
+    // restart re-initialization calls getBatch(None, lastEnd), and a
+    // checkpoint whose whole history sits at or below the (persisted)
+    // start resolves to exactly that shape. Nothing below the start is
+    // ever emitted, so nothing can be lost here.
+    val batch =
+      if (toV <= fromV)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      else changesByCommit(spark, path, pk, includePreimages, fromV, toV)
+        .select(schema.fieldNames.map(col): _*)
     // v1 contract: the returned plan must be flagged streaming (see
     // SparkStreamingShim). Rows still compute lazily, inside the
     // micro-batch's own job.

@@ -47,7 +47,13 @@ object StreamingIvm {
         pk = Seq(graft.store.MergeStore.read(spark, sourceTarget)
           .columns.head),
         includePreimages = true,
-        fromVersion = Some(0) /* guarded below; checkpoint advances it */)
+        // Seed at the view's OWN high-water mark, not 0: a view
+        // initialized when the source was already at version N must not
+        // rematerialize (0, N] on its first micro-batch (all of it would
+        // be at-or-below the applied marker), and a commit landing
+        // before the first stream run must not straddle the marker.
+        // Once the checkpoint holds offsets, they take precedence.
+        fromVersion = Some(IncrementalView.appliedVersion(viewTarget)))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         applyCdcBatch(batch, viewTarget, spec,
@@ -72,11 +78,16 @@ object StreamingIvm {
       .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
     val applied = IncrementalView.appliedVersion(viewTarget)
     if (hi <= applied) return false // replayed batch: drop whole
-    require(lo > applied,
-      s"CDC batch [$lo,$hi] straddles the view's applied version " +
-        s"$applied at $viewTarget — feed and view marker have diverged")
+    // A batch straddling the marker (lo <= applied < hi) happens when
+    // the view advanced OUTSIDE this stream (a manual refresh between
+    // runs, or a checkpoint older than the marker): the already-applied
+    // prefix must be dropped per-commit, not hard-failed — commits are
+    // whole within the feed, so the version filter slices exactly.
+    val fresh =
+      if (lo > applied) batch
+      else batch.where(col(MergeStoreCdc.CommitVersionCol) > applied)
     val delta = IncrementalView.deltaState(
-      batch.drop(MergeStoreCdc.CommitVersionCol), spec)
+      fresh.drop(MergeStoreCdc.CommitVersionCol), spec)
     IncrementalView.applyDeltaToStore(spark, viewTarget, delta, spec,
       hi.toInt, source)
     true

@@ -54,10 +54,18 @@ object StreamingSync {
                     pk: Seq[String]): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
+    // Robust to a pre-image-bearing feed (includePreimages = true):
+    // update_preimage rows TIE their post-image on _commit_version, so
+    // they must be dropped before the terminal-change window or
+    // row_number could nondeterministically pick the stale pre-image.
+    // replicate() builds the feed without pre-images; this keeps the
+    // public batch-apply correct for any caller's feed.
+    val events = batch
+      .where(col(MergeStoreCdc.ChangeTypeCol) =!= "update_preimage")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(pk.map(col): _*)
       .orderBy(col(MergeStoreCdc.CommitVersionCol).desc)
-    val terminal = batch
+    val terminal = events
       .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
       .drop("__rn", MergeStoreCdc.CommitVersionCol)
     val upserts = terminal.where(col(MergeStoreCdc.ChangeTypeCol).isin(

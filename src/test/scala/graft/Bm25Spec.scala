@@ -161,20 +161,75 @@ class Bm25Spec extends SparkSpec {
     Bm25.appendToIndex(extra, "doc_id", "text", dir) // v2
     Bm25.appendToIndex(extra, "doc_id", "text", cleanDir)
     assert(run(dir) == run(cleanDir))
-    // Re-inserting a tombstoned id is refused loudly (compact first).
-    val clash = docs.where(col("doc_id") % 5 === 0).limit(1)
+    // Re-inserting a TOMBSTONED id is a fresh revision ABOVE the marker
+    // (segment-scoped tombstones): its buried old postings stay dead —
+    // no resurrection — so the result equals the clean index with the
+    // same doc appended. (Round-9 refused this; the seg scope makes it
+    // well-defined.)
+    val clash = docs.where(col("doc_id") % 5 === 0)
+      .orderBy(col("doc_id")).limit(1)
       .select(col("doc_id"), col("text"))
-    intercept[IllegalArgumentException] {
-      Bm25.appendToIndex(clash, "doc_id", "text", dir)
-    }
+    Bm25.appendToIndex(clash, "doc_id", "text", dir) // v3
+    Bm25.appendToIndex(clash, "doc_id", "text", cleanDir)
+    assert(run(dir) == run(cleanDir))
     // Compaction folds tombstones physically: same results, no
-    // tombstone table, and the previously-refused append now passes.
-    Bm25.compactIndex(spark, dir) // v3
+    // tombstone table.
+    Bm25.compactIndex(spark, dir) // v4
     assert(run(dir) == run(cleanDir))
     assert(!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(
       Bm25.resolveSnapshot(dir), "tombstones")))
-    Bm25.appendToIndex(clash, "doc_id", "text", dir) // v4: ok now
-    assert(run(dir) != run(cleanDir)) // the re-inserted doc is back
+  }
+
+  test("upsertToIndex: one publish; scores == index built from scratch on the revised corpus") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val docs = graft.core.Tables.load(spark, sf(), "documents")
+    val dir = tmpDir("bm25-upsert")
+    val scratchDir = tmpDir("bm25-upsert-scratch")
+    Bm25.buildIndex(docs, "doc_id", "text", dir) // v0
+    val qs = Seq(0 -> "dup hash join", 1 -> "upserttok batch")
+      .toDF("query_id", "qtext")
+    def run(d: String, v: Option[Int] = None) =
+      Bm25.searchTopKIndexed(d, qs, "query_id", "qtext", k = 10,
+          version = v)
+        .select(col("query_id"), col("rank"), col("doc"), col("score"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSeq.sorted
+    val before = run(dir)
+    // Revise every doc_id % 7 == 0: old postings buried, new ones land
+    // in the SAME publish — exactly one new version.
+    val revised = docs.where(col("doc_id") % 7 === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" upserttok upserttok")).as("text"))
+    val v1 = Bm25.upsertToIndex(revised, "doc_id", "text", dir)
+    assert(v1 == 1)
+    // Bit-identical to an index that only ever saw the revised corpus:
+    // a doubled tf, stale df, or drifted dl/avgdl all break this.
+    Bm25.buildIndex(docs.where(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("text")).unionByName(revised),
+      "doc_id", "text", scratchDir)
+    assert(run(dir) == run(scratchDir))
+    assert(run(dir) != before) // the revision is visible
+    assert(run(dir, Some(0)) == before) // pinned pre-upsert reader intact
+    // Upserting the SAME docs again replaces their markers (not max()):
+    // the second revision buries the first, scores track a from-scratch
+    // index of the twice-revised corpus.
+    val revised2 = docs.where(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" upserttok")).as("text"))
+    Bm25.upsertToIndex(revised2, "doc_id", "text", dir) // v2
+    val scratch2 = tmpDir("bm25-upsert-scratch2")
+    Bm25.buildIndex(docs.where(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("text")).unionByName(revised2),
+      "doc_id", "text", scratch2)
+    assert(run(dir) == run(scratch2))
+    // Append-after-upsert of an unrelated batch still works.
+    import spark.implicits._
+    val extra = Seq((9000002L, "dup upserttok extra")).toDF("doc_id", "text")
+    Bm25.appendToIndex(extra, "doc_id", "text", dir) // v3
+    Bm25.appendToIndex(extra, "doc_id", "text", scratch2)
+    assert(run(dir) == run(scratch2))
+    // Compaction folds the markers; results unchanged.
+    Bm25.compactIndex(spark, dir)
+    assert(run(dir) == run(scratch2))
   }
 
   test("query-side scale flip: shuffle join == broadcast join row-for-row") {

@@ -84,6 +84,61 @@ class IncrementalViewSpec extends SparkSpec {
     assert(s5.fromVersion == s5.toVersion)
   }
 
+  test("a refresh is ONE view commit carrying the applied marker (no crash window)") {
+    val t = tmpDir("ivm-atomic") + "/tbl"
+    val view = tmpDir("ivm-atomic") + "/view"
+    MergeStore.init(spark, rows(1000), t, numFiles = 4, clusterBy = Seq("id"))
+    IncrementalView.initView(spark, t, view, spec)
+    // initView's marker rides the init commit's manifest metadata.
+    assert(MergeStore.manifestMeta(view) == Map("ivm.applied" -> "0"))
+    // A commit that both updates groups AND kills one: the old path ran
+    // merge, delete, and a marker write as three steps; now the view
+    // must advance by exactly ONE version per refresh — merged groups,
+    // emptied-group deletes, and the marker inseparable behind one CAS.
+    MergeStore.merge(spark,
+      spark.range(1000L, 1010L).select(col("id"),
+        lit(55).cast("int").as("grp"), lit(1.0).as("amount")),
+      t, pk = Seq("id")) // v1: group 55 born
+    val vBefore = MergeStore.version(view).get
+    IncrementalView.refresh(spark, t, view, spec)
+    assert(MergeStore.version(view).get == vBefore + 1)
+    assert(MergeStore.manifestMeta(view) == Map("ivm.applied" -> "1"))
+    assertViewCurrent(t, view)
+    // Group death + group updates in one span: still exactly one commit.
+    MergeStore.delete(spark, t,
+      spark.range(1000L, 1010L).select(col("id")), pk = Seq("id")) // v2
+    IncrementalView.refresh(spark, t, view, spec)
+    assert(MergeStore.version(view).get == vBefore + 2)
+    assert(IncrementalView.appliedVersion(view) == 2)
+    assert(MergeStore.read(spark, view).where(col("grp") === 55).count() == 0)
+    assertViewCurrent(t, view)
+    // A compaction of the VIEW carries no marker; appliedVersion walks
+    // back past it to the newest marked manifest.
+    MergeStore.compact(spark, view, targetFiles = 2, clusterBy = Seq("grp"))
+    assert(IncrementalView.appliedVersion(view) == 2)
+  }
+
+  test("refresh over a vacuumed source span raises the named retention error") {
+    val t = tmpDir("ivm-vac") + "/tbl"
+    val view = tmpDir("ivm-vac") + "/view"
+    MergeStore.init(spark, rows(500), t, numFiles = 4, clusterBy = Seq("id"))
+    IncrementalView.initView(spark, t, view, spec) // applied = 0
+    MergeStore.merge(spark,
+      rows(500).where(col("id") % 9 === 0)
+        .withColumn("amount", col("amount") + lit(1.0)),
+      t, pk = Seq("id")) // v1
+    MergeStore.merge(spark,
+      rows(500).where(col("id") % 11 === 0)
+        .withColumn("amount", col("amount") + lit(2.0)),
+      t, pk = Seq("id")) // v2
+    MergeStore.vacuum(t, retainVersions = 1, graceMillis = 0) // only v2 left
+    val e = intercept[IllegalStateException] {
+      IncrementalView.refresh(spark, t, view, spec)
+    }
+    assert(e.getMessage.contains("vacuumed") &&
+      e.getMessage.contains("retainVersions"))
+  }
+
   test("refresh after a multi-commit gap applies the NET span delta once") {
     val t = tmpDir("ivm-gap") + "/tbl"
     val view = tmpDir("ivm-gap") + "/view"
@@ -261,6 +316,72 @@ class IncrementalViewSpec extends SparkSpec {
       Seq((0L, 0, 500.0)).toDF("id", "grp", "amount"), t, pk = Seq("id"))
     IncrementalView.refresh(spark, t, view, eSpec)
     current()
+  }
+
+  test("avg view: hidden sum/count accumulators track SQL AVG across mutations") {
+    val aSpec = IvmSpec(Seq("grp"), sums = Nil,
+      avgs = Seq("amount" -> "avg_amount"))
+    val t = tmpDir("ivm-avg") + "/tbl"
+    val view = tmpDir("ivm-avg") + "/view"
+    // Null measures: AVG must skip them (COUNT(x), not COUNT(*)).
+    val base = rows(600).withColumn("amount",
+      when(col("id") % 17 === 0, lit(null)).otherwise(col("amount")))
+    MergeStore.init(spark, base, t, numFiles = 4, clusterBy = Seq("id"))
+    IncrementalView.initView(spark, t, view, aSpec)
+    MergeStore.merge(spark,
+      rows(600).where(col("id") % 5 === 0)
+        .withColumn("amount", col("amount") * 3), t, pk = Seq("id")) // v1
+    IncrementalView.refresh(spark, t, view, aSpec)
+    MergeStore.delete(spark, t,
+      spark.range(0L, 100L).select(col("id")), pk = Seq("id")) // v2
+    IncrementalView.refresh(spark, t, view, aSpec)
+    val got = IncrementalView.readView(spark, view, aSpec)
+      .select(col("grp").cast("int"), col("avg_amount"))
+      .as[(Int, Double)].collect().toMap
+    val want = MergeStore.read(spark, t)
+      .groupBy("grp").agg(avg(col("amount")).as("a"))
+      .select(col("grp").cast("int"), col("a"))
+      .as[(Int, Double)].collect().toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (g, v) =>
+      assert(math.abs(v - want(g)) < 1e-9, s"group $g: $v vs ${want(g)}") }
+  }
+
+  test("distinct-count composition: sub-view rows ARE the distinct pairs; departures kill values") {
+    val dSpec = IncrementalView.distinctCountSpec(Seq("grp"), "bucket")
+    val t = tmpDir("ivm-distinct") + "/tbl"
+    val view = tmpDir("ivm-distinct") + "/view"
+    def withBucket(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("bucket", (col("id") % 11).cast("int"))
+    MergeStore.init(spark, withBucket(rows(400)), t, numFiles = 4,
+      clusterBy = Seq("id"))
+    IncrementalView.initView(spark, t, view, dSpec)
+    def check(): Unit = {
+      val got = IncrementalView.readDistinctCount(spark, view, Seq("grp"))
+        .select(col("grp").cast("int"), col("n_distinct"))
+        .as[(Int, Long)].collect().toMap
+      val want = MergeStore.read(spark, t)
+        .groupBy("grp").agg(countDistinct(col("bucket")).as("n"))
+        .select(col("grp").cast("int"), col("n"))
+        .as[(Int, Long)].collect().toMap
+      assert(got == want)
+    }
+    check()
+    // Rewire buckets: some (grp, bucket) pairs die (sole contributor
+    // moved), others are born.
+    MergeStore.merge(spark,
+      withBucket(rows(400)).where(col("id") % 7 === 0)
+        .withColumn("bucket", lit(99)), t, pk = Seq("id")) // v1
+    IncrementalView.refresh(spark, t, view, dSpec)
+    check()
+    // Delete everything in one bucket of one group: that distinct value
+    // must disappear from exactly that group.
+    MergeStore.delete(spark, t,
+      MergeStore.read(spark, t)
+        .where(col("grp") === 2 && col("bucket") === 3).select(col("id")),
+      pk = Seq("id")) // v2
+    IncrementalView.refresh(spark, t, view, dSpec)
+    check()
   }
 
   test("changes with pre-images: typed feed carries old rows; compaction emits nothing") {

@@ -360,6 +360,73 @@ class MergeStoreSpec extends SparkSpec {
     assert(MergeStore.changes(spark, t, 2, 3, pk = Seq("id")).count() == 0)
   }
 
+  test("applyChanges: merge + delete + metadata land in ONE atomic commit") {
+    val t = freshTable() // v0
+    val ups = spark.range(0L, 5L)
+      .select(col("id"), (col("id") % 97).cast("int").as("grp"),
+        concat(lit("up-"), col("id")).as("payload"))
+      // Key 42 is ALSO in the delete set: delete-then-upsert composition
+      // means it must end PRESENT with the new payload.
+      .union(spark.range(42L, 43L)
+        .select(col("id"), (col("id") % 97).cast("int").as("grp"),
+          concat(lit("up-"), col("id")).as("payload")))
+    val dels = spark.range(40L, 45L).select(col("id"))
+    val v0 = MergeStore.version(t).get
+    val stats = MergeStore.applyChanges(spark, t, ups, dels, pk = Seq("id"),
+      meta = Map("ivm.applied" -> "7"))
+    // Exactly one version: merge, delete, and marker are not separable.
+    assert(MergeStore.version(t).get == v0 + 1)
+    assert(MergeStore.manifestMeta(t) == Map("ivm.applied" -> "7"))
+    assert(stats.rowsUpserted == 6)
+    assert(stats.rowsDeleted == 4) // 40,41,43,44 — not the re-upserted 42
+    val back = MergeStore.read(spark, t)
+    assert(back.where($"id".between(40, 44) && $"id" =!= 42).count() == 0)
+    assert(back.where($"id" === 42).select("payload").as[String].head()
+      == "up-42")
+    assert(back.where($"id" < 5).select("payload").as[String].collect()
+      .forall(_.startsWith("up-")))
+    assert(back.count() == N - 4)
+    // liveFiles never surfaces metadata lines as file names.
+    assert(MergeStore.liveFiles(t).forall(_.endsWith(".parquet")))
+  }
+
+  test("applyChanges with nothing to do makes a metadata-only commit") {
+    val t = freshTable() // v0
+    val v0 = MergeStore.version(t).get
+    val files0 = MergeStore.liveFiles(t)
+    val none = spark.range(0L).select(col("id"),
+      col("id").cast("int").as("grp"), col("id").cast("string").as("payload"))
+    MergeStore.applyChanges(spark, t, none,
+      spark.range(0L).select(col("id")), pk = Seq("id"),
+      meta = Map("ivm.applied" -> "3"))
+    // Same file list, next version, marker advanced — and the row-level
+    // change feed across the metadata-only commit is empty.
+    assert(MergeStore.version(t).get == v0 + 1)
+    assert(MergeStore.liveFiles(t) == files0)
+    assert(MergeStore.manifestMeta(t) == Map("ivm.applied" -> "3"))
+    assert(MergeStore.changes(spark, t, v0, v0 + 1, pk = Seq("id"))
+      .count() == 0)
+    // Without metadata there is nothing to record: no commit at all.
+    MergeStore.applyChanges(spark, t, none,
+      spark.range(0L).select(col("id")), pk = Seq("id"))
+    assert(MergeStore.version(t).get == v0 + 1)
+  }
+
+  test("changes/diff over a vacuumed span fail with the named retention error") {
+    val t = freshTable() // v0
+    MergeStore.merge(spark, batch("b1", Seq(1L)), t, pk = Seq("id")) // v1
+    MergeStore.merge(spark, batch("b2", Seq(2L)), t, pk = Seq("id")) // v2
+    MergeStore.vacuum(t, retainVersions = 2, graceMillis = 0) // keeps v1, v2
+    val e = intercept[IllegalStateException] {
+      MergeStore.changes(spark, t, 0, 2, pk = Seq("id"))
+    }
+    assert(e.getMessage.contains("vacuumed") &&
+      e.getMessage.contains("retainVersions"))
+    intercept[IllegalStateException] { MergeStore.diff(spark, t, 0, 1) }
+    // A span wholly inside retention still reads fine.
+    assert(MergeStore.changes(spark, t, 1, 2, pk = Seq("id")).count() == 1)
+  }
+
   test("vacuum grace window protects an in-flight writer's staged files") {
     val t = freshTable() // v0
     MergeStore.merge(spark, batch("b", Seq(1L)), t, pk = Seq("id")) // v1

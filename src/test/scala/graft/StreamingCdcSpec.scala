@@ -96,6 +96,85 @@ class StreamingCdcSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fromVersion=None restart drains commits that landed while the query was down") {
+    val t = tmpDir("cdc-gap") + "/tbl"
+    val out = tmpDir("cdc-gap") + "/out"
+    val ck = tmpDir("cdc-gap") + "/ck"
+    MergeStore.init(spark, rows(0, 100, "v1"), t, numFiles = 2,
+      clusterBy = Seq("id")) // v0
+    def live(): org.apache.spark.sql.streaming.StreamingQuery =
+      MergeStoreCdc.readStream(spark, t, pk = Seq("id"),
+          fromVersion = None)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ck).start()
+    def got(): Set[(Long, Long)] = spark.read.parquet(out)
+      .select($"id", $"_commit_version").as[(Long, Long)].collect().toSet
+    // Run 1: "new changes only" from the head at first start; a commit
+    // arriving while LIVE delivers and records the floor.
+    val q1 = live()
+    try {
+      q1.processAllAvailable()
+      MergeStore.merge(spark, rows(0, 3, "a"), t, pk = Seq("id")) // v1
+      q1.processAllAvailable()
+      assert(got() == (0L to 2L).map((_, 1L)).toSet)
+    } finally q1.stop()
+    // THE GAP: v2 commits while the query is DOWN. On restart the
+    // fresh-start fallback re-resolves start = current head (2), which
+    // would hide v2 forever; the persisted delivered floor (1) must win.
+    MergeStore.merge(spark, rows(3, 6, "b"), t, pk = Seq("id")) // v2
+    val q2 = live()
+    try {
+      q2.processAllAvailable()
+      // Exactly v2 joins the sink — v1 is not re-emitted (checkpoint),
+      // v2 is not lost (the persisted start survives the restart).
+      assert(got() == ((0L to 2L).map((_, 1L)) ++
+        (3L to 5L).map((_, 2L))).toSet)
+    } finally q2.stop()
+  }
+
+  test("schema evolution mid-stream: a RUNNING stream keeps its start-resolved shape; a restart sees the new column") {
+    val t = tmpDir("cdc-evolve") + "/tbl"
+    val out = tmpDir("cdc-evolve") + "/out"
+    val ck = tmpDir("cdc-evolve") + "/ck"
+    MergeStore.init(spark, rows(0, 50, "v1"), t, numFiles = 2,
+      clusterBy = Seq("id")) // v0
+    def stream() = MergeStoreCdc.readStream(spark, t, pk = Seq("id"),
+      fromVersion = Some(0))
+    // Contract (documented at cdcSchema): the feed's shape is resolved
+    // at STREAM START. A mid-stream evolving commit delivers its rows
+    // in the old shape — appended columns are silently absent until the
+    // query restarts. (Delta's readChangeFeed contract too.)
+    val q1 = stream()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ck).start()
+    try {
+      q1.processAllAvailable() // drains v0 snapshot? no — (0, head=0]: nothing
+      MergeStore.merge(spark, rows(0, 3, "a"), t, pk = Seq("id")) // v1
+      q1.processAllAvailable()
+      // v2 EVOLVES the table (adds `score`) while the stream runs.
+      MergeStore.merge(spark,
+        rows(3, 6, "b").withColumn("score", col("id").cast("double")),
+        t, pk = Seq("id"), allowSchemaEvolution = true) // v2
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val run1 = spark.read.parquet(out)
+    assert(!run1.columns.contains("score")) // old shape throughout
+    assert(run1.where($"_commit_version" === 2L).count() == 3) // delivered
+    // Restart re-resolves the schema: the new column is in the feed and
+    // carries values for post-evolution commits.
+    assert(stream().schema.fieldNames.contains("score"))
+    MergeStore.merge(spark,
+      rows(6, 9, "c").withColumn("score", lit(7.5)), t,
+      pk = Seq("id")) // v3
+    val q2 = stream()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ck).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val run2 = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(run2.where($"_commit_version" === 3L)
+      .select($"score").as[Double].collect().toSeq == Seq(7.5, 7.5, 7.5))
+  }
+
   test("pre-image feed streams too (IVM's input shape)") {
     val t = tmpDir("cdc-pre") + "/tbl"
     val ck = tmpDir("cdc-pre") + "/ck"

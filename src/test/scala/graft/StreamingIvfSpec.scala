@@ -185,4 +185,57 @@ class StreamingIvfSpec extends SparkSpec {
     assert(IvfStore.delete(spark, dir,
       Seq(99999999L).toDF("vec_id"), "vec_id") == v1)
   }
+
+  test("IvfStore snapshots are self-contained: model rides every publish; time travel keeps the OLD model") {
+    import graft.store.IvfStore
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val a = emb.where(col("vec_id") % 2 === 0)
+    val b = emb.where(col("vec_id") % 2 === 1)
+    val modelA = IvfIndex.train(a, "vec_id", "embedding", k = 8)
+    val dir = tmpDir("ivf-model")
+    val v0 = IvfStore.init(spark, a, "embedding", modelA, dir)
+    // Read-back centroids are bit-identical (doubles round-trip parquet).
+    assert(IvfStore.model(spark, dir).centroids.map(_.toSeq).toSeq ==
+      modelA.centroids.map(_.toSeq).toSeq)
+    val qv = emb.where(col("vec_id") === 0L)
+      .select("embedding").head.getSeq[Float](0).map(_.toDouble).toArray
+    val preRetrain = IvfStore.searchTopK(spark, dir, "vec_id", "embedding",
+      qv, k = 5, nprobe = 3).collect().toSeq
+    // Drift retrain: the append publishes NEW model + vectors in ONE
+    // snapshot; the old version still resolves the OLD model.
+    val modelB = IvfIndex.train(emb, "vec_id", "embedding", k = 8,
+      seed = 7L)
+    val v1 = IvfStore.append(spark, b, "embedding", modelB, dir)
+    assert(IvfStore.model(spark, dir, Some(v1)).centroids.map(_.toSeq).toSeq
+      == modelB.centroids.map(_.toSeq).toSeq)
+    assert(IvfStore.model(spark, dir, Some(v0)).centroids.map(_.toSeq).toSeq
+      == modelA.centroids.map(_.toSeq).toSeq)
+    // Pinned search at v0 reproduces the pre-retrain results bit-for-bit
+    // — version and model can never mismatch, both resolve from one
+    // snapshot.
+    assert(IvfStore.searchTopK(spark, dir, "vec_id", "embedding", qv,
+      k = 5, nprobe = 3, version = Some(v0)).collect().toSeq == preRetrain)
+    // Delete carries the parent's model into its snapshot (no retrain).
+    val v2 = IvfStore.delete(spark, dir,
+      emb.where(col("vec_id") % 7 === 0).select("vec_id"), "vec_id")
+    assert(IvfStore.model(spark, dir, Some(v2)).centroids.map(_.toSeq).toSeq
+      == modelB.centroids.map(_.toSeq).toSeq)
+  }
+
+  test("IvfStore.delete refuses a non-integral cluster column (partition-path escaping hazard)") {
+    import graft.store.{IvfStore, SnapshotStore}
+    import spark.implicits._
+    // Hand-build a snapshot whose cluster column is a STRING: the raw
+    // dir-name match in delete's carry step would miss escaped values,
+    // duplicating survivors — the guard must refuse loudly instead.
+    val dir = tmpDir("ivf-strcluster")
+    val stage = SnapshotStore.stage(dir)
+    Seq((1L, "a b"), (2L, "c")).toDF("vec_id", "ivf_cluster")
+      .write.partitionBy("ivf_cluster").parquet(s"$stage/vectors")
+    SnapshotStore.publish(dir, stage, -1)
+    val e = intercept[IllegalArgumentException] {
+      IvfStore.delete(spark, dir, Seq(1L).toDF("vec_id"), "vec_id")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }

@@ -71,4 +71,74 @@ class StreamingIvmSpec extends SparkSpec {
     assert(!StreamingIvm.applyCdcBatch(replay, view, spec))
     assertCurrent(t, view)
   }
+
+  test("view initialized at source version > 0 streams from its own marker") {
+    val t = tmpDir("sivm-late") + "/tbl"
+    val view = tmpDir("sivm-late") + "/view"
+    val ck = tmpDir("sivm-late") + "/ck"
+    MergeStore.init(spark, rows(0, 300), t, numFiles = 2,
+      clusterBy = Seq("id")) // v0
+    MergeStore.merge(spark, rows(300, 320), t, pk = Seq("id")) // v1
+    MergeStore.merge(spark, rows(320, 340), t, pk = Seq("id")) // v2
+    // The view is born reflecting v2; a commit lands BEFORE the first
+    // stream run. The old Some(0) seed made the first batch span (0, 3]
+    // — straddling the applied marker and wedging the query forever.
+    IncrementalView.initView(spark, t, view, spec) // applied = 2
+    MergeStore.merge(spark,
+      rows(0, 30).withColumn("amount", col("amount") + lit(9.5)), t,
+      pk = Seq("id")) // v3
+    StreamingIvm.maintain(spark, t, view, spec, ck).awaitTermination()
+    assertCurrent(t, view)
+    assert(IncrementalView.appliedVersion(view) == 3)
+    // Restarts keep working (the marker and checkpoint now agree).
+    MergeStore.merge(spark, rows(340, 350), t, pk = Seq("id")) // v4
+    StreamingIvm.maintain(spark, t, view, spec, ck).awaitTermination()
+    assertCurrent(t, view)
+  }
+
+  test("vacuumed source span surfaces as a stream failure with the named retention error") {
+    val t = tmpDir("sivm-vac") + "/tbl"
+    val view = tmpDir("sivm-vac") + "/view"
+    val ck = tmpDir("sivm-vac") + "/ck"
+    MergeStore.init(spark, rows(0, 100), t, numFiles = 2,
+      clusterBy = Seq("id")) // v0
+    IncrementalView.initView(spark, t, view, spec) // applied = 0
+    MergeStore.merge(spark, rows(100, 110), t, pk = Seq("id")) // v1
+    MergeStore.merge(spark, rows(110, 120), t, pk = Seq("id")) // v2
+    MergeStore.vacuum(t, retainVersions = 1, graceMillis = 0) // only v2 left
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingIvm.maintain(spark, t, view, spec, ck).awaitTermination()
+    }
+    def messages(th: Throwable): Seq[String] =
+      if (th == null) Nil
+      else Option(th.getMessage).toSeq ++ messages(th.getCause)
+    assert(messages(e).exists(m =>
+      m.contains("vacuumed") && m.contains("retainVersions")))
+  }
+
+  test("batch straddling the marker (manual refresh between runs) applies only the fresh suffix") {
+    val t = tmpDir("sivm-strad") + "/tbl"
+    val view = tmpDir("sivm-strad") + "/view"
+    val ck = tmpDir("sivm-strad") + "/ck"
+    MergeStore.init(spark, rows(0, 200), t, numFiles = 2,
+      clusterBy = Seq("id")) // v0
+    IncrementalView.initView(spark, t, view, spec) // applied = 0
+    MergeStore.merge(spark, rows(200, 210), t, pk = Seq("id")) // v1
+    StreamingIvm.maintain(spark, t, view, spec, ck).awaitTermination()
+    assert(IncrementalView.appliedVersion(view) == 1)
+    // The view advances OUTSIDE the stream (a scheduled batch refresh),
+    // then more commits land: the next stream batch spans (1, 3] while
+    // the marker sits at 2 — the applied prefix must be sliced off
+    // per-commit, not double-applied and not hard-failed.
+    MergeStore.merge(spark,
+      rows(0, 20).withColumn("amount", col("amount") + lit(1.0)), t,
+      pk = Seq("id")) // v2
+    IncrementalView.refresh(spark, t, view, spec) // marker -> 2
+    MergeStore.merge(spark,
+      rows(50, 70).withColumn("amount", col("amount") + lit(2.0)), t,
+      pk = Seq("id")) // v3
+    StreamingIvm.maintain(spark, t, view, spec, ck).awaitTermination()
+    assertCurrent(t, view)
+    assert(IncrementalView.appliedVersion(view) == 3)
+  }
 }

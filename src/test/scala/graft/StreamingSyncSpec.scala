@@ -58,6 +58,24 @@ class StreamingSyncSpec extends SparkSpec {
     assert(MergeStore.version(r) == vBefore && snap(r) == snap(t))
   }
 
+  test("pre-image-bearing batch applies the POST-image (no commit-version tie)") {
+    val t = tmpDir("ssync-pre") + "/tbl"
+    val r = tmpDir("ssync-pre") + "/replica"
+    MergeStore.init(spark, rows(0, 100, "v1"), t, numFiles = 2,
+      clusterBy = Seq("id"))
+    MergeStore.init(spark, MergeStore.read(spark, t), r, numFiles = 2,
+      clusterBy = Seq("id"))
+    MergeStore.merge(spark, rows(0, 20, "post"), t, pk = Seq("id")) // v1
+    // An update's pre-image and post-image TIE on _commit_version; the
+    // apply must never merge the stale pre-image.
+    val batch = MergeStoreCdc.changesByCommit(spark, t, Seq("id"),
+      includePreimages = true, fromVersion = 0, toVersion = 1)
+    StreamingSync.applyCdcBatch(batch, r, Seq("id"))
+    assert(snap(r) == snap(t))
+    assert(MergeStore.read(spark, r).where($"payload".startsWith("post"))
+      .count() == 20)
+  }
+
   test("replayed batch application is idempotent (upsert semantics)") {
     val t = tmpDir("ssync-replay") + "/tbl"
     val r = tmpDir("ssync-replay") + "/replica"
