@@ -846,8 +846,13 @@ object SimilarityQueries extends QueryFamily {
       "for the deterministic oracle.",
     (s, dir) => {
       val e = emb(s, dir)
-      val model = IvfIndex.train(e, "vec_id", "embedding", k = 16)
-      val indexed = IvfIndex.assign(s, e, "embedding", model)
+      // The q39 persisted snapshot IS this query's corpus: same table,
+      // same deterministic model — the label predicate composes into
+      // the snapshot scan, and the probe list comes from the SNAPSHOT's
+      // model (bit-identical to retraining, pinned by StreamingIvfSpec).
+      val indexDir = ivfStoreDir(s, dir)
+      val indexed = graft.store.IvfStore.read(s, indexDir)
+      val model = graft.store.IvfStore.model(s, indexDir)
       val qv = e.where(org.apache.spark.sql.functions.col("vec_id") === 0L)
         .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
       IvfIndex.searchTopKWhere(s, indexed, "vec_id", "embedding", model, qv,
@@ -917,19 +922,21 @@ object SimilarityQueries extends QueryFamily {
     (s, dir) => {
       import org.apache.spark.sql.functions.col
       val e = emb(s, dir)
-      val model = IvfIndex.train(e, "vec_id", "embedding", k = 16)
       val indexDir = deletedIvfCache.computeIfAbsent(dir, _ => {
         val d = java.nio.file.Files
           .createTempDirectory("graft-ivf-del").toString
-        graft.store.IvfStore.init(s, e, "embedding", model, d)
+        graft.store.IvfStore.init(s, e, "embedding",
+          IvfIndex.train(e, "vec_id", "embedding", k = 16), d)
         graft.store.IvfStore.delete(s, d,
           e.where(col("vec_id") % 9 === 0).select(col("vec_id")), "vec_id")
         d
       })
       val qv = e.where(col("vec_id") === 1L)
         .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
-      IvfIndex.searchTopK(s, graft.store.IvfStore.read(s, indexDir),
-        "vec_id", "embedding", model, qv, k = 10, nprobe = 4)
+      // Vectors AND model resolve from the same pinned snapshot (the
+      // delete carried the init model forward by hard link).
+      graft.store.IvfStore.searchTopK(s, indexDir, "vec_id", "embedding",
+        qv, k = 10, nprobe = 4)
     },
     None,
     oracleGen = Some((s, dir) => ivfDeleteOracle(s, dir)))

@@ -91,17 +91,65 @@ object IvfStore {
     * the old version keeps the old model with the old vectors. */
   def append(spark: SparkSession, batch: DataFrame, vecCol: String,
              model: IvfIndex.Model, indexDir: String,
-             clusterCol: String = "ivf_cluster"): Int = {
+             clusterCol: String = "ivf_cluster"): Int =
+    publishAssigned(spark,
+      IvfIndex.assign(spark, batch, vecCol, model, clusterCol),
+      model, indexDir, clusterCol)
+
+  /** Stage an already-assigned batch next to the hard-link-carried
+    * parent vectors + the assigning model, publish atomically. */
+  private def publishAssigned(spark: SparkSession, assigned: DataFrame,
+                              model: IvfIndex.Model, indexDir: String,
+                              clusterCol: String): Int = {
     val parentV = currentVersion(indexDir).getOrElse(
       sys.error(s"IvfStore.append: no committed index at $indexDir"))
     val prev = java.nio.file.Paths
       .get(SnapshotStore.resolve(indexDir, Some(parentV)), Vectors)
     val stage = SnapshotStore.stage(indexDir)
-    IvfIndex.assign(spark, batch, vecCol, model, clusterCol)
-      .write.partitionBy(clusterCol).parquet(s"$stage/$Vectors")
+    assigned.write.partitionBy(clusterCol).parquet(s"$stage/$Vectors")
     SnapshotStore.carryLink(prev, stage.resolve(Vectors), s"carry-$parentV-")
     writeModel(spark, model, stage)
     SnapshotStore.publish(indexDir, stage, parentV)
+  }
+
+  /** [[append]] with [[IvfIndex.appendBatch]]'s drift-retrain trigger,
+    * through the transactional layout — the complete continual-ingest
+    * lifecycle in one call: ONE scored assignment pass both lands the
+    * batch (atomic snapshot, parent carried by hard link) and measures
+    * its drift (mean cosine-to-own-centroid, IvfIndex.driftStat's
+    * statistic) against the train-time baseline. The retrain decision
+    * returns to the CALLER, exactly as in appendBatch: acting on it —
+    * train a new model, `append` the next batches with it (the new
+    * model publishes INSIDE that snapshot), schedule a reindex — is
+    * orchestration, not an append side effect. */
+  def appendWithDrift(spark: SparkSession, batch: DataFrame, vecCol: String,
+                      model: IvfIndex.Model, indexDir: String,
+                      retrainBelow: Double, baselineDrift: Double,
+                      clusterCol: String = "ivf_cluster")
+      : (Int, IvfIndex.AppendResult) = {
+    require(!baselineDrift.isNaN && retrainBelow > 0.0,
+      "appendWithDrift needs baselineDrift (record driftStat on the " +
+        "training distribution at train time) and a retrainBelow factor")
+    val scored = IvfIndex.assignScored(spark, batch, vecCol, model,
+      clusterCol).cache()
+    try {
+      val v = publishAssigned(spark, scored.drop("proto_cos"), model,
+        indexDir, clusterCol)
+      val row = scored.agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.avg(
+          org.apache.spark.sql.functions.col("proto_cos"))).head
+      val result =
+        if (row.getLong(0) == 0L)
+          IvfIndex.AppendResult(Some(0L), None, retrainDue = false)
+        else {
+          val d = row.getDouble(1)
+          IvfIndex.AppendResult(Some(row.getLong(0)), Some(d),
+            retrainDue = d < retrainBelow * baselineDrift)
+        }
+      (v, result)
+    } finally scored.unpersist()
   }
 
   /** [[IvfIndex.searchTopK]] against ONE committed snapshot: vectors and

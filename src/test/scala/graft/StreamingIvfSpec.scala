@@ -222,6 +222,36 @@ class StreamingIvfSpec extends SparkSpec {
       == modelB.centroids.map(_.toSeq).toSeq)
   }
 
+  test("IvfStore.appendWithDrift: one scored pass lands the batch atomically AND fires the retrain trigger") {
+    import graft.store.IvfStore
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val a = emb.where(col("vec_id") % 2 === 0)
+    // Model + baseline on the training distribution (the full corpus),
+    // the operational convention driftStat documents.
+    val model = IvfIndex.train(emb, "vec_id", "embedding", k = 8)
+    val baseline = IvfIndex.driftStat(spark, emb, "embedding", model)
+    val dir = tmpDir("ivf-drift-store")
+    IvfStore.init(spark, a, "embedding", model, dir)
+    // In-distribution batch: lands, measures, no retrain.
+    val b = emb.where(col("vec_id") % 2 === 1)
+    val (v1, r1) = IvfStore.appendWithDrift(spark, b, "embedding", model,
+      dir, retrainBelow = 0.9, baselineDrift = baseline)
+    assert(v1 == 1 && r1.appended.contains(b.count()) && !r1.retrainDue)
+    assert(IvfStore.read(spark, dir).count() == emb.count())
+    // Drifted batch (vectors reversed — same trick as IvfSpec's drift
+    // test): the trigger must fire; the batch still lands (the caller
+    // decides what to do about the drift).
+    val drifted = emb.select(col("vec_id") + 1000000,
+        reverse(col("embedding")).as("embedding"))
+      .toDF("vec_id", "embedding")
+    val (v2, r2) = IvfStore.appendWithDrift(spark, drifted, "embedding",
+      model, dir, retrainBelow = 0.9, baselineDrift = baseline)
+    assert(v2 == 2 && r2.retrainDue)
+    assert(r2.drift.exists(_ < 0.9 * baseline))
+    // Every snapshot stays self-contained (model rides each publish).
+    assert(IvfStore.model(spark, dir, Some(v2)).centroids.length == 8)
+  }
+
   test("IvfStore.delete refuses a non-integral cluster column (partition-path escaping hazard)") {
     import graft.store.{IvfStore, SnapshotStore}
     import spark.implicits._
