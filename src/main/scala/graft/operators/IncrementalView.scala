@@ -312,6 +312,34 @@ object IncrementalView {
     } finally delta.unpersist()
   }
 
+  /** View-table maintenance: every refresh commits one new view version
+    * (small replacement files + superseded ones kept for time travel),
+    * so a long-lived view accretes files and manifests like any
+    * trickle-written table. This is MergeStore.maintain's job — with
+    * one view-specific requirement: the compaction commit must CARRY
+    * the applied marker forward (a bare compact writes no metadata,
+    * and a following vacuum could then drop every marked manifest,
+    * destroying the high-water mark). Compacts to `targetFiles`
+    * group-clustered files when the live count exceeds
+    * `maxLiveFiles` (default 4× target), then vacuums superseded
+    * files; returns true iff a compaction ran. */
+  def maintainView(spark: SparkSession, viewTarget: String, spec: IvmSpec,
+                   targetFiles: Int = 4, maxLiveFiles: Int = 0,
+                   retainVersions: Int = 1,
+                   vacuumGraceMillis: Long =
+                     MergeStore.DefaultVacuumGraceMillis): Boolean = {
+    val cap = if (maxLiveFiles > 0) maxLiveFiles else 4 * targetFiles
+    if (MergeStore.liveFiles(viewTarget).size <= cap) false
+    else {
+      val applied = appliedVersion(viewTarget)
+      MergeStore.compact(spark, viewTarget, targetFiles,
+        clusterBy = spec.groupBy,
+        meta = Map(AppliedKey -> applied.toString))
+      MergeStore.vacuum(viewTarget, retainVersions, vacuumGraceMillis)
+      true
+    }
+  }
+
   /** The view for consumers: exact decimal sums/extremes surfaced as
     * DOUBLE (the q04 edge convention); each AVG surfaced as its exact
     * hidden sum over its exact hidden non-null count — both cast to

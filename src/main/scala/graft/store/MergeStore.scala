@@ -694,14 +694,15 @@ object MergeStore {
     * standard table-format answer. `clusterBy` restores range clustering
     * so future merges stay few-file again. */
   def compact(spark: SparkSession, target: String, targetFiles: Int,
-              clusterBy: Seq[String] = Nil): Int = {
+              clusterBy: Seq[String] = Nil,
+              meta: Map[String, String] = Map.empty): Int = {
     val parentV = currentVersion(target)
       .getOrElse(sys.error(s"no committed version at $target"))
     val df = read(spark, target, Some(parentV))
     val arranged =
       if (clusterBy.nonEmpty) df.repartitionByRange(targetFiles, clusterBy.map(col): _*)
       else df.repartition(targetFiles)
-    commit(target, writeFiles(arranged, target), parentV)
+    commit(target, writeFiles(arranged, target), parentV, meta)
   }
 
   /** Delete data files outside the retention window: anything not

@@ -384,6 +384,41 @@ class IncrementalViewSpec extends SparkSpec {
     check()
   }
 
+  test("maintainView: compaction + vacuum of a long-lived view preserves the applied marker") {
+    val t = tmpDir("ivm-maint") + "/tbl"
+    val view = tmpDir("ivm-maint") + "/view"
+    MergeStore.init(spark, rows(800), t, numFiles = 4, clusterBy = Seq("id"))
+    IncrementalView.initView(spark, t, view, spec, numFiles = 2)
+    // Many refreshes accrete replacement files on the view.
+    (1 to 6).foreach { i =>
+      MergeStore.merge(spark,
+        rows(800).where(col("id") % 10 === i % 10)
+          .withColumn("amount", col("amount") + lit(i.toDouble)),
+        t, pk = Seq("id"))
+      IncrementalView.refresh(spark, t, view, spec)
+    }
+    val before = sorted(MergeStore.read(spark, view))
+    val applied = IncrementalView.appliedVersion(view)
+    assert(MergeStore.liveFiles(view).size > 2)
+    // Compact + vacuum (waived grace, single writer): a BARE compact
+    // carries no metadata, and head-only vacuum would then drop every
+    // marked manifest — maintainView must carry the marker into the
+    // compaction commit, so the high-water mark survives retention.
+    assert(IncrementalView.maintainView(spark, view, spec,
+      targetFiles = 2, maxLiveFiles = 2, vacuumGraceMillis = 0))
+    assert(IncrementalView.appliedVersion(view) == applied)
+    assert(sorted(MergeStore.read(spark, view)) == before)
+    assert(MergeStore.liveFiles(view).size == 2)
+    // The view keeps refreshing normally afterwards.
+    MergeStore.delete(spark, t,
+      spark.range(0L, 50L).select(col("id")), pk = Seq("id"))
+    IncrementalView.refresh(spark, t, view, spec)
+    assertViewCurrent(t, view)
+    // Under the cap: maintenance is a no-op.
+    assert(!IncrementalView.maintainView(spark, view, spec,
+      targetFiles = 2, maxLiveFiles = 64))
+  }
+
   test("changes with pre-images: typed feed carries old rows; compaction emits nothing") {
     val t = tmpDir("cdf-pre") + "/tbl"
     MergeStore.init(spark, rows(300), t, numFiles = 4, clusterBy = Seq("id"))

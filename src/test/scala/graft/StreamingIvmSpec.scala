@@ -96,6 +96,35 @@ class StreamingIvmSpec extends SparkSpec {
     assertCurrent(t, view)
   }
 
+  test("distinct-count sub-view composes with the stream: streamed == count(DISTINCT) from scratch") {
+    import org.apache.spark.sql.functions.countDistinct
+    val dSpec = IncrementalView.distinctCountSpec(Seq("grp"), "bucket")
+    val t = tmpDir("sivm-distinct") + "/tbl"
+    val view = tmpDir("sivm-distinct") + "/view"
+    val ck = tmpDir("sivm-distinct") + "/ck"
+    def withBucket(df: DataFrame) =
+      df.withColumn("bucket", (col("id") % 13).cast("int"))
+    MergeStore.init(spark, withBucket(rows(0, 400)), t, numFiles = 2,
+      clusterBy = Seq("id")) // v0
+    IncrementalView.initView(spark, t, view, dSpec)
+    MergeStore.merge(spark,
+      withBucket(rows(0, 400)).where(col("id") % 7 === 0)
+        .withColumn("bucket", lit(77)), t, pk = Seq("id")) // v1
+    MergeStore.delete(spark, t,
+      MergeStore.read(spark, t)
+        .where(col("grp") === 1 && col("bucket") === 4).select(col("id")),
+      pk = Seq("id")) // v2
+    StreamingIvm.maintain(spark, t, view, dSpec, ck).awaitTermination()
+    val got = IncrementalView.readDistinctCount(spark, view, Seq("grp"))
+      .select(col("grp").cast("int"), col("n_distinct"))
+      .as[(Int, Long)].collect().toMap
+    val want = MergeStore.read(spark, t)
+      .groupBy("grp").agg(countDistinct(col("bucket")).as("n"))
+      .select(col("grp").cast("int"), col("n"))
+      .as[(Int, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("vacuumed source span surfaces as a stream failure with the named retention error") {
     val t = tmpDir("sivm-vac") + "/tbl"
     val view = tmpDir("sivm-vac") + "/view"
