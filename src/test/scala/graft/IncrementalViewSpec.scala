@@ -389,11 +389,17 @@ class IncrementalViewSpec extends SparkSpec {
     val view = tmpDir("ivm-maint") + "/view"
     MergeStore.init(spark, rows(800), t, numFiles = 4, clusterBy = Seq("id"))
     IncrementalView.initView(spark, t, view, spec, numFiles = 2)
-    // Many refreshes accrete replacement files on the view.
+    // Refreshes accrete files on the view: each merge births a brand-new
+    // group, so no existing view file holds a matched key and
+    // applyChanges lands the delta as NEW files NEXT TO the carried ones
+    // (its affected-empty append path) — exactly how a long-lived
+    // trickle view grows past any cap. (Updates to existing groups
+    // rewrite affected files in place and do not accrete.)
     (1 to 6).foreach { i =>
       MergeStore.merge(spark,
-        rows(800).where(col("id") % 10 === i % 10)
-          .withColumn("amount", col("amount") + lit(i.toDouble)),
+        spark.range(800L + i * 100, 850L + i * 100)
+          .select(col("id"), lit(100 + i).cast("int").as("grp"),
+            (col("id") * lit(0.5)).as("amount")),
         t, pk = Seq("id"))
       IncrementalView.refresh(spark, t, view, spec)
     }
