@@ -200,12 +200,9 @@ object IncrementalView {
     * manifest carrying [[AppliedKey]] (a compaction or other non-IVM
     * commit to the view doesn't carry it; walk back past those). */
   def appliedVersion(viewTarget: String): Int = {
-    val head = MergeStore.version(viewTarget)
-      .getOrElse(sys.error(s"no committed view at $viewTarget"))
-    (head to 0 by -1).iterator
-      .flatMap(v => MergeStore.manifestMeta(viewTarget, Some(v)).get(AppliedKey))
-      .map(_.toInt)
-      .nextOption()
+    require(MergeStore.version(viewTarget).isDefined,
+      s"no committed view at $viewTarget")
+    MergeStore.markerValue(viewTarget, AppliedKey).map(_.toInt)
       .getOrElse(sys.error(
         s"$viewTarget carries no $AppliedKey marker — not an IVM view " +
           "(or every marked manifest was vacuumed; rebuild with initView)"))
@@ -246,7 +243,8 @@ object IncrementalView {
     val feed = MergeStore.changes(spark, sourceTarget, last, head,
       pk = anyKey, includePreimages = true)
     val (nUp, del) = applyDeltaToStore(spark, viewTarget,
-      deltaState(feed, spec), spec, head, Some(sourceTarget))
+      deltaState(feed, spec), spec, head, Some(sourceTarget),
+      expectedApplied = Some(last))
     RefreshStats(last, head, nUp, del)
   }
 
@@ -263,11 +261,20 @@ object IncrementalView {
     * scan, pruned by the source's group clustering; arrival-only groups
     * stay on the pure delta path. `source` is required then; the
     * vacuum retention window must cover consumer lag, as for any
-    * pinned reader. */
+    * pinned reader.
+    *
+    * `expectedApplied` is the marker value this delta was computed FROM
+    * (the span's base): the commit then carries a [[MergeStore
+    * .MarkerGuard]] that re-verifies the high-water mark inside every
+    * OCC attempt and drops the batch whole — returning (0, 0) — if ANY
+    * rival maintainer moved it, even to a sub-span of this one. Pass
+    * None only when no rival maintainer can exist (then only a marker
+    * already covering `newVersion` drops the batch). */
   def applyDeltaToStore(spark: SparkSession, viewTarget: String,
                         deltaDf: DataFrame, spec: IvmSpec,
                         newVersion: Int,
-                        source: Option[String] = None): (Long, Long) = {
+                        source: Option[String] = None,
+                        expectedApplied: Option[Int] = None): (Long, Long) = {
     val delta = deltaDf.cache()
     try {
       val (arrDelta, depKeys) =
@@ -304,10 +311,19 @@ object IncrementalView {
         // dropped by the high-water guard) or none of it (marker stale,
         // replay re-applies cleanly). An empty delta still commits a
         // metadata-only version so the marker advances past the span.
+        // The MarkerGuard re-verifies the high-water mark INSIDE every
+        // OCC attempt: a rival maintainer (an always-on stream racing a
+        // scheduled refresh) that moved the marker makes the losing
+        // writer's retry a dropped replay instead of a double-apply —
+        // the caller-side appliedVersion read alone is check-then-act
+        // and cannot survive the retry path.
         val stats = MergeStore.applyChanges(spark, viewTarget,
           upserts = next, deleteKeys = emptied, pk = spec.groupBy,
-          meta = Map(AppliedKey -> newVersion.toString), maxRetries = 3)
-        (stats.rowsUpserted, stats.rowsDeleted)
+          meta = Map(AppliedKey -> newVersion.toString), maxRetries = 3,
+          guard = Some(MergeStore.MarkerGuard(AppliedKey, newVersion.toLong,
+            expectedApplied.map(_.toLong))))
+        if (stats.skippedReplay) (0L, 0L)
+        else (stats.rowsUpserted, stats.rowsDeleted)
       } finally next.unpersist()
     } finally delta.unpersist()
   }

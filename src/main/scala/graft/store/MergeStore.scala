@@ -445,7 +445,40 @@ object MergeStore {
   }
 
   final case class ApplyStats(filesTotal: Int, filesRewritten: Int,
-                              rowsUpserted: Long, rowsDeleted: Long)
+                              rowsUpserted: Long, rowsDeleted: Long,
+                              skippedReplay: Boolean = false)
+
+  /** In-transaction idempotence guard for [[applyChanges]] (Delta's
+    * txnAppId/txnVersion check): the batch commits only if the newest
+    * committed `key` marker still has the value the batch was BUILT
+    * against. `expected = Some(v)`: abort unless the marker is exactly
+    * v — any movement means a rival maintainer applied an overlapping
+    * span (even a SUB-span: a per-commit stream landing base+1 under a
+    * scheduled full-span refresh — a >=-only check would let the
+    * refresh's retry double-apply that overlap). `expected = None`
+    * (no base known): abort only when the marker already covers
+    * `newVersion`. Aborts surface as `skippedReplay`, never commit. */
+  final case class MarkerGuard(key: String, newVersion: Long,
+                               expected: Option[Long] = None) {
+    def stale(current: Option[Long]): Boolean = expected match {
+      case Some(e) => !current.contains(e)
+      case None => current.exists(_ >= newVersion)
+    }
+  }
+
+  /** Newest value of manifest-metadata `key` at or below a version
+    * (head by default) — the generic walk behind progress markers: a
+    * commit that doesn't carry the key (a compaction, a rival verb) is
+    * skipped; vacuumed manifests read as empty. O(1) in steady state
+    * (the head usually carries its consumer's marker). */
+  def markerValue(target: String, key: String,
+                  atVersion: Option[Int] = None): Option[String] =
+    atVersion.orElse(currentVersion(target)) match {
+      case None => None
+      case Some(head) => (head to 0 by -1).iterator
+        .flatMap(v => manifestMeta(target, Some(v)).get(key))
+        .nextOption()
+    }
 
   /** MERGE `upserts` and DELETE `deleteKeys` in ONE atomic commit, with
     * optional manifest metadata — the transactional sink for a consumer
@@ -460,30 +493,49 @@ object MergeStore {
     * key in BOTH sets ends PRESENT (delete-then-upsert composition). A
     * batch that touches nothing still commits a metadata-only version
     * when `meta` is non-empty, so progress markers advance past empty
-    * spans. OCC retry semantics match the single verbs. */
+    * spans. OCC retry semantics match the single verbs.
+    *
+    * A [[MarkerGuard]] makes the change batch a TRANSACTIONAL
+    * IDEMPOTENT write: each attempt — including every OCC retry, which
+    * re-reads the head — first reads the newest committed marker and
+    * DROPS THE BATCH WHOLE (no commit, no files, `skippedReplay =
+    * true`) when the guard says a rival already applied an overlapping
+    * span. A caller-side check-then-act is racy precisely on the retry
+    * path: two maintainers of one view both read marker = X, both
+    * build the span delta, the loser's retry recomputes against the
+    * winner's head and re-applies the same delta (doubling counts) —
+    * re-checking INSIDE the attempt, against the same parent version
+    * the CAS commits on, closes that window: a rival landing between
+    * the check and the CAS fails the CAS, and the retry re-checks. */
   def applyChanges(spark: SparkSession, target: String, upserts: DataFrame,
                    deleteKeys: DataFrame, pk: Seq[String],
                    ordCols: Seq[String] = Nil,
                    meta: Map[String, String] = Map.empty,
                    maxRetries: Int = 0,
-                   snapshotVersion: Option[Int] = None): ApplyStats =
+                   snapshotVersion: Option[Int] = None,
+                   guard: Option[MarkerGuard] = None): ApplyStats =
     try applyChangesOnce(spark, target, upserts, deleteKeys, pk, ordCols,
-      meta, snapshotVersion)
+      meta, snapshotVersion, guard)
     catch {
       case _: java.util.ConcurrentModificationException if maxRetries > 0 =>
         applyChanges(spark, target, upserts, deleteKeys, pk, ordCols, meta,
-          maxRetries - 1)
+          maxRetries - 1, guard = guard)
     }
 
   private def applyChangesOnce(spark: SparkSession, target: String,
                                upserts: DataFrame, deleteKeys: DataFrame,
                                pk: Seq[String], ordCols: Seq[String],
                                meta: Map[String, String],
-                               snapshotVersion: Option[Int]): ApplyStats = {
+                               snapshotVersion: Option[Int],
+                               guard: Option[MarkerGuard]): ApplyStats = {
     require(pk.nonEmpty, s"applyChanges at $target needs a key")
     val parentV = snapshotVersion.orElse(currentVersion(target))
       .getOrElse(sys.error(s"no committed version at $target"))
     val before = liveFiles(target, Some(parentV))
+    guard.foreach { g =>
+      if (g.stale(markerValue(target, g.key, Some(parentV)).map(_.toLong)))
+        return ApplyStats(before.size, 0, 0L, 0L, skippedReplay = true)
+    }
     val snapshot = read(spark, target, Some(parentV))
     val ord = if (ordCols.nonEmpty) ordCols.map(col)
       else Seq(monotonically_increasing_id())

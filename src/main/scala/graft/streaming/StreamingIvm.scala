@@ -88,8 +88,15 @@ object StreamingIvm {
       else batch.where(col(MergeStoreCdc.CommitVersionCol) > applied)
     val delta = IncrementalView.deltaState(
       fresh.drop(MergeStoreCdc.CommitVersionCol), spec)
+    // expectedApplied closes the check-then-act window: the appliedVersion
+    // read above is only a pre-filter; the commit itself carries a
+    // MarkerGuard pinned at that base, re-verified inside every OCC
+    // attempt — a rival maintainer (a manual refresh racing this stream)
+    // that moved the marker mid-batch turns this commit into a dropped
+    // replay instead of a double-apply. Whoever advanced the marker is
+    // live and owns the span from its new value.
     IncrementalView.applyDeltaToStore(spark, viewTarget, delta, spec,
-      hi.toInt, source)
+      hi.toInt, source, expectedApplied = Some(applied))
     true
   }
 }

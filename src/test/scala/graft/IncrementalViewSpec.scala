@@ -425,6 +425,44 @@ class IncrementalViewSpec extends SparkSpec {
       targetFiles = 2, maxLiveFiles = 64))
   }
 
+  test("marker guard: a rival maintainer's overlapping span drops, never double-applies") {
+    val t = tmpDir("ivm-guard") + "/tbl"
+    val view = tmpDir("ivm-guard") + "/view"
+    MergeStore.init(spark, rows(500), t, numFiles = 4, clusterBy = Seq("id"))
+    IncrementalView.initView(spark, t, view, spec)
+    MergeStore.merge(spark, rows(500).where(col("id") % 5 === 0)
+      .withColumn("amount", col("amount") + lit(1.0)), t, pk = Seq("id")) // v1
+    MergeStore.merge(spark, rows(500).where(col("id") % 5 === 1)
+      .withColumn("amount", col("amount") + lit(2.0)), t, pk = Seq("id")) // v2
+    def delta(toV: Int) = IncrementalView.deltaState(
+      MergeStore.changes(spark, t, 0, toV, pk = Seq("id"),
+        includePreimages = true), spec)
+    // Both maintainers read applied = 0. The full-span (0,2] delta is
+    // built... but a rival per-commit stream lands the SUB-span (0,1]
+    // first, moving the marker to 1.
+    val fullDelta = delta(2)
+    IncrementalView.applyDeltaToStore(spark, view, delta(1), spec, 1,
+      expectedApplied = Some(0))
+    assert(IncrementalView.appliedVersion(view) == 1)
+    val afterSub = sorted(MergeStore.read(spark, view))
+    // The loser's commit must be a DROPPED REPLAY: its base moved, and
+    // even the not-yet-applied (1,2] half must not land from a delta
+    // whose (0,1] half would double-apply the overlap.
+    val (nUp, nDel) = IncrementalView.applyDeltaToStore(spark, view,
+      fullDelta, spec, 2, expectedApplied = Some(0))
+    assert(nUp == 0L && nDel == 0L)
+    assert(IncrementalView.appliedVersion(view) == 1) // no marker regression
+    assert(sorted(MergeStore.read(spark, view)) == afterSub)
+    // A redelivered copy of the already-applied sub-span drops too.
+    IncrementalView.applyDeltaToStore(spark, view, delta(1), spec, 1,
+      expectedApplied = Some(0))
+    assert(sorted(MergeStore.read(spark, view)) == afterSub)
+    // Catch-up from the TRUE marker converges to the full recompute.
+    IncrementalView.refresh(spark, t, view, spec)
+    assertViewCurrent(t, view)
+    assert(IncrementalView.appliedVersion(view) == 2)
+  }
+
   test("changes with pre-images: typed feed carries old rows; compaction emits nothing") {
     val t = tmpDir("cdf-pre") + "/tbl"
     MergeStore.init(spark, rows(300), t, numFiles = 4, clusterBy = Seq("id"))
