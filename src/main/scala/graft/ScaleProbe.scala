@@ -548,8 +548,14 @@ object ScaleProbe {
           rows(lo, lo + batch).withColumn("amount",
             col("amount") + lit(i.toDouble)),
           t, pk = Seq("id"))
+        // maintainEvery keeps the long-lived view's file count bounded
+        // from inside the stream itself (no scheduled-job host exists
+        // for a streaming view) — the probe reports the resulting
+        // bound alongside the per-trickle cost.
         val (_, tRun) = time(
-          StreamingIvm.maintain(spark, t, view, spec, ck)
+          StreamingIvm.maintain(spark, t, view, spec, ck,
+              maintainEvery = 1, targetFiles = 4, maxLiveFiles = 16,
+              vacuumGraceMillis = 0)
             .awaitTermination())
         total += tRun
         val v = MergeStore.version(t).get
@@ -571,6 +577,7 @@ object ScaleProbe {
         f""""per_trickle_sec":${total / trickles}%.3f,""" +
         f""""span_bytes_per_trickle":${spanBytesSum / trickles},""" +
         f""""table_bytes":$tableBytes,""" +
+        f""""view_live_files":${MergeStore.liveFiles(view).size},""" +
         f""""scan_advantage_x":${tableBytes.toDouble * trickles /
           math.max(1L, spanBytesSum)}%.1f}""")
     }

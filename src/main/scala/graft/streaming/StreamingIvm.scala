@@ -36,10 +36,28 @@ object StreamingIvm {
   /** Start maintaining `viewTarget` (created by
     * [[IncrementalView.initView]]) from `sourceTarget`'s change stream.
     * AvailableNow by default (catch up, then stop — the scheduled-job
-    * shape); pass `Trigger.ProcessingTime(...)` for an always-on tail. */
+    * shape); pass `Trigger.ProcessingTime(...)` for an always-on tail.
+    *
+    * `maintainEvery = n > 0` runs [[IncrementalView.maintainView]]
+    * after every n-th micro-batch that advanced the view: each batch
+    * commits one view version (replacement files + superseded ones kept
+    * for time travel), so an always-on tail accretes files and
+    * manifests WITHOUT BOUND unless someone compacts — and a streaming
+    * view has no scheduled-job host to do it, so the stream itself must.
+    * The maintenance pass is cap-gated (`maxLiveFiles`, default 4 ×
+    * `targetFiles`), cheap to check, and carries the applied marker
+    * through the compaction commit; vacuum then reclaims superseded
+    * files past `vacuumGraceMillis`. The batch counter is per-query-run
+    * (a restart restarts the cadence) — correctness never depends on
+    * it, only the file-count bound's promptness does. */
   def maintain(spark: SparkSession, sourceTarget: String,
                viewTarget: String, spec: IvmSpec, checkpoint: String,
-               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+               trigger: Trigger = Trigger.AvailableNow(),
+               maintainEvery: Int = 0, targetFiles: Int = 4,
+               maxLiveFiles: Int = 0,
+               vacuumGraceMillis: Long =
+                 graft.store.MergeStore.DefaultVacuumGraceMillis): StreamingQuery = {
+    var advancedBatches = 0L // driver-side: foreachBatch runs on the driver
     MergeStoreCdc.readStream(spark, sourceTarget,
         // Any TABLE column keys the feed (the weight algebra is
         // pk-independent); groupBy may name enriched dimension columns
@@ -56,12 +74,20 @@ object StreamingIvm {
         fromVersion = Some(IncrementalView.appliedVersion(viewTarget)))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyCdcBatch(batch, viewTarget, spec,
-          source = Some(sourceTarget)): Unit
+        val advanced = applyCdcBatch(batch, viewTarget, spec,
+          source = Some(sourceTarget))
+        if (advanced && maintainEvery > 0) {
+          advancedBatches += 1
+          if (advancedBatches % maintainEvery == 0)
+            IncrementalView.maintainView(spark, viewTarget, spec,
+              targetFiles, maxLiveFiles,
+              vacuumGraceMillis = vacuumGraceMillis): Unit
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+  }
 
   /** Apply one CDC micro-batch to the view, exactly once. `source` is
     * required when the spec carries min/max (departure-touched groups
