@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.operators.IvfIndex
+import graft.store.IvfStore
 
 /** Streaming ANN search: arriving query vectors probed against a STATIC
   * trained IVF index — the online-retrieval twin of the batch
@@ -51,4 +52,38 @@ object StreamingAnn {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+
+  /** [[searchStream]] over a PINNED [[IvfStore]] snapshot: corpus and
+    * model resolve ONCE, at stream start, from one committed version —
+    * the same one-publish consistency the store gives batch search. The
+    * separate (corpus, model) overload re-opens the mismatch the store
+    * closed: a caller passing `IvfStore.read(dir)` plus a model it held
+    * from training can pair post-append vectors with pre-append
+    * centroids. Here a mid-stream append or drift retrain lands a new
+    * version this stream never sees — every micro-batch probes the same
+    * frozen snapshot (results independent of arrival timing; the old
+    * version stays readable until vacuum, the usual pinned-reader
+    * retention contract). Restart the stream to adopt a newer index. */
+  def searchStream(queries: DataFrame, qIdCol: String, indexDir: String,
+                   version: Option[Int], cIdCol: String, vecCol: String,
+                   k: Int, nprobe: Int, outDir: String,
+                   checkpointDir: String, trigger: Trigger,
+                   maxClusterSize: Int): StreamingQuery = {
+    val spark = queries.sparkSession
+    val v = version.orElse(IvfStore.currentVersion(indexDir)).getOrElse(
+      sys.error(s"StreamingAnn: no committed index at $indexDir"))
+    searchStream(queries, qIdCol,
+      IvfStore.read(spark, indexDir, Some(v)), cIdCol, vecCol,
+      IvfStore.model(spark, indexDir, Some(v)), k, nprobe,
+      outDir, checkpointDir, trigger, maxClusterSize)
+  }
+
+  /** [[searchStream]] over a pinned snapshot with the default trigger
+    * (AvailableNow) and no cluster-size cap. */
+  def searchStream(queries: DataFrame, qIdCol: String, indexDir: String,
+                   version: Option[Int], cIdCol: String, vecCol: String,
+                   k: Int, nprobe: Int, outDir: String,
+                   checkpointDir: String): StreamingQuery =
+    searchStream(queries, qIdCol, indexDir, version, cIdCol, vecCol,
+      k, nprobe, outDir, checkpointDir, Trigger.AvailableNow(), 0)
 }

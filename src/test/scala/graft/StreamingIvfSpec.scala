@@ -94,6 +94,48 @@ class StreamingIvfSpec extends SparkSpec {
     assert(streamed.map(_._1).distinct.size == 40)
   }
 
+  test("streaming ANN over a pinned IvfStore snapshot ignores a later append") {
+    import graft.store.IvfStore
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val a = emb.where(col("vec_id") % 2 === 0)
+    val b = emb.where(col("vec_id") % 2 === 1)
+    val model = IvfIndex.train(a, "vec_id", "embedding", k = 8)
+    val dir = tmpDir("ann-pin") + "/idx"
+    val v0 = IvfStore.init(spark, a, "embedding", model, dir)
+    val queries = emb.where(col("vec_id") < 40)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val srcDir = tmpDir("ann-pin-src")
+    queries.where(col("query_id") % 2 === 0).write.parquet(srcDir + "/b0")
+    queries.where(col("query_id") % 2 === 1).write.parquet(srcDir + "/b1")
+    // The index moves on AFTER the pin: an append lands v1 before the
+    // stream processes a single batch.
+    IvfStore.append(spark, b, "embedding", model, dir)
+    val outDir = tmpDir("ann-pin-out") + "/t"
+    graft.streaming.StreamingAnn.searchStream(
+      spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir + "/b*"),
+      "query_id", dir, Some(v0), "vec_id", "embedding",
+      k = 5, nprobe = 3, outDir = outDir,
+      checkpointDir = tmpDir("ann-pin-ckpt")).awaitTermination()
+    def res(df: org.apache.spark.sql.DataFrame) = df
+      .select("src", "dst", "cosine", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSeq.sorted
+    val streamed = res(spark.read.parquet(outDir))
+    // Bit-identical to the batch probe over the store's PINNED
+    // snapshot — corpus AND model resolved from the same version.
+    val pinned = res(IvfIndex.knnJoinApprox(spark, queries, "query_id",
+      IvfStore.read(spark, dir, Some(v0)), "vec_id", "embedding",
+      IvfStore.model(spark, dir, Some(v0)), k = 5, nprobe = 3))
+    assert(streamed == pinned)
+    // ...and provably NOT the head's answer: every odd query's own
+    // vector (cosine 1.0) lives only in the appended v1.
+    val head = res(IvfIndex.knnJoinApprox(spark, queries, "query_id",
+      IvfStore.read(spark, dir), "vec_id", "embedding",
+      IvfStore.model(spark, dir), k = 5, nprobe = 3))
+    assert(streamed != head)
+  }
+
   test("IvfStore: atomic snapshot publish — pinned readers, link-carried appends, vacuum") {
     import graft.store.IvfStore
     import spark.implicits._
