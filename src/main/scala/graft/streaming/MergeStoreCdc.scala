@@ -69,15 +69,27 @@ object MergeStoreCdc {
 
   /** Open the change stream. `fromVersion`: emit commits AFTER this
     * version (default: the head at stream start — new changes only;
-    * pass Some(0) to replay history from the initial snapshot). */
+    * pass Some(0) to replay history from the initial snapshot).
+    *
+    * `maxVersionsPerBatch` (0 = unbounded) caps how many commits one
+    * micro-batch may span. getBatch builds an N-way union plan for an
+    * N-commit span, so a restart after long downtime would otherwise
+    * drain the whole backlog as ONE micro-batch whose planning cost —
+    * and whose all-or-nothing reprocessing on failure — grows linearly
+    * with the outage. Capped, an AvailableNow catch-up drains in
+    * ceil(backlog / cap) ordinary batches with identical final state
+    * (per-commit slicing is exact; spec-pinned). Delta's
+    * maxFilesPerTrigger admission shape, in commit units. */
   def readStream(spark: SparkSession, path: String, pk: Seq[String],
                  includePreimages: Boolean = false,
-                 fromVersion: Option[Int] = None): DataFrame = {
+                 fromVersion: Option[Int] = None,
+                 maxVersionsPerBatch: Int = 0): DataFrame = {
     val r = spark.readStream
       .format(classOf[MergeStoreCdcProvider].getName)
       .option("path", path)
       .option("pk", pk.mkString(","))
       .option("includePreimages", includePreimages.toString)
+      .option("maxVersionsPerBatch", maxVersionsPerBatch.toString)
     fromVersion.foreach(v => r.option("fromVersion", v.toString))
     r.load()
   }
@@ -106,13 +118,15 @@ class MergeStoreCdcProvider extends StreamSourceProvider with DataSourceRegister
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     new MergeStoreCdcSource(sqlContext.sparkSession, path(parameters), pk,
       parameters.get("includePreimages").exists(_.toBoolean),
-      parameters.get("fromVersion").map(_.toInt), metadataPath)
+      parameters.get("fromVersion").map(_.toInt), metadataPath,
+      parameters.get("maxVersionsPerBatch").map(_.toInt).getOrElse(0))
   }
 }
 
 class MergeStoreCdcSource(spark: SparkSession, path: String,
                           pk: Seq[String], includePreimages: Boolean,
-                          fromVersion: Option[Int], metadataPath: String)
+                          fromVersion: Option[Int], metadataPath: String,
+                          maxVersionsPerBatch: Int = 0)
     extends Source with SupportsTriggerAvailableNow {
   import MergeStoreCdc._
 
@@ -131,36 +145,41 @@ class MergeStoreCdcSource(spark: SparkSession, path: String,
   // originally built against, or the rerun returns the wrong span.
   // ------------------------------------------------------------------
 
-  private def startFile: java.nio.file.Path = {
-    val base =
-      try {
-        val uri = java.net.URI.create(metadataPath)
-        if (uri.getScheme == null) java.nio.file.Paths.get(metadataPath)
-        else java.nio.file.Paths.get(uri)
-      } catch {
-        case _: IllegalArgumentException =>
-          java.nio.file.Paths.get(metadataPath)
-      }
-    base.resolve("graft-cdc-start.v")
-  }
-
   /** Commits at or below this version are NOT emitted. First creation
     * under a checkpoint resolves it (explicit `fromVersion`, else the
     * current head — "new changes only") and persists it; every later
     * creation reads it back, so the stream's origin is a property of
-    * the CHECKPOINT, not of when the process happened to restart. */
+    * the CHECKPOINT, not of when the process happened to restart.
+    *
+    * Persistence goes through Spark's own CheckpointFileManager (the
+    * machinery the offset/commit logs use), NOT java.nio Paths: the
+    * checkpoint may live on any Hadoop-visible scheme (hdfs://,
+    * s3a://), where Paths.get(URI) throws FileSystemNotFoundException
+    * and an fs.rename-based atomic write is the only portable one. */
   private val startVersion: Int = {
-    val p = startFile
-    if (java.nio.file.Files.exists(p))
-      new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toInt
-    else {
+    import org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileManager
+    val dir = new org.apache.hadoop.fs.Path(metadataPath)
+    val fm = CheckpointFileManager.create(dir,
+      spark.sessionState.newHadoopConf())
+    val p = new org.apache.hadoop.fs.Path(dir, "graft-cdc-start.v")
+    if (fm.exists(p)) {
+      val in = fm.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64)
+        Iterator.continually(in.read(buf)).takeWhile(_ >= 0)
+          .foreach(n => bytes.write(buf, 0, n))
+        new String(bytes.toByteArray, "UTF-8").trim.toInt
+      } finally in.close()
+    } else {
       val v = fromVersion.getOrElse(MergeStore.version(path).getOrElse(0))
-      java.nio.file.Files.createDirectories(p.getParent)
-      val tmp = java.nio.file.Files.createTempFile(p.getParent, ".start", ".tmp")
-      java.nio.file.Files.write(tmp, v.toString.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, p,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      fm.mkdirs(dir)
+      // createAtomic publishes by rename: readers (and a racing twin of
+      // this source) see the whole value or no file, never a torn one.
+      val out = fm.createAtomic(p, overwriteIfPossible = true)
+      try {
+        out.write(v.toString.getBytes("UTF-8")); out.close()
+      } catch { case e: Throwable => out.cancel(); throw e }
       v
     }
   }
@@ -180,13 +199,31 @@ class MergeStoreCdcSource(spark: SparkSession, path: String,
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
+  /** End version of the last span getBatch built — the base the
+    * per-batch admission cap advances from. Set by every getBatch call,
+    * including the engine's restart re-initialization one, so after a
+    * restart the cap resumes from the checkpoint's last end, not the
+    * start. Never load-bearing for correctness (offsets are), only for
+    * the cap's arithmetic. */
+  @volatile private var lastBatchEnd: Option[Long] = None
+
   override def latestOffset(start: ConnectorOffset,
                             limit: ReadLimit): ConnectorOffset = {
-    val capped = availableNowCap match {
+    val availCapped = availableNowCap match {
       case Some(cap) => headOffset.map(math.min(_, cap))
         .filter(_ > startVersion)
       case None => headOffset
     }
+    // Admission cap: one micro-batch spans at most maxVersionsPerBatch
+    // commits past the last batch's end — a long-downtime backlog
+    // drains in bounded batches instead of one N-way union plan.
+    val capped =
+      if (maxVersionsPerBatch <= 0) availCapped
+      else {
+        val base = lastBatchEnd.getOrElse(startVersion.toLong)
+        availCapped.map(math.min(_, base + maxVersionsPerBatch))
+          .filter(_ > startVersion)
+      }
     capped.map(LongOffset(_)).orNull
   }
 
@@ -201,16 +238,30 @@ class MergeStoreCdcSource(spark: SparkSession, path: String,
     // round-trip through json — a bare long either way.
     val fromV = start.map(_.json.toLong.toInt).getOrElse(startVersion)
     val toV = end.json.toLong.toInt
+    lastBatchEnd = Some(math.max(toV.toLong,
+      lastBatchEnd.getOrElse(Long.MinValue)))
     // Belt and braces with changes()' stable-order contract: the
     // InternalRow wrap below is POSITIONAL, so align to the source
     // schema explicitly before dropping to rows.
-    // An empty/inverted span is a no-op batch, not an error: the engine's
-    // restart re-initialization calls getBatch(None, lastEnd), and a
-    // checkpoint whose whole history sits at or below the (persisted)
-    // start resolves to exactly that shape. Nothing below the start is
-    // ever emitted, so nothing can be lost here.
+    // An empty span is a no-op batch ONLY in the restart re-init shape
+    // (start.isEmpty — the engine re-calls getBatch(None, lastEnd) for
+    // batch 0, and a checkpoint whose history sits at or below the
+    // persisted start resolves to exactly that): nothing below the
+    // start is ever emitted, so nothing can be lost there. Any OTHER
+    // inverted span means the checkpoint and the start marker disagree
+    // — e.g. graft-cdc-start.v lost from a partially-copied checkpoint
+    // while the offset log survived, re-resolving the start past
+    // committed offsets — and a silent empty batch would SKIP the
+    // commits in between; fail loudly instead.
     val batch =
-      if (toV <= fromV)
+      if (toV <= fromV && start.isDefined)
+        throw new IllegalStateException(
+          s"graft-cdc at $path: inverted batch span ($fromV, $toV] — the " +
+            "checkpoint's offset log and its graft-cdc-start.v marker " +
+            "disagree (partially copied or hand-edited checkpoint?); " +
+            "rebuild the consumer from a fresh checkpoint rather than " +
+            "silently skipping the commits in between")
+      else if (toV <= fromV)
         spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
       else changesByCommit(spark, path, pk, includePreimages, fromV, toV)

@@ -72,6 +72,66 @@ class StreamingCdcSpec extends SparkSpec {
     assert(sinkRows(out) == batchRows(t, 0, 3))
   }
 
+  test("maxVersionsPerBatch drains a 12-commit backlog in ceil(12/5) bounded batches, state identical") {
+    val t = tmpDir("cdc-cap") + "/tbl"
+    val out = tmpDir("cdc-cap") + "/out"
+    val ck = tmpDir("cdc-cap") + "/ck"
+    MergeStore.init(spark, rows(0, 200, "v0"), t, numFiles = 4,
+      clusterBy = Seq("id")) // v0
+    (1 to 12).foreach { i =>
+      MergeStore.merge(spark, rows(i * 10, i * 10 + 5, s"c$i"), t,
+        pk = Seq("id"))
+    } // 12-commit backlog before the stream ever runs
+    val spans = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = MergeStoreCdc.readStream(spark, t, pk = Seq("id"),
+        fromVersion = Some(0), maxVersionsPerBatch = 5)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val cached = b.cache()
+        try {
+          if (!cached.isEmpty) {
+            val r = cached.agg(min($"_commit_version"),
+              max($"_commit_version")).head
+            spans += ((r.getLong(0), r.getLong(1)))
+            cached.write.mode("append").parquet(out)
+          }
+        } finally { cached.unpersist(); () }
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // The catch-up drained as ceil(12/5) = 3 seamless bounded spans —
+    // never one 12-way union plan.
+    assert(spans.toSeq == Seq((1L, 5L), (6L, 10L), (11L, 12L)))
+    // ...and the concatenation is exactly the full-span change feed.
+    assert(sinkRows(out) == batchRows(t, 0, 12))
+    // The cap keeps applying on later runs from the checkpoint.
+    (13 to 19).foreach { i =>
+      MergeStore.merge(spark, rows(i * 10, i * 10 + 5, s"c$i"), t,
+        pk = Seq("id"))
+    }
+    spans.clear()
+    val q2 = MergeStoreCdc.readStream(spark, t, pk = Seq("id"),
+        fromVersion = Some(0), maxVersionsPerBatch = 5)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val cached = b.cache()
+        try {
+          if (!cached.isEmpty) {
+            val r = cached.agg(min($"_commit_version"),
+              max($"_commit_version")).head
+            spans += ((r.getLong(0), r.getLong(1)))
+            cached.write.mode("append").parquet(out)
+          }
+        } finally { cached.unpersist(); () }
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spans.toSeq == Seq((13L, 17L), (18L, 19L)))
+    assert(sinkRows(out) == batchRows(t, 0, 19))
+  }
+
   test("fromVersion defaults to the head at stream start; a LIVE stream tails new commits") {
     val t = tmpDir("cdc-head") + "/tbl"
     val ck = tmpDir("cdc-head") + "/ck"
