@@ -259,16 +259,38 @@ object Bm25 {
   /** Tombstone table of a snapshot, if it has one (created by
     * [[deleteFromIndex]]/[[upsertToIndex]], folded away by
     * [[compactIndex]]): (doc, max_seg) — postings of `doc` with
-    * `seg <= max_seg` are dead. A legacy doc-only table reads as
-    * max_seg = MaxValue (kill all segments — the old semantics). */
+    * `seg <= max_seg` are dead.
+    *
+    * A legacy doc-only table (pre-segment format) meant "kill every
+    * segment committed when the marker landed" — normalized here to
+    * max_seg = THE VERSION OF THE SNAPSHOT HOLDING IT, which covers
+    * exactly those segments. The old MaxValue normalization also
+    * buried FUTURE segments: a doc re-inserted by a later append lands
+    * postings at seg = v+1 <= MaxValue, so the revision silently
+    * vanished from a pre-upgrade index (and its rows were excluded
+    * from the recomputed df/doclen). Every write verb persists the
+    * normalized (doc, max_seg) table forward, so one append/upsert/
+    * delete migrates the index off the legacy shape for good. */
   private def tombstones(spark: SparkSession, snap: String): Option[DataFrame] = {
     val p = java.nio.file.Paths.get(snap, "tombstones")
     if (!java.nio.file.Files.isDirectory(p)) None
     else {
       val t = spark.read.parquet(p.toString)
       Some(if (t.columns.contains("max_seg")) t
-        else t.withColumn("max_seg", lit(Long.MaxValue)))
+        else t.withColumn("max_seg", lit(snapVersionOf(snap))))
     }
+  }
+
+  /** The committed version a snapshot directory holds — parsed from
+    * SnapshotStore's `snap-<N>` naming. Only legacy-tombstone
+    * normalization needs it; staged dirs never reach this branch (the
+    * write verbs always persist an explicit max_seg into the stage). */
+  private def snapVersionOf(snap: String): Long = {
+    val name = java.nio.file.Paths.get(snap).getFileName.toString
+    require(name.startsWith("snap-"),
+      s"legacy doc-only tombstones in a non-snapshot dir $snap — " +
+        "staged tombstone tables must carry max_seg")
+    name.stripPrefix("snap-").toLong
   }
 
   /** Read a snapshot's physical postings with a normalized `seg` column

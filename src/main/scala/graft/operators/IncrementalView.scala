@@ -396,11 +396,31 @@ object IncrementalView {
 
   /** Read a [[distinctCountSpec]] sub-view as (groupBy, `outCol` =
     * COUNT(DISTINCT x)). Groups with zero distinct values are absent —
-    * the same group-death convention as every other view. */
+    * the same group-death convention as every other view.
+    *
+    * SQL-parity caveat: plain `GROUP BY g` with COUNT(DISTINCT x)
+    * RETURNS a group whose x values are all NULL (count 0), while this
+    * roll-up omits it — the sub-view's NULL filter means no (g, x)
+    * rows exist to witness the group. The q110 oracle agrees only
+    * because its distinct column is non-null by schema; pinning
+    * against a SQL oracle over a NULLABLE column needs `groupRoster`:
+    * the set of groups that should exist (e.g. a companion COUNT(*)
+    * view's keys), left-joined so zero-distinct groups surface with
+    * `outCol` = 0 exactly as SQL returns them. */
   def readDistinctCount(spark: SparkSession, viewTarget: String,
                         groupBy: Seq[String],
-                        outCol: String = "n_distinct"): DataFrame =
-    MergeStore.read(spark, viewTarget)
+                        outCol: String = "n_distinct",
+                        groupRoster: Option[DataFrame] = None): DataFrame = {
+    val counts = MergeStore.read(spark, viewTarget)
       .groupBy(groupBy.map(col): _*)
       .agg(count(lit(1)).cast(LongType).as(outCol))
+    groupRoster match {
+      case None => counts
+      case Some(roster) =>
+        roster.select(groupBy.map(col): _*).distinct()
+          .join(counts, groupBy, "left_outer")
+          .select(groupBy.map(col) :+
+            coalesce(col(outCol), lit(0L)).cast(LongType).as(outCol): _*)
+    }
+  }
 }

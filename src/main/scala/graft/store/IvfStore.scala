@@ -56,11 +56,30 @@ object IvfStore {
       .write.parquet(s"$stage/$Model")
   }
 
+  /** Loud migration gate for snapshots published by the pre-model
+    * format (vectors only, no `model/`): every code path that needs the
+    * snapshot's own model — [[model]], [[searchTopK]], [[delete]]'s
+    * carry — would otherwise die mid-plan (AnalysisException on the
+    * read, NoSuchFileException mid-carryLink after some files already
+    * staged). Name the condition and the remedy instead. */
+  private def requireModelDir(indexDir: String, version: Option[Int]): Unit = {
+    val snap = SnapshotStore.resolve(indexDir, version)
+    if (!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(snap, Model)))
+      throw new IllegalStateException(
+        s"legacy IVF snapshot at $snap: published before models rode " +
+          "snapshots, so no model/ directory exists — rebuild the index " +
+          "with IvfStore.init(corpus, model) to migrate (pinned reads of " +
+          "legacy versions can still use IvfIndex.searchTopK with a " +
+          "caller-held model)")
+  }
+
   /** The model a committed snapshot's vectors were assigned with
     * (newest snapshot by default). Doubles round-trip parquet exactly,
     * so the read-back centroids are bit-identical to the trained ones. */
   def model(spark: SparkSession, indexDir: String,
             version: Option[Int] = None): IvfIndex.Model = {
+    requireModelDir(indexDir, version)
     val rows = spark.read
       .parquet(s"${SnapshotStore.resolve(indexDir, version)}/$Model")
       .orderBy("cid").collect()
@@ -208,6 +227,10 @@ object IvfStore {
       s"IvfStore.delete: cluster column '$clusterCol' must be integral " +
         s"(got $clusterType) — non-integral values need partition-path " +
         "escaping the directory carry does not apply")
+    // Still before any staging: a legacy (pre-model) parent has no
+    // model/ to carry — fail with the named migration error, not a
+    // NoSuchFileException mid-carryLink.
+    requireModelDir(indexDir, Some(parentV))
     val doomed = doomedIds
       .select(col(doomedIds.columns.head).as(idCol)).distinct()
     // Affected cluster list: bounded by k (the coarse-quantizer size),

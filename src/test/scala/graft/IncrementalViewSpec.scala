@@ -425,6 +425,34 @@ class IncrementalViewSpec extends SparkSpec {
       targetFiles = 2, maxLiveFiles = 64))
   }
 
+  test("distinct-count roster: all-NULL groups surface as zero (SQL COUNT(DISTINCT) parity)") {
+    val dSpec = IncrementalView.distinctCountSpec(Seq("grp"), "bucket")
+    val t = tmpDir("ivm-roster") + "/tbl"
+    val view = tmpDir("ivm-roster") + "/view"
+    // Group 2's bucket values are ALL NULL: SQL returns (2, 0); the
+    // sub-view holds no (2, x) rows at all.
+    val base = rows(300).withColumn("bucket",
+      when(col("grp") === 2, lit(null).cast("int"))
+        .otherwise((col("id") % 13).cast("int")))
+    MergeStore.init(spark, base, t, numFiles = 2, clusterBy = Seq("id"))
+    IncrementalView.initView(spark, t, view, dSpec)
+    val bare = IncrementalView.readDistinctCount(spark, view, Seq("grp"))
+      .select(col("grp").cast("int"), col("n_distinct"))
+      .as[(Int, Long)].collect().toMap
+    assert(!bare.contains(2)) // the documented divergence
+    val roster = MergeStore.read(spark, t).select("grp")
+    val got = IncrementalView.readDistinctCount(spark, view, Seq("grp"),
+        groupRoster = Some(roster))
+      .select(col("grp").cast("int"), col("n_distinct"))
+      .as[(Int, Long)].collect().toMap
+    val want = MergeStore.read(spark, t)
+      .groupBy("grp").agg(count_distinct(col("bucket")).as("n"))
+      .select(col("grp").cast("int"), col("n"))
+      .as[(Int, Long)].collect().toMap
+    assert(got == want)
+    assert(got(2) == 0L)
+  }
+
   test("marker guard: a rival maintainer's overlapping span drops, never double-applies") {
     val t = tmpDir("ivm-guard") + "/tbl"
     val view = tmpDir("ivm-guard") + "/view"

@@ -136,6 +136,32 @@ class StreamingIvfSpec extends SparkSpec {
     assert(streamed != head)
   }
 
+  test("IvfStore: legacy (pre-model) snapshot fails loudly with the migration error") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    import graft.store.IvfStore
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val model = IvfIndex.train(emb, "vec_id", "embedding", k = 8)
+    val dir = tmpDir("ivf-legacy") + "/idx"
+    IvfStore.init(spark, emb, "embedding", model, dir)
+    // Simulate a pre-upgrade snapshot: published before models rode
+    // snapshots, so no model/ directory exists.
+    val modelDir = java.nio.file.Paths.get(
+      graft.store.SnapshotStore.resolve(dir, Some(0)), "model")
+    java.nio.file.Files.walk(modelDir).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists)
+    val e1 = intercept[IllegalStateException] { IvfStore.model(spark, dir) }
+    assert(e1.getMessage.contains("legacy IVF snapshot"))
+    // delete() fails BEFORE staging anything (the carry would otherwise
+    // die mid-walk with NoSuchFileException after files were staged).
+    val e2 = intercept[IllegalStateException] {
+      IvfStore.delete(spark, dir, Seq(0L).toDF("vec_id"), "vec_id")
+    }
+    assert(e2.getMessage.contains("legacy IVF snapshot"))
+    // Pinned vector reads keep working — the caller-held-model path.
+    assert(IvfStore.read(spark, dir).count() == emb.count())
+  }
+
   test("IvfStore: atomic snapshot publish — pinned readers, link-carried appends, vacuum") {
     import graft.store.IvfStore
     import spark.implicits._
