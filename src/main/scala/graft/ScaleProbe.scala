@@ -583,7 +583,85 @@ object ScaleProbe {
     }
   }
 
+  /** BM25 SEGMENT HYGIENE — measures what repeated [[graft.operators
+    * .Bm25.upsertToIndex]] cycles do to a live index and what
+    * `compactIndex` buys back. Each upsert adds one postings segment
+    * (batch-clustered files) and grows the tombstone table; searches
+    * pay (a) more file opens per term IN-list probe — the term slice
+    * now lives in every segment's files — and (b) the tombstone
+    * anti-join over a growing marker set. Compaction folds both away:
+    * one globally term-clustered segment, zero tombstones. The probe
+    * runs two arms over the same revision stream — never-compact vs
+    * compact-every-C — and prints per-cycle search latency, postings
+    * file count, physical-vs-effective postings rows, and tombstone
+    * rows, so SCALE.md's recommended live-segment cap is a measured
+    * curve, not a guess. */
+  private def bm25SegProbe(spark: SparkSession, sfDir: String,
+                           cycles: Int, compactEvery: Int): Unit = {
+    import graft.operators.Bm25
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    import spark.implicits._
+    val qs = Seq(0 -> "dup hash join", 1 -> "data quality model",
+        2 -> "the and of")
+      .toDF("query_id", "qtext")
+    Seq(0, compactEvery).distinct.foreach { ce =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-bm25seg")
+        .toString + "/idx"
+      Bm25.buildIndex(docs, "doc_id", "text", dir)
+      (1 to cycles).foreach { i =>
+        val revised = docs.where(col("doc_id") % 7 === i % 7)
+          .select(col("doc_id"),
+            concat(col("text"), lit(s" cyc$i")).as("text"))
+        val (_, tUp) = time(Bm25.upsertToIndex(revised, "doc_id", "text", dir))
+        val compacted = ce > 0 && i % ce == 0
+        val tComp =
+          if (!compacted) 0.0
+          else time(Bm25.compactIndex(spark, dir))._2
+        // Warm once (plan/code caches), then measure the steady search.
+        Bm25.searchTopKIndexed(dir, qs, "query_id", "qtext", k = 10).collect()
+        val (_, tSearch) = time(
+          Bm25.searchTopKIndexed(dir, qs, "query_id", "qtext", k = 10)
+            .collect())
+        val snap = Bm25.resolveSnapshot(dir)
+        def filesUnder(sub: String): Int = {
+          val p = java.nio.file.Paths.get(snap, sub)
+          if (!java.nio.file.Files.isDirectory(p)) 0
+          else {
+            import scala.jdk.CollectionConverters._
+            val it = java.nio.file.Files.walk(p)
+            try it.iterator().asScala.count(q =>
+              java.nio.file.Files.isRegularFile(q) &&
+                q.getFileName.toString.endsWith(".parquet"))
+            finally it.close()
+          }
+        }
+        val physRows = spark.read.option("mergeSchema", "true")
+          .parquet(s"$snap/postings").count()
+        val tombRows =
+          if (!java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(snap, "tombstones"))) 0L
+          else spark.read.parquet(s"$snap/tombstones").count()
+        println(f"""{"probe":"bm25seg","arm":"${if (ce > 0) s"compact$ce"
+          else "never"}","cycle":$i,"upsert_sec":$tUp%.3f,""" +
+          f""""compact_sec":$tComp%.3f,"search_sec":$tSearch%.3f,""" +
+          f""""postings_files":${filesUnder("postings")},""" +
+          f""""postings_rows_physical":$physRows,""" +
+          f""""tombstone_rows":$tombRows,"compacted":$compacted}""")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("bm25seg")) {
+      val spark = GraftSession.local(32)
+      val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+      val cycles = if (args.length > 2) args(2).toInt else 8
+      val compactEvery = if (args.length > 3) args(3).toInt else 4
+      bm25SegProbe(spark, sfDir, cycles, compactEvery)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("sivm")) {
       val spark = GraftSession.local(32)
       val batch = if (args.length > 1) args(1).toInt else 10000
