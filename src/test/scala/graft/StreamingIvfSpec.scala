@@ -320,6 +320,71 @@ class StreamingIvfSpec extends SparkSpec {
     assert(IvfStore.model(spark, dir, Some(v2)).centroids.length == 8)
   }
 
+  test("IVF drift lifecycle end-to-end: ingest → trigger → retrain → re-append, every pinned version bit-exact") {
+    import graft.store.IvfStore
+    import spark.implicits._
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val base = emb.where(col("vec_id") % 3 === 0)
+    val model0 = IvfIndex.train(base, "vec_id", "embedding", k = 8)
+    val baseline0 = IvfIndex.driftStat(spark, base, "embedding", model0)
+    val dir = tmpDir("ivf-lifecycle") + "/idx"
+    IvfStore.init(spark, base, "embedding", model0, dir) // v0
+    val qv = emb.where(col("vec_id") === 0L).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    def searchAt(v: Int) = IvfStore.searchTopK(spark, dir, "vec_id",
+        "embedding", qv, k = 5, nprobe = 3, version = Some(v))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val pinned = scala.collection.mutable.Map(0 -> searchAt(0))
+    // Trickle 1: in-distribution (a fresh-id resample of the training
+    // population — its drift IS the baseline) — lands atomically,
+    // trigger quiet.
+    val b1 = base.select((col("vec_id") + 2000000L).as("vec_id"),
+      col("embedding"))
+    val (v1, r1) = IvfStore.appendWithDrift(spark, b1, "embedding",
+      model0, dir, retrainBelow = 0.9, baselineDrift = baseline0)
+    assert(!r1.retrainDue, s"drift ${r1.drift} baseline $baseline0")
+    pinned(v1) = searchAt(v1)
+    // Trickle 2: drifted distribution (reversed vectors, fresh ids) —
+    // the batch still LANDS (the caller owns the reaction), and the
+    // SAME scored pass reports retrainDue.
+    val b2 = emb.where(col("vec_id") % 3 === 2)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+    val (v2, r2) = IvfStore.appendWithDrift(spark, b2, "embedding",
+      model0, dir, retrainBelow = 0.9, baselineDrift = baseline0)
+    assert(r2.retrainDue && r2.drift.exists(_ < 0.9 * baseline0))
+    pinned(v2) = searchAt(v2)
+    // Act on the trigger — orchestration, exactly as documented: train
+    // a NEW model + baseline on the corpus as it now is (old + drifted
+    // mass), and append subsequent batches with it; the new model
+    // publishes INSIDE that snapshot.
+    val corpusNow = IvfStore.read(spark, dir, Some(v2))
+      .select(col("vec_id"), col("embedding"))
+    val model1 = IvfIndex.train(corpusNow, "vec_id", "embedding", k = 8)
+    val baseline1 = IvfIndex.driftStat(spark, corpusNow, "embedding", model1)
+    val b3 = corpusNow.select((col("vec_id") + 4000000L).as("vec_id"),
+      col("embedding")) // fresh-id resample of the NEW mixed population
+    val (v3, r3) = IvfStore.appendWithDrift(spark, b3, "embedding",
+      model1, dir, retrainBelow = 0.9, baselineDrift = baseline1)
+    assert(!r3.retrainDue, // the refreshed baseline covers the new mix
+      s"drift ${r3.drift} baseline $baseline1")
+    pinned(v3) = searchAt(v3)
+    assert(IvfStore.read(spark, dir, Some(v3)).count() ==
+      base.count() + b1.count() + b2.count() + b3.count())
+    // THE lifecycle guarantee: every version along the way replays
+    // bit-exactly — vectors AND the model that assigned them resolve
+    // from each pinned snapshot, so neither the drift trigger nor the
+    // retrain ever moved a committed read.
+    pinned.foreach { case (v, want) =>
+      assert(searchAt(v) == want, s"pinned version $v moved") }
+    // Each snapshot carries the model that published it: v0-v2 the
+    // original, v3 the retrained one.
+    assert(IvfStore.model(spark, dir, Some(v2)).centroids.flatten.toSeq ==
+      model0.centroids.flatten.toSeq)
+    assert(IvfStore.model(spark, dir, Some(v3)).centroids.flatten.toSeq ==
+      model1.centroids.flatten.toSeq)
+  }
+
   test("IvfStore.delete refuses a non-integral cluster column (partition-path escaping hazard)") {
     import graft.store.{IvfStore, SnapshotStore}
     import spark.implicits._
