@@ -391,6 +391,56 @@ object Bm25 {
     SnapshotStore.publish(indexDir, stage, parentV)
   }
 
+  /** Cap-gated index maintenance — the SCALE.md §"Segment hygiene"
+    * trigger as code, MergeStore.maintain's shape for the inverted
+    * index: compact ([[compactIndex]]) only when the live snapshot has
+    * genuinely degraded, so steady trickle upserts don't pay a full
+    * re-cluster per batch. Two measured triggers (bm25seg probe), both
+    * free to check:
+    *
+    *   - file-count: live postings files exceed `maxPostingsFiles`
+    *     (default 4 × `numFiles` — every append adds a segment's worth
+    *     of files and each term probe opens every segment);
+    *   - bury-ratio: physical postings rows exceed `maxBuryRatio` ×
+    *     effective rows (row counts from parquet metadata / one
+    *     metadata-only aggregate — buried revisions are bytes every
+    *     term-slice scan reads before the tombstone anti-join drops
+    *     them).
+    *
+    * Returns true iff a compaction ran. Call after [[upsertToIndex]] /
+    * [[appendToIndex]] / [[deleteFromIndex]] batches, or on a
+    * maintenance schedule. */
+  def maintainIndex(spark: SparkSession, indexDir: String,
+                    numFiles: Int = 16, maxPostingsFiles: Int = 0,
+                    maxBuryRatio: Double = 2.0): Boolean = {
+    val parentV = currentVersion(indexDir).getOrElse(
+      sys.error(s"maintainIndex: no committed index at $indexDir"))
+    val snap = resolveSnapshot(indexDir, Some(parentV))
+    val cap = if (maxPostingsFiles > 0) maxPostingsFiles else 4 * numFiles
+    val postingsDir = java.nio.file.Paths.get(snap, "postings")
+    val fileCount = {
+      val it = java.nio.file.Files.walk(postingsDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala.count(p =>
+          java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+      } finally it.close()
+    }
+    val degraded = fileCount > cap || {
+      maxBuryRatio > 0 && tombstones(spark, snap).isDefined && {
+        // Counts, not scans: parquet row counts come from footers, and
+        // the effective count is one anti-join aggregate over (doc,
+        // seg) metadata columns — never the term/tf payload.
+        val physical = readPostings(spark, snap).count()
+        val effective = effectivePostings(spark, snap).count()
+        effective > 0 && physical.toDouble / effective > maxBuryRatio
+      }
+    }
+    if (degraded) { compactIndex(spark, indexDir, numFiles); true }
+    else false
+  }
+
   /** [[searchTopK]] against a persisted [[buildIndex]] layout: identical
     * scores and ranking, but the corpus never re-tokenizes — the query's
     * terms push into the term-clustered postings/df scans as an IN

@@ -159,6 +159,54 @@ object PqStore {
     SnapshotStore.publish(indexDir, stage, parentV)
   }
 
+  /** [[append]] with [[IvfIndex.appendBatch]]'s drift-retrain trigger —
+    * the IvfStore.appendWithDrift lifecycle on the coded layout: ONE
+    * scored assignment pass (against the PARENT snapshot's pinned
+    * coarse model) both lands the batch atomically and measures its
+    * drift vs the train-time baseline. The retrain decision returns to
+    * the caller; acting on it here means [[reindex]] with freshly
+    * trained models — never an in-place codebook swap. */
+  def appendWithDrift(spark: SparkSession, batch: DataFrame, vecCol: String,
+                      indexDir: String, retrainBelow: Double,
+                      baselineDrift: Double,
+                      clusterCol: String = "ivf_cluster",
+                      codeCol: String = "pq_code")
+      : (Int, IvfIndex.AppendResult) = {
+    require(!baselineDrift.isNaN && retrainBelow > 0.0,
+      "appendWithDrift needs baselineDrift (record driftStat on the " +
+        "training distribution at train time) and a retrainBelow factor")
+    val parentV = currentVersion(indexDir).getOrElse(
+      sys.error(s"PqStore.appendWithDrift: no committed index at $indexDir"))
+    val (ivf, rm) = models(spark, indexDir, Some(parentV))
+    val prev = java.nio.file.Paths
+      .get(SnapshotStore.resolve(indexDir, Some(parentV)), Vectors)
+    val scored = IvfIndex.assignScored(spark, batch, vecCol, ivf,
+      clusterCol).cache()
+    try {
+      val stage = SnapshotStore.stage(indexDir)
+      PqIndex.encodeResidual(scored.drop("proto_cos"), vecCol, clusterCol,
+          rm, codeCol)
+        .write.partitionBy(clusterCol).parquet(s"$stage/$Vectors")
+      SnapshotStore.carryLink(prev, stage.resolve(Vectors), s"carry-$parentV-")
+      writeModels(spark, ivf, rm, stage)
+      val v = SnapshotStore.publish(indexDir, stage, parentV)
+      val row = scored.agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.avg(
+          org.apache.spark.sql.functions.col("proto_cos"))).head
+      val result =
+        if (row.getLong(0) == 0L)
+          IvfIndex.AppendResult(Some(0L), None, retrainDue = false)
+        else {
+          val d = row.getDouble(1)
+          IvfIndex.AppendResult(Some(row.getLong(0)), Some(d),
+            retrainDue = d < retrainBelow * baselineDrift)
+        }
+      (v, result)
+    } finally scored.unpersist()
+  }
+
   /** The retrain path: re-assign and re-encode the ENTIRE current
     * corpus (parent snapshot's vectors plus `extra` batch, if any) with
     * a NEW model pair, publishing codes + model together — the only

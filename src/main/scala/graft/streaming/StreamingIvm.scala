@@ -56,7 +56,8 @@ object StreamingIvm {
                maintainEvery: Int = 0, targetFiles: Int = 4,
                maxLiveFiles: Int = 0,
                vacuumGraceMillis: Long =
-                 graft.store.MergeStore.DefaultVacuumGraceMillis): StreamingQuery = {
+                 graft.store.MergeStore.DefaultVacuumGraceMillis,
+               maxVersionsPerBatch: Int = 0): StreamingQuery = {
     var advancedBatches = 0L // driver-side: foreachBatch runs on the driver
     MergeStoreCdc.readStream(spark, sourceTarget,
         // Any TABLE column keys the feed (the weight algebra is
@@ -65,6 +66,11 @@ object StreamingIvm {
         pk = Seq(graft.store.MergeStore.read(spark, sourceTarget)
           .columns.head),
         includePreimages = true,
+        // The CDC admission cap: a post-downtime catch-up drains in
+        // bounded per-batch spans; the ±weight delta algebra is
+        // additive over any partition of the commit sequence, and the
+        // marker advances per batch — identical final view either way.
+        maxVersionsPerBatch = maxVersionsPerBatch,
         // Seed at the view's OWN high-water mark, not 0: a view
         // initialized when the source was already at version N must not
         // rematerialize (0, N] on its first micro-batch (all of it would

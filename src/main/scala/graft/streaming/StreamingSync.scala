@@ -28,14 +28,20 @@ object StreamingSync {
   /** Start following `source` into `replica` (which must exist —
     * initialize it once from the source snapshot at `fromVersion`, the
     * deep-clone step, exactly like batch sync). AvailableNow by default
-    * (catch up then stop); pass ProcessingTime for an always-on tail. */
+    * (catch up then stop); pass ProcessingTime for an always-on tail.
+    * `maxVersionsPerBatch` bounds a post-downtime catch-up's per-batch
+    * commit span (the CDC source's admission cap) — correctness is
+    * unaffected either way (the terminal-change window composes across
+    * batches exactly as within one). */
   def replicate(spark: SparkSession, source: String, replica: String,
                 pk: Seq[String], fromVersion: Int, checkpoint: String,
-                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+                trigger: Trigger = Trigger.AvailableNow(),
+                maxVersionsPerBatch: Int = 0): StreamingQuery = {
     require(MergeStore.exists(replica),
       s"replica $replica must be initialized from source version $fromVersion")
     MergeStoreCdc.readStream(spark, source, pk,
-        includePreimages = false, fromVersion = Some(fromVersion))
+        includePreimages = false, fromVersion = Some(fromVersion),
+        maxVersionsPerBatch = maxVersionsPerBatch)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         applyCdcBatch(batch, replica, pk)

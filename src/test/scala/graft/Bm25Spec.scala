@@ -232,6 +232,62 @@ class Bm25Spec extends SparkSpec {
     assert(run(dir) == run(scratch2))
   }
 
+  test("maintainIndex: cap-gated — no-op while healthy, folds on file-count or bury-ratio, scores exact") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val docs = graft.core.Tables.load(spark, sf(), "documents")
+      .select(col("doc_id"), col("text"))
+    val dir = tmpDir("bm25-maint")
+    Bm25.buildIndex(docs, "doc_id", "text", dir, numFiles = 8) // v0
+    val qs = Seq(0 -> "dup hash join", 1 -> "data model")
+      .toDF("query_id", "qtext")
+    def run(d: String) =
+      Bm25.searchTopKIndexed(d, qs, "query_id", "qtext", k = 10)
+        .select(col("query_id"), col("rank"), col("doc"), col("score"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSeq.sorted
+    // Healthy index: maintenance is a no-op and burns no version.
+    assert(!Bm25.maintainIndex(spark, dir, numFiles = 8))
+    assert(Bm25.currentVersion(dir).contains(0))
+    // Appends accrete segment files; the FILE-COUNT trigger fires once
+    // past the cap and the compaction changes no row's meaning.
+    (1 to 3).foreach { i =>
+      Bm25.appendToIndex(
+        docs.where(col("doc_id") % 13 === i)
+          .select((col("doc_id") + i * 10000000L).as("doc_id"),
+            col("text")),
+        "doc_id", "text", dir, numFiles = 4)
+    }
+    val beforeFold = run(dir)
+    assert(Bm25.maintainIndex(spark, dir, numFiles = 8,
+      maxPostingsFiles = 10))
+    assert(run(dir) == beforeFold)
+    // Repeated upserts bury revisions; the BURY-RATIO trigger fires
+    // even with the file cap out of reach.
+    (1 to 3).foreach { i =>
+      Bm25.upsertToIndex(
+        docs.where(col("doc_id") % 2 === 0)
+          .select(col("doc_id"),
+            concat(col("text"), lit(s" rev$i")).as("text")),
+        "doc_id", "text", dir)
+    }
+    assert(Bm25.maintainIndex(spark, dir, numFiles = 8,
+      maxPostingsFiles = 1000000, maxBuryRatio = 1.5))
+    // Post-maintenance scores == an index that only ever saw the
+    // effective corpus.
+    val scratch = tmpDir("bm25-maint-scratch")
+    Bm25.buildIndex(
+      docs.where(col("doc_id") % 2 =!= 0)
+        .unionByName(docs.where(col("doc_id") % 2 === 0)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" rev3")).as("text")))
+        .unionByName((1 to 3).map(i =>
+          docs.where(col("doc_id") % 13 === i)
+            .select((col("doc_id") + i * 10000000L).as("doc_id"),
+              col("text"))).reduce(_ unionByName _)),
+      "doc_id", "text", scratch)
+    assert(run(dir) == run(scratch))
+  }
+
   test("legacy doc-only tombstones: re-inserted doc survives migration (no MaxValue burial)") {
     import org.apache.spark.sql.functions.col
     import scala.jdk.CollectionConverters._

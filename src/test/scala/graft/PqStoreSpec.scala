@@ -100,6 +100,43 @@ class PqStoreSpec extends SparkSpec {
     assert(search(dir) == search(dir, Some(v1)))
   }
 
+  test("drift lifecycle on the coded layout: quiet resample, drifted trigger, reindex; pins hold") {
+    val dir = tmpDir("pqstore-drift") + "/idx"
+    val base = e.where(col("vec_id") % 2 === 0)
+    val (ivf, rm) = PqIndex.trainIvfResidual(base, "vec_id", "embedding",
+      kIvf = 16, dim = 64, m = 8, ks = 16)
+    val baseline = IvfIndex.driftStat(spark, base, "embedding", ivf)
+    val v0 = PqStore.init(spark, base, "embedding", ivf, rm, dir)
+    val atV0 = search(dir, Some(v0))
+    // In-distribution resample (fresh ids): drift == baseline, quiet;
+    // the batch encodes with the PARENT's pinned models.
+    val (v1, r1) = PqStore.appendWithDrift(spark,
+      base.select((col("vec_id") + 2000000L).as("vec_id"), col("embedding")),
+      "embedding", dir, retrainBelow = 0.9, baselineDrift = baseline)
+    assert(v1 == v0 + 1 && !r1.retrainDue)
+    val atV1 = search(dir, Some(v1))
+    // Drifted batch (reversed vectors): lands AND fires.
+    val (v2, r2) = PqStore.appendWithDrift(spark,
+      base.select((col("vec_id") + 3000000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding")),
+      "embedding", dir, retrainBelow = 0.9, baselineDrift = baseline)
+    assert(v2 == v1 + 1 && r2.retrainDue)
+    assert(r2.drift.exists(_ < 0.9 * baseline))
+    // Act on the trigger: retrain BOTH models on the corpus as-is and
+    // reindex — codes and codebooks republish together.
+    val corpusNow = PqStore.read(spark, dir, Some(v2))
+      .select(col("vec_id"), col("embedding"))
+    val (ivfB, rmB) = PqIndex.trainIvfResidual(corpusNow, "vec_id",
+      "embedding", kIvf = 16, dim = 64, m = 8, ks = 16)
+    val v3 = PqStore.reindex(spark, dir, ivfB, rmB, "embedding")
+    assert(v3 == v2 + 1)
+    // Every pinned version along the lifecycle replays bit-exactly.
+    assert(search(dir, Some(v0)) == atV0)
+    assert(search(dir, Some(v1)) == atV1)
+    assert(PqStore.models(spark, dir, Some(v3))._2.pq.flat
+      .sameElements(rmB.pq.flat))
+  }
+
   test("delete rewrites only affected partitions; survivor codes carry byte-identical") {
     val dir = tmpDir("pqstore-del") + "/idx"
     val (ivf, rm) = PqIndex.trainIvfResidual(e, "vec_id", "embedding",
