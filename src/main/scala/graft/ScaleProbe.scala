@@ -174,6 +174,64 @@ object ScaleProbe {
     big.unpersist()
   }
 
+  /** Manifest-level data-skipping audit (MergeStore per-file stats vs a
+    * stats-less twin): the same range-clustered COW table is built WITH
+    * and WITHOUT manifest stats, then (a) a narrow range read and (b) a
+    * key-local trickle merge run against both. The stats table's probe
+    * should plan O(overlapping files) — candidate counts, scanned bytes,
+    * and wall time are all reported, and both arms must return identical
+    * answers. This is the layer ABOVE skip-curve's row-group stats: at
+    * 100 TB the row-group path still lists and opens every live file's
+    * footer (an object-store GET each); the manifest path prunes from
+    * the commit log alone. */
+  private def manifestSkipProbe(spark: SparkSession, n: Long,
+                                fileCounts: Seq[Int]): Unit = {
+    import graft.store.Layouts
+    val df = spark.range(n).select(col("id"),
+      (col("id") % 97).cast("int").as("grp"),
+      concat(lit("payload-"), col("id")).as("payload"))
+    fileCounts.foreach { files =>
+      val dir = java.nio.file.Files.createTempDirectory("manifestskip")
+        .toString
+      val tA = s"$dir/with-stats"
+      val tB = s"$dir/no-stats"
+      MergeStore.init(spark, df, tA, files, clusterBy = Seq("id"))
+      MergeStore.init(spark, df, tB, files, clusterBy = Seq("id"),
+        statsCols = Some(Nil))
+      val lo = n / 2
+      val hi = n / 2 + 1000
+      val cand = MergeStore.candidateFiles(spark, tA, "id",
+        Some(lo), Some(hi)).size
+      val (scanA, bytesA) = Layouts.measuredInputBytes(spark) {
+        time(MergeStore.scanRange(spark, tA, "id", Some(lo), Some(hi))
+          .count())
+      }
+      val (scanB, bytesB) = Layouts.measuredInputBytes(spark) {
+        time(MergeStore.scanRange(spark, tB, "id", Some(lo), Some(hi))
+          .count())
+      }
+      require(scanA._1 == scanB._1,
+        s"pruning changed the answer: ${scanA._1} != ${scanB._1}")
+      // Key-local trickle merge: 100 keys from one narrow range.
+      def batch = spark.range(lo, lo + 100).select(col("id"),
+        lit(7).cast("int").as("grp"),
+        concat(lit("v2-"), col("id")).as("payload"))
+      val (mA, tMergeA) = time(MergeStore.merge(spark, batch, tA, Seq("id")))
+      val (mB, tMergeB) = time(MergeStore.merge(spark, batch, tB, Seq("id")))
+      require(mA.filesRewritten == mB.filesRewritten &&
+        mA.rowsUpdated == mB.rowsUpdated,
+        "stats changed merge behavior")
+      println(s"""{"metric":"manifest_skip","rows":$n,"files":$files,""" +
+        s""""candidates":$cand,""" +
+        s""""scan_stats_sec":${f"${scanA._2}%.3f"},""" +
+        s""""scan_full_sec":${f"${scanB._2}%.3f"},""" +
+        s""""scan_stats_bytes":$bytesA,"scan_full_bytes":$bytesB,""" +
+        s""""merge_stats_sec":${f"$tMergeA%.3f"},""" +
+        s""""merge_full_sec":${f"$tMergeB%.3f"},""" +
+        s""""files_rewritten":${mA.filesRewritten}}""")
+    }
+  }
+
   /** Compressed bytes of the column chunks whose dotted path starts with
     * `colPrefix`, across every parquet file under `dir` (recursive) — the
     * exact IO a column-pruned scan of that column must perform. Read from
@@ -713,6 +771,15 @@ object ScaleProbe {
       val multiples = if (args.length > 2) args.drop(2).map(_.toInt).toSeq
         else Seq(10, 50, 100)
       annCurveProbe(spark, sfDir, multiples)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("manifest-skip")) {
+      val spark = GraftSession.local(32)
+      val n = if (args.length > 1) args(1).toLong else 4000000L
+      val counts = if (args.length > 2) args.drop(2).map(_.toInt).toSeq
+        else Seq(16, 64, 256)
+      manifestSkipProbe(spark, n, counts)
       spark.stop()
       return
     }

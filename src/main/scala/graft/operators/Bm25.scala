@@ -148,7 +148,8 @@ object Bm25 {
       .withColumn("seg", lit(seg.toLong))
 
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
-                 indexDir: String, numFiles: Int = 16): Int = {
+                 indexDir: String, numFiles: Int = 16,
+                 meta: Map[String, String] = Map.empty): Int = {
     val parentV = currentVersion(indexDir).getOrElse(-1)
     val stage = SnapshotStore.stage(indexDir)
     tokenize(docs, idCol, textCol, seg = parentV + 1)
@@ -157,6 +158,7 @@ object Bm25 {
       .write.mode("overwrite").parquet(s"$stage/postings")
     val postings = docs.sparkSession.read.parquet(s"$stage/postings")
     writeSnapshotTables(postings, stage.toString, numFiles)
+    SnapshotStore.writeMeta(stage, meta)
     SnapshotStore.publish(indexDir, stage, parentV)
   }
 
@@ -218,13 +220,39 @@ object Bm25 {
     * bit-identical to an index built from scratch on it (spec-pinned;
     * the q105 oracle convention). Delta's MERGE semantics, index-shaped. */
   def upsertToIndex(newDocs: DataFrame, idCol: String, textCol: String,
-                    indexDir: String, numFiles: Int = 4): Int = {
+                    indexDir: String, numFiles: Int = 4): Int =
+    applyChangesToIndex(newDocs,
+      newDocs.select(col(idCol)).limit(0), idCol, textCol, indexDir,
+      numFiles)
+
+  /** UPSERT `newDocs` and DELETE `doomedDocs` in ONE atomic snapshot
+    * publish, with optional snapshot metadata — [[graft.store
+    * .MergeStore.applyChanges]]'s transactional shape reaching the
+    * inverted index: a change batch (a CDC micro-batch's terminal
+    * per-doc changes) plus its progress marker commit together, so no
+    * crash can separate "index revised" from "marker advanced". Both
+    * verbs ride the segment-scoped tombstone mechanics: every batch id
+    * (upserted OR doomed) that physically appears in carried postings
+    * is tombstoned at the parent version, and the upserted docs' new
+    * postings land as segment parent+1 in the same publish — above the
+    * tombstone's reach, so a doc in BOTH sets ends PRESENT
+    * (delete-then-upsert composition, exactly applyChanges' rule).
+    * Summaries recompute from the effective postings; scores over the
+    * final corpus are bit-identical to an index built from scratch on
+    * it. Cost: the batch plus the index-summary pass, never a rewrite. */
+  def applyChangesToIndex(newDocs: DataFrame, doomedDocs: DataFrame,
+                          idCol: String, textCol: String, indexDir: String,
+                          numFiles: Int = 4,
+                          meta: Map[String, String] = Map.empty): Int = {
     val spark = newDocs.sparkSession
     val parentV = currentVersion(indexDir).getOrElse(
-      sys.error(s"upsertToIndex: no committed index at $indexDir"))
+      sys.error(s"applyChangesToIndex: no committed index at $indexDir"))
     val snap = resolveSnapshot(indexDir, Some(parentV))
     val stage = SnapshotStore.stage(indexDir)
-    val batchIds = newDocs.select(col(idCol).as("doc")).distinct()
+    val upsertIds = newDocs.select(col(idCol).as("doc")).distinct()
+    val batchIds = upsertIds.unionByName(
+      doomedDocs.select(col(doomedDocs.columns.head).as("doc")).distinct())
+      .distinct()
     // Tombstone only batch ids that PHYSICALLY appear in carried
     // postings (live docs via doclen, dead-but-physical via the old
     // tombstone table) — a fresh id needs no marker. Batch-id rows
@@ -253,6 +281,7 @@ object Bm25 {
       stage.resolve("postings"), s"carry-$parentV-")
     writeSnapshotTables(effectivePostings(spark, stage.toString),
       stage.toString, numFiles)
+    SnapshotStore.writeMeta(stage, meta)
     SnapshotStore.publish(indexDir, stage, parentV)
   }
 
@@ -378,7 +407,8 @@ object Bm25 {
     * the snapshot so it stays self-contained. MergeStore.compact's
     * role, index-shaped. */
   def compactIndex(spark: SparkSession, indexDir: String,
-                   numFiles: Int = 16): Int = {
+                   numFiles: Int = 16,
+                   meta: Map[String, String] = Map.empty): Int = {
     val parentV = currentVersion(indexDir).getOrElse(
       sys.error(s"compactIndex: no committed index at $indexDir"))
     val stage = SnapshotStore.stage(indexDir)
@@ -388,6 +418,10 @@ object Bm25 {
       .write.mode("overwrite").parquet(s"$stage/postings")
     val postings = spark.read.parquet(s"$stage/postings")
     writeSnapshotTables(postings, stage.toString, numFiles)
+    // A maintenance rewrite carries its caller's metadata (a streaming
+    // maintainer's progress marker must survive compaction + vacuum —
+    // IncrementalView.maintainView's rule, index-shaped).
+    SnapshotStore.writeMeta(stage, meta)
     SnapshotStore.publish(indexDir, stage, parentV)
   }
 
@@ -412,7 +446,8 @@ object Bm25 {
     * maintenance schedule. */
   def maintainIndex(spark: SparkSession, indexDir: String,
                     numFiles: Int = 16, maxPostingsFiles: Int = 0,
-                    maxBuryRatio: Double = 2.0): Boolean = {
+                    maxBuryRatio: Double = 2.0,
+                    meta: Map[String, String] = Map.empty): Boolean = {
     val parentV = currentVersion(indexDir).getOrElse(
       sys.error(s"maintainIndex: no committed index at $indexDir"))
     val snap = resolveSnapshot(indexDir, Some(parentV))
@@ -437,7 +472,7 @@ object Bm25 {
         effective > 0 && physical.toDouble / effective > maxBuryRatio
       }
     }
-    if (degraded) { compactIndex(spark, indexDir, numFiles); true }
+    if (degraded) { compactIndex(spark, indexDir, numFiles, meta); true }
     else false
   }
 

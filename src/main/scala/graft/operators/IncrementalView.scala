@@ -282,9 +282,11 @@ object IncrementalView {
         else (delta.where(col("__has_dep") === 0),
           Some(delta.where(col("__has_dep") === 1)
             .select(spec.groupBy.map(col): _*)))
-      val touched = MergeStore.read(spark, viewTarget)
-        .join(arrDelta.select(spec.groupBy.map(col): _*), spec.groupBy,
-          "left_semi")
+      // Manifest-pruned touched-group read: the view is group-clustered
+      // with group-key stats, so a delta touching few groups reads few
+      // view files — not every live one.
+      val touched = MergeStore.scanForKeys(spark, viewTarget,
+        arrDelta.select(spec.groupBy.map(col): _*), spec.groupBy)
       val nextArr = applyDelta(touched, arrDelta, spec)
       val recomputed = depKeys.map { keys =>
         val src = source.getOrElse(sys.error(

@@ -476,6 +476,53 @@ object StoreQueries extends QueryFamily {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""))
 
+  private val q111 = QueryDef(
+    "q111_pruned_scan",
+    "Manifest-level data skipping (Delta per-file stats / Iceberg " +
+      "column bounds, on this engine's manifest): a COW orders table " +
+      "range-clustered on o_orderkey carries per-file min/max inside " +
+      "every commit CAS; after a merge bumps o_orderkey % 1000 == 0 " +
+      "totals by 1 (rewritten files recompute their stats, carried " +
+      "files keep theirs by reference), scanRange plans ONLY the files " +
+      "overlapping [max/4, max/2] — no listing or footer round-trip " +
+      "for the rest — then applies the exact predicate. The oracle " +
+      "replays the mutation + range + aggregation from scratch: a " +
+      "wrongly pruned file (lost rows) or stale stats (ghost rows) " +
+      "breaks the hash.",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val target = preparedTable(s, dir, "q111",
+        base = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice")),
+        clusterBy = Seq("o_orderkey")) { t =>
+        MergeStore.merge(s,
+          MergeStore.read(s, t).where(col("o_orderkey") % 1000 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + lit(1.0)),
+          t, pk = Seq("o_orderkey"))
+      }
+      val maxKey = MergeStore.read(s, target)
+        .agg(max("o_orderkey")).collect()(0).getLong(0)
+      MergeStore.scanRange(s, target, "o_orderkey",
+          Some(maxKey / 4), Some(maxKey / 2))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast(DecimalType(20, 4)))
+            .cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(CASE WHEN o_orderkey % 1000 = 0
+                                THEN o_totalprice + 1.0
+                                ELSE o_totalprice END
+                           AS DECIMAL(20,4))) AS DOUBLE) AS sum_price
+      FROM orders
+      WHERE o_orderkey BETWEEN (SELECT max(o_orderkey) // 4 FROM orders)
+                           AND (SELECT max(o_orderkey) // 2 FROM orders)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q91, q92, q96, q97, q98, q101, q107, q109, q110)
+    Seq(q91, q92, q96, q97, q98, q101, q107, q109, q110, q111)
 }

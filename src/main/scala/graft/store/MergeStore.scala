@@ -119,6 +119,302 @@ object MergeStore {
           }.toMap
     }
 
+  // ------------------------------------------------------------------
+  // Data skipping: per-file column statistics INSIDE the manifest.
+  //
+  // Layouts.scala gives row-group skipping (parquet min/max), but the
+  // reader still lists and opens every live file's footer — at 100 TB
+  // (thousands of files, object-store GETs per footer) the planner must
+  // prune FILES from the manifest alone, before any storage round-trip.
+  // Delta solves this with per-file `stats` in the transaction log,
+  // Iceberg with column bounds in its manifests; this is the same
+  // design on this engine's manifest: each committed file may carry
+  // `#s:<file>:<col>=<tag> <min> <max>` metadata lines, written in the
+  // SAME create-if-absent CAS as the file list (stats can never drift
+  // from the files they describe), carried forward by reference for
+  // files a commit doesn't rewrite, and recomputed only for new files
+  // (one column-pruned scan of the BATCH — Delta computes write-time
+  // stats the same way; a footer-only pass is the production variant).
+  //
+  // Which columns: the table's `stats.cols` manifest property, set at
+  // [[init]] (defaulting to the range-cluster columns — exactly the
+  // ones whose per-file ranges are tight) and carried forward by every
+  // verb. Consumers:
+  //   - [[scanRange]]: a range/point read plans only overlapping files;
+  //   - the merge/delete/applyChanges AFFECTED-FILE PROBE: the batch's
+  //     key bounds prune the snapshot scan, so a key-local trickle
+  //     merge against a range-clustered table reads O(overlapping
+  //     files), never the table.
+  // Pruning is always a SUPERSET of the true matches (files without
+  // stats for a column stay candidates; NULL rows can never satisfy a
+  // key join or range predicate, so all-null files are skippable-safe)
+  // — every consumer still applies its exact predicate afterwards.
+  //
+  // Value encoding: numbers/decimals as plain decimal strings compared
+  // via BigDecimal (no double rounding at 2^53+), timestamps as epoch
+  // micros, dates as ISO (lexical = chronological), strings URL-encoded
+  // (newline/'='-safe in the manifest) and compared as unsigned UTF-8
+  // bytes — Spark's binary string ordering, NOT String.compareTo's
+  // UTF-16 order, which diverges on supplementary characters and would
+  // mis-prune.
+  // ------------------------------------------------------------------
+
+  /** Manifest property naming the table's stats columns. */
+  private[store] val StatsColsKey = "stats.cols"
+  /** Manifest property holding the table schema as Spark's JSON — the
+    * Delta/Iceberg move of keeping schema in the LOG, not the files: a
+    * reader with a manifest schema plans with ZERO footer round-trips
+    * (mergeSchema inference opens every live file — thousands of
+    * object-store GETs at 100 TB before the first byte of data), and a
+    * file-pruned scan no longer pays a full-manifest footer pass just
+    * to learn the column types. Written by every stats-maintaining
+    * commit from the writer's own DataFrame schema (which IS the table
+    * schema, evolution included); absent on legacy manifests, where
+    * reads fall back to mergeSchema inference. */
+  private[store] val SchemaKey = "schema"
+  private def isStatsKey(k: String): Boolean = k.startsWith("s:")
+  private def statsKey(file: String, column: String) = s"s:$file:$column"
+  /** File a stats key describes (file names never contain ':'). */
+  private def statsKeyFile(k: String): String = {
+    val rest = k.stripPrefix("s:")
+    rest.take(rest.indexOf(':'))
+  }
+
+  /** [[manifestMeta]] minus the engine's reserved data-skipping keys
+    * (`s:*` per-file stats, `stats.cols`, `schema`) — the metadata a
+    * CONSUMER attached (its progress markers), which is what callers
+    * comparing "my metadata landed" want to see. */
+  def userManifestMeta(target: String,
+                       version: Option[Int] = None): Map[String, String] =
+    manifestMeta(target, version).filterNot { case (k, _) =>
+      k == StatsColsKey || k == SchemaKey || isStatsKey(k)
+    }
+
+  /** The table's stats columns at a version (empty = no stats kept —
+    * legacy tables, or tables init'd without clustering). */
+  def statsColumns(target: String, version: Option[Int] = None): Seq[String] =
+    manifestMeta(target, version).get(StatsColsKey)
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
+  private def tagOf(dt: org.apache.spark.sql.types.DataType): Option[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | _: DecimalType => Some("n")
+      case StringType => Some("s")
+      case DateType => Some("d")
+      case TimestampType => Some("t")
+      case _ => None // arrays/structs/binary: no stats, never pruned
+    }
+  }
+
+  /** Stats-agg input for a column: timestamps collapse to epoch micros
+    * so stored values and probe bounds share one numeric domain. */
+  private def statInput(name: String,
+                        dt: org.apache.spark.sql.types.DataType):
+      org.apache.spark.sql.Column =
+    dt match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(name))
+      case _ => col(name)
+    }
+
+  private def encodeStatValue(tag: String, v: Any): Option[String] =
+    rawStatValue(v).map { s =>
+      if (tag == "s") java.net.URLEncoder.encode(s, "UTF-8")
+      else s // n: decimal text; d: ISO; t: micros
+    }
+
+  /** Raw (decoded) bound text for a caller-supplied scan bound. */
+  private def rawStatValue(v: Any): Option[String] = v match {
+    case null => None
+    case d: Double if d.isNaN => None // NaN unorderable: stay a candidate
+    case f: Float if f.isNaN => None
+    case _ => Some(v.toString)
+  }
+
+  /** Raw (decoded) bound text for a caller-supplied scan bound. */
+  private def rawBound(tag: String, v: Any): String = (tag, v) match {
+    case ("t", ts: java.sql.Timestamp) =>
+      (ts.getTime / 1000 * 1000000L + ts.getNanos / 1000).toString
+    case ("t", i: java.time.Instant) =>
+      (i.getEpochSecond * 1000000L + i.getNano / 1000).toString
+    case _ => v.toString
+  }
+
+  /** a < b under the tag's ordering (decoded raw operands). */
+  private def statLt(tag: String, a: String, b: String): Boolean = tag match {
+    case "n" | "t" =>
+      new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)) < 0
+    case _ => // "s"/"d": unsigned UTF-8 byte order = Spark's binary order
+      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+  }
+
+  /** Per-file decoded stats of a version:
+    * file -> col -> (tag, min, max). */
+  private def fileStatsOf(target: String, version: Int):
+      Map[String, Map[String, (String, String, String)]] =
+    manifestMeta(target, Some(version)).iterator
+      .filter { case (k, _) => isStatsKey(k) }
+      .flatMap { case (k, v) =>
+        val rest = k.stripPrefix("s:")
+        val file = statsKeyFile(k)
+        val column = rest.drop(file.length + 1)
+        v.split(" ", 3) match {
+          case Array(tag, mn, mx) =>
+            val dec = (x: String) =>
+              if (tag == "s") java.net.URLDecoder.decode(x, "UTF-8") else x
+            Some(file -> (column -> (tag, dec(mn), dec(mx))))
+          case _ => None // malformed line: file stays a candidate
+        }
+      }.toSeq.groupBy(_._1)
+      .map { case (f, kvs) => f -> kvs.map(_._2).toMap }
+
+  /** Files of `version` that may hold rows with `bounds`-overlapping
+    * values on EVERY bounded column (a file disjoint on ANY column
+    * cannot hold a conjunctive match). `bounds`: col -> (tag, lo, hi),
+    * raw decoded text, None = unbounded side. Files lacking stats for
+    * a bounded column stay candidates. */
+  private def pruneFiles(files: Seq[String],
+                         stats: Map[String, Map[String, (String, String, String)]],
+                         bounds: Map[String, (String, Option[String], Option[String])])
+      : Seq[String] =
+    if (bounds.isEmpty) files
+    else files.filter { f =>
+      val fs = stats.getOrElse(f, Map.empty)
+      bounds.forall { case (c, (tag, lo, hi)) =>
+        fs.get(c) match {
+          case Some((stag, mn, mx)) if stag == tag =>
+            !(hi.exists(h => statLt(tag, h, mn)) ||
+              lo.exists(l => statLt(tag, mx, l)))
+          case _ => true // no/foreign stats: candidate
+        }
+      }
+    }
+
+  /** Compute per-file stats for freshly written `files` — one
+    * column-pruned Spark scan of JUST those files (O(batch), the
+    * write-time stats pass). Returns file -> stats-meta entries. */
+  private def computeFileStats(spark: SparkSession, target: String,
+                               files: Seq[String], sCols: Seq[String])
+      : Map[String, String] = {
+    if (files.isEmpty || sCols.isEmpty) return Map.empty
+    val df = spark.read.parquet(
+      files.map(f => dataDir(target).resolve(f).toString): _*)
+    val fields = df.schema.fields
+      .filter(f => sCols.contains(f.name) && tagOf(f.dataType).isDefined)
+    if (fields.isEmpty) return Map.empty
+    val aggs = fields.flatMap { f =>
+      val in = statInput(f.name, f.dataType)
+      Seq(min(in).as(s"__mn_${f.name}"), max(in).as(s"__mx_${f.name}"))
+    }
+    df.withColumn("__file", element_at(split(input_file_name(), "/"), -1))
+      .groupBy("__file").agg(aggs.head, aggs.tail: _*)
+      .collect().iterator.flatMap { r =>
+        val file = r.getAs[String]("__file")
+        fields.flatMap { f =>
+          val tag = tagOf(f.dataType).get
+          for {
+            mn <- encodeStatValue(tag, r.getAs[Any](s"__mn_${f.name}"))
+            mx <- encodeStatValue(tag, r.getAs[Any](s"__mx_${f.name}"))
+          } yield statsKey(file, f.name) -> s"$tag $mn $mx"
+        }
+      }.toMap
+  }
+
+  /** Candidate files for a key-conjunction probe: prune by the batch's
+    * min/max on every stats column that is part of the key — one tiny
+    * aggregate over the batch's key columns, then driver-side interval
+    * tests against the manifest stats. A key-local batch against a
+    * range-clustered table prunes to O(overlapping files); a table
+    * without key stats (or a batch with none computable) keeps every
+    * file, the pre-stats behavior. */
+  private def pruneByKeyBounds(target: String, parentV: Int,
+                               files: Seq[String], batchKeys: DataFrame,
+                               pk: Seq[String]): Seq[String] = {
+    val sCols = statsColumns(target, Some(parentV)).filter(pk.contains)
+    if (sCols.isEmpty) return files
+    val fields = batchKeys.schema.fields
+      .filter(f => sCols.contains(f.name) && tagOf(f.dataType).isDefined)
+    if (fields.isEmpty) return files
+    val aggs = fields.flatMap { f =>
+      val in = statInput(f.name, f.dataType)
+      Seq(min(in).as(s"__mn_${f.name}"), max(in).as(s"__mx_${f.name}"))
+    }.toSeq
+    val r = batchKeys.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val bounds = fields.flatMap { f =>
+      val tag = tagOf(f.dataType).get
+      for {
+        mn <- rawStatValue(r.getAs[Any](s"__mn_${f.name}"))
+        mx <- rawStatValue(r.getAs[Any](s"__mx_${f.name}"))
+      } yield f.name -> ((tag, Option(mn), Option(mx)))
+    }.toMap
+    if (bounds.isEmpty) files // empty batch: probe finds nothing anyway
+    else pruneFiles(files, fileStatsOf(target, parentV), bounds)
+  }
+
+  /** Probe-side scan of candidate files: ONLY `cols` plus the row's
+    * file name — column-pruned and file-pruned, the cheapest plan that
+    * can answer "which files hold matched keys". */
+  private def probeScan(spark: SparkSession, target: String,
+                        full: DataFrame, names: Seq[String],
+                        cols: Seq[String]): DataFrame = {
+    val withFile =
+      if (names.isEmpty)
+        full.limit(0).withColumn("__file", lit(""))
+      else spark.read.option("mergeSchema", "true")
+        .parquet(names.map(f => dataDir(target).resolve(f).toString): _*)
+        .withColumn("__file",
+          element_at(split(input_file_name(), "/"), -1))
+    withFile.select((cols :+ "__file").map(col): _*)
+  }
+
+  /** [[commit]] plus stats upkeep: new files' freshly computed stats
+    * lines join the parent's lines for carried files (rewritten files'
+    * stats die with them), and `stats.cols` rides every commit so the
+    * property survives arbitrary verb interleavings. User metadata must
+    * stay clear of the reserved stats namespace. */
+  private def commitWithStats(spark: SparkSession, target: String,
+                              files: Seq[String], parent: Int,
+                              userMeta: Map[String, String],
+                              newFiles: Seq[String],
+                              sCols: Seq[String],
+                              schema: org.apache.spark.sql.types.StructType)
+      : Int = {
+    require(!userMeta.keys.exists(k =>
+        k == StatsColsKey || k == SchemaKey || isStatsKey(k)),
+      s"manifest metadata keys '$StatsColsKey', '$SchemaKey' and 's:*' " +
+        "are reserved for data-skipping statistics")
+    if (sCols.isEmpty) commit(target, files, parent, userMeta)
+    else {
+      val fileSet = files.toSet
+      val carried =
+        if (parent < 0) Map.empty[String, String]
+        else manifestMeta(target, Some(parent)).filter { case (k, _) =>
+          isStatsKey(k) && fileSet.contains(statsKeyFile(k))
+        }
+      val fresh = computeFileStats(spark, target, newFiles, sCols)
+      commit(target, files, parent,
+        userMeta ++ carried ++ fresh +
+          (StatsColsKey -> sCols.mkString(",")) +
+          (SchemaKey -> schema.json))
+    }
+  }
+
+  /** The manifest-recorded schema of a version, if its writer kept one. */
+  private def manifestSchema(target: String, version: Int)
+      : Option[org.apache.spark.sql.types.StructType] =
+    manifestMeta(target, Some(version)).get(SchemaKey).map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
   /** Atomically publish `files` as version `parent + 1`, FAILING if that
     * version already exists — the manifest CAS that turns the sink
     * multi-writer-safe (Delta's optimistic concurrency in miniature).
@@ -190,26 +486,115 @@ object MergeStore {
     * files (and parquet min/max stats prune scans). */
   def init(spark: SparkSession, df: DataFrame, target: String,
            numFiles: Int, clusterBy: Seq[String] = Nil,
-           meta: Map[String, String] = Map.empty): Unit = {
+           meta: Map[String, String] = Map.empty,
+           statsCols: Option[Seq[String]] = None): Unit = {
     val arranged =
       if (clusterBy.nonEmpty) df.repartitionByRange(numFiles, clusterBy.map(col): _*)
       else df.repartition(numFiles)
+    // Stats columns default to the cluster columns (tight per-file
+    // ranges — the ones worth skipping on); unsupported types drop out.
+    val sCols = statsCols.getOrElse(clusterBy)
+      .filter(c => df.schema.fields.exists(f =>
+        f.name == c && tagOf(f.dataType).isDefined))
     val files = writeFiles(arranged, target)
-    commit(target, files, currentVersion(target).getOrElse(-1), meta)
+    commitWithStats(spark, target, files,
+      currentVersion(target).getOrElse(-1), meta, files, sCols,
+      arranged.schema)
   }
 
   /** Read a committed version (newest by default) — exactly the
     * manifest's files. */
   def read(spark: SparkSession, target: String,
            version: Option[Int] = None): DataFrame = {
-    val files = liveFiles(target, version)
+    val v = version.orElse(currentVersion(target))
+      .getOrElse(sys.error(s"no committed version at $target"))
+    val files = liveFiles(target, Some(v))
     require(files.nonEmpty, s"no committed version at $target")
-    // mergeSchema: after an evolving merge the untouched carried files
-    // keep the OLD physical schema; the union schema (old columns + the
-    // evolved ones, null where a file predates them) is the table. Cost
-    // is a footer read per live file — the count maintain() bounds.
-    spark.read.option("mergeSchema", "true")
-      .parquet(files.map(f => dataDir(target).resolve(f).toString): _*)
+    val paths = files.map(f => dataDir(target).resolve(f).toString)
+    manifestSchema(target, v) match {
+      // Manifest schema: plan with zero footer reads; files predating
+      // an evolved column null-fill it (the parquet reader's missing-
+      // column rule), exactly as the mergeSchema union showed them.
+      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+      // Legacy manifests: mergeSchema inference — after an evolving
+      // merge the untouched carried files keep the OLD physical schema;
+      // the union schema is the table. Cost: a footer read per file.
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
+  }
+
+  /** Read an explicit subset of a version's files, schema-aligned to
+    * the FULL table (pre-evolution files null-fill appended columns
+    * exactly as [[read]] shows them). With a manifest schema the subset
+    * plans directly against it (no footer inference, no union shim);
+    * legacy manifests align through the `full` plan. `full` must be the
+    * same-version [[read]] plan, passed by name so the schema path
+    * never builds it. */
+  private def readSubset(spark: SparkSession, target: String, version: Int,
+                         full: => DataFrame, names: Seq[String]): DataFrame =
+    manifestSchema(target, version) match {
+      case Some(st) =>
+        if (names.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+        else spark.read.schema(st).parquet(
+          names.map(f => dataDir(target).resolve(f).toString): _*)
+      case None =>
+        if (names.isEmpty) full.limit(0)
+        else full.limit(0).unionByName(
+          spark.read.option("mergeSchema", "true").parquet(
+            names.map(f => dataDir(target).resolve(f).toString): _*),
+          allowMissingColumns = true)
+    }
+
+  /** The manifest-pruned candidate file list for a one-column range
+    * probe — exposed for specs and the ScaleProbe skip audit. Bounds
+    * are inclusive; None = unbounded side. */
+  def candidateFiles(spark: SparkSession, target: String, colName: String,
+                     lo: Option[Any], hi: Option[Any],
+                     version: Option[Int] = None): Seq[String] = {
+    val v = version.orElse(currentVersion(target))
+      .getOrElse(sys.error(s"no committed version at $target"))
+    val files = liveFiles(target, Some(v))
+    if (!statsColumns(target, Some(v)).contains(colName)) files
+    else {
+      val stats = fileStatsOf(target, v)
+      // The column's ordering comes from the stats lines' own type tag —
+      // never from schema inference (which would open every footer just
+      // to learn the type, defeating the skip).
+      stats.valuesIterator.flatMap(_.get(colName)).map(_._1)
+        .toSet.toList match {
+        case tag :: Nil => pruneFiles(files, stats,
+          Map(colName -> (tag, lo.map(rawBound(tag, _)),
+            hi.map(rawBound(tag, _)))))
+        case _ => files // no stats lines yet, or mixed tags: no pruning
+      }
+    }
+  }
+
+  /** Range/point read with manifest-level data skipping: plan only the
+    * files whose `[min, max]` on `colName` overlaps `[lo, hi]`, then
+    * apply the exact predicate — bit-identical to
+    * `read().where(colName between lo and hi)` (pruning is a superset;
+    * NULL rows fail the predicate on both paths), but a selective probe
+    * on a range-clustered table touches O(overlap) files instead of
+    * listing and opening every live file. Both bounds inclusive;
+    * pass None for a half-open scan (at least one bound required). */
+  def scanRange(spark: SparkSession, target: String, colName: String,
+                lo: Option[Any], hi: Option[Any],
+                version: Option[Int] = None): DataFrame = {
+    require(lo.isDefined || hi.isDefined, "scanRange needs a bound")
+    val v = version.orElse(currentVersion(target))
+      .getOrElse(sys.error(s"no committed version at $target"))
+    val cand = candidateFiles(spark, target, colName, lo, hi, Some(v))
+    val base =
+      if (cand.size == liveFiles(target, Some(v)).size)
+        read(spark, target, Some(v))
+      else readSubset(spark, target, v, read(spark, target, Some(v)), cand)
+    val pred = (lo.map(v => col(colName) >= lit(v)) ++
+      hi.map(v => col(colName) <= lit(v))).reduce(_ && _)
+    base.where(pred)
   }
 
   /** CoreStore.upsert-shaped entry point for the pipeline's merge sink:
@@ -271,6 +656,27 @@ object MergeStore {
   /** True iff `target` holds a committed merge table — how readers
     * distinguish this layout from CoreStore's partitioned parquet. */
   def exists(target: String): Boolean = currentVersion(target).isDefined
+
+  /** Rows of the table whose `keyCols` appear in `keys` — the manifest-
+    * pruned semi-join read: candidate files come from the key batch's
+    * bounds vs the per-file stats (a superset of the true holders), then
+    * the exact semi-join filters. The IVM refresh's touched-group read
+    * and any point-lookup batch use this instead of scanning every live
+    * file. Bit-identical to `read().join(keys, keyCols, "left_semi")`. */
+  def scanForKeys(spark: SparkSession, target: String, keys: DataFrame,
+                  keyCols: Seq[String],
+                  version: Option[Int] = None): DataFrame = {
+    require(keyCols.nonEmpty, s"scanForKeys at $target needs key columns")
+    val v = version.orElse(currentVersion(target))
+      .getOrElse(sys.error(s"no committed version at $target"))
+    lazy val full = read(spark, target, Some(v))
+    val keyRows = keys.select(keyCols.map(col): _*).distinct()
+    val before = liveFiles(target, Some(v))
+    val candidates = pruneByKeyBounds(target, v, before, keyRows, keyCols)
+    val base = if (candidates.size == before.size) full
+      else readSubset(spark, target, v, full, candidates)
+    base.join(keyRows, keyCols, "left_semi")
+  }
 
   /** MERGE `updates` into the table on `pk` (incoming wins; within the
     * batch the highest `ordCols` wins, like CoreStore's intra-batch
@@ -336,30 +742,38 @@ object MergeStore {
       else deduped.select(snapshot.columns.map(col).toIndexedSeq: _*)
       ).cache()
 
-    val live = snapshot
-      .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
+    // Affected-file probe: manifest-pruned candidate files (the batch's
+    // key bounds vs per-file stats), scanned for pk columns only — a
+    // key-local batch against a clustered table probes O(overlap)
+    // files, and no path below ever scans the full table again (the
+    // rewrite set reads its files BY NAME, not via a post-scan
+    // input_file_name filter over every live file).
+    val candidates = pruneByKeyBounds(target, parentV, before,
+      incoming.select(pk.map(col): _*), pk)
+    val liveKeys = probeScan(spark, target, snapshot, candidates, pk)
     // Files holding at least one matched PK — the COW rewrite set.
-    val affected = live.join(incoming, pk, "left_semi")
+    val affected = liveKeys.join(incoming, pk, "left_semi")
       .select("__file").distinct()
       .collect().map(_.getString(0)).toSet
 
-    val rowsUpdated = live.join(incoming, pk, "left_semi").count()
-    val rowsInserted = incoming.join(snapshot, pk, "left_anti").count()
+    val rowsUpdated = liveKeys.join(incoming, pk, "left_semi").count()
+    val rowsInserted = incoming.join(liveKeys, pk, "left_anti").count()
 
     // Survivors of the affected files (their non-matched rows) plus the
     // incoming batch become the replacement files; untouched files are
     // carried into the next manifest as-is.
-    val survivors = live
-      .where(col("__file").isin(affected.toSeq: _*))
+    val survivors = readSubset(spark, target, parentV, snapshot,
+        affected.toSeq.sorted)
       .join(incoming, pk, "left_anti")
-      .drop("__file")
     val replacement =
       survivors.unionByName(incoming, allowMissingColumns = true)
     val newFiles =
       if (affected.isEmpty) writeFiles(incoming, target)
       else writeFiles(replacement.repartition(math.max(1, affected.size)), target)
-    try commit(target, (before.filterNot(affected) ++ newFiles).distinct,
-      parentV)
+    val sCols = statsColumns(target, Some(parentV))
+    try commitWithStats(spark, target,
+      (before.filterNot(affected) ++ newFiles).distinct, parentV,
+      Map.empty, newFiles, sCols, incoming.schema)
     finally incoming.unpersist()
     MergeStats(before.size, affected.size, rowsInserted, rowsUpdated)
   }
@@ -390,7 +804,8 @@ object MergeStore {
       .where(pk.map(col(_).isNotNull).reduce(_ && _)).distinct()
     deleteRetrying(spark, target, maxRetries, snapshotVersion,
       live => live.join(keyRows, pk, "left_semi"),
-      live => live.join(keyRows, pk, "left_anti"))
+      live => live.join(keyRows, pk, "left_anti"),
+      pruneKeys = Some((keyRows, pk)))
   }
 
   /** DELETE by predicate (`DELETE FROM t WHERE p`): rows where `predicate`
@@ -411,22 +826,39 @@ object MergeStore {
   private def deleteRetrying(spark: SparkSession, target: String,
                              maxRetries: Int, snapshotVersion: Option[Int],
                              doomed: DataFrame => DataFrame,
-                             survivors: DataFrame => DataFrame): DeleteStats =
-    try deleteOnce(spark, target, snapshotVersion, doomed, survivors)
+                             survivors: DataFrame => DataFrame,
+                             pruneKeys: Option[(DataFrame, Seq[String])] = None)
+      : DeleteStats =
+    try deleteOnce(spark, target, snapshotVersion, doomed, survivors,
+      pruneKeys)
     catch {
       case _: java.util.ConcurrentModificationException if maxRetries > 0 =>
         // Replay against the FRESH head, exactly like merge's retry.
-        deleteRetrying(spark, target, maxRetries - 1, None, doomed, survivors)
+        deleteRetrying(spark, target, maxRetries - 1, None, doomed,
+          survivors, pruneKeys)
     }
 
   private def deleteOnce(spark: SparkSession, target: String,
                          snapshotVersion: Option[Int],
                          doomed: DataFrame => DataFrame,
-                         survivors: DataFrame => DataFrame): DeleteStats = {
+                         survivors: DataFrame => DataFrame,
+                         pruneKeys: Option[(DataFrame, Seq[String])])
+      : DeleteStats = {
     val parentV = snapshotVersion.orElse(currentVersion(target))
       .getOrElse(sys.error(s"no committed version at $target"))
     val before = liveFiles(target, Some(parentV))
-    val live = read(spark, target, Some(parentV))
+    val full = read(spark, target, Some(parentV))
+    // Key-form deletes prune the doomed-row probe via manifest stats
+    // (a key batch outside a file's range can't kill rows there);
+    // predicate deletes must scan — the predicate is opaque. Catalyst
+    // column-prunes the probe to the referenced columns either way.
+    val candidates = pruneKeys match {
+      case Some((keyRows, pk)) =>
+        pruneByKeyBounds(target, parentV, before, keyRows, pk)
+      case None => before
+    }
+    val live = (if (candidates.size == before.size) full
+      else readSubset(spark, target, parentV, full, candidates))
       .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
     val dead = doomed(live)
     val affected = dead.select("__file").distinct()
@@ -434,13 +866,19 @@ object MergeStore {
     if (affected.isEmpty)
       return DeleteStats(before.size, 0, 0L) // nothing matched: no commit
     val rowsDeleted = dead.count()
-    val kept = survivors(live.where(col("__file").isin(affected.toSeq: _*)))
+    // Rewrite reads the affected files BY NAME — never a post-scan
+    // file-name filter over the whole table.
+    val kept = survivors(readSubset(spark, target, parentV, full,
+        affected.toSeq.sorted))
       .drop("__file")
     // A fully-dead file set writes nothing — the manifest just drops it.
     val newFiles =
       if (kept.isEmpty) Seq.empty
       else writeFiles(kept.repartition(math.max(1, affected.size)), target)
-    commit(target, (before.filterNot(affected) ++ newFiles).distinct, parentV)
+    commitWithStats(spark, target,
+      (before.filterNot(affected) ++ newFiles).distinct, parentV,
+      Map.empty, newFiles, statsColumns(target, Some(parentV)),
+      full.schema)
     DeleteStats(before.size, affected.size, rowsDeleted)
   }
 
@@ -544,11 +982,18 @@ object MergeStore {
       .select(snapshot.columns.map(col).toIndexedSeq: _*).cache()
     val keys = deleteKeys.select(pk.map(col): _*)
       .where(pk.map(col(_).isNotNull).reduce(_ && _)).distinct().cache()
+    val sCols = statsColumns(target, Some(parentV))
     try {
-      val live = snapshot
-        .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
-      val matchedUp = live.join(incoming, pk, "left_semi")
-      val matchedDel = live.join(keys, pk, "left_semi")
+      // One pruned, pk-only probe answers both verbs: candidate files
+      // come from the COMBINED key bounds (upserts ∪ deletes) — a file
+      // outside both batches' ranges can hold neither a matched upsert
+      // nor a doomed key.
+      val candidates = pruneByKeyBounds(target, parentV, before,
+        incoming.select(pk.map(col): _*)
+          .unionByName(keys.select(pk.map(col): _*)), pk)
+      val liveKeys = probeScan(spark, target, snapshot, candidates, pk)
+      val matchedUp = liveKeys.join(incoming, pk, "left_semi")
+      val matchedDel = liveKeys.join(keys, pk, "left_semi")
       val affected = matchedUp.select("__file")
         .union(matchedDel.select("__file")).distinct()
         .collect().map(_.getString(0)).toSet
@@ -559,23 +1004,26 @@ object MergeStore {
       val rowsDeleted = matchedDel.join(incoming, pk, "left_anti").count()
       if (affected.isEmpty && rowsUpserted == 0L) {
         // Nothing to rewrite: a metadata-only commit still advances the
-        // progress marker atomically (same file list, next version).
-        if (meta.nonEmpty) commit(target, before, parentV, meta)
+        // progress marker atomically (same file list, next version) —
+        // carried stats ride along untouched.
+        if (meta.nonEmpty)
+          commitWithStats(spark, target, before, parentV, meta, Nil,
+            sCols, snapshot.schema)
         return ApplyStats(before.size, 0, 0L, 0L)
       }
-      val survivors = live
-        .where(col("__file").isin(affected.toSeq: _*))
+      val survivors = readSubset(spark, target, parentV, snapshot,
+          affected.toSeq.sorted)
         .join(incoming, pk, "left_anti")
         .join(keys, pk, "left_anti")
-        .drop("__file")
       val replacement = survivors.unionByName(incoming)
       val newFiles =
         if (affected.isEmpty) writeFiles(incoming, target)
         else if (replacement.isEmpty) Seq.empty
         else writeFiles(
           replacement.repartition(math.max(1, affected.size)), target)
-      commit(target, (before.filterNot(affected) ++ newFiles).distinct,
-        parentV, meta)
+      commitWithStats(spark, target,
+        (before.filterNot(affected) ++ newFiles).distinct, parentV,
+        meta, newFiles, sCols, incoming.schema)
       ApplyStats(before.size, affected.size, rowsUpserted, rowsDeleted)
     } finally { incoming.unpersist(); keys.unpersist() }
   }
@@ -747,14 +1195,24 @@ object MergeStore {
     * so future merges stay few-file again. */
   def compact(spark: SparkSession, target: String, targetFiles: Int,
               clusterBy: Seq[String] = Nil,
-              meta: Map[String, String] = Map.empty): Int = {
+              meta: Map[String, String] = Map.empty,
+              statsCols: Option[Seq[String]] = None): Int = {
     val parentV = currentVersion(target)
       .getOrElse(sys.error(s"no committed version at $target"))
     val df = read(spark, target, Some(parentV))
     val arranged =
       if (clusterBy.nonEmpty) df.repartitionByRange(targetFiles, clusterBy.map(col): _*)
       else df.repartition(targetFiles)
-    commit(target, writeFiles(arranged, target), parentV, meta)
+    // Stats carry through a compaction (every file is new, so every
+    // stats line recomputes); `statsCols = Some(...)` additionally
+    // ENABLES skipping on a legacy stats-less table — the upgrade path:
+    // one compaction backfills the whole table's stats.
+    val sCols = statsCols.getOrElse(statsColumns(target, Some(parentV)))
+      .filter(c => df.schema.fields.exists(f =>
+        f.name == c && tagOf(f.dataType).isDefined))
+    val files = writeFiles(arranged, target)
+    commitWithStats(spark, target, files, parentV, meta, files, sCols,
+      df.schema)
   }
 
   /** Delete data files outside the retention window: anything not

@@ -80,6 +80,55 @@ object SnapshotStore {
       }
   }
 
+  /** Metadata file name inside a snapshot: `key=value` lines written
+    * into the STAGE before publish, so metadata commits atomically with
+    * the snapshot it describes — the MergeStore manifest-metadata idiom
+    * for directory snapshots. A consumer's progress marker (the applied
+    * source version of a continuously maintained index) rides here:
+    * no crash can separate "batch applied" from "marker advanced". */
+  private val MetaFile = "_meta"
+
+  /** Write `meta` into a staged snapshot (call before [[publish]]).
+    * Keys and values must be newline-free; keys '='-free. */
+  def writeMeta(staged: Path, meta: Map[String, String]): Unit =
+    if (meta.nonEmpty) {
+      meta.foreach { case (k, v) =>
+        require(k.nonEmpty && !k.contains('=') &&
+          !(k + v).exists(c => c == '\n' || c == '\r'),
+          s"snapshot metadata must be newline-free with '='-free keys: $k=$v")
+      }
+      Files.write(staged.resolve(MetaFile),
+        meta.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+          .mkString("\n").getBytes("UTF-8"))
+    }
+
+  /** Metadata of a committed snapshot (empty when the writer attached
+    * none, and for vacuumed versions). */
+  def meta(root: String, version: Option[Int] = None): Map[String, String] = {
+    val v = version.orElse(currentVersion(root))
+      .getOrElse(return Map.empty)
+    val p = Paths.get(snapPath(root, v), MetaFile)
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p).asScala.filter(_.nonEmpty).map { l =>
+      val i = l.indexOf('=')
+      require(i > 0, s"malformed snapshot metadata at $root v$v: $l")
+      l.take(i) -> l.drop(i + 1)
+    }.toMap
+  }
+
+  /** Newest value of metadata `key` at or below a version (head by
+    * default) — a commit that doesn't carry the key (a compaction, a
+    * rival verb) is skipped; vacuumed snapshots read as empty. O(1) in
+    * steady state (the head usually carries its consumer's marker). */
+  def markerValue(root: String, key: String,
+                  atVersion: Option[Int] = None): Option[String] =
+    atVersion.orElse(currentVersion(root)) match {
+      case None => None
+      case Some(head) => (head to 0 by -1).iterator
+        .flatMap(v => meta(root, Some(v)).get(key))
+        .nextOption()
+    }
+
   /** Atomically publish `staged` as snap-(parent+1): rename into place,
     * then CAS the commit marker (create-if-absent — a lost race throws
     * ConcurrentModificationException, MergeStore's protocol). */

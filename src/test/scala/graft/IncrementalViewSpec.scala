@@ -89,8 +89,10 @@ class IncrementalViewSpec extends SparkSpec {
     val view = tmpDir("ivm-atomic") + "/view"
     MergeStore.init(spark, rows(1000), t, numFiles = 4, clusterBy = Seq("id"))
     IncrementalView.initView(spark, t, view, spec)
-    // initView's marker rides the init commit's manifest metadata.
-    assert(MergeStore.manifestMeta(view) == Map("ivm.applied" -> "0"))
+    // initView's marker rides the init commit's manifest metadata
+    // (next to the view's own data-skipping stats lines).
+    assert(MergeStore.userManifestMeta(view)
+      == Map("ivm.applied" -> "0"))
     // A commit that both updates groups AND kills one: the old path ran
     // merge, delete, and a marker write as three steps; now the view
     // must advance by exactly ONE version per refresh — merged groups,
@@ -102,7 +104,8 @@ class IncrementalViewSpec extends SparkSpec {
     val vBefore = MergeStore.version(view).get
     IncrementalView.refresh(spark, t, view, spec)
     assert(MergeStore.version(view).get == vBefore + 1)
-    assert(MergeStore.manifestMeta(view) == Map("ivm.applied" -> "1"))
+    assert(MergeStore.userManifestMeta(view)
+      == Map("ivm.applied" -> "1"))
     assertViewCurrent(t, view)
     // Group death + group updates in one span: still exactly one commit.
     MergeStore.delete(spark, t,

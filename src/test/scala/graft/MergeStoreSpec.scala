@@ -376,7 +376,10 @@ class MergeStoreSpec extends SparkSpec {
       meta = Map("ivm.applied" -> "7"))
     // Exactly one version: merge, delete, and marker are not separable.
     assert(MergeStore.version(t).get == v0 + 1)
-    assert(MergeStore.manifestMeta(t) == Map("ivm.applied" -> "7"))
+    // User metadata rides the commit (stats lines share the namespace
+    // under their reserved 's:'/stats.cols keys — filtered here).
+    assert(MergeStore.userManifestMeta(t)
+      == Map("ivm.applied" -> "7"))
     assert(stats.rowsUpserted == 6)
     assert(stats.rowsDeleted == 4) // 40,41,43,44 — not the re-upserted 42
     val back = MergeStore.read(spark, t)
@@ -403,7 +406,8 @@ class MergeStoreSpec extends SparkSpec {
     // change feed across the metadata-only commit is empty.
     assert(MergeStore.version(t).get == v0 + 1)
     assert(MergeStore.liveFiles(t) == files0)
-    assert(MergeStore.manifestMeta(t) == Map("ivm.applied" -> "3"))
+    assert(MergeStore.userManifestMeta(t)
+      == Map("ivm.applied" -> "3"))
     assert(MergeStore.changes(spark, t, v0, v0 + 1, pk = Seq("id"))
       .count() == 0)
     // Without metadata there is nothing to record: no commit at all.
