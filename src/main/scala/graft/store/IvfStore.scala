@@ -93,11 +93,13 @@ object IvfStore {
     * snapshot v0 — vectors AND the model that assigned them, atomically. */
   def init(spark: SparkSession, df: DataFrame, vecCol: String,
            model: IvfIndex.Model, indexDir: String,
-           clusterCol: String = "ivf_cluster"): Int = {
+           clusterCol: String = "ivf_cluster",
+           meta: Map[String, String] = Map.empty): Int = {
     val stage = SnapshotStore.stage(indexDir)
     IvfIndex.assign(spark, df, vecCol, model, clusterCol)
       .write.partitionBy(clusterCol).parquet(s"$stage/$Vectors")
     writeModel(spark, model, stage)
+    SnapshotStore.writeMeta(stage, meta)
     SnapshotStore.publish(indexDir, stage,
       currentVersion(indexDir).getOrElse(-1))
   }
@@ -259,6 +261,80 @@ object IvfStore {
           stage.resolve(Vectors).resolve(p.getFileName.toString),
           s"carry-$parentV-")
       }
+    SnapshotStore.publish(indexDir, stage, parentV)
+  }
+
+  /** UPSERT vectors and DELETE ids in ONE atomic snapshot publish, with
+    * optional snapshot metadata — [[graft.store.MergeStore.applyChanges]]
+    * reaching the vector index, the verb a CDC-driven follower needs
+    * (a revised embedding is delete-old + insert-new, and the two must
+    * never be separable by a crash). Partition-granular like [[delete]]:
+    * affected clusters are those holding any batch id's OLD vector
+    * (upserted or doomed — both die); their survivors rewrite
+    * anti-joined, every other partition carries by hard link, and the
+    * upserts — assigned with the PARENT's own pinned model, so there is
+    * no model argument to mismatch — land as fresh files in whatever
+    * clusters the assignment puts them. A doc in BOTH sets ends PRESENT
+    * with its new vector (delete-then-upsert composition). Deletion
+    * and revision never retrain the quantizer: the parent's model
+    * carries; drift-triggered retrains stay on the [[append]]/reindex
+    * path. An empty batch with metadata publishes a pure-carry snapshot
+    * so a follower's progress marker can advance past empty spans. */
+  def applyChanges(spark: SparkSession, indexDir: String,
+                   upserts: DataFrame, doomedIds: DataFrame,
+                   idCol: String, vecCol: String,
+                   clusterCol: String = "ivf_cluster",
+                   meta: Map[String, String] = Map.empty): Int = {
+    import org.apache.spark.sql.functions.col
+    val parentV = currentVersion(indexDir).getOrElse(
+      sys.error(s"IvfStore.applyChanges: no committed index at $indexDir"))
+    requireModelDir(indexDir, Some(parentV))
+    val snap = SnapshotStore.resolve(indexDir, Some(parentV))
+    val prev = java.nio.file.Paths.get(snap, Vectors)
+    val vectors = read(spark, indexDir, Some(parentV))
+    val clusterType = vectors.schema(clusterCol).dataType
+    require(Seq(org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(clusterType),
+      s"IvfStore.applyChanges: cluster column '$clusterCol' must be " +
+        s"integral (got $clusterType) — delete()'s partition-path rule")
+    val batchIds = upserts.select(col(idCol)).distinct()
+      .unionByName(doomedIds.select(col(doomedIds.columns.head).as(idCol))
+        .distinct())
+      .distinct()
+    // Affected cluster list: bounded by k, driver-safe (delete()'s rule).
+    val affected = vectors.join(batchIds, Seq(idCol), "left_semi")
+      .select(col(clusterCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    val parentModel = model(spark, indexDir, Some(parentV))
+    val assigned = IvfIndex.assign(spark,
+      upserts, vecCol, parentModel, clusterCol)
+      .select(vectors.columns.map(col).toIndexedSeq: _*)
+    val survivors =
+      if (affected.isEmpty) assigned.limit(0)
+      else vectors.where(col(clusterCol).isin(affected: _*)) // pruned
+        .join(batchIds, Seq(idCol), "left_anti")
+    val replacement = survivors.unionByName(assigned)
+    if (affected.isEmpty && upserts.isEmpty && meta.isEmpty)
+      return parentV // true no-op: don't burn a version
+    val stage = SnapshotStore.stage(indexDir)
+    replacement.write.partitionBy(clusterCol).parquet(s"$stage/$Vectors")
+    // Carry every UNaffected partition directory by hard link — batch
+    // files already staged under their cluster dirs sit alongside the
+    // carried names (distinct prefixes, no collision).
+    val affectedDirs = affected.map(c => s"$clusterCol=$c").toSet
+    java.nio.file.Files.list(prev).iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        !affectedDirs.contains(p.getFileName.toString))
+      .foreach { p =>
+        SnapshotStore.carryLink(p,
+          stage.resolve(Vectors).resolve(p.getFileName.toString),
+          s"carry-$parentV-")
+      }
+    SnapshotStore.carryLink(java.nio.file.Paths.get(snap, Model),
+      stage.resolve(Model), s"carry-$parentV-")
+    SnapshotStore.writeMeta(stage, meta)
     SnapshotStore.publish(indexDir, stage, parentV)
   }
 
