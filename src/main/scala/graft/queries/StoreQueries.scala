@@ -29,14 +29,18 @@ object StoreQueries extends QueryFamily {
   private def preparedTable(s: org.apache.spark.sql.SparkSession,
                             dir: String, tag: String,
                             base: org.apache.spark.sql.DataFrame = null,
-                            clusterBy: Seq[String] = Seq("doc_id"))
+                            clusterBy: Seq[String] = Seq("doc_id"),
+                            zorderBy: Seq[String] = Nil,
+                            numFiles: Int = 8)
                            (mutate: String => Unit): String =
     tableCache.computeIfAbsent(s"$dir#$tag", _ => {
       val target = java.nio.file.Files
         .createTempDirectory(s"graft-$tag").toString + "/tbl"
       val df = Option(base).getOrElse(
         Tables.load(s, dir, "documents").select(col("doc_id"), col("text")))
-      MergeStore.init(s, df, target, numFiles = 8, clusterBy = clusterBy)
+      MergeStore.init(s, df, target, numFiles = numFiles,
+        clusterBy = if (zorderBy.nonEmpty) Nil else clusterBy,
+        zorderBy = zorderBy)
       mutate(target)
       target
     })
@@ -523,6 +527,45 @@ object StoreQueries extends QueryFamily {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""))
 
+  private val q112 = QueryDef(
+    "q112_zorder_scan",
+    "Z-ordered COW table + multi-dimensional data skipping: events laid " +
+      "out on the Morton curve over (user_id, value) — EVERY z " +
+      "dimension's per-file [min,max] tightens to ~numFiles^(-1/2) of " +
+      "its domain, so the manifest stats prune a 2-dim box predicate " +
+      "multiplicatively where lexicographic clustering serves only its " +
+      "leading column (Delta OPTIMIZE ZORDER, committed through the " +
+      "manifest CAS). scanRanges plans only box-overlapping files, then " +
+      "applies the exact conjunction. The oracle replays the box + " +
+      "aggregation from scratch.",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val target = preparedTable(s, dir, "q112",
+        base = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value")),
+        zorderBy = Seq("user_id", "value"), numFiles = 16)(_ => ())
+      val maxU = MergeStore.read(s, target)
+        .agg(max("user_id")).collect()(0).getLong(0)
+      MergeStore.scanRanges(s, target, Map(
+          "user_id" -> (Some(maxU / 4), Some(maxU / 2)),
+          "value" -> (Some(50.0), Some(150.0))))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast(DecimalType(20, 4)))
+            .cast("double").as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE user_id BETWEEN (SELECT max(user_id) // 4 FROM events)
+                        AND (SELECT max(user_id) // 2 FROM events)
+        AND value BETWEEN 50.0 AND 150.0
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q91, q92, q96, q97, q98, q101, q107, q109, q110, q111)
+    Seq(q91, q92, q96, q97, q98, q101, q107, q109, q110, q111, q112)
 }

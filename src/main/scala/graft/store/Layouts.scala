@@ -58,9 +58,19 @@ object Layouts {
     * skewed columns would want quantile cutpoints instead, at the cost
     * of shipping the cutpoint arrays. Numeric columns only. */
   def zorderWrite(df: DataFrame, path: String, zCols: Seq[String],
-                  numFiles: Int, bitsPerDim: Int = 8): Unit = {
+                  numFiles: Int, bitsPerDim: Int = 8): Unit =
+    zorderArrange(df, zCols, numFiles, bitsPerDim)
+      .write.mode("overwrite").parquet(path)
+
+  /** The z-curve layout WITHOUT the write: `numFiles` partitions, rows
+    * contiguous on the Morton curve, sorted (z, cols...) within each —
+    * for sinks that commit through their own protocol (MergeStore's
+    * z-ordered COW tables stage the arranged rows and publish via the
+    * manifest CAS). Same bucketization as [[zorderWrite]]. */
+  def zorderArrange(df: DataFrame, zCols: Seq[String],
+                    numFiles: Int, bitsPerDim: Int = 8): DataFrame = {
     require(zCols.size >= 2,
-      "zorderWrite needs >= 2 columns; use clusteredWrite for one")
+      "zorder needs >= 2 columns; use clusteredWrite for one")
     require(bitsPerDim * zCols.size <= 62, "z-value must fit a long")
     val buckets = 1 << bitsPerDim
     val statCols = zCols.flatMap(c =>
@@ -91,7 +101,6 @@ object Layouts {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z") +: zCols.map(col): _*)
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
   }
 
   /** Run `action` and return (result, task input bytes read) — the layout

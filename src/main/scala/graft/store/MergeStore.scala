@@ -487,13 +487,25 @@ object MergeStore {
   def init(spark: SparkSession, df: DataFrame, target: String,
            numFiles: Int, clusterBy: Seq[String] = Nil,
            meta: Map[String, String] = Map.empty,
-           statsCols: Option[Seq[String]] = None): Unit = {
+           statsCols: Option[Seq[String]] = None,
+           zorderBy: Seq[String] = Nil): Unit = {
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "clusterBy (range) and zorderBy (Morton) are alternative layouts")
+    // Z-order: multi-dimensional clustering ([[Layouts.zorderArrange]])
+    // — EVERY z dimension's per-file range tightens to
+    // ~numFiles^(-1/k) of its domain, so manifest stats prune on ANY
+    // of them (lexicographic range clustering serves only its leading
+    // column). The Delta OPTIMIZE ZORDER layout, committed through the
+    // same manifest CAS with stats on every z column.
     val arranged =
-      if (clusterBy.nonEmpty) df.repartitionByRange(numFiles, clusterBy.map(col): _*)
+      if (zorderBy.nonEmpty) Layouts.zorderArrange(df, zorderBy, numFiles)
+      else if (clusterBy.nonEmpty)
+        df.repartitionByRange(numFiles, clusterBy.map(col): _*)
       else df.repartition(numFiles)
-    // Stats columns default to the cluster columns (tight per-file
+    // Stats columns default to the layout columns (tight per-file
     // ranges — the ones worth skipping on); unsupported types drop out.
-    val sCols = statsCols.getOrElse(clusterBy)
+    val sCols = statsCols
+      .getOrElse(if (zorderBy.nonEmpty) zorderBy else clusterBy)
       .filter(c => df.schema.fields.exists(f =>
         f.name == c && tagOf(f.dataType).isDefined))
     val files = writeFiles(arranged, target)
@@ -594,6 +606,41 @@ object MergeStore {
       else readSubset(spark, target, v, read(spark, target, Some(v)), cand)
     val pred = (lo.map(v => col(colName) >= lit(v)) ++
       hi.map(v => col(colName) <= lit(v))).reduce(_ && _)
+    base.where(pred)
+  }
+
+  /** Multi-column [[scanRange]] (bounds conjunction): a file must
+    * overlap EVERY bounded column's interval to stay a candidate — the
+    * read that exploits a z-ordered layout, where every z dimension's
+    * per-file range is tight and a 2-dim box probe prunes
+    * multiplicatively. Bit-identical to `read().where(AND of ranges)`. */
+  def scanRanges(spark: SparkSession, target: String,
+                 ranges: Map[String, (Option[Any], Option[Any])],
+                 version: Option[Int] = None): DataFrame = {
+    require(ranges.nonEmpty &&
+      ranges.values.exists(r => r._1.isDefined || r._2.isDefined),
+      "scanRanges needs at least one bound")
+    val v = version.orElse(currentVersion(target))
+      .getOrElse(sys.error(s"no committed version at $target"))
+    val files = liveFiles(target, Some(v))
+    val stats = fileStatsOf(target, v)
+    val sCols = statsColumns(target, Some(v))
+    val bounds = ranges.iterator.flatMap { case (c, (lo, hi)) =>
+      if (!sCols.contains(c)) None
+      else stats.valuesIterator.flatMap(_.get(c)).map(_._1)
+        .toSet.toList match {
+        case tag :: Nil => Some(c -> ((tag, lo.map(rawBound(tag, _)),
+          hi.map(rawBound(tag, _)))))
+        case _ => None
+      }
+    }.toMap
+    val cand = pruneFiles(files, stats, bounds)
+    val base =
+      if (cand.size == files.size) read(spark, target, Some(v))
+      else readSubset(spark, target, v, read(spark, target, Some(v)), cand)
+    val pred = ranges.iterator.flatMap { case (c, (lo, hi)) =>
+      lo.map(x => col(c) >= lit(x)) ++ hi.map(x => col(c) <= lit(x))
+    }.reduce(_ && _)
     base.where(pred)
   }
 
@@ -1196,12 +1243,17 @@ object MergeStore {
   def compact(spark: SparkSession, target: String, targetFiles: Int,
               clusterBy: Seq[String] = Nil,
               meta: Map[String, String] = Map.empty,
-              statsCols: Option[Seq[String]] = None): Int = {
+              statsCols: Option[Seq[String]] = None,
+              zorderBy: Seq[String] = Nil): Int = {
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "clusterBy (range) and zorderBy (Morton) are alternative layouts")
     val parentV = currentVersion(target)
       .getOrElse(sys.error(s"no committed version at $target"))
     val df = read(spark, target, Some(parentV))
     val arranged =
-      if (clusterBy.nonEmpty) df.repartitionByRange(targetFiles, clusterBy.map(col): _*)
+      if (zorderBy.nonEmpty) Layouts.zorderArrange(df, zorderBy, targetFiles)
+      else if (clusterBy.nonEmpty)
+        df.repartitionByRange(targetFiles, clusterBy.map(col): _*)
       else df.repartition(targetFiles)
     // Stats carry through a compaction (every file is new, so every
     // stats line recomputes); `statsCols = Some(...)` additionally

@@ -241,6 +241,32 @@ class DataSkippingSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("z-ordered COW table: stats prune on EITHER dimension, exact") {
+    val t = tmpDir("skip-z") + "/tbl"
+    // Two independent uniform dims — lexicographic clustering would
+    // leave y's per-file range spanning its whole domain.
+    // 200×200 grid: x and y genuinely independent.
+    val df = spark.range(40000L).select(col("id"),
+      (col("id") % 200).as("x"),
+      (col("id") / 200L).as("y"))
+    MergeStore.init(spark, df, t, 64, zorderBy = Seq("x", "y"))
+    assert(MergeStore.statsColumns(t) == Seq("x", "y"))
+    val candX = MergeStore.candidateFiles(spark, t, "x",
+      Some(10L), Some(20L)).size
+    val candY = MergeStore.candidateFiles(spark, t, "y",
+      Some(10L), Some(20L)).size
+    assert(candX < 40 && candY < 40,
+      s"z-order must make BOTH dims skippable: x=$candX y=$candY of 64")
+    // Box probe: conjunction prunes multiplicatively; result exact.
+    val box = MergeStore.scanRanges(spark, t, Map(
+        "x" -> (Some(10L), Some(20L)), "y" -> (Some(10L), Some(20L))))
+      .select($"id").as[Long].collect().sorted.toSeq
+    val full = MergeStore.read(spark, t)
+      .where(col("x").between(10L, 20L) && col("y").between(10L, 20L))
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(box == full && box.nonEmpty)
+  }
+
   test("IVM marker and stats coexist in one manifest commit") {
     // The view's own commits (applyChanges with the applied marker) run
     // on a stats-bearing table: marker reads stay exact, stats stay
