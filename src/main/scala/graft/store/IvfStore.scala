@@ -338,6 +338,54 @@ object IvfStore {
     SnapshotStore.publish(indexDir, stage, parentV)
   }
 
+  /** Re-pack the vector table and publish as a new snapshot — pure
+    * layout rewrite, content and MODEL unchanged (the parent's model
+    * carries; compaction must never re-cluster under a pinned reader).
+    * Every [[append]]/[[applyChanges]] adds a files-worth per touched
+    * cluster while carries accrete the rest, so a long-followed index
+    * pays a per-file open per probe partition until someone re-packs —
+    * MergeStore.compact's role, vector-shaped. `meta` carries a
+    * follower's progress marker through the rewrite (maintainView's
+    * rule: a bare compact + vacuum would destroy the high-water mark). */
+  def compact(spark: SparkSession, indexDir: String,
+              clusterCol: String = "ivf_cluster",
+              meta: Map[String, String] = Map.empty): Int = {
+    val parentV = currentVersion(indexDir).getOrElse(
+      sys.error(s"IvfStore.compact: no committed index at $indexDir"))
+    requireModelDir(indexDir, Some(parentV))
+    val stage = SnapshotStore.stage(indexDir)
+    read(spark, indexDir, Some(parentV))
+      .repartition(org.apache.spark.sql.functions.col(clusterCol))
+      .write.partitionBy(clusterCol).parquet(s"$stage/$Vectors")
+    SnapshotStore.carryLink(
+      java.nio.file.Paths.get(
+        SnapshotStore.resolve(indexDir, Some(parentV)), Model),
+      stage.resolve(Model), s"carry-$parentV-")
+    SnapshotStore.writeMeta(stage, meta)
+    SnapshotStore.publish(indexDir, stage, parentV)
+  }
+
+  /** Cap-gated maintenance: [[compact]] only when the live snapshot's
+    * vector-file count exceeds `maxFiles` (a free directory walk) —
+    * Bm25.maintainIndex's shape for the vector index. Returns true iff
+    * a compaction ran. Call after append/applyChanges batches or on a
+    * follower's cadence. */
+  def maintainIndex(spark: SparkSession, indexDir: String,
+                    maxFiles: Int,
+                    clusterCol: String = "ivf_cluster",
+                    meta: Map[String, String] = Map.empty): Boolean = {
+    require(maxFiles > 0, "maintainIndex needs a positive file cap")
+    val snap = SnapshotStore.resolve(indexDir, None)
+    val it = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(snap, Vectors))
+    val n = try it.iterator().asScala.count(p =>
+      java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+    finally it.close()
+    if (n <= maxFiles) false
+    else { compact(spark, indexDir, clusterCol, meta); true }
+  }
+
   /** Drop snapshots below the newest `retainVersions` — hard-link
     * reference counting keeps shared files alive while any retained
     * snapshot still points at them. */

@@ -65,21 +65,36 @@ object StreamingVectorIndex {
   /** Start following `sourceTarget`'s change stream into the index
     * (created by [[initIndex]]). AvailableNow by default; ProcessingTime
     * for an always-on tail. */
+  /** `maintainEvery = n > 0` runs [[IvfStore.maintainIndex]] after
+    * every n-th advancing batch (cap-gated re-pack of accreted
+    * per-cluster files, model untouched, marker carried) — the
+    * StreamingIvm/StreamingSearch in-stream maintenance rule: an
+    * always-on follower has no scheduled-job host. */
   def follow(spark: SparkSession, sourceTarget: String, indexDir: String,
              idCol: String, vecCol: String, checkpoint: String,
              trigger: Trigger = Trigger.AvailableNow(),
-             maxVersionsPerBatch: Int = 0): StreamingQuery =
+             maxVersionsPerBatch: Int = 0,
+             maintainEvery: Int = 0, maxFiles: Int = 64): StreamingQuery = {
+    var advancedBatches = 0L // driver-side: foreachBatch runs on the driver
     MergeStoreCdc.readStream(spark, sourceTarget, pk = Seq(idCol),
         includePreimages = false,
         maxVersionsPerBatch = maxVersionsPerBatch,
         fromVersion = Some(appliedVersion(indexDir)))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyCdcBatch(batch, indexDir, idCol, vecCol): Unit
+        val advanced = applyCdcBatch(batch, indexDir, idCol, vecCol)
+        if (advanced && maintainEvery > 0) {
+          advancedBatches += 1
+          if (advancedBatches % maintainEvery == 0)
+            IvfStore.maintainIndex(spark, indexDir, maxFiles,
+              meta = Map(AppliedKey ->
+                appliedVersion(indexDir).toString)): Unit
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+  }
 
   /** Apply one CDC micro-batch to the index, exactly once: terminal
     * change per id (delete@v1 + reinsert@v2 ends present), then ONE

@@ -102,6 +102,43 @@ class StreamingVectorIndexSpec extends SparkSpec {
     assert(searchAll(ix, Some(vInit)) == preChange)
   }
 
+  test("maintainEvery re-packs accreted cluster files; marker + model survive") {
+    val t = tmpDir("svix-mt") + "/tbl"
+    val ix = tmpDir("svix-mt") + "/ix"
+    MergeStore.init(spark, vecs(0, 300, 0.0), t, numFiles = 2,
+      clusterBy = Seq("id"))
+    StreamingVectorIndex.initIndex(spark, t, ix, "id", "vec", k = 6)
+    val m0 = IvfStore.model(spark, ix)
+    def vectorFiles(): Int = {
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(
+        graft.store.SnapshotStore.resolve(ix), "vectors"))
+      try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala.count(p =>
+          java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+      } finally it.close()
+    }
+    // Trickle revisions with a tight cap: the stream must keep the
+    // per-cluster file count bounded as carries + rewrites accrete.
+    (1 to 4).foreach { i =>
+      MergeStore.merge(spark, vecs(0, 60, i.toDouble), t, pk = Seq("id"))
+      val ck = tmpDir("svix-mt") + s"/ck$i"
+      StreamingVectorIndex.follow(spark, t, ix, "id", "vec", ck,
+        maintainEvery = 1, maxFiles = 12).awaitTermination()
+    }
+    assert(StreamingVectorIndex.appliedVersion(ix) == 4)
+    assert(vectorFiles() <= 12,
+      s"vector files unbounded under streamed revisions: ${vectorFiles()}")
+    // Compaction never re-clusters: model bit-identical, content exact.
+    assert(IvfStore.model(spark, ix).centroids.map(_.toSeq).toSeq ==
+      m0.centroids.map(_.toSeq).toSeq)
+    assertMatchesScratch(t, ix)
+    // Marker survives head-only vacuum (compaction carried it).
+    IvfStore.vacuum(ix, retainVersions = 1)
+    assert(StreamingVectorIndex.appliedVersion(ix) == 4)
+  }
+
   test("IvfStore.applyChanges: delete-then-upsert composition, one publish") {
     val ix = tmpDir("svix-ac") + "/ix"
     val corpus = vecs(0, 200, 0.0)
