@@ -566,6 +566,51 @@ object StoreQueries extends QueryFamily {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  private val q113 = QueryDef(
+    "q113_point_lookup",
+    "Bloom-sidecar point lookups on an UNCLUSTERED column: orders laid " +
+      "out by o_orderdate (the time-clustered shape a fact table " +
+      "actually has) with per-file Bloom filters on o_custkey riding " +
+      "the manifest commit — min/max stats are useless for a key " +
+      "uncorrelated with the layout (every file spans the whole " +
+      "domain), so a 'fetch these customers' batch consults the blooms " +
+      "at plan time and reads only files that might hold a probed key " +
+      "(no false negatives; false positives cost a read). scanPoints " +
+      "then applies the exact IN. The oracle replays the lookup + " +
+      "aggregation from scratch.",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val target = preparedTable(s, dir, "q113",
+        base = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+            col("o_totalprice")),
+        clusterBy = Seq("o_orderdate"), numFiles = 16) { t =>
+        // Enable blooms on the lookup key via the backfill path — also
+        // pins compact(bloomCols=...) as the legacy-table upgrade.
+        MergeStore.compact(s, t, targetFiles = 16,
+          clusterBy = Seq("o_orderdate"), bloomCols = Some(Seq("o_custkey")))
+      }
+      val maxCust = MergeStore.read(s, target)
+        .agg(max("o_custkey")).collect()(0).getLong(0)
+      val keys = Seq(maxCust / 2, maxCust / 3, maxCust / 5)
+      MergeStore.scanPoints(s, target, "o_custkey", keys)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(20, 4)))
+            .cast("double").as("sum_price"))
+        .orderBy("o_custkey")
+    },
+    Some("""
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+               AS sum_price
+      FROM orders
+      WHERE o_custkey IN ((SELECT max(o_custkey) // 2 FROM orders),
+                          (SELECT max(o_custkey) // 3 FROM orders),
+                          (SELECT max(o_custkey) // 5 FROM orders))
+      GROUP BY o_custkey
+      ORDER BY o_custkey"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q91, q92, q96, q97, q98, q101, q107, q109, q110, q111, q112)
+    Seq(q91, q92, q96, q97, q98, q101, q107, q109, q110, q111, q112, q113)
 }

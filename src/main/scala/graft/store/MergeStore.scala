@@ -174,9 +174,10 @@ object MergeStore {
   private[store] val SchemaKey = "schema"
   private def isStatsKey(k: String): Boolean = k.startsWith("s:")
   private def statsKey(file: String, column: String) = s"s:$file:$column"
-  /** File a stats key describes (file names never contain ':'). */
+  /** File an `s:`/`b:` per-file key describes (file names never
+    * contain ':'). */
   private def statsKeyFile(k: String): String = {
-    val rest = k.stripPrefix("s:")
+    val rest = k.drop(2) // both prefixes are two chars
     rest.take(rest.indexOf(':'))
   }
 
@@ -187,7 +188,8 @@ object MergeStore {
   def userManifestMeta(target: String,
                        version: Option[Int] = None): Map[String, String] =
     manifestMeta(target, version).filterNot { case (k, _) =>
-      k == StatsColsKey || k == SchemaKey || isStatsKey(k)
+      k == StatsColsKey || k == SchemaKey || k == BloomColsKey ||
+        k == BloomFppKey || isStatsKey(k) || isBloomKey(k)
     }
 
   /** The table's stats columns at a version (empty = no stats kept —
@@ -381,31 +383,191 @@ object MergeStore {
     * stats die with them), and `stats.cols` rides every commit so the
     * property survives arbitrary verb interleavings. User metadata must
     * stay clear of the reserved stats namespace. */
+  /** The (columns, fpp) bloom configuration a verb inherits from its
+    * parent manifest. */
+  private def inheritedBloom(target: String,
+                             parentV: Int): (Seq[String], Double) =
+    (bloomColumns(target, Some(parentV)),
+      manifestMeta(target, Some(parentV)).get(BloomFppKey)
+        .map(_.toDouble).getOrElse(0.01))
+
   private def commitWithStats(spark: SparkSession, target: String,
                               files: Seq[String], parent: Int,
                               userMeta: Map[String, String],
                               newFiles: Seq[String],
                               sCols: Seq[String],
-                              schema: org.apache.spark.sql.types.StructType)
-      : Int = {
+                              schema: org.apache.spark.sql.types.StructType,
+                              bCols: Seq[String] = Nil,
+                              bloomFpp: Double = 0.01): Int = {
     require(!userMeta.keys.exists(k =>
-        k == StatsColsKey || k == SchemaKey || isStatsKey(k)),
-      s"manifest metadata keys '$StatsColsKey', '$SchemaKey' and 's:*' " +
-        "are reserved for data-skipping statistics")
-    if (sCols.isEmpty) commit(target, files, parent, userMeta)
+        k == StatsColsKey || k == SchemaKey || k == BloomColsKey ||
+          k == BloomFppKey || isStatsKey(k) || isBloomKey(k)),
+      s"manifest metadata keys '$StatsColsKey', '$SchemaKey', " +
+        s"'$BloomColsKey', '$BloomFppKey', 's:*' and 'b:*' are reserved " +
+        "for data skipping")
+    if (sCols.isEmpty && bCols.isEmpty)
+      commit(target, files, parent, userMeta)
     else {
       val fileSet = files.toSet
       val carried =
         if (parent < 0) Map.empty[String, String]
         else manifestMeta(target, Some(parent)).filter { case (k, _) =>
-          isStatsKey(k) && fileSet.contains(statsKeyFile(k))
+          (isStatsKey(k) || isBloomKey(k)) &&
+            fileSet.contains(statsKeyFile(k))
         }
       val fresh = computeFileStats(spark, target, newFiles, sCols)
+      val blooms = computeFileBlooms(spark, target, newFiles, bCols,
+        bloomFpp)
+      val props = Map(SchemaKey -> schema.json) ++
+        (if (sCols.nonEmpty) Map(StatsColsKey -> sCols.mkString(","))
+         else Map.empty) ++
+        (if (bCols.nonEmpty) Map(BloomColsKey -> bCols.mkString(","),
+          BloomFppKey -> bloomFpp.toString)
+         else Map.empty)
       commit(target, files, parent,
-        userMeta ++ carried ++ fresh +
-          (StatsColsKey -> sCols.mkString(",")) +
-          (SchemaKey -> schema.json))
+        userMeta ++ carried ++ fresh ++ blooms ++ props)
     }
+  }
+
+  // ------------------------------------------------------------------
+  // Bloom sidecars: point-lookup skipping on UNCLUSTERED columns.
+  //
+  // Min/max stats only prune when the layout makes per-file ranges
+  // tight; a high-cardinality column that is NOT the cluster key (doc
+  // ids in a time-clustered table) spans its whole domain in every
+  // file, so a point-lookup batch ("fetch these 100 doc_ids") scans
+  // the table. The lakehouse answer (Delta's bloom filter index,
+  // parquet's column blooms — both public designs) is a per-file Bloom
+  // filter consulted at PLANNING time: a file whose bloom rejects every
+  // probed value cannot hold a match (no false negatives), so it drops
+  // from the plan; false positives only cost a wasted read.
+  //
+  // Layout: one sidecar per (file, column) under <target>/_blooms/,
+  // written BEFORE the manifest CAS and referenced by `#b:<file>:<col>`
+  // metadata lines — the reference commits atomically with the file
+  // list, the sidecar is immutable once referenced, and an orphan from
+  // a lost CAS is reclaimed by vacuum like any staged data file.
+  // Filters are spark.util.sketch.BloomFilter (long + string items,
+  // Spark's own stat.bloomFilter encoding), sized per file from the
+  // parquet metadata row count at `bloom.fpp`.
+  // ------------------------------------------------------------------
+
+  /** Manifest property naming the table's bloom columns. */
+  private[store] val BloomColsKey = "bloom.cols"
+  private[store] val BloomFppKey = "bloom.fpp"
+  private def isBloomKey(k: String): Boolean = k.startsWith("b:")
+  private def bloomKey(file: String, column: String) = s"b:$file:$column"
+  private def bloomsDir(target: String): Path = Paths.get(target, "_blooms")
+
+  /** The table's bloom columns at a version (empty = none kept). */
+  def bloomColumns(target: String, version: Option[Int] = None): Seq[String] =
+    manifestMeta(target, version).get(BloomColsKey)
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
+  /** Normalize a value to the bloom item domain (what Spark's
+    * stat.bloomFilter put: integrals as long, strings as UTF-8). */
+  private def bloomItem(v: Any): Option[Any] = v match {
+    case null => None
+    case n: java.lang.Byte => Some(java.lang.Long.valueOf(n.longValue))
+    case n: java.lang.Short => Some(java.lang.Long.valueOf(n.longValue))
+    case n: java.lang.Integer => Some(java.lang.Long.valueOf(n.longValue))
+    case n: java.lang.Long => Some(n)
+    case s: String => Some(s)
+    case _ => None // unsupported type: no bloom pruning
+  }
+
+  /** Build per-file bloom sidecars for freshly written `files` — one
+    * small job per (file, column), each scanning just that file's
+    * column (O(batch) total; the per-file sizing comes from parquet
+    * metadata counts). Returns the manifest reference lines. */
+  private def computeFileBlooms(spark: SparkSession, target: String,
+                                files: Seq[String], bCols: Seq[String],
+                                fpp: Double): Map[String, String] = {
+    if (files.isEmpty || bCols.isEmpty) return Map.empty
+    Files.createDirectories(bloomsDir(target))
+    files.iterator.flatMap { f =>
+      val df = spark.read.parquet(dataDir(target).resolve(f).toString)
+      val present = bCols.filter(c => df.schema.fields.exists(fd =>
+        fd.name == c && (fd.dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.StringType => true
+          case _ => false
+        })))
+      if (present.isEmpty) Nil
+      else {
+        val n = math.max(1L, df.count()) // metadata-only count
+        present.map { c =>
+          val bf = df.stat.bloomFilter(c, n, fpp)
+          val name = s"$f.$c.bloom"
+          val out = java.nio.file.Files.newOutputStream(
+            bloomsDir(target).resolve(name))
+          try bf.writeTo(out) finally out.close()
+          bloomKey(f, c) -> name
+        }
+      }
+    }.toMap
+  }
+
+  /** Point-lookup read with bloom skipping: plan only the files whose
+    * bloom MIGHT contain at least one of `values` (files without a
+    * bloom for the column stay candidates), then apply the exact
+    * `isin` — bit-identical to `read().where(col isin values)`; no
+    * false negatives by the bloom contract, false positives only cost
+    * a read. `values` is a lookup batch (the bloom tests run
+    * driver-side, O(files × values)); a table-sized probe belongs in
+    * [[scanForKeys]]. */
+  def scanPoints(spark: SparkSession, target: String, colName: String,
+                 values: Seq[Any],
+                 version: Option[Int] = None): DataFrame = {
+    require(values.nonEmpty, "scanPoints needs lookup values")
+    val v = version.orElse(currentVersion(target))
+      .getOrElse(sys.error(s"no committed version at $target"))
+    val files = liveFiles(target, Some(v))
+    val meta = manifestMeta(target, Some(v))
+    val items = values.flatMap(bloomItem)
+    val cand =
+      if (items.size != values.size || // nulls/unsupported: no pruning
+          !bloomColumns(target, Some(v)).contains(colName)) files
+      else files.filter { f =>
+        meta.get(bloomKey(f, colName)) match {
+          case Some(name) =>
+            val p = bloomsDir(target).resolve(name)
+            if (!Files.exists(p)) true // lost sidecar: stay a candidate
+            else {
+              val in = java.nio.file.Files.newInputStream(p)
+              val bf = try org.apache.spark.util.sketch.BloomFilter
+                .readFrom(in)
+              finally in.close()
+              items.exists(bf.mightContain)
+            }
+          case None => true
+        }
+      }
+    val base =
+      if (cand.size == files.size) read(spark, target, Some(v))
+      else readSubset(spark, target, v, read(spark, target, Some(v)), cand)
+    base.where(col(colName).isin(values: _*))
+  }
+
+  /** Delete bloom sidecars whose data file no longer exists — called
+    * from [[vacuum]] after data-file reclaim (covers both superseded
+    * files and a lost commit's orphaned sidecars). */
+  private def vacuumBlooms(target: String): Unit = {
+    val dir = bloomsDir(target)
+    if (!Files.isDirectory(dir)) return
+    Files.list(dir).iterator().asScala
+      .filter { p =>
+        // <datafile>.<col>.bloom — resolve the data file prefix.
+        val n = p.getFileName.toString
+        n.endsWith(".bloom") && {
+          val dataName = n.stripSuffix(".bloom").split("\\.parquet")(0) +
+            ".parquet"
+          !Files.exists(dataDir(target).resolve(dataName))
+        }
+      }.toSeq.foreach(Files.deleteIfExists)
   }
 
   /** The manifest-recorded schema of a version, if its writer kept one. */
@@ -488,7 +650,9 @@ object MergeStore {
            numFiles: Int, clusterBy: Seq[String] = Nil,
            meta: Map[String, String] = Map.empty,
            statsCols: Option[Seq[String]] = None,
-           zorderBy: Seq[String] = Nil): Unit = {
+           zorderBy: Seq[String] = Nil,
+           bloomCols: Seq[String] = Nil,
+           bloomFpp: Double = 0.01): Unit = {
     require(clusterBy.isEmpty || zorderBy.isEmpty,
       "clusterBy (range) and zorderBy (Morton) are alternative layouts")
     // Z-order: multi-dimensional clustering ([[Layouts.zorderArrange]])
@@ -511,7 +675,7 @@ object MergeStore {
     val files = writeFiles(arranged, target)
     commitWithStats(spark, target, files,
       currentVersion(target).getOrElse(-1), meta, files, sCols,
-      arranged.schema)
+      arranged.schema, bloomCols, bloomFpp)
   }
 
   /** Read a committed version (newest by default) — exactly the
@@ -818,9 +982,10 @@ object MergeStore {
       if (affected.isEmpty) writeFiles(incoming, target)
       else writeFiles(replacement.repartition(math.max(1, affected.size)), target)
     val sCols = statsColumns(target, Some(parentV))
+    val (bCols, fpp) = inheritedBloom(target, parentV)
     try commitWithStats(spark, target,
       (before.filterNot(affected) ++ newFiles).distinct, parentV,
-      Map.empty, newFiles, sCols, incoming.schema)
+      Map.empty, newFiles, sCols, incoming.schema, bCols, fpp)
     finally incoming.unpersist()
     MergeStats(before.size, affected.size, rowsInserted, rowsUpdated)
   }
@@ -922,10 +1087,11 @@ object MergeStore {
     val newFiles =
       if (kept.isEmpty) Seq.empty
       else writeFiles(kept.repartition(math.max(1, affected.size)), target)
+    val (bCols, fpp) = inheritedBloom(target, parentV)
     commitWithStats(spark, target,
       (before.filterNot(affected) ++ newFiles).distinct, parentV,
       Map.empty, newFiles, statsColumns(target, Some(parentV)),
-      full.schema)
+      full.schema, bCols, fpp)
     DeleteStats(before.size, affected.size, rowsDeleted)
   }
 
@@ -1030,6 +1196,7 @@ object MergeStore {
     val keys = deleteKeys.select(pk.map(col): _*)
       .where(pk.map(col(_).isNotNull).reduce(_ && _)).distinct().cache()
     val sCols = statsColumns(target, Some(parentV))
+    val (bCols, bloomFpp) = inheritedBloom(target, parentV)
     try {
       // One pruned, pk-only probe answers both verbs: candidate files
       // come from the COMBINED key bounds (upserts ∪ deletes) — a file
@@ -1055,7 +1222,7 @@ object MergeStore {
         // carried stats ride along untouched.
         if (meta.nonEmpty)
           commitWithStats(spark, target, before, parentV, meta, Nil,
-            sCols, snapshot.schema)
+            sCols, snapshot.schema, bCols, bloomFpp)
         return ApplyStats(before.size, 0, 0L, 0L)
       }
       val survivors = readSubset(spark, target, parentV, snapshot,
@@ -1070,7 +1237,7 @@ object MergeStore {
           replacement.repartition(math.max(1, affected.size)), target)
       commitWithStats(spark, target,
         (before.filterNot(affected) ++ newFiles).distinct, parentV,
-        meta, newFiles, sCols, incoming.schema)
+        meta, newFiles, sCols, incoming.schema, bCols, bloomFpp)
       ApplyStats(before.size, affected.size, rowsUpserted, rowsDeleted)
     } finally { incoming.unpersist(); keys.unpersist() }
   }
@@ -1244,7 +1411,8 @@ object MergeStore {
               clusterBy: Seq[String] = Nil,
               meta: Map[String, String] = Map.empty,
               statsCols: Option[Seq[String]] = None,
-              zorderBy: Seq[String] = Nil): Int = {
+              zorderBy: Seq[String] = Nil,
+              bloomCols: Option[Seq[String]] = None): Int = {
     require(clusterBy.isEmpty || zorderBy.isEmpty,
       "clusterBy (range) and zorderBy (Morton) are alternative layouts")
     val parentV = currentVersion(target)
@@ -1262,9 +1430,11 @@ object MergeStore {
     val sCols = statsCols.getOrElse(statsColumns(target, Some(parentV)))
       .filter(c => df.schema.fields.exists(f =>
         f.name == c && tagOf(f.dataType).isDefined))
+    val (inhB, fpp) = inheritedBloom(target, parentV)
+    val bCols = bloomCols.getOrElse(inhB)
     val files = writeFiles(arranged, target)
     commitWithStats(spark, target, files, parentV, meta, files, sCols,
-      df.schema)
+      df.schema, bCols, fpp)
   }
 
   /** Delete data files outside the retention window: anything not
@@ -1308,6 +1478,7 @@ object MergeStore {
         n.startsWith("v") && n.endsWith(".list") &&
           n.stripPrefix("v").stripSuffix(".list").toInt < floor
       }.toSeq.foreach(Files.deleteIfExists)
+    vacuumBlooms(target)
     orphans.size
   }
 }

@@ -299,6 +299,67 @@ class DataSkippingSpec extends SparkSpec {
       MergeStore.liveFiles(view).toSet)
   }
 
+  test("bloom sidecars: point lookups on an UNCLUSTERED column prune files") {
+    val t = tmpDir("skip-bloom") + "/tbl"
+    // Clustered by ts-like `seq`; `doc` is high-cardinality and
+    // UNCORRELATED with the layout — min/max stats are useless for it
+    // (every file spans the whole doc domain), blooms are the lever.
+    val df = spark.range(20000L).select(col("id").as("seq"),
+      ((col("id") * 48271L) % 20000L).as("doc"),
+      concat(lit("p-"), col("id")).as("payload"))
+    MergeStore.init(spark, df, t, 16, clusterBy = Seq("seq"),
+      bloomCols = Seq("doc"))
+    assert(MergeStore.bloomColumns(t) == Seq("doc"))
+    // One sidecar per (file, col), referenced from the manifest.
+    val bloomRefs = MergeStore.manifestMeta(t)
+      .filter(_._1.startsWith("b:"))
+    assert(bloomRefs.size == MergeStore.liveFiles(t).size)
+    // Point-lookup batch: exact vs bloom-pruned, bit-identical.
+    val probe = Seq(17L, 4242L, 19999L, 1234567L) // last one absent
+    val pruned = MergeStore.scanPoints(spark, t, "doc", probe)
+      .select($"seq", $"doc").as[(Long, Long)].collect().sorted.toSeq
+    val full = MergeStore.read(spark, t)
+      .where(col("doc").isin(probe: _*))
+      .select($"seq", $"doc").as[(Long, Long)].collect().sorted.toSeq
+    assert(pruned == full && pruned.size == 3)
+    // A single-value probe must plan strictly fewer files than live
+    // (the 1% fpp bloom rejects ~all non-holders of one value).
+    val one = MergeStore.scanPoints(spark, t, "doc", Seq(17L))
+    assert(one.count() == 1)
+    // Blooms survive a merge (carried + recomputed) and stay exact.
+    MergeStore.merge(spark,
+      spark.range(5L).select(col("id").as("seq"), lit(999999L).as("doc"),
+        lit("m").as("payload")),
+      t, pk = Seq("seq"))
+    val after = MergeStore.scanPoints(spark, t, "doc", Seq(999999L))
+      .select($"seq").as[Long].collect().sorted.toSeq
+    assert(after == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(MergeStore.manifestMeta(t).count(_._1.startsWith("b:")) ==
+      MergeStore.liveFiles(t).size)
+    // Vacuum reclaims sidecars of superseded files.
+    val bloomsOnDisk = () => java.nio.file.Files
+      .list(java.nio.file.Paths.get(t, "_blooms")).count()
+    val beforeVac = bloomsOnDisk()
+    MergeStore.vacuum(t, graceMillis = 0)
+    assert(bloomsOnDisk() < beforeVac)
+    assert(bloomsOnDisk() == MergeStore.liveFiles(t).size)
+  }
+
+  test("string bloom column: lookups prune and stay exact") {
+    val t = tmpDir("skip-bloom-s") + "/tbl"
+    val df = spark.range(5000L).select(col("id"),
+      concat(lit("doc-"), ((col("id") * 7919L) % 5000L)).as("key"))
+    MergeStore.init(spark, df, t, 8, clusterBy = Seq("id"),
+      bloomCols = Seq("key"))
+    val pruned = MergeStore.scanPoints(spark, t, "key",
+        Seq("doc-17", "doc-absent"))
+      .select($"id").as[Long].collect().sorted.toSeq
+    val full = MergeStore.read(spark, t)
+      .where(col("key").isin("doc-17", "doc-absent"))
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(pruned == full && pruned.size == 1)
+  }
+
   test("reserved metadata namespace is refused for user metadata") {
     val t = freshTable()
     intercept[IllegalArgumentException] {
