@@ -189,13 +189,19 @@ object ScaleProbe {
     import graft.store.Layouts
     val df = spark.range(n).select(col("id"),
       (col("id") % 97).cast("int").as("grp"),
+      // High-cardinality key UNCORRELATED with the id clustering — the
+      // bloom arm's lookup column (min/max can't prune it).
+      ((col("id") * 48271L) % n).as("doc"),
       concat(lit("payload-"), col("id")).as("payload"))
     fileCounts.foreach { files =>
       val dir = java.nio.file.Files.createTempDirectory("manifestskip")
         .toString
       val tA = s"$dir/with-stats"
       val tB = s"$dir/no-stats"
-      MergeStore.init(spark, df, tA, files, clusterBy = Seq("id"))
+      val tBloom0 = System.nanoTime()
+      MergeStore.init(spark, df, tA, files, clusterBy = Seq("id"),
+        bloomCols = Seq("doc"))
+      val bloomBuildSec = (System.nanoTime() - tBloom0) / 1e9
       MergeStore.init(spark, df, tB, files, clusterBy = Seq("id"),
         statsCols = Some(Nil))
       val lo = n / 2
@@ -212,9 +218,22 @@ object ScaleProbe {
       }
       require(scanA._1 == scanB._1,
         s"pruning changed the answer: ${scanA._1} != ${scanB._1}")
+      // Bloom arm: a 5-key point-lookup batch on the uncorrelated
+      // column — plan-time bloom tests vs a full scan + IN.
+      val probeKeys: Seq[Any] = (1L to 5L).map(i => (i * 7919L) % n)
+      val (pointA, bytesPA) = Layouts.measuredInputBytes(spark) {
+        time(MergeStore.scanPoints(spark, tA, "doc", probeKeys).count())
+      }
+      val (pointB, bytesPB) = Layouts.measuredInputBytes(spark) {
+        time(spark.read.parquet(s"$tB/data")
+          .where(col("doc").isin(probeKeys: _*)).count())
+      }
+      require(pointA._1 == pointB._1,
+        s"bloom pruning changed the answer: ${pointA._1} != ${pointB._1}")
       // Key-local trickle merge: 100 keys from one narrow range.
       def batch = spark.range(lo, lo + 100).select(col("id"),
         lit(7).cast("int").as("grp"),
+        ((col("id") * 48271L) % n).as("doc"),
         concat(lit("v2-"), col("id")).as("payload"))
       val (mA, tMergeA) = time(MergeStore.merge(spark, batch, tA, Seq("id")))
       val (mB, tMergeB) = time(MergeStore.merge(spark, batch, tB, Seq("id")))
@@ -226,6 +245,10 @@ object ScaleProbe {
         s""""scan_stats_sec":${f"${scanA._2}%.3f"},""" +
         s""""scan_full_sec":${f"${scanB._2}%.3f"},""" +
         s""""scan_stats_bytes":$bytesA,"scan_full_bytes":$bytesB,""" +
+        s""""point_bloom_sec":${f"${pointA._2}%.3f"},""" +
+        s""""point_full_sec":${f"${pointB._2}%.3f"},""" +
+        s""""point_bloom_bytes":$bytesPA,"point_full_bytes":$bytesPB,""" +
+        s""""bloom_build_sec":${f"$bloomBuildSec%.3f"},""" +
         s""""merge_stats_sec":${f"$tMergeA%.3f"},""" +
         s""""merge_full_sec":${f"$tMergeB%.3f"},""" +
         s""""files_rewritten":${mA.filesRewritten}}""")

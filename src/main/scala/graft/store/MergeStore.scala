@@ -476,38 +476,80 @@ object MergeStore {
     case _ => None // unsupported type: no bloom pruning
   }
 
-  /** Build per-file bloom sidecars for freshly written `files` — one
-    * small job per (file, column), each scanning just that file's
-    * column (O(batch) total; the per-file sizing comes from parquet
-    * metadata counts). Returns the manifest reference lines. */
+  /** Build per-file bloom sidecars for freshly written `files` in ONE
+    * distributed pass: the batch's rows shuffle by file name (a file's
+    * rows co-locate; ~one file per task), each task folds its files'
+    * rows into per-column filters sized from a broadcast per-file
+    * count, and the serialized filters come back file-at-a-time for
+    * the sidecar writes. O(batch) work and a driver footprint of
+    * #files × filter size — never a job per file, which at a
+    * thousand-file init would mean a thousand scheduler round-trips.
+    * Items follow Spark's stat.bloomFilter encoding (integrals as
+    * long, strings as UTF-8). Returns the manifest reference lines. */
   private def computeFileBlooms(spark: SparkSession, target: String,
                                 files: Seq[String], bCols: Seq[String],
                                 fpp: Double): Map[String, String] = {
     if (files.isEmpty || bCols.isEmpty) return Map.empty
+    val df = spark.read.parquet(
+      files.map(f => dataDir(target).resolve(f).toString): _*)
+    val present = bCols.filter(c => df.schema.fields.exists(fd =>
+      fd.name == c && (fd.dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.StringType => true
+        case _ => false
+      })))
+    if (present.isEmpty) return Map.empty
     Files.createDirectories(bloomsDir(target))
-    files.iterator.flatMap { f =>
-      val df = spark.read.parquet(dataDir(target).resolve(f).toString)
-      val present = bCols.filter(c => df.schema.fields.exists(fd =>
-        fd.name == c && (fd.dataType match {
-          case org.apache.spark.sql.types.ByteType |
-               org.apache.spark.sql.types.ShortType |
-               org.apache.spark.sql.types.IntegerType |
-               org.apache.spark.sql.types.LongType |
-               org.apache.spark.sql.types.StringType => true
-          case _ => false
-        })))
-      if (present.isEmpty) Nil
-      else {
-        val n = math.max(1L, df.count()) // metadata-only count
-        present.map { c =>
-          val bf = df.stat.bloomFilter(c, n, fpp)
-          val name = s"$f.$c.bloom"
-          val out = java.nio.file.Files.newOutputStream(
-            bloomsDir(target).resolve(name))
-          try bf.writeTo(out) finally out.close()
-          bloomKey(f, c) -> name
+    val isString = present.map(c =>
+      c -> (df.schema(c).dataType ==
+        org.apache.spark.sql.types.StringType)).toMap
+    val keyed = df
+      .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
+      .select(col("__file") +:
+        present.map(c => if (isString(c)) col(c)
+          else col(c).cast("long").as(c)): _*)
+    // Per-file row counts size each filter (column-pruned scan).
+    val counts = keyed.groupBy("__file").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bCounts = spark.sparkContext.broadcast(counts)
+    val colIsString = present.map(isString)
+    val nCols = present.length
+    val built = keyed
+      .repartition(math.max(1, files.size), col("__file"))
+      .rdd.mapPartitions { rows =>
+        import org.apache.spark.util.sketch.BloomFilter
+        val perFile = scala.collection.mutable.Map
+          .empty[String, Array[BloomFilter]]
+        rows.foreach { r =>
+          val f = r.getString(0)
+          val bfs = perFile.getOrElseUpdate(f, Array.tabulate(nCols)(_ =>
+            BloomFilter.create(
+              math.max(1L, bCounts.value.getOrElse(f, 1L)), fpp)))
+          var i = 0
+          while (i < nCols) {
+            if (!r.isNullAt(i + 1)) {
+              if (colIsString(i)) bfs(i).putString(r.getString(i + 1))
+              else bfs(i).putLong(r.getLong(i + 1))
+            }
+            i += 1
+          }
         }
-      }
+        perFile.iterator.flatMap { case (f, bfs) =>
+          bfs.iterator.zipWithIndex.map { case (bf, i) =>
+            val out = new java.io.ByteArrayOutputStream()
+            bf.writeTo(out)
+            (f, i, out.toByteArray)
+          }
+        }
+      }.collect()
+    built.map { case (f, i, bytes) =>
+      val c = present(i)
+      val name = s"$f.$c.bloom"
+      Files.write(bloomsDir(target).resolve(name), bytes)
+      bloomKey(f, c) -> name
     }.toMap
   }
 
