@@ -382,5 +382,66 @@ object RetrievalQueries extends QueryFamily {
         "THEN text || ' upserttok upserttok' ELSE text END AS text " +
         "FROM documents")))
 
-  override val defs: Seq[QueryDef] = Seq(q76, q80, q87, q89, q105, q108)
+  /** q114's index: built by the CONTINUOUS pipeline — a MergeStore
+    * documents table mutated across two commits (revise doc_id % 13,
+    * then delete doc_id % 29 — overlapping ids net to a terminal
+    * delete), then [[graft.streaming.StreamingSearch.follow]] catches
+    * the index up from the CDC stream in one AvailableNow run. */
+  private val streamedIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def streamedIndexFor(s: SparkSession, dir: String): String =
+    streamedIndexCache.computeIfAbsent(dir, _ => {
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      import graft.store.MergeStore
+      import graft.streaming.StreamingSearch
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-bm25-stream").toString
+      val t = s"$root/tbl"
+      MergeStore.init(s, docs(s, dir).select(col("doc_id"), col("text")),
+        t, numFiles = 8, clusterBy = Seq("doc_id")) // v0
+      StreamingSearch.initIndex(s, t, s"$root/ix", "doc_id", "text")
+      MergeStore.merge(s,
+        docs(s, dir).where(col("doc_id") % 13 === 0)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" streamtok")).as("text")),
+        t, pk = Seq("doc_id")) // v1
+      MergeStore.delete(s, t,
+        docs(s, dir).where(col("doc_id") % 29 === 0).select(col("doc_id")),
+        pk = Seq("doc_id")) // v2
+      StreamingSearch.follow(s, t, s"$root/ix", "doc_id", "text",
+        checkpoint = s"$root/ck").awaitTermination()
+      s"$root/ix"
+    })
+
+  private val q114 = QueryDef(
+    "q114_stream_search",
+    "CONTINUOUSLY MAINTAINED retrieval index: the documents table " +
+      "mutates across two commits (doc_id % 13 revised with a new " +
+      "token, doc_id % 29 deleted — ids in both net to a terminal " +
+      "delete), and the BM25 index catches up from the CDC stream " +
+      "(StreamingSearch.follow): per-doc terminal-change reduction, " +
+      "one applyChangesToIndex publish per micro-batch carrying the " +
+      "applied marker, summaries recomputed from effective postings. " +
+      "The oracle is the live BM25 formulation over the composed final " +
+      "corpus — a missed revision, resurrected victim, doubled tf, or " +
+      "drifted df/avgdl anywhere in the CDC -> index pipeline breaks " +
+      "the hash.",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      val qs = querySet.toDF("query_id", "qtext")
+      Bm25.searchTopKIndexed(streamedIndexFor(s, dir), qs,
+          "query_id", "qtext", k = 10)
+        .select(col("query_id"), col("rank"), col("doc").as("doc_id"),
+          col("score"))
+        .orderBy("query_id", "rank")
+    },
+    Some(bm25OracleSqlOver(
+      "SELECT doc_id, CASE WHEN doc_id % 13 = 0 " +
+        "THEN text || ' streamtok' ELSE text END AS text " +
+        "FROM documents WHERE doc_id % 29 <> 0")))
+
+  override val defs: Seq[QueryDef] =
+    Seq(q76, q80, q87, q89, q105, q108, q114)
 }

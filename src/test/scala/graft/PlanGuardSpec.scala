@@ -34,7 +34,8 @@ class PlanGuardSpec extends SparkSpec {
     "q87_hybrid_rrf",            // q51's broadcast query-vector SET (tiny side)
     "q89_bm25_indexed",          // q76's 1-row (N, avgdl) stats broadcast
     "q105_bm25_index_delete",    // same 1-row stats broadcast, tombstoned index
-    "q108_bm25_index_upsert")    // same 1-row stats broadcast, upserted index
+    "q108_bm25_index_upsert",    // same 1-row stats broadcast, upserted index
+    "q114_stream_search")        // same 1-row stats broadcast, streamed index
 
   test("no cartesian products; nested-loop joins only where intended") {
     // Streaming queries: building them RUNS the stream (the returned
