@@ -611,6 +611,136 @@ object StoreQueries extends QueryFamily {
       GROUP BY o_custkey
       ORDER BY o_custkey"""))
 
+  private val q115 = QueryDef(
+    "q115_update_where",
+    "Predicate UPDATE (the Delta/Iceberg copy-on-write UPDATE verb): " +
+      "orders range-clustered on o_orderkey; UPDATE SET o_totalprice = " +
+      "o_totalprice * 0.95, o_orderpriority = '9-SALE' WHERE " +
+      "o_orderkey in [max/4, max/2] AND o_orderstatus = 'F'. The " +
+      "affected-file probe is manifest-pruned by the bounds the " +
+      "predicate IMPLIES (only files overlapping the key range are " +
+      "ever opened); matching rows rewrite with every SET expression " +
+      "seeing the OLD row, non-matching rows in rewritten files carry " +
+      "verbatim, untouched files carry by reference into one manifest " +
+      "CAS commit. The oracle replays the UPDATE as a CASE projection " +
+      "from scratch — a missed row, double-applied SET, or clobbered " +
+      "bystander breaks the hash.",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val target = preparedTable(s, dir, "q115",
+        base = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_orderpriority"), col("o_totalprice")),
+        clusterBy = Seq("o_orderkey")) { t =>
+        val maxKey = MergeStore.read(s, t)
+          .agg(max("o_orderkey")).collect()(0).getLong(0)
+        MergeStore.updateWhere(s, t,
+          col("o_orderkey") >= maxKey / 4 &&
+            col("o_orderkey") <= maxKey / 2 &&
+            col("o_orderstatus") === "F",
+          Map("o_totalprice" -> (col("o_totalprice") * 0.95),
+            "o_orderpriority" -> lit("9-SALE")))
+      }
+      MergeStore.read(s, target)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast(DecimalType(20, 4)))
+            .cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+               AS sum_price
+      FROM (
+        SELECT CASE WHEN o_orderkey
+                      BETWEEN (SELECT max(o_orderkey) // 4 FROM orders)
+                          AND (SELECT max(o_orderkey) // 2 FROM orders)
+                      AND o_orderstatus = 'F'
+                    THEN '9-SALE' ELSE o_orderpriority
+               END AS o_orderpriority,
+               CASE WHEN o_orderkey
+                      BETWEEN (SELECT max(o_orderkey) // 4 FROM orders)
+                          AND (SELECT max(o_orderkey) // 2 FROM orders)
+                      AND o_orderstatus = 'F'
+                    THEN o_totalprice * 0.95 ELSE o_totalprice
+               END AS o_totalprice
+        FROM orders)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  private val q116 = QueryDef(
+    "q116_restore",
+    "RESTORE to a committed version (Delta RESTORE — rollback as a " +
+      "FORWARD commit): documents v0, a merge revises doc_id % 13 " +
+      "(v1), a predicate delete removes doc_id % 29 (v2), restore(0) " +
+      "publishes v3 re-referencing v0's files by name (zero data " +
+      "movement, stats carried), and a post-restore merge then revises " +
+      "doc_id % 17 (v4) — proving the restored table is a fully " +
+      "functional head, not a frozen snapshot. The oracle is the base " +
+      "corpus with ONLY the post-restore revision applied: a leaked " +
+      "pre-restore revision, a row still missing from the rolled-back " +
+      "delete, or a broken post-restore verb breaks the hash.",
+    (s, dir) => {
+      val target = preparedTable(s, dir, "q116") { t => // v0
+        MergeStore.merge(s,
+          MergeStore.read(s, t).where(col("doc_id") % 13 === 0)
+            .withColumn("text", concat(col("text"), lit(" rev"))),
+          t, pk = Seq("doc_id")) // v1
+        MergeStore.deleteWhere(s, t, col("doc_id") % 29 === 0) // v2
+        MergeStore.restore(s, t, 0) // v3
+        MergeStore.merge(s,
+          MergeStore.read(s, t).where(col("doc_id") % 17 === 0)
+            .withColumn("text", concat(col("text"), lit(" post"))),
+          t, pk = Seq("doc_id")) // v4
+      }
+      MergeStore.read(s, target)
+        .select(col("doc_id"), length(col("text")).as("len"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(CASE WHEN doc_id % 17 = 0 THEN length(text || ' post')
+                       ELSE length(text) END AS INTEGER) AS len
+      FROM documents
+      ORDER BY doc_id"""))
+
+  private val q117 = QueryDef(
+    "q117_clone",
+    "Zero-copy CLONE (Delta CLONE with hard-linked data files): " +
+      "documents v0 + a merge revising doc_id % 13 (v1) is cloned; the " +
+      "CLONE then deletes doc_id % 23 while the SOURCE takes a later " +
+      "revision of doc_id % 31 — the query reads the clone, whose " +
+      "state must be exactly (v1 + its own delete), byte-isolated from " +
+      "the source's divergence even though unrewritten files share " +
+      "inodes. A clone that follows the source, loses the carried " +
+      "revision, or breaks under its own verbs breaks the hash.",
+    (s, dir) => {
+      val target = preparedTable(s, dir, "q117") { t => // v0
+        MergeStore.merge(s,
+          MergeStore.read(s, t).where(col("doc_id") % 13 === 0)
+            .withColumn("text", concat(col("text"), lit(" rev"))),
+          t, pk = Seq("doc_id")) // v1
+        MergeStore.cloneTable(s, t, s"$t-clone")
+        MergeStore.deleteWhere(s, s"$t-clone", col("doc_id") % 23 === 0)
+        MergeStore.merge(s, // source diverges AFTER the clone
+          MergeStore.read(s, t).where(col("doc_id") % 31 === 0)
+            .withColumn("text", concat(col("text"), lit(" src"))),
+          t, pk = Seq("doc_id"))
+      }
+      MergeStore.read(s, s"$target-clone")
+        .select(col("doc_id"), length(col("text")).as("len"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(CASE WHEN doc_id % 13 = 0 THEN length(text || ' rev')
+                       ELSE length(text) END AS INTEGER) AS len
+      FROM documents
+      WHERE doc_id % 23 <> 0
+      ORDER BY doc_id"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q91, q92, q96, q97, q98, q101, q107, q109, q110, q111, q112, q113)
+    Seq(q91, q92, q96, q97, q98, q101, q107, q109, q110, q111, q112,
+      q113, q115, q116, q117)
 }

@@ -62,7 +62,7 @@ object MergeStore {
     * tests that vacuum their own quiesced tables pass 0. */
   val DefaultVacuumGraceMillis: Long = 10L * 60 * 1000
 
-  private def dataDir(target: String): Path = Paths.get(target, "data")
+  private[store] def dataDir(target: String): Path = Paths.get(target, "data")
   private def manifestDir(target: String): Path = Paths.get(target, "_manifest")
 
   private def currentVersion(target: String): Option[Int] = {
@@ -569,25 +569,9 @@ object MergeStore {
       .getOrElse(sys.error(s"no committed version at $target"))
     val files = liveFiles(target, Some(v))
     val meta = manifestMeta(target, Some(v))
-    val items = values.flatMap(bloomItem)
     val cand =
-      if (items.size != values.size || // nulls/unsupported: no pruning
-          !bloomColumns(target, Some(v)).contains(colName)) files
-      else files.filter { f =>
-        meta.get(bloomKey(f, colName)) match {
-          case Some(name) =>
-            val p = bloomsDir(target).resolve(name)
-            if (!Files.exists(p)) true // lost sidecar: stay a candidate
-            else {
-              val in = java.nio.file.Files.newInputStream(p)
-              val bf = try org.apache.spark.util.sketch.BloomFilter
-                .readFrom(in)
-              finally in.close()
-              items.exists(bf.mightContain)
-            }
-          case None => true
-        }
-      }
+      if (!bloomColumns(target, Some(v)).contains(colName)) files
+      else bloomPruneFiles(target, meta, files, colName, values)
     val base =
       if (cand.size == files.size) read(spark, target, Some(v))
       else readSubset(spark, target, v, read(spark, target, Some(v)), cand)
@@ -613,7 +597,7 @@ object MergeStore {
   }
 
   /** The manifest-recorded schema of a version, if its writer kept one. */
-  private def manifestSchema(target: String, version: Int)
+  private[store] def manifestSchema(target: String, version: Int)
       : Option[org.apache.spark.sql.types.StructType] =
     manifestMeta(target, Some(version)).get(SchemaKey).map(j =>
       org.apache.spark.sql.types.DataType.fromJson(j)
@@ -741,6 +725,18 @@ object MergeStore {
         spark.read.option("mergeSchema", "true").parquet(paths: _*)
     }
   }
+
+  /** [[read]] with automatic planning-time data skipping: the relation
+    * plans through a [[GraftFileIndex]], so any filter Catalyst pushes
+    * at the scan — a `.where`, a `spark.sql` view predicate, a join's
+    * pushed conjunct — prunes files via manifest stats and bloom
+    * sidecars before a single footer opens. Row-identical to `read`
+    * under every predicate (pruning is a superset; Spark re-applies
+    * the exact filters); prefer it for analytic reads, keep `read` for
+    * verbs that need the exact manifest file list. */
+  def readSkipping(spark: SparkSession, target: String,
+                   version: Option[Int] = None): DataFrame =
+    GraftFileIndex.readSkipping(spark, target, version)
 
   /** Read an explicit subset of a version's files, schema-aligned to
     * the FULL table (pre-evolution files null-fill appended columns
@@ -1064,9 +1060,10 @@ object MergeStore {
 
   /** DELETE by predicate (`DELETE FROM t WHERE p`): rows where `predicate`
     * is TRUE die; NULL and FALSE survive (SQL DELETE semantics). Same COW
-    * rewrite + CAS commit as the key form. The predicate is pushed into
-    * the snapshot scan, so with range/Z-order clustering the affected-file
-    * probe prunes on parquet min/max stats instead of reading the table. */
+    * rewrite + CAS commit as the key form. The affected-file probe is
+    * manifest-pruned by the bounds the predicate IMPLIES on stats columns
+    * ([[impliedBounds]]) before any file opens, and the predicate is
+    * pushed into the remaining scan (parquet row-group min/max). */
   def deleteWhere(spark: SparkSession, target: String,
                   predicate: org.apache.spark.sql.Column,
                   maxRetries: Int = 0,
@@ -1074,42 +1071,54 @@ object MergeStore {
     val doomed = coalesce(predicate, lit(false))
     deleteRetrying(spark, target, maxRetries, snapshotVersion,
       live => live.where(doomed),
-      live => live.where(!doomed))
+      live => live.where(!doomed),
+      prunePredicate = Some(predicate))
   }
 
   private def deleteRetrying(spark: SparkSession, target: String,
                              maxRetries: Int, snapshotVersion: Option[Int],
                              doomed: DataFrame => DataFrame,
                              survivors: DataFrame => DataFrame,
-                             pruneKeys: Option[(DataFrame, Seq[String])] = None)
+                             pruneKeys: Option[(DataFrame, Seq[String])] = None,
+                             prunePredicate: Option[org.apache.spark.sql.Column] = None)
       : DeleteStats =
     try deleteOnce(spark, target, snapshotVersion, doomed, survivors,
-      pruneKeys)
+      pruneKeys, prunePredicate)
     catch {
       case _: java.util.ConcurrentModificationException if maxRetries > 0 =>
         // Replay against the FRESH head, exactly like merge's retry.
         deleteRetrying(spark, target, maxRetries - 1, None, doomed,
-          survivors, pruneKeys)
+          survivors, pruneKeys, prunePredicate)
     }
 
   private def deleteOnce(spark: SparkSession, target: String,
                          snapshotVersion: Option[Int],
                          doomed: DataFrame => DataFrame,
                          survivors: DataFrame => DataFrame,
-                         pruneKeys: Option[(DataFrame, Seq[String])])
+                         pruneKeys: Option[(DataFrame, Seq[String])],
+                         prunePredicate: Option[org.apache.spark.sql.Column] = None)
       : DeleteStats = {
     val parentV = snapshotVersion.orElse(currentVersion(target))
       .getOrElse(sys.error(s"no committed version at $target"))
     val before = liveFiles(target, Some(parentV))
-    val full = read(spark, target, Some(parentV))
+    // `full` stays UNBUILT on the pruned path: constructing the plan
+    // lists every live file (an object-store HEAD per path at 100 TB),
+    // so a key-local verb against a clustered table must never force
+    // it — the schema comes from the manifest, the probe and rewrite
+    // read candidate files by name.
+    def full = read(spark, target, Some(parentV))
+    val schema = manifestSchema(target, parentV).getOrElse(full.schema)
     // Key-form deletes prune the doomed-row probe via manifest stats
     // (a key batch outside a file's range can't kill rows there);
-    // predicate deletes must scan — the predicate is opaque. Catalyst
-    // column-prunes the probe to the referenced columns either way.
+    // predicate deletes prune by the bounds the predicate itself
+    // implies on stats columns. Catalyst column-prunes the probe to
+    // the referenced columns either way.
     val candidates = pruneKeys match {
       case Some((keyRows, pk)) =>
         pruneByKeyBounds(target, parentV, before, keyRows, pk)
-      case None => before
+      case None => prunePredicate
+        .map(p => pruneByPredicate(spark, target, parentV, before, p))
+        .getOrElse(before)
     }
     val live = (if (candidates.size == before.size) full
       else readSubset(spark, target, parentV, full, candidates))
@@ -1133,8 +1142,395 @@ object MergeStore {
     commitWithStats(spark, target,
       (before.filterNot(affected) ++ newFiles).distinct, parentV,
       Map.empty, newFiles, statsColumns(target, Some(parentV)),
-      full.schema, bCols, fpp)
+      schema, bCols, fpp)
     DeleteStats(before.size, affected.size, rowsDeleted)
+  }
+
+  /** Conservative per-column bound constraints IMPLIED by a predicate,
+    * for manifest pruning: only top-level AND conjuncts comparing a bare
+    * column to a literal contribute (=, <, <=, >, >=, both operand
+    * orders; BETWEEN arrives pre-desugared to >= AND <=). Everything
+    * else — ORs, function calls, column-to-column compares, IN — adds
+    * no constraint. Each extracted bound is a logical consequence of
+    * the predicate, so a file whose stats exclude it cannot hold a
+    * matching row: pruning with these is a guaranteed SUPERSET of the
+    * true match set, and every caller still applies the exact
+    * predicate. Strict inequalities relax to inclusive bounds (superset
+    * again). Returned as a constraint LIST (a column may appear twice);
+    * consumers fold them instead of intersecting typed values. */
+  private def impliedBounds(schemaPlan: DataFrame,
+                            predicate: org.apache.spark.sql.Column)
+      : Seq[(String, Option[Any], Option[Any])] = {
+    // Column -> resolved Expression via the PUBLIC path: analyze a
+    // zero-row filter over the table's own plan and take the Filter
+    // condition (the Column API keeps its expression private in
+    // Spark 4). Analysis also type-coerces literals to the column
+    // type, so bound values land encodable.
+    val root =
+      try schemaPlan.limit(0).where(predicate).queryExecution.analyzed
+        .collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
+        }
+      catch { case _: Throwable => None }
+    root.map(e => boundsOfExpressions(Seq(e))).getOrElse(Nil)
+  }
+
+  /** [[impliedBounds]]'s extraction over already-resolved Catalyst
+    * expressions — the shared core for the verb path (which resolves a
+    * `Column` by analysis) and [[GraftFileIndex]] (whose `listFiles`
+    * receives resolved data filters straight from FileSourceStrategy).
+    * Input is a filter LIST (implicitly conjunctive, the planner's
+    * split-conjunct shape); nested ANDs re-split. */
+  private[store] def boundsOfExpressions(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[(String, Option[Any], Option[Any])] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    def lv(e: ce.Expression): Option[Any] =
+      if (!e.foldable) None
+      else try Option(CatalystTypeConverters.convertToScala(
+        e.eval(ce.EmptyRow), e.dataType))
+      catch { case _: Throwable => None }
+    def name(e: ce.Expression): Option[String] = e match {
+      // Bare column only — a Cast over the COLUMN changes compare
+      // semantics, so it contributes no constraint.
+      case a: ce.AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def conjuncts(e: ce.Expression): Seq[ce.Expression] = e match {
+      case ce.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    exprs.flatMap(conjuncts).flatMap {
+      case ce.EqualTo(a, l) if l.foldable =>
+        name(a).flatMap(c => lv(l).map(v => (c, Some(v), Some(v))))
+      case ce.EqualTo(l, a) if l.foldable =>
+        name(a).flatMap(c => lv(l).map(v => (c, Some(v), Some(v))))
+      case ce.GreaterThan(a, l) if l.foldable =>
+        name(a).flatMap(c => lv(l).map(v => (c, Some(v), None)))
+      case ce.GreaterThanOrEqual(a, l) if l.foldable =>
+        name(a).flatMap(c => lv(l).map(v => (c, Some(v), None)))
+      case ce.LessThan(a, l) if l.foldable =>
+        name(a).flatMap(c => lv(l).map(v => (c, None, Some(v))))
+      case ce.LessThanOrEqual(a, l) if l.foldable =>
+        name(a).flatMap(c => lv(l).map(v => (c, None, Some(v))))
+      case ce.GreaterThan(l, a) if l.foldable => // lit > col == col < lit
+        name(a).flatMap(c => lv(l).map(v => (c, None, Some(v))))
+      case ce.GreaterThanOrEqual(l, a) if l.foldable =>
+        name(a).flatMap(c => lv(l).map(v => (c, None, Some(v))))
+      case ce.LessThan(l, a) if l.foldable =>
+        name(a).flatMap(c => lv(l).map(v => (c, Some(v), None)))
+      case ce.LessThanOrEqual(l, a) if l.foldable =>
+        name(a).flatMap(c => lv(l).map(v => (c, Some(v), None)))
+      case _ => None
+    }
+  }
+
+  /** Prune `files` by every [[impliedBounds]] constraint of `predicate`
+    * that lands on a stats column — folded one constraint at a time, so
+    * repeated bounds on one column intersect without typed value
+    * comparisons. No stats, no constraint, or an extraction miss all
+    * degrade to "every file stays a candidate". */
+  private def pruneByPredicate(spark: SparkSession, target: String,
+                               parentV: Int, files: Seq[String],
+                               predicate: org.apache.spark.sql.Column)
+      : Seq[String] = {
+    val sColsEarly = statsColumns(target, Some(parentV))
+    if (sColsEarly.isEmpty) return files // no stats: skip the analysis too
+    val schemaPlan = manifestSchema(target, parentV) match {
+      case Some(st) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      case None => read(spark, target, Some(parentV))
+    }
+    pruneByConstraints(target, parentV, files,
+      impliedBounds(schemaPlan, predicate))
+  }
+
+  /** Fold [[boundsOfExpressions]] constraints over the manifest stats —
+    * one constraint at a time, so repeated bounds on one column
+    * intersect without typed value comparisons. No stats, no
+    * constraint, or an un-encodable literal all degrade to "every file
+    * stays a candidate". */
+  private[store] def pruneByConstraints(
+      target: String, parentV: Int, files: Seq[String],
+      constraints: Seq[(String, Option[Any], Option[Any])])
+      : Seq[String] = {
+    if (constraints.isEmpty) return files
+    val sCols = statsColumns(target, Some(parentV))
+    if (sCols.isEmpty) return files
+    val stats = fileStatsOf(target, parentV)
+    constraints.foldLeft(files) { case (fs, (c, lo, hi)) =>
+      if (!sCols.contains(c) || fs.isEmpty) fs
+      else stats.valuesIterator.flatMap(_.get(c)).map(_._1)
+        .toSet.toList match {
+        case tag :: Nil =>
+          try pruneFiles(fs, stats, Map(c -> (tag,
+            lo.map(rawBound(tag, _)), hi.map(rawBound(tag, _)))))
+          catch { case _: Throwable => fs } // un-encodable literal: no prune
+        case _ => fs
+      }
+    }
+  }
+
+  /** Equality probe values per column from resolved filter conjuncts,
+    * for bloom-sidecar skipping: `c = lit` contributes `Seq(lit)`,
+    * `c IN (lits...)` the literal list (ONLY when every member folds —
+    * a partial list would turn the disjunction into a false prune).
+    * Values land as Scala externals, [[bloomItem]]-normalizable. */
+  private[store] def bloomPointsOfExpressions(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[(String, Seq[Any])] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    def lv(e: ce.Expression): Option[Any] =
+      if (!e.foldable) None
+      else try Option(CatalystTypeConverters.convertToScala(
+        e.eval(ce.EmptyRow), e.dataType))
+      catch { case _: Throwable => None }
+    def conjuncts(e: ce.Expression): Seq[ce.Expression] = e match {
+      case ce.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    exprs.flatMap(conjuncts).flatMap {
+      case ce.EqualTo(a: ce.AttributeReference, l) if l.foldable =>
+        lv(l).map(v => a.name -> Seq(v))
+      case ce.EqualTo(l, a: ce.AttributeReference) if l.foldable =>
+        lv(l).map(v => a.name -> Seq(v))
+      case ce.In(a: ce.AttributeReference, list) if list.forall(_.foldable) =>
+        val vs = list.flatMap(lv)
+        if (vs.size == list.size) Some(a.name -> vs) else None
+      case ce.InSet(a: ce.AttributeReference, hset) =>
+        val vs = hset.toSeq.flatMap(v =>
+          try Option(CatalystTypeConverters.convertToScala(v, a.dataType))
+          catch { case _: Throwable => None })
+        if (vs.size == hset.size) Some(a.name -> vs) else None
+      case _ => None
+    }
+  }
+
+  /** Per-file bloom test against `values` on `colName`: keep files
+    * whose sidecar MIGHT contain at least one value (no sidecar, a
+    * lost sidecar, or any null/unsupported value keep the file a
+    * candidate — no false negatives ever). */
+  private def bloomPruneFiles(target: String,
+                              meta: Map[String, String],
+                              files: Seq[String], colName: String,
+                              values: Seq[Any]): Seq[String] = {
+    val items = values.flatMap(bloomItem)
+    if (items.size != values.size) return files
+    files.filter { f =>
+      meta.get(bloomKey(f, colName)) match {
+        case Some(name) =>
+          val p = bloomsDir(target).resolve(name)
+          if (!Files.exists(p)) true // lost sidecar: stay a candidate
+          else {
+            val in = java.nio.file.Files.newInputStream(p)
+            val bf = try org.apache.spark.util.sketch.BloomFilter
+              .readFrom(in)
+            finally in.close()
+            items.exists(bf.mightContain)
+          }
+        case None => true
+      }
+    }
+  }
+
+  /** Planning-time candidate files for a filtered scan of a version:
+    * manifest min/max pruning on every bound the filters imply on a
+    * stats column, then bloom-sidecar pruning on every equality/IN
+    * probe of a bloom column. The [[GraftFileIndex]] `listFiles` hook —
+    * a guaranteed superset of the matching files (Spark re-applies the
+    * exact filters row-wise), computed from the manifest alone. */
+  private[store] def candidatesForFilters(
+      target: String, version: Int, files: Seq[String],
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[String] = {
+    if (filters.isEmpty || files.isEmpty) return files
+    val afterStats = pruneByConstraints(target, version, files,
+      boundsOfExpressions(filters))
+    val bCols = bloomColumns(target, Some(version))
+    if (bCols.isEmpty || afterStats.isEmpty) afterStats
+    else {
+      val meta = manifestMeta(target, Some(version))
+      bloomPointsOfExpressions(filters).foldLeft(afterStats) {
+        case (fs, (c, vs)) =>
+          if (!bCols.contains(c) || fs.isEmpty) fs
+          else bloomPruneFiles(target, meta, fs, c, vs)
+      }
+    }
+  }
+
+  final case class UpdateStats(filesTotal: Int, filesRewritten: Int,
+                               rowsUpdated: Long)
+
+  /** UPDATE by predicate (`UPDATE t SET c = e, ... WHERE p` — the
+    * compliance verb Delta/Iceberg express as copy-on-write UPDATE).
+    * Rows where `predicate` is TRUE are rewritten with `set` applied;
+    * NULL and FALSE rows are untouched. Every SET expression sees the
+    * OLD row (SQL's simultaneous assignment: `SET a = b, b = a` swaps),
+    * because the per-column `when(p, e)` projections evaluate in one
+    * select over the pre-update scan. File-granular COW: the
+    * affected-file probe (manifest-pruned by the predicate's
+    * [[impliedBounds]]) finds files holding matching rows, only those
+    * rewrite, every other file carries by reference into one manifest
+    * CAS commit — so the typed [[changes]] feed shows exactly the
+    * updated rows as update pre/post-image pairs and CDC followers
+    * (views, replicas, indexes) advance with no special casing. SET
+    * columns must already exist (schema is invariant under UPDATE —
+    * evolution is merge's job); values cast to the column's declared
+    * type. No matching rows: no commit, version unchanged. */
+  def updateWhere(spark: SparkSession, target: String,
+                  predicate: org.apache.spark.sql.Column,
+                  set: Map[String, org.apache.spark.sql.Column],
+                  maxRetries: Int = 0,
+                  snapshotVersion: Option[Int] = None): UpdateStats = {
+    require(set.nonEmpty, s"UPDATE at $target needs SET assignments")
+    try updateOnce(spark, target, snapshotVersion, predicate, set)
+    catch {
+      case _: java.util.ConcurrentModificationException if maxRetries > 0 =>
+        updateWhere(spark, target, predicate, set, maxRetries - 1, None)
+    }
+  }
+
+  private def updateOnce(spark: SparkSession, target: String,
+                         snapshotVersion: Option[Int],
+                         predicate: org.apache.spark.sql.Column,
+                         set: Map[String, org.apache.spark.sql.Column])
+      : UpdateStats = {
+    val parentV = snapshotVersion.orElse(currentVersion(target))
+      .getOrElse(sys.error(s"no committed version at $target"))
+    val before = liveFiles(target, Some(parentV))
+    // Lazy for the same reason as delete: the pruned path never lists
+    // (or requires the existence of) out-of-range files.
+    def full = read(spark, target, Some(parentV))
+    val schema = manifestSchema(target, parentV).getOrElse(full.schema)
+    val unknown = set.keySet -- schema.fieldNames.toSet
+    require(unknown.isEmpty,
+      s"UPDATE SET references columns not in $target: " +
+        unknown.toSeq.sorted.mkString(", "))
+    val matched = coalesce(predicate, lit(false))
+    val candidates =
+      pruneByPredicate(spark, target, parentV, before, predicate)
+    val live = (if (candidates.size == before.size) full
+      else readSubset(spark, target, parentV, full, candidates))
+      .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
+    val hit = live.where(matched)
+    val affected = hit.select("__file").distinct()
+      .collect().map(_.getString(0)).toSet
+    if (affected.isEmpty)
+      return UpdateStats(before.size, 0, 0L) // nothing matched: no commit
+    val rowsUpdated = hit.count()
+    // Rewrite reads the affected files BY NAME; untouched rows in them
+    // re-write verbatim (COW granularity is the file, not the row).
+    val updated = readSubset(spark, target, parentV, full,
+        affected.toSeq.sorted)
+      .select(schema.fields.map { f =>
+        set.get(f.name) match {
+          case Some(e) =>
+            when(matched, e.cast(f.dataType)).otherwise(col(f.name))
+              .as(f.name)
+          case None => col(f.name)
+        }
+      }.toSeq: _*)
+    val newFiles = writeFiles(
+      updated.repartition(math.max(1, affected.size)), target)
+    val (bCols, fpp) = inheritedBloom(target, parentV)
+    commitWithStats(spark, target,
+      (before.filterNot(affected) ++ newFiles).distinct, parentV,
+      Map.empty, newFiles, statsColumns(target, Some(parentV)),
+      schema, bCols, fpp)
+    UpdateStats(before.size, affected.size, rowsUpdated)
+  }
+
+  /** RESTORE to a committed version (Delta RESTORE): publish a NEW head
+    * commit whose file list is exactly `toVersion`'s — a rollback that
+    * moves the table FORWARD. History keeps the rolled-back commits, so
+    * pinned readers of any retained version are untouched. Zero data
+    * movement: the old files are re-referenced by name (immutable since
+    * their own commit), their stats/bloom lines and the version's
+    * schema carry into the new manifest, and re-referencing makes them
+    * live again for [[vacuum]]'s retention walk. The typed [[changes]]
+    * feed across a restore commit is computed relationally from the
+    * file-list diff like any other commit — rows added since
+    * `toVersion` surface as deletes, reverted rows as updates — so CDC
+    * followers (replicas, views, search/vector indexes) converge onto
+    * the restored state with no special casing. Restoring to a
+    * vacuumed version fails with the named retention error; a
+    * half-vacuumed version (manifest retained, a data file already
+    * reclaimed) fails loudly before committing anything.
+    *
+    * Progress MARKERS are deliberately NOT carried: [[markerValue]]
+    * walks history newest-first, so after a restore a consumer still
+    * sees the newest marker ever committed. Restoring a maintained
+    * VIEW below its applied watermark therefore needs the corrected
+    * marker passed via `meta` in the same commit. */
+  def restore(spark: SparkSession, target: String, toVersion: Int,
+              meta: Map[String, String] = Map.empty): Int = {
+    val head = currentVersion(target)
+      .getOrElse(sys.error(s"no committed version at $target"))
+    require(toVersion >= 0 && toVersion <= head,
+      s"restore target v$toVersion outside committed history at " +
+        s"$target (head v$head)")
+    requireSpanReadable(target, toVersion)
+    val files = liveFiles(target, Some(toVersion))
+    val gone = files.filterNot(f => Files.exists(dataDir(target).resolve(f)))
+    if (gone.nonEmpty)
+      throw new IllegalStateException(
+        s"restore to v$toVersion at $target impossible: data file(s) " +
+          s"${gone.take(3).mkString(", ")} already vacuumed — restore " +
+          "only reaches versions inside the vacuum retention window")
+    val carried = manifestMeta(target, Some(toVersion)).filter { case (k, _) =>
+      k == StatsColsKey || k == SchemaKey || k == BloomColsKey ||
+        k == BloomFppKey ||
+        ((isStatsKey(k) || isBloomKey(k)) && files.contains(statsKeyFile(k)))
+    }
+    commit(target, files, head, carried ++ meta)
+  }
+
+  /** Zero-copy table clone (Delta CLONE): `dest` is born at v0 holding
+    * exactly `source`@`version`'s rows. Data files hard-link by name —
+    * same-filesystem zero-copy, safe because BOTH tables treat data
+    * files as immutable and vacuum only unlinks its own directory
+    * entry, so either side vacuums/compacts/mutates without touching
+    * the other (the object-store variant records absolute source paths
+    * in the manifest instead — Delta shallow clone — but links give
+    * deep-clone semantics at shallow-clone cost here). Bloom sidecars
+    * link too; stats lines and the schema carry into dest's v0
+    * manifest. User metadata and progress markers stay behind: a clone
+    * is a new table identity, not a follower — initialize followers
+    * explicitly from the clone point. */
+  def cloneTable(spark: SparkSession, source: String, dest: String,
+                 version: Option[Int] = None): Unit = {
+    val v = version.orElse(currentVersion(source))
+      .getOrElse(sys.error(s"no committed version at $source"))
+    requireSpanReadable(source, v)
+    require(currentVersion(dest).isEmpty,
+      s"clone destination $dest already has committed versions")
+    val files = liveFiles(source, Some(v))
+    val meta = manifestMeta(source, Some(v))
+    Files.createDirectories(dataDir(dest))
+    files.foreach { f =>
+      val to = dataDir(dest).resolve(f)
+      if (!Files.exists(to))
+        Files.createLink(to, dataDir(source).resolve(f))
+    }
+    val carried = meta.filter { case (k, _) =>
+      k == StatsColsKey || k == SchemaKey || k == BloomColsKey ||
+        k == BloomFppKey ||
+        ((isStatsKey(k) || isBloomKey(k)) && files.contains(statsKeyFile(k)))
+    }
+    carried.foreach { case (k, sidecar) =>
+      if (isBloomKey(k)) {
+        val from = bloomsDir(source).resolve(sidecar)
+        val to = bloomsDir(dest).resolve(sidecar)
+        if (Files.exists(from) && !Files.exists(to)) {
+          Files.createDirectories(bloomsDir(dest))
+          Files.createLink(to, from)
+        }
+      }
+    }
+    commit(dest, files, -1, carried)
   }
 
   final case class ApplyStats(filesTotal: Int, filesRewritten: Int,
