@@ -740,7 +740,52 @@ object StoreQueries extends QueryFamily {
       WHERE doc_id % 23 <> 0
       ORDER BY doc_id"""))
 
+  private val q118 = QueryDef(
+    "q118_skipping_read",
+    "Automatic planning-time data skipping (GraftFileIndex — the " +
+      "Delta log-backed FileIndex pattern): lineitem Z-ordered on " +
+      "(l_orderkey, l_partkey); a plain readSkipping().where over a " +
+      "key range AND a partkey cap plans only manifest-candidate " +
+      "files — FileSourceStrategy hands the pushed conjuncts to " +
+      "listFiles, min/max stats prune on BOTH z dimensions, no " +
+      "explicit scan verb. The oracle replays the filtered aggregate " +
+      "from scratch: a file wrongly pruned (lost rows) or a stale " +
+      "listing breaks the hash.",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val target = preparedTable(s, dir, "q118",
+        base = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+            col("l_extendedprice")),
+        zorderBy = Seq("l_orderkey", "l_partkey"), numFiles = 16)(_ => ())
+      val r = MergeStore.read(s, target)
+        .agg(max("l_orderkey"), max("l_partkey")).collect()(0)
+      val (hiO, hiP) = (r.getLong(0), r.getLong(1))
+      MergeStore.readSkipping(s, target)
+        .where(col("l_orderkey").between(hiO / 10, hiO / 5) &&
+          col("l_partkey") <= hiP / 20)
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(DecimalType(20, 4)))
+            .cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(20, 4)))
+            .cast("double").as("sum_price"))
+        .orderBy("l_partkey")
+    },
+    Some("""
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE)
+               AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE)
+               AS sum_price
+      FROM lineitem
+      WHERE l_orderkey BETWEEN (SELECT max(l_orderkey) // 10 FROM lineitem)
+                           AND (SELECT max(l_orderkey) // 5 FROM lineitem)
+        AND l_partkey <= (SELECT max(l_partkey) // 20 FROM lineitem)
+      GROUP BY l_partkey
+      ORDER BY l_partkey"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q91, q92, q96, q97, q98, q101, q107, q109, q110, q111, q112,
-      q113, q115, q116, q117)
+      q113, q115, q116, q117, q118)
 }
