@@ -401,12 +401,20 @@ object MergeStore {
                               bloomFpp: Double = 0.01): Int = {
     require(!userMeta.keys.exists(k =>
         k == StatsColsKey || k == SchemaKey || k == BloomColsKey ||
-          k == BloomFppKey || isStatsKey(k) || isBloomKey(k)),
+          k == BloomFppKey || isStatsKey(k) || isBloomKey(k) ||
+          isConstraintKey(k)),
       s"manifest metadata keys '$StatsColsKey', '$SchemaKey', " +
-        s"'$BloomColsKey', '$BloomFppKey', 's:*' and 'b:*' are reserved " +
-        "for data skipping")
+        s"'$BloomColsKey', '$BloomFppKey', 's:*', 'b:*' and " +
+        s"'$ConstraintPrefix*' are reserved")
+    // Constraints are table POLICY, not per-commit state: they carry
+    // through every verb commit until an explicit dropConstraint, the
+    // same way the schema does.
+    val constraintCarry =
+      if (parent < 0) Map.empty[String, String]
+      else manifestMeta(target, Some(parent))
+        .filter { case (k, _) => isConstraintKey(k) }
     if (sCols.isEmpty && bCols.isEmpty)
-      commit(target, files, parent, userMeta)
+      commit(target, files, parent, constraintCarry ++ userMeta)
     else {
       val fileSet = files.toSet
       val carried =
@@ -425,7 +433,7 @@ object MergeStore {
           BloomFppKey -> bloomFpp.toString)
          else Map.empty)
       commit(target, files, parent,
-        userMeta ++ carried ++ fresh ++ blooms ++ props)
+        constraintCarry ++ userMeta ++ carried ++ fresh ++ blooms ++ props)
     }
   }
 
@@ -990,6 +998,7 @@ object MergeStore {
           allowMissingColumns = true)
       else deduped.select(snapshot.columns.map(col).toIndexedSeq: _*)
       ).cache()
+    enforceConstraints(spark, target, parentV, incoming, "merge")
 
     // Affected-file probe: manifest-pruned candidate files (the batch's
     // key bounds vs per-file stats), scanned for pk columns only — a
@@ -1420,6 +1429,13 @@ object MergeStore {
       .collect().map(_.getString(0)).toSet
     if (affected.isEmpty)
       return UpdateStats(before.size, 0, 0L) // nothing matched: no commit
+    // Constraints see the post-SET image of exactly the rows the
+    // UPDATE rewrites (bystanders carried verbatim were already valid).
+    enforceConstraints(spark, target, parentV,
+      hit.select(schema.fields.map { f =>
+        set.get(f.name).map(_.cast(f.dataType).as(f.name))
+          .getOrElse(col(f.name))
+      }.toSeq: _*), "updateWhere")
     val rowsUpdated = hit.count()
     // Rewrite reads the affected files BY NAME; untouched rows in them
     // re-write verbatim (COW granularity is the file, not the row).
@@ -1485,7 +1501,14 @@ object MergeStore {
         k == BloomFppKey ||
         ((isStatsKey(k) || isBloomKey(k)) && files.contains(statsKeyFile(k)))
     }
-    commit(target, files, head, carried ++ meta)
+    // Constraints are current POLICY, not versioned data: the head's
+    // constraint set survives the rollback (restore does not
+    // re-validate restored rows — constraints gate WRITES; a restore
+    // below an addConstraint can surface pre-constraint rows, exactly
+    // like Delta).
+    val policy = manifestMeta(target, Some(head))
+      .filter { case (k, _) => isConstraintKey(k) }
+    commit(target, files, head, policy ++ carried ++ meta)
   }
 
   /** Zero-copy table clone (Delta CLONE): `dest` is born at v0 holding
@@ -1517,7 +1540,7 @@ object MergeStore {
     }
     val carried = meta.filter { case (k, _) =>
       k == StatsColsKey || k == SchemaKey || k == BloomColsKey ||
-        k == BloomFppKey ||
+        k == BloomFppKey || isConstraintKey(k) ||
         ((isStatsKey(k) || isBloomKey(k)) && files.contains(statsKeyFile(k)))
     }
     carried.foreach { case (k, sidecar) =>
@@ -1531,6 +1554,89 @@ object MergeStore {
       }
     }
     commit(dest, files, -1, carried)
+  }
+
+  // ------------------------------------------------------------------
+  // CHECK constraints: declared data-quality invariants enforced at
+  // every write verb (Delta's ALTER TABLE ADD CONSTRAINT). A
+  // constraint is a SQL boolean expression stored as manifest POLICY
+  // metadata (`#constraint:<name>=<expr>`), carried through every
+  // commit like the schema; rows where it evaluates FALSE are
+  // violations, NULL passes (SQL CHECK's unknown-is-allowed rule, so
+  // NOT NULL is spelled explicitly: `c IS NOT NULL`). Enforcement
+  // costs ONE aggregate over each verb's NEW row content — never a
+  // table scan — and fails the verb loudly BEFORE any commit, listing
+  // per-constraint violation counts.
+  // ------------------------------------------------------------------
+
+  private[store] val ConstraintPrefix = "constraint:"
+  private def isConstraintKey(k: String): Boolean =
+    k.startsWith(ConstraintPrefix)
+
+  /** The table's CHECK constraints at a version: name → SQL expr. */
+  def constraints(target: String,
+                  version: Option[Int] = None): Map[String, String] =
+    manifestMeta(target, version).collect {
+      case (k, v) if isConstraintKey(k) =>
+        k.stripPrefix(ConstraintPrefix) -> v
+    }
+
+  /** Add a named CHECK constraint: the EXISTING table must satisfy it
+    * (one validating scan, the Delta contract), then a metadata-only
+    * commit publishes it atomically — concurrent writers either
+    * predate the constraint (their parent lacks it) or carry it. */
+  def addConstraint(spark: SparkSession, target: String, name: String,
+                    check: String): Int = {
+    require(name.matches("[A-Za-z0-9_][A-Za-z0-9_-]*"),
+      s"constraint name '$name' must be alphanumeric/_/-")
+    val parentV = currentVersion(target)
+      .getOrElse(sys.error(s"no committed version at $target"))
+    require(!constraints(target, Some(parentV)).contains(name),
+      s"constraint '$name' already exists at $target")
+    val viol = read(spark, target, Some(parentV))
+      .where(not(coalesce(expr(check), lit(true)))).limit(3)
+      .collect()
+    if (viol.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot add constraint '$name' CHECK ($check) at $target: " +
+          s"existing rows violate it, e.g. ${viol.head}")
+    commit(target, liveFiles(target, Some(parentV)), parentV,
+      manifestMeta(target, Some(parentV)) +
+        (s"$ConstraintPrefix$name" -> check))
+  }
+
+  /** Drop a named CHECK constraint (metadata-only commit). */
+  def dropConstraint(spark: SparkSession, target: String,
+                     name: String): Int = {
+    val parentV = currentVersion(target)
+      .getOrElse(sys.error(s"no committed version at $target"))
+    require(constraints(target, Some(parentV)).contains(name),
+      s"no constraint '$name' at $target")
+    commit(target, liveFiles(target, Some(parentV)), parentV,
+      manifestMeta(target, Some(parentV)) - s"$ConstraintPrefix$name")
+  }
+
+  /** Fail `verb` loudly if any of the table's constraints rejects a row
+    * of `rows` (the verb's NEW row content — incoming batch, post-SET
+    * projection); one combined aggregate, no commit has happened yet. */
+  private def enforceConstraints(spark: SparkSession, target: String,
+                                 parentV: Int, rows: DataFrame,
+                                 verb: String): Unit = {
+    val cs = constraints(target, Some(parentV)).toSeq.sortBy(_._1)
+    if (cs.isEmpty) return
+    val aggs = cs.map { case (n, c) =>
+      sum(when(not(coalesce(expr(c), lit(true))), 1L).otherwise(0L))
+        .as(s"__viol_$n")
+    }
+    val r = rows.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val bad = cs.flatMap { case (n, c) =>
+      Option(r.getAs[java.lang.Long](s"__viol_$n"))
+        .filter(_ > 0L).map(v => s"'$n' CHECK ($c): $v row(s)")
+    }
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        s"$verb at $target rejected by constraint(s) " +
+          bad.mkString("; ") + " — no commit was made")
   }
 
   final case class ApplyStats(filesTotal: Int, filesRewritten: Int,
@@ -1631,6 +1737,7 @@ object MergeStore {
     val incoming = Upsert.dedupByKey(
         upserts.where(pk.map(col(_).isNotNull).reduce(_ && _)), pk, ord)
       .select(snapshot.columns.map(col).toIndexedSeq: _*).cache()
+    enforceConstraints(spark, target, parentV, incoming, "applyChanges")
     val keys = deleteKeys.select(pk.map(col): _*)
       .where(pk.map(col(_).isNotNull).reduce(_ && _)).distinct().cache()
     val sCols = statsColumns(target, Some(parentV))
