@@ -785,7 +785,44 @@ object StoreQueries extends QueryFamily {
       GROUP BY l_partkey
       ORDER BY l_partkey"""))
 
+  private val q119 = QueryDef(
+    "q119_deletion_vectors",
+    "Merge-on-read DELETE via deletion vectors (Delta DVs / Iceberg " +
+      "positional deletes): documents takes a MOR predicate delete " +
+      "(doc_id % 19, positions marked in per-file sidecars — ZERO data " +
+      "files rewritten), then a MOR key-batch delete (doc_id % 31, " +
+      "superseding sidecars with unioned positions), then a COW merge " +
+      "revising doc_id % 13 — whose file rewrites MATERIALIZE the " +
+      "affected vectors without resurrecting marked rows. The read " +
+      "applies remaining vectors as a broadcast anti-join on parquet " +
+      "row positions. The oracle replays all three against the source: " +
+      "a resurrected row, a lost mark, or a misapplied vector breaks " +
+      "the hash.",
+    (s, dir) => {
+      val target = preparedTable(s, dir, "q119") { t => // v0
+        MergeStore.deleteWhereMor(s, t, col("doc_id") % 19 === 0) // v1
+        MergeStore.deleteMor(s, t,
+          Tables.load(s, dir, "documents")
+            .where(col("doc_id") % 31 === 0).select(col("doc_id")),
+          pk = Seq("doc_id")) // v2
+        MergeStore.merge(s, // v3: COW rewrite materializes DVs
+          MergeStore.read(s, t).where(col("doc_id") % 13 === 0)
+            .withColumn("text", concat(col("text"), lit(" rev"))),
+          t, pk = Seq("doc_id"))
+      }
+      MergeStore.read(s, target)
+        .select(col("doc_id"), length(col("text")).as("len"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(CASE WHEN doc_id % 13 = 0 THEN length(text || ' rev')
+                       ELSE length(text) END AS INTEGER) AS len
+      FROM documents
+      WHERE doc_id % 19 <> 0 AND doc_id % 31 <> 0
+      ORDER BY doc_id"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q91, q92, q96, q97, q98, q101, q107, q109, q110, q111, q112,
-      q113, q115, q116, q117, q118)
+      q113, q115, q116, q117, q118, q119)
 }

@@ -101,6 +101,10 @@ object GraftFileIndex {
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
-    spark.baseRelationToDataFrame(relation)
+    // Deletion vectors apply ON TOP of the skipping relation (the
+    // anti-join's own filters still push into the scan); a DV-free
+    // table gets the bare relation, plan unchanged.
+    MergeStore.applyDv(spark, target, v,
+      spark.baseRelationToDataFrame(relation))
   }
 }

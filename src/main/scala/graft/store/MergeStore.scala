@@ -365,16 +365,13 @@ object MergeStore {
   /** Probe-side scan of candidate files: ONLY `cols` plus the row's
     * file name — column-pruned and file-pruned, the cheapest plan that
     * can answer "which files hold matched keys". */
-  private def probeScan(spark: SparkSession, target: String,
+  private def probeScan(spark: SparkSession, target: String, version: Int,
                         full: DataFrame, names: Seq[String],
                         cols: Seq[String]): DataFrame = {
     val withFile =
       if (names.isEmpty)
         full.limit(0).withColumn("__file", lit(""))
-      else spark.read.option("mergeSchema", "true")
-        .parquet(names.map(f => dataDir(target).resolve(f).toString): _*)
-        .withColumn("__file",
-          element_at(split(input_file_name(), "/"), -1))
+      else readSubsetWithFile(spark, target, version, full, names)
     withFile.select((cols :+ "__file").map(col): _*)
   }
 
@@ -402,21 +399,25 @@ object MergeStore {
     require(!userMeta.keys.exists(k =>
         k == StatsColsKey || k == SchemaKey || k == BloomColsKey ||
           k == BloomFppKey || isStatsKey(k) || isBloomKey(k) ||
-          isConstraintKey(k)),
+          isConstraintKey(k) || isDvKey(k)),
       s"manifest metadata keys '$StatsColsKey', '$SchemaKey', " +
-        s"'$BloomColsKey', '$BloomFppKey', 's:*', 'b:*' and " +
-        s"'$ConstraintPrefix*' are reserved")
+        s"'$BloomColsKey', '$BloomFppKey', 's:*', 'b:*', '$DvPrefix*' " +
+        s"and '$ConstraintPrefix*' are reserved")
+    val fileSet = files.toSet
     // Constraints are table POLICY, not per-commit state: they carry
     // through every verb commit until an explicit dropConstraint, the
-    // same way the schema does.
-    val constraintCarry =
+    // same way the schema does. Deletion-vector lines carry with their
+    // data file — a rewritten file's new NAME has no line, which is
+    // exactly the materialization contract.
+    val policyCarry =
       if (parent < 0) Map.empty[String, String]
-      else manifestMeta(target, Some(parent))
-        .filter { case (k, _) => isConstraintKey(k) }
+      else manifestMeta(target, Some(parent)).filter { case (k, _) =>
+        isConstraintKey(k) ||
+          (isDvKey(k) && fileSet.contains(k.stripPrefix(DvPrefix)))
+      }
     if (sCols.isEmpty && bCols.isEmpty)
-      commit(target, files, parent, constraintCarry ++ userMeta)
+      commit(target, files, parent, policyCarry ++ userMeta)
     else {
-      val fileSet = files.toSet
       val carried =
         if (parent < 0) Map.empty[String, String]
         else manifestMeta(target, Some(parent)).filter { case (k, _) =>
@@ -433,7 +434,7 @@ object MergeStore {
           BloomFppKey -> bloomFpp.toString)
          else Map.empty)
       commit(target, files, parent,
-        constraintCarry ++ userMeta ++ carried ++ fresh ++ blooms ++ props)
+        policyCarry ++ userMeta ++ carried ++ fresh ++ blooms ++ props)
     }
   }
 
@@ -721,7 +722,7 @@ object MergeStore {
     val files = liveFiles(target, Some(v))
     require(files.nonEmpty, s"no committed version at $target")
     val paths = files.map(f => dataDir(target).resolve(f).toString)
-    manifestSchema(target, v) match {
+    val raw = manifestSchema(target, v) match {
       // Manifest schema: plan with zero footer reads; files predating
       // an evolved column null-fill it (the parquet reader's missing-
       // column rule), exactly as the mergeSchema union showed them.
@@ -732,6 +733,256 @@ object MergeStore {
       case None =>
         spark.read.option("mergeSchema", "true").parquet(paths: _*)
     }
+    applyDv(spark, target, v, raw)
+  }
+
+  // ------------------------------------------------------------------
+  // Deletion vectors: merge-on-read DELETE (Delta deletion vectors /
+  // Iceberg positional delete files). A copy-on-write delete pays a
+  // full rewrite of every file holding ONE doomed row — at 100 TB a
+  // trickle of point deletes (GDPR erasure, takedown requests) would
+  // rewrite the table continuously. The MOR form instead marks doomed
+  // ROW POSITIONS in a per-file sidecar (`<target>/_dv/<datafile>
+  // .v<version>.dv.parquet`, one `pos` column) referenced by a
+  // `#dv:<datafile>=<sidecar>` manifest line, committed through the
+  // same CAS: O(delete) cost, zero data-file writes. Readers apply the
+  // vectors as a broadcast anti-join on (file, row position) — parquet's
+  // `_metadata.row_index`, stable because data files are immutable.
+  // Any COW rewrite of a file MATERIALIZES its vector (the rewrite
+  // reads DV-applied survivors and the old file's `dv:` line dies with
+  // its name); [[purgeDeletes]] does that eagerly, compact does it for
+  // the whole table. A new sidecar for an already-marked file holds
+  // the UNION of positions (supersedes — one sidecar per live file),
+  // so the read-side join stays one small table.
+  // ------------------------------------------------------------------
+
+  private[store] val DvPrefix = "dv:"
+  private def isDvKey(k: String): Boolean = k.startsWith(DvPrefix)
+  private def dvKeyOf(file: String): String = s"$DvPrefix$file"
+  private def dvDir(target: String): Path = Paths.get(target, "_dv")
+
+  /** datafile -> deletion-vector sidecar name at a version (empty =
+    * no vectors; the introspection twin of [[bloomColumns]]). */
+  def dvMeta(target: String,
+             version: Option[Int] = None): Map[String, String] =
+    manifestMeta(target, version).collect {
+      case (k, v) if isDvKey(k) => k.stripPrefix(DvPrefix) -> v
+    }
+
+  /** All marked (data file, position) pairs of `entries` as a DataFrame
+    * `(__gdvf, __gdvp)`. Each sidecar reads with its data file as a
+    * LITERAL column (never `input_file_name()` — the applied plan joins
+    * this against a data scan whose own file-derived columns need that
+    * expression, and Spark's single-source rule forbids it above two
+    * file sources). The union width is the probed subset's marked-file
+    * count; purge/compact bound it. */
+  private def dvPositions(spark: SparkSession, target: String,
+                          entries: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val posSchema = StructType(Seq(StructField("pos", LongType)))
+    entries.toSeq.sortBy(_._1).map { case (f, s) =>
+      spark.read.schema(posSchema)
+        .parquet(dvDir(target).resolve(s).toString)
+        .select(lit(f).as("__gdvf"), col("pos").as("__gdvp"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Anti-join `entries`-scoped vectors out of `df` keyed on
+    * already-materialized (`fileCol`, `posCol`) columns — the caller
+    * computes them DIRECTLY over its scan, keeping every
+    * `input_file_name()` under a single file source. Left-anti keeps
+    * only `df`'s columns. */
+  private def applyDvJoin(spark: SparkSession, target: String,
+                          version: Int, df: DataFrame,
+                          fileCol: String, posCol: String,
+                          names: Option[Seq[String]]): DataFrame = {
+    val entries = names match {
+      case Some(ns) =>
+        val keep = ns.toSet
+        dvMeta(target, Some(version)).filter { case (f, _) => keep(f) }
+      case None => dvMeta(target, Some(version))
+    }
+    if (entries.isEmpty) df
+    else {
+      val dv = dvPositions(spark, target, entries)
+      df.join(broadcast(dv),
+        df(fileCol) === dv("__gdvf") && df(posCol) === dv("__gdvp"),
+        "left_anti")
+    }
+  }
+
+  /** Anti-join a version's deletion vectors out of `df`, which must be
+    * a direct by-name parquet read of (a subset of) the version's
+    * files. `names = None` means the full live set. The DV side
+    * broadcasts (vectors are point-delete-sized by contract —
+    * [[purgeDeletes]]/compact bound their growth), so the probe stays
+    * in the scan's own stage and `input_file_name()` keeps working for
+    * callers that project it AFTER this. No vectors: `df` unchanged —
+    * DV-free tables plan exactly as before. */
+  private[store] def applyDv(spark: SparkSession, target: String,
+                             version: Int, df: DataFrame,
+                             names: Option[Seq[String]] = None): DataFrame = {
+    if (dvMeta(target, Some(version)).isEmpty) return df // common fast path
+    val marked = df
+      .withColumn("__gdvf", element_at(split(input_file_name(), "/"), -1))
+      .withColumn("__gdvp", col("_metadata.row_index"))
+    applyDvJoin(spark, target, version, marked, "__gdvf", "__gdvp", names)
+      .drop("__gdvf", "__gdvp")
+  }
+
+  final case class MorDeleteStats(filesTotal: Int, filesMarked: Int,
+                                  rowsDeleted: Long)
+
+  /** Merge-on-read DELETE by predicate: mark matching rows' positions
+    * in per-file deletion-vector sidecars instead of rewriting files —
+    * O(delete) cost for a point delete against arbitrarily large
+    * files. Same SQL semantics as [[deleteWhere]] (TRUE dies, NULL and
+    * FALSE survive) and the same manifest-pruned probe; already-marked
+    * rows never re-match (the probe reads DV-applied), so reruns are
+    * no-ops that don't even commit. Readers pay one broadcast
+    * anti-join until a rewrite/[[purgeDeletes]]/compact materializes
+    * the vectors. */
+  def deleteWhereMor(spark: SparkSession, target: String,
+                     predicate: org.apache.spark.sql.Column,
+                     maxRetries: Int = 0,
+                     snapshotVersion: Option[Int] = None): MorDeleteStats = {
+    val doomed = coalesce(predicate, lit(false))
+    try morDeleteOnce(spark, target, snapshotVersion,
+      alive => alive.where(doomed),
+      prunePredicate = Some(predicate))
+    catch {
+      case _: java.util.ConcurrentModificationException if maxRetries > 0 =>
+        deleteWhereMor(spark, target, predicate, maxRetries - 1, None)
+    }
+  }
+
+  /** Merge-on-read DELETE by key set — [[delete]]'s semantics at
+    * deletion-vector cost (the GDPR-erasure shape: a small key batch
+    * against a huge clustered table marks a handful of positions). */
+  def deleteMor(spark: SparkSession, target: String, keys: DataFrame,
+                pk: Seq[String], maxRetries: Int = 0,
+                snapshotVersion: Option[Int] = None): MorDeleteStats = {
+    require(pk.nonEmpty, s"deleteMor at $target needs key columns")
+    val keyRows = keys.select(pk.map(col): _*)
+      .where(pk.map(col(_).isNotNull).reduce(_ && _)).distinct()
+    try morDeleteOnce(spark, target, snapshotVersion,
+      alive => alive.join(keyRows, pk, "left_semi"),
+      pruneKeys = Some((keyRows, pk)))
+    catch {
+      case _: java.util.ConcurrentModificationException if maxRetries > 0 =>
+        deleteMor(spark, target, keys, pk, maxRetries - 1, None)
+    }
+  }
+
+  private def morDeleteOnce(spark: SparkSession, target: String,
+                            snapshotVersion: Option[Int],
+                            doomedOf: DataFrame => DataFrame,
+                            pruneKeys: Option[(DataFrame, Seq[String])] = None,
+                            prunePredicate: Option[org.apache.spark.sql.Column]
+                              = None): MorDeleteStats = {
+    val parentV = snapshotVersion.orElse(currentVersion(target))
+      .getOrElse(sys.error(s"no committed version at $target"))
+    val before = liveFiles(target, Some(parentV))
+    val candidates = pruneKeys match {
+      case Some((keyRows, pk)) =>
+        pruneByKeyBounds(target, parentV, before, keyRows, pk)
+      case None => prunePredicate
+        .map(p => pruneByPredicate(spark, target, parentV, before, p))
+        .getOrElse(before)
+    }
+    if (candidates.isEmpty) return MorDeleteStats(before.size, 0, 0L)
+    // Candidate rows with (file, position) — existing vectors applied,
+    // so a doomed row is one that is CURRENTLY alive and matches. File
+    // and position are computed directly over the scan, BEFORE the DV
+    // anti-join (input_file_name's single-source rule).
+    val paths = candidates.map(f => dataDir(target).resolve(f).toString)
+    val raw = manifestSchema(target, parentV) match {
+      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
+    val alive = applyDvJoin(spark, target, parentV,
+      raw.withColumn("__gdvf", element_at(split(input_file_name(), "/"), -1))
+        .withColumn("__gdvp", col("_metadata.row_index")),
+      "__gdvf", "__gdvp", Some(candidates))
+    val doomed = doomedOf(alive).select("__gdvf", "__gdvp").cache()
+    try {
+      val affected = doomed.select("__gdvf").distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      if (affected.isEmpty) return MorDeleteStats(before.size, 0, 0L)
+      val rowsDeleted = doomed.count()
+      val next = parentV + 1
+      // New sidecar per affected file = union of its existing positions
+      // (supersedes the old sidecar — readers join ONE table) and the
+      // fresh marks; disjoint by construction (doomed rows were alive).
+      val existing = dvMeta(target, Some(parentV))
+        .filter { case (f, _) => affected.contains(f) }
+      val allPos =
+        if (existing.isEmpty) doomed
+        else doomed.unionByName(dvPositions(spark, target, existing))
+      val updates = writeDvSidecars(spark, target, allPos, affected, next)
+      commit(target, before, parentV,
+        manifestMeta(target, Some(parentV)) ++ updates)
+      MorDeleteStats(before.size, affected.size, rowsDeleted)
+    } finally doomed.unpersist()
+  }
+
+  /** Write one `<datafile>.v<version>.dv.parquet` sidecar per file of
+    * `affected` from `(\_\_gdvf, __gdvp)` position rows, in ONE
+    * distributed job (rows shuffle by file; partitioned write), then
+    * driver-rename into `_dv/`. Returns the manifest line updates. A
+    * lost CAS leaves orphan sidecars for vacuum, like staged data
+    * files. */
+  private def writeDvSidecars(spark: SparkSession, target: String,
+                              pos: DataFrame, affected: Seq[String],
+                              version: Int): Map[String, String] = {
+    Files.createDirectories(dvDir(target))
+    val stage = Files.createTempDirectory(
+      Paths.get(target).getParent, ".dvstage-")
+    pos.select(col("__gdvf"), col("__gdvp").as("pos"))
+      .repartition(math.max(1, affected.size), col("__gdvf"))
+      .sortWithinPartitions("pos")
+      .write.mode("overwrite").partitionBy("__gdvf").parquet(stage.toString)
+    val updates = affected.map { f =>
+      val dir = stage.resolve(s"__gdvf=$f")
+      val parts = Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      require(parts.size == 1,
+        s"deletion-vector stage for $f produced ${parts.size} parts")
+      val name = s"$f.v$version.dv.parquet"
+      Files.move(parts.head, dvDir(target).resolve(name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dvKeyOf(f) -> name
+    }.toMap
+    Files.walk(stage).sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.deleteIfExists)
+    updates
+  }
+
+  /** Materialize deletion vectors eagerly (Delta's REORG TABLE …
+    * APPLY (PURGE)): rewrite ONLY the DV-bearing files to their
+    * surviving rows and drop the vectors — content unchanged (the
+    * change feed across a purge emits nothing), read-side anti-join
+    * cost gone. Returns the number of files rewritten. */
+  def purgeDeletes(spark: SparkSession, target: String): Int = {
+    val parentV = currentVersion(target)
+      .getOrElse(sys.error(s"no committed version at $target"))
+    val marked = dvMeta(target, Some(parentV)).keys.toSeq.sorted
+    if (marked.isEmpty) return 0
+    val before = liveFiles(target, Some(parentV))
+    def full = read(spark, target, Some(parentV))
+    val schema = manifestSchema(target, parentV).getOrElse(full.schema)
+    val survivors = readSubset(spark, target, parentV, full, marked)
+    val newFiles =
+      if (survivors.isEmpty) Seq.empty
+      else writeFiles(
+        survivors.repartition(math.max(1, marked.size)), target)
+    val (bCols, fpp) = inheritedBloom(target, parentV)
+    commitWithStats(spark, target,
+      (before.filterNot(marked.toSet) ++ newFiles).distinct, parentV,
+      Map.empty, newFiles, statsColumns(target, Some(parentV)),
+      schema, bCols, fpp)
+    marked.size
   }
 
   /** [[read]] with automatic planning-time data skipping: the relation
@@ -760,15 +1011,52 @@ object MergeStore {
         if (names.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
-        else spark.read.schema(st).parquet(
-          names.map(f => dataDir(target).resolve(f).toString): _*)
+        else applyDv(spark, target, version,
+          spark.read.schema(st).parquet(
+            names.map(f => dataDir(target).resolve(f).toString): _*),
+          Some(names))
       case None =>
         if (names.isEmpty) full.limit(0)
         else full.limit(0).unionByName(
-          spark.read.option("mergeSchema", "true").parquet(
-            names.map(f => dataDir(target).resolve(f).toString): _*),
+          applyDv(spark, target, version,
+            spark.read.option("mergeSchema", "true").parquet(
+              names.map(f => dataDir(target).resolve(f).toString): _*),
+            Some(names)),
           allowMissingColumns = true)
     }
+
+  /** [[readSubset]] carrying a `__file` column (the row's data file
+    * name), deletion vectors applied. `__file` and the DV probe's row
+    * position are computed DIRECTLY over the by-name scan, before the
+    * anti-join — Spark forbids `input_file_name()` above a plan with
+    * two file sources, so callers must never re-derive the file name
+    * on top of a DV-applied frame. */
+  private def readSubsetWithFile(spark: SparkSession, target: String,
+                                 version: Int, full: => DataFrame,
+                                 names: Seq[String]): DataFrame = {
+    def marked(raw: DataFrame): DataFrame =
+      applyDvJoin(spark, target, version,
+        raw.withColumn("__file",
+            element_at(split(input_file_name(), "/"), -1))
+          .withColumn("__gdvp0", col("_metadata.row_index")),
+        "__file", "__gdvp0", Some(names)).drop("__gdvp0")
+    manifestSchema(target, version) match {
+      case Some(st) =>
+        if (names.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+            .withColumn("__file", lit(""))
+        else marked(spark.read.schema(st).parquet(
+          names.map(f => dataDir(target).resolve(f).toString): _*))
+      case None =>
+        if (names.isEmpty) full.limit(0).withColumn("__file", lit(""))
+        else full.limit(0).withColumn("__file", lit(""))
+          .unionByName(marked(spark.read.option("mergeSchema", "true")
+            .parquet(names.map(f =>
+              dataDir(target).resolve(f).toString): _*)),
+            allowMissingColumns = true)
+    }
+  }
 
   /** The manifest-pruned candidate file list for a one-column range
     * probe — exposed for specs and the ScaleProbe skip audit. Bounds
@@ -1008,7 +1296,7 @@ object MergeStore {
     // input_file_name filter over every live file).
     val candidates = pruneByKeyBounds(target, parentV, before,
       incoming.select(pk.map(col): _*), pk)
-    val liveKeys = probeScan(spark, target, snapshot, candidates, pk)
+    val liveKeys = probeScan(spark, target, parentV, snapshot, candidates, pk)
     // Files holding at least one matched PK — the COW rewrite set.
     val affected = liveKeys.join(incoming, pk, "left_semi")
       .select("__file").distinct()
@@ -1129,9 +1417,7 @@ object MergeStore {
         .map(p => pruneByPredicate(spark, target, parentV, before, p))
         .getOrElse(before)
     }
-    val live = (if (candidates.size == before.size) full
-      else readSubset(spark, target, parentV, full, candidates))
-      .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
+    val live = readSubsetWithFile(spark, target, parentV, full, candidates)
     val dead = doomed(live)
     val affected = dead.select("__file").distinct()
       .collect().map(_.getString(0)).toSet
@@ -1421,9 +1707,7 @@ object MergeStore {
     val matched = coalesce(predicate, lit(false))
     val candidates =
       pruneByPredicate(spark, target, parentV, before, predicate)
-    val live = (if (candidates.size == before.size) full
-      else readSubset(spark, target, parentV, full, candidates))
-      .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
+    val live = readSubsetWithFile(spark, target, parentV, full, candidates)
     val hit = live.where(matched)
     val affected = hit.select("__file").distinct()
       .collect().map(_.getString(0)).toSet
@@ -1496,9 +1780,20 @@ object MergeStore {
         s"restore to v$toVersion at $target impossible: data file(s) " +
           s"${gone.take(3).mkString(", ")} already vacuumed — restore " +
           "only reaches versions inside the vacuum retention window")
+    // The restored state includes its deletion vectors (a row deleted
+    // at toVersion stays deleted) — their sidecars must also have
+    // survived retention.
+    val dvGone = dvMeta(target, Some(toVersion)).values
+      .filterNot(s => Files.exists(dvDir(target).resolve(s))).toSeq
+    if (dvGone.nonEmpty)
+      throw new IllegalStateException(
+        s"restore to v$toVersion at $target impossible: deletion-vector " +
+          s"sidecar(s) ${dvGone.take(3).mkString(", ")} already vacuumed " +
+          "— restore only reaches versions inside the vacuum retention " +
+          "window")
     val carried = manifestMeta(target, Some(toVersion)).filter { case (k, _) =>
       k == StatsColsKey || k == SchemaKey || k == BloomColsKey ||
-        k == BloomFppKey ||
+        k == BloomFppKey || isDvKey(k) ||
         ((isStatsKey(k) || isBloomKey(k)) && files.contains(statsKeyFile(k)))
     }
     // Constraints are current POLICY, not versioned data: the head's
@@ -1541,6 +1836,7 @@ object MergeStore {
     val carried = meta.filter { case (k, _) =>
       k == StatsColsKey || k == SchemaKey || k == BloomColsKey ||
         k == BloomFppKey || isConstraintKey(k) ||
+        (isDvKey(k) && files.contains(k.stripPrefix(DvPrefix))) ||
         ((isStatsKey(k) || isBloomKey(k)) && files.contains(statsKeyFile(k)))
     }
     carried.foreach { case (k, sidecar) =>
@@ -1549,6 +1845,13 @@ object MergeStore {
         val to = bloomsDir(dest).resolve(sidecar)
         if (Files.exists(from) && !Files.exists(to)) {
           Files.createDirectories(bloomsDir(dest))
+          Files.createLink(to, from)
+        }
+      } else if (isDvKey(k)) {
+        val from = dvDir(source).resolve(sidecar)
+        val to = dvDir(dest).resolve(sidecar)
+        if (Files.exists(from) && !Files.exists(to)) {
+          Files.createDirectories(dvDir(dest))
           Files.createLink(to, from)
         }
       }
@@ -1750,7 +2053,7 @@ object MergeStore {
       val candidates = pruneByKeyBounds(target, parentV, before,
         incoming.select(pk.map(col): _*)
           .unionByName(keys.select(pk.map(col): _*)), pk)
-      val liveKeys = probeScan(spark, target, snapshot, candidates, pk)
+      val liveKeys = probeScan(spark, target, parentV, snapshot, candidates, pk)
       val matchedUp = liveKeys.join(incoming, pk, "left_semi")
       val matchedDel = liveKeys.join(keys, pk, "left_semi")
       val affected = matchedUp.select("__file")
@@ -1814,14 +2117,24 @@ object MergeStore {
   def diff(spark: SparkSession, target: String,
            fromVersion: Int, toVersion: Int): DataFrame = {
     requireSpanReadable(target, fromVersion, toVersion)
-    def readFiles(names: Seq[String]): Option[DataFrame] =
+    def readFiles(names: Seq[String], v: Int): Option[DataFrame] =
       if (names.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true").parquet(
-        names.map(f => dataDir(target).resolve(f).toString): _*))
+      else Some(applyDv(spark, target, v,
+        spark.read.option("mergeSchema", "true").parquet(
+          names.map(f => dataDir(target).resolve(f).toString): _*),
+        Some(names)))
     val before = liveFiles(target, Some(fromVersion)).toSet
     val after = liveFiles(target, Some(toVersion)).toSet
-    (readFiles((after -- before).toSeq.sorted),
-      readFiles((before -- after).toSeq.sorted)) match {
+    // Rows of COMMON files un-deleted across the span (a restore below
+    // a MOR delete) are in `to` but not `from` — they join the added
+    // side. Newly DV'd common-file rows need nothing here: diff
+    // returns additions only. [[dvSpanRows]] yields (revived, doomed).
+    val revived = dvSpanRows(spark, target, fromVersion, toVersion,
+      (before intersect after).toSeq.sorted)._1
+    val addedAll = (readFiles((after -- before).toSeq.sorted, toVersion)
+        .toSeq ++ revived.toSeq)
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+    (addedAll, readFiles((before -- after).toSeq.sorted, fromVersion)) match {
       case (None, _) => read(spark, target, Some(toVersion)).limit(0)
       case (Some(added), None) => added
       case (Some(added), Some(removed)) =>
@@ -1830,6 +2143,42 @@ object MergeStore {
         added.exceptAll(
           added.limit(0).unionByName(removed, allowMissingColumns = true))
     }
+  }
+
+  /** Rows of `common` files whose deletion vector CHANGED across a
+    * span, split by direction: `_1` = revived rows (marked at `from`,
+    * unmarked at `to` — only a restore produces these), `_2` = newly
+    * doomed rows (a MOR delete in the span). Each is None when that
+    * direction has no changed file; the per-file position delta is
+    * exact (exceptAll), and only changed files are ever scanned. */
+  private def dvSpanRows(spark: SparkSession, target: String,
+                         fromVersion: Int, toVersion: Int,
+                         common: Seq[String])
+      : (Option[DataFrame], Option[DataFrame]) = {
+    val fromDv = dvMeta(target, Some(fromVersion))
+    val toDv = dvMeta(target, Some(toVersion))
+    val changed = common.filter(f => fromDv.get(f) != toDv.get(f))
+    if (changed.isEmpty) return (None, None)
+    import org.apache.spark.sql.types.{LongType, StringType, StructField,
+      StructType}
+    def posOf(m: Map[String, String]): DataFrame = {
+      val entries = m.filter { case (f, _) => changed.contains(f) }
+      if (entries.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("__gdvf", StringType),
+          StructField("__gdvp", LongType))))
+      else dvPositions(spark, target, entries)
+    }
+    val pFrom = posOf(fromDv)
+    val pTo = posOf(toDv)
+    val content = spark.read.option("mergeSchema", "true").parquet(
+        changed.map(f => dataDir(target).resolve(f).toString): _*)
+      .withColumn("__gdvf", element_at(split(input_file_name(), "/"), -1))
+      .withColumn("__gdvp", col("_metadata.row_index"))
+    def rowsAt(pos: DataFrame): DataFrame =
+      content.join(broadcast(pos), Seq("__gdvf", "__gdvp"), "left_semi")
+        .drop("__gdvf", "__gdvp")
+    (Some(rowsAt(pFrom.exceptAll(pTo))), Some(rowsAt(pTo.exceptAll(pFrom))))
   }
 
   /** Typed change feed between two committed versions — [[diff]] plus
@@ -1858,25 +2207,35 @@ object MergeStore {
               pk: Seq[String], includePreimages: Boolean = false): DataFrame = {
     require(pk.nonEmpty, s"changes at $target needs a key")
     requireSpanReadable(target, fromVersion, toVersion)
-    def readFiles(names: Seq[String]): Option[DataFrame] =
+    def readFiles(names: Seq[String], v: Int): Option[DataFrame] =
       if (names.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true").parquet(
-        names.map(f => dataDir(target).resolve(f).toString): _*))
+      else Some(applyDv(spark, target, v,
+        spark.read.option("mergeSchema", "true").parquet(
+          names.map(f => dataDir(target).resolve(f).toString): _*),
+        Some(names)))
     val beforeNames = liveFiles(target, Some(fromVersion)).toSet
     val afterNames = liveFiles(target, Some(toVersion)).toSet
     val emptyOut = read(spark, target, Some(toVersion)).limit(0)
       .withColumn("_change_type", lit(""))
-    (readFiles((afterNames -- beforeNames).toSeq.sorted),
-      readFiles((beforeNames -- afterNames).toSeq.sorted)) match {
-      case (None, None) => emptyOut
+    // Unique-side files read with their OWN version's vectors applied;
+    // COMMON files whose vector changed contribute their position-delta
+    // rows — a MOR delete's rows to the removed side (they net to
+    // `delete`), a restore's un-deleted rows to the added side.
+    val (revived, doomed) = dvSpanRows(spark, target, fromVersion,
+      toVersion, (beforeNames intersect afterNames).toSeq.sorted)
+    (readFiles((afterNames -- beforeNames).toSeq.sorted, toVersion),
+      readFiles((beforeNames -- afterNames).toSeq.sorted, fromVersion)) match {
+      case (None, None) if revived.isEmpty && doomed.isEmpty => emptyOut
       case (added, removed) =>
         // Align both sides onto the evolved (to-version) schema: removed
         // pre-evolution files null-fill appended columns, as read() does.
         val base = emptyOut.drop("_change_type")
         def align(df: DataFrame): DataFrame =
           base.unionByName(df, allowMissingColumns = true)
-        val addRows = added.map(align).getOrElse(base)
-        val remRows = removed.map(align).getOrElse(base)
+        val addRows = (added.toSeq ++ revived.toSeq).map(align)
+          .reduceOption(_.unionByName(_)).getOrElse(base)
+        val remRows = (removed.toSeq ++ doomed.toSeq).map(align)
+          .reduceOption(_.unionByName(_)).getOrElse(base)
         val remKeys = remRows.select(pk.map(col): _*).distinct()
         val addKeys = addRows.select(pk.map(col): _*).distinct()
         // Content-changed post-images only — a compaction emits nothing.
@@ -2024,6 +2383,28 @@ object MergeStore {
           n.stripPrefix("v").stripSuffix(".list").toInt < floor
       }.toSeq.foreach(Files.deleteIfExists)
     vacuumBlooms(target)
+    vacuumDvs(target, floor, head, cutoff)
     orphans.size
+  }
+
+  /** Reclaim deletion-vector sidecars referenced by NO retained
+    * manifest — superseded vectors (a newer sidecar replaced them) and
+    * orphans of lost CAS attempts. Unlike blooms (keyed off their data
+    * file's existence) a stale DV's data file is usually still live, so
+    * retention is computed from the retained manifests' `dv:` lines.
+    * The vacuum grace window protects a mid-commit writer's freshly
+    * staged sidecars exactly like staged data files. */
+  private def vacuumDvs(target: String, floor: Int, head: Int,
+                        cutoff: Long): Unit = {
+    val dir = dvDir(target)
+    if (!Files.isDirectory(dir)) return
+    val referenced = (floor to head)
+      .flatMap(v => dvMeta(target, Some(v)).values).toSet
+    Files.list(dir).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".dv.parquet") && !referenced.contains(n) &&
+          Files.getLastModifiedTime(p).toMillis <= cutoff
+      }.toSeq.foreach(Files.deleteIfExists)
   }
 }
