@@ -184,6 +184,51 @@ object ScaleProbe {
     * 100 TB the row-group path still lists and opens every live file's
     * footer (an object-store GET each); the manifest path prunes from
     * the commit log alone. */
+  /** Deletion vectors vs copy-on-write for the design-case workload:
+    * a SCATTERED point-delete batch (one key per file — COW's worst
+    * case, it rewrites every file; MOR's best case, it writes k tiny
+    * sidecars). Measures delete cost both ways, the read tax the
+    * vectors impose (broadcast anti-join vs plain scan), and the
+    * purge that retires it. Answers cross-checked between arms. */
+  private def dvProbe(spark: SparkSession, n: Long,
+                      fileCounts: Seq[Int]): Unit = {
+    val df = spark.range(n).select(col("id"),
+      (col("id") % 97).cast("int").as("grp"),
+      concat(lit("payload-"), col("id")).as("payload"))
+    fileCounts.foreach { files =>
+      val dir = java.nio.file.Files.createTempDirectory("dvprobe").toString
+      val tMor = s"$dir/mor"
+      val tCow = s"$dir/cow"
+      MergeStore.init(spark, df, tMor, files, clusterBy = Seq("id"))
+      MergeStore.init(spark, df, tCow, files, clusterBy = Seq("id"))
+      val step = math.max(1L, n / 100)
+      def keys = spark.range(100).select((col("id") * step + 1).as("id"))
+      val (morStats, morSec) =
+        time(MergeStore.deleteMor(spark, tMor, keys, Seq("id")))
+      val (cowStats, cowSec) =
+        time(MergeStore.delete(spark, tCow, keys, Seq("id")))
+      require(morStats.rowsDeleted == cowStats.rowsDeleted,
+        s"MOR and COW disagree: ${morStats.rowsDeleted} != " +
+          s"${cowStats.rowsDeleted}")
+      val (cntDv, readDvSec) = time(MergeStore.read(spark, tMor).count())
+      val (cntCow, readCowSec) = time(MergeStore.read(spark, tCow).count())
+      require(cntDv == cntCow, s"DV read diverged: $cntDv != $cntCow")
+      val (purged, purgeSec) = time(MergeStore.purgeDeletes(spark, tMor))
+      val (cntP, readPurgedSec) = time(MergeStore.read(spark, tMor).count())
+      require(cntP == cntDv, "purge changed the answer")
+      println(s"""{"metric":"dv_vs_cow","rows":$n,"files":$files,""" +
+        s""""rows_deleted":${morStats.rowsDeleted},""" +
+        s""""mor_delete_sec":${f"$morSec%.3f"},""" +
+        s""""cow_delete_sec":${f"$cowSec%.3f"},""" +
+        s""""files_marked":${morStats.filesMarked},""" +
+        s""""files_rewritten_cow":${cowStats.filesRewritten},""" +
+        s""""read_dv_sec":${f"$readDvSec%.3f"},""" +
+        s""""read_cow_sec":${f"$readCowSec%.3f"},""" +
+        s""""purge_sec":${f"$purgeSec%.3f"},"purged_files":$purged,""" +
+        s""""read_purged_sec":${f"$readPurgedSec%.3f"}}""")
+    }
+  }
+
   private def manifestSkipProbe(spark: SparkSession, n: Long,
                                 fileCounts: Seq[Int]): Unit = {
     import graft.store.Layouts
@@ -794,6 +839,15 @@ object ScaleProbe {
       val multiples = if (args.length > 2) args.drop(2).map(_.toInt).toSeq
         else Seq(10, 50, 100)
       annCurveProbe(spark, sfDir, multiples)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("dv")) {
+      val spark = GraftSession.local(32)
+      val n = if (args.length > 1) args(1).toLong else 4000000L
+      val counts = if (args.length > 2) args.drop(2).map(_.toInt).toSeq
+        else Seq(16, 64, 256)
+      dvProbe(spark, n, counts)
       spark.stop()
       return
     }

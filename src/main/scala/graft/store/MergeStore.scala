@@ -713,6 +713,40 @@ object MergeStore {
       arranged.schema, bloomCols, bloomFpp)
   }
 
+  /** Commit history: (version, commit time millis), oldest first, for
+    * versions still inside the retention window. The commit time is
+    * the immutable manifest's own mtime (the OSS Delta convention —
+    * the link lands at CAS win, so mtime IS the commit instant); an
+    * object-store deployment would record an in-commit timestamp
+    * line instead. */
+  def history(target: String): Seq[(Int, Long)] = {
+    val dir = manifestDir(target)
+    if (!Files.isDirectory(dir)) return Nil
+    Files.list(dir).iterator().asScala
+      .flatMap { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("v") && n.endsWith(".list"))
+          Some(n.stripPrefix("v").stripSuffix(".list").toInt ->
+            Files.getLastModifiedTime(p).toMillis)
+        else None
+      }.toSeq.sortBy(_._1)
+  }
+
+  /** The newest version committed AT OR BEFORE `timestampMillis`
+    * (Delta's TIMESTAMP AS OF): None when the table's earliest
+    * retained commit is later. */
+  def versionAt(target: String, timestampMillis: Long): Option[Int] =
+    history(target).takeWhile(_._2 <= timestampMillis).lastOption.map(_._1)
+
+  /** Time travel by timestamp — [[read]] at [[versionAt]], failing
+    * loudly when no retained commit is old enough. */
+  def readAsOf(spark: SparkSession, target: String,
+               timestampMillis: Long): DataFrame =
+    read(spark, target, Some(versionAt(target, timestampMillis)
+      .getOrElse(sys.error(
+        s"no commit at or before $timestampMillis at $target — earliest " +
+          s"retained commit is ${history(target).headOption.map(_._2)}"))))
+
   /** Read a committed version (newest by default) — exactly the
     * manifest's files. */
   def read(spark: SparkSession, target: String,
@@ -770,21 +804,24 @@ object MergeStore {
     }
 
   /** All marked (data file, position) pairs of `entries` as a DataFrame
-    * `(__gdvf, __gdvp)`. Each sidecar reads with its data file as a
-    * LITERAL column (never `input_file_name()` — the applied plan joins
-    * this against a data scan whose own file-derived columns need that
-    * expression, and Spark's single-source rule forbids it above two
-    * file sources). The union width is the probed subset's marked-file
-    * count; purge/compact bound it. */
+    * `(__gdvf, __gdvp)` — ONE multi-path scan of the sidecars (never a
+    * per-sidecar union: a heavily marked subset would pay a plan node
+    * and a task per sidecar), with the data file recovered from the
+    * sidecar's own name. The `input_file_name()` here is legal under
+    * Spark's single-source rule because this projection sits DIRECTLY
+    * on the sidecar relation; only expressions above the DV anti-join
+    * would see two file sources. */
   private def dvPositions(spark: SparkSession, target: String,
                           entries: Map[String, String]): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val posSchema = StructType(Seq(StructField("pos", LongType)))
-    entries.toSeq.sortBy(_._1).map { case (f, s) =>
-      spark.read.schema(posSchema)
-        .parquet(dvDir(target).resolve(s).toString)
-        .select(lit(f).as("__gdvf"), col("pos").as("__gdvp"))
-    }.reduce(_.unionByName(_))
+    val paths = entries.values.toSeq.sorted
+      .map(s => dvDir(target).resolve(s).toString)
+    spark.read.schema(posSchema).parquet(paths: _*)
+      .select(
+        regexp_replace(element_at(split(input_file_name(), "/"), -1),
+          "\\.v\\d+\\.dv\\.parquet$", "").as("__gdvf"),
+        col("pos").as("__gdvp"))
   }
 
   /** Anti-join `entries`-scoped vectors out of `df` keyed on

@@ -148,4 +148,19 @@ class SkippingReadSpec extends SparkSpec {
     assert(MergeStore.readSkipping(spark, t)
       .where(col("tag") === "fresh").count() == 50L)
   }
+
+  test("the index's manifest-derived size lets a small dim auto-broadcast") {
+    val big = initClustered()
+    val dimT = tmpDir("skip-dim") + "/tbl"
+    MergeStore.init(spark,
+      spark.range(100L).select(col("id").as("grp"),
+        concat(lit("g-"), col("id")).as("label")),
+      dimT, numFiles = 1)
+    val joined = MergeStore.readSkipping(spark, big)
+      .join(MergeStore.readSkipping(spark, dimT), Seq("grp"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the 100-row dim to auto-broadcast, plan:\n$plan")
+  }
 }

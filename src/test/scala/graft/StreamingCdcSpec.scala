@@ -251,4 +251,20 @@ class StreamingCdcSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(byType == Map("update_postimage" -> 1L, "update_preimage" -> 1L))
   }
+
+  test("a merge-on-read delete streams as delete changes, same as batch") {
+    val base = tmpDir("cdc-mor")
+    val t = s"$base/tbl"
+    MergeStore.init(spark, rows(0, 400, "v1"), t, numFiles = 4,
+      clusterBy = Seq("id")) // v0
+    MergeStore.deleteWhereMor(spark, t, col("id") % 50 === 7) // v1: DV only
+    MergeStore.merge(spark, rows(400, 410, "v2"), t, pk = Seq("id")) // v2
+    runAvailableNow(t, s"$base/out", s"$base/ck")
+    val got = sinkRows(s"$base/out")
+    assert(got == batchRows(t, 0, 2), "stream diverged from batch feed")
+    val dels = got.filter(_._3 == "delete")
+    assert(dels.map(_._1) == (0L until 400L).filter(_ % 50 == 7).toSet,
+      s"MOR delete rows wrong: $dels")
+    assert(dels.forall(_._4 == 1L), "MOR deletes must tag their commit")
+  }
 }

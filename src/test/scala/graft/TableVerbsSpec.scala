@@ -252,4 +252,27 @@ class TableVerbsSpec extends SparkSpec {
     assert(hit == Seq(4321L))
     assert(Files.isDirectory(Paths.get(dst, "_blooms")))
   }
+
+  // ------------------------------------------------------------- TIME TRAVEL
+
+  test("timestamp time travel: versionAt/readAsOf resolve commit instants") {
+    val target = freshTable() // v0
+    Thread.sleep(30)
+    val afterInit = System.currentTimeMillis()
+    Thread.sleep(30)
+    MergeStore.deleteWhere(spark, target, col("id") < 100) // v1
+    Thread.sleep(30)
+    val afterDelete = System.currentTimeMillis()
+    assert(MergeStore.versionAt(target, afterInit).contains(0))
+    assert(MergeStore.versionAt(target, afterDelete).contains(1))
+    assert(MergeStore.versionAt(target, 0L).isEmpty) // pre-history
+    assert(MergeStore.readAsOf(spark, target, afterInit).count() == N)
+    assert(MergeStore.readAsOf(spark, target, afterDelete).count() == N - 100)
+    val e = intercept[RuntimeException] {
+      MergeStore.readAsOf(spark, target, 0L)
+    }
+    assert(e.getMessage.contains("no commit at or before"))
+    val h = MergeStore.history(target)
+    assert(h.map(_._1) == Seq(0, 1) && h(0)._2 <= h(1)._2)
+  }
 }
