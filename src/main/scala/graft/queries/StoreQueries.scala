@@ -822,7 +822,46 @@ object StoreQueries extends QueryFamily {
       WHERE doc_id % 19 <> 0 AND doc_id % 31 <> 0
       ORDER BY doc_id"""))
 
+  private val q120 = QueryDef(
+    "q120_check_constraints",
+    "CHECK constraints gate every write atomically (Delta ALTER TABLE " +
+      "ADD CONSTRAINT): documents gets CHECK(length(text) > 0 AND " +
+      "doc_id < 1e9); a merge whose batch violates it (one bad row " +
+      "among 50 good ones) is REJECTED whole — no partial commit, " +
+      "version unchanged — then a clean revision of doc_id % 13 " +
+      "lands normally with the constraint carried. The oracle replays " +
+      "ONLY the clean revision: any row of the rejected batch leaking " +
+      "in (or the clean batch lost) breaks the hash.",
+    (s, dir) => {
+      val target = preparedTable(s, dir, "q120") { t => // v0
+        MergeStore.addConstraint(s, t, "sane_doc",
+          "length(text) > 0 AND doc_id < 1000000000") // v1
+        val good = Tables.load(s, dir, "documents").limit(50)
+          .select((col("doc_id") + 500000000L).as("doc_id"), col("text"))
+        val bad = good.limit(1)
+          .select((col("doc_id") + 1).as("doc_id"), lit("").as("text"))
+        try {
+          MergeStore.merge(s, good.unionByName(bad), t, pk = Seq("doc_id"))
+          sys.error("violating merge must be rejected")
+        } catch { case e: IllegalStateException
+          if e.getMessage.contains("sane_doc") => () }
+        MergeStore.merge(s, // v2: the clean revision
+          MergeStore.read(s, t).where(col("doc_id") % 13 === 0)
+            .withColumn("text", concat(col("text"), lit(" ok"))),
+          t, pk = Seq("doc_id"))
+      }
+      MergeStore.read(s, target)
+        .select(col("doc_id"), length(col("text")).as("len"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(CASE WHEN doc_id % 13 = 0 THEN length(text || ' ok')
+                       ELSE length(text) END AS INTEGER) AS len
+      FROM documents
+      ORDER BY doc_id"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q91, q92, q96, q97, q98, q101, q107, q109, q110, q111, q112,
-      q113, q115, q116, q117, q118, q119)
+      q113, q115, q116, q117, q118, q119, q120)
 }

@@ -820,7 +820,7 @@ object MergeStore {
     spark.read.schema(posSchema).parquet(paths: _*)
       .select(
         regexp_replace(element_at(split(input_file_name(), "/"), -1),
-          "\\.v\\d+\\.dv\\.parquet$", "").as("__gdvf"),
+          "\\.v\\d+(-[0-9a-f]{8})?\\.dv\\.parquet$", "").as("__gdvf"),
         col("pos").as("__gdvp"))
   }
 
@@ -980,13 +980,18 @@ object MergeStore {
       .repartition(math.max(1, affected.size), col("__gdvf"))
       .sortWithinPartitions("pos")
       .write.mode("overwrite").partitionBy("__gdvf").parquet(stage.toString)
+    // Attempt-unique names (like writeFiles' batch token): two OCC
+    // rivals staging vectors for the same parent must never collide —
+    // a deterministic name would let the loser's REPLACE_EXISTING move
+    // corrupt the winner's already-committed sidecar.
+    val batch = java.util.UUID.randomUUID().toString.take(8)
     val updates = affected.map { f =>
       val dir = stage.resolve(s"__gdvf=$f")
       val parts = Files.list(dir).iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
       require(parts.size == 1,
         s"deletion-vector stage for $f produced ${parts.size} parts")
-      val name = s"$f.v$version.dv.parquet"
+      val name = s"$f.v$version-$batch.dv.parquet"
       Files.move(parts.head, dvDir(target).resolve(name),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       dvKeyOf(f) -> name

@@ -167,6 +167,29 @@ class DeletionVectorSpec extends SparkSpec {
     }
   }
 
+  test("optimistic concurrency: racing MOR delete and merge both land via retry") {
+    val t = freshTable("dv-occ")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fDel = Future {
+      MergeStore.deleteWhereMor(spark, t, col("id") < 50, maxRetries = 5)
+    }
+    val fMerge = Future {
+      MergeStore.merge(spark,
+        Seq((100000L, 0, "new")).toDF("id", "grp", "payload"),
+        t, pk = Seq("id"), maxRetries = 5)
+    }
+    val del = Await.result(fDel, 120.seconds)
+    Await.result(fMerge, 120.seconds)
+    assert(del.rowsDeleted == 50)
+    assert(MergeStore.version(t).contains(2)) // both committed, serialized
+    val back = MergeStore.read(spark, t)
+    assert(back.count() == N - 50 + 1)
+    assert(back.where(col("id") < 50).count() == 0)
+    assert(back.where(col("id") === 100000L).count() == 1)
+  }
+
   test("incremental view maintenance follows MOR deletes through the feed") {
     val t = freshTable("dv-ivm")
     val view = tmpDir("dv-ivm") + "/view"
