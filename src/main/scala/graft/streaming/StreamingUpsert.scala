@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.store.MergeStore
+
+/** The general-purpose EXACTLY-ONCE streaming sink into a MergeStore
+  * table: any streaming DataFrame lands as transactional upserts (and
+  * optionally CDC-style deletes) through `applyChanges`, with the
+  * micro-batch id riding the table's own manifest commit as a marker —
+  * Delta's documented txnAppId/txnVersion idiom for foreachBatch
+  * sinks, enforced INSIDE every OCC attempt by [[MergeStore
+  * .MarkerGuard]]. A redelivered batch (crash between sink commit and
+  * checkpoint advance) is dropped whole; a racing maintainer losing
+  * the CAS re-checks on retry, so the replay can never double-apply.
+  *
+  * Contract: the marker key is `stream.<appId>` — one appId per
+  * (checkpoint, table) pairing, exactly Delta's txnAppId rule. A NEW
+  * checkpoint against a table that carries an old appId's markers must
+  * use a fresh appId (batch ids restart at 0 and would read as
+  * replays).
+  *
+  * Scale shape per micro-batch: one pruned affected-file probe + a
+  * file-granular COW rewrite, cost tracking the BATCH, never the
+  * table (the same argument as the batch verbs). An uninitialized
+  * target is created from the first batch, clustered on the key.
+  */
+object StreamingUpsert {
+
+  /** Start landing `source` into `target` keyed on `pk`. Rows where
+    * `deleteCol` (optional) is TRUE are deletes-by-key; everything
+    * else upserts (delete-then-upsert composition within one batch is
+    * applyChanges' defined semantics). AvailableNow by default. */
+  def exactlyOnce(source: DataFrame, target: String, pk: Seq[String],
+                  checkpoint: String,
+                  appId: String = "graft-stream-upsert",
+                  deleteCol: Option[String] = None,
+                  trigger: Trigger = Trigger.AvailableNow(),
+                  initFiles: Int = 8,
+                  maxRetries: Int = 3): StreamingQuery = {
+    require(pk.nonEmpty, "StreamingUpsert needs key columns")
+    val key = s"stream.$appId"
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        val isDel = deleteCol.map(c => coalesce(col(c), lit(false)))
+        val ups = isDel.map(d => batch.where(!d).drop(deleteCol.get))
+          .getOrElse(batch)
+        val dels = isDel.map(d => batch.where(d).select(pk.map(col): _*))
+          .getOrElse(batch.limit(0).select(pk.map(col): _*))
+        if (MergeStore.version(target).isEmpty) {
+          // First batch births the table — marker in the SAME commit,
+          // so a redelivery of batch 0 reads as applied and drops.
+          MergeStore.init(s,
+            graft.operators.Upsert.dedupByKey(
+              ups.where(pk.map(col(_).isNotNull).reduce(_ && _)), pk,
+              Seq(monotonically_increasing_id())),
+            target, numFiles = initFiles, clusterBy = pk,
+            meta = Map(key -> id.toString))
+        } else {
+          MergeStore.applyChanges(s, target, ups, dels, pk,
+            meta = Map(key -> id.toString),
+            maxRetries = maxRetries,
+            guard = Some(MergeStore.MarkerGuard(key, id,
+              expected = if (id == 0) None else Some(id - 1))))
+        }
+        ()
+      }
+      .start()
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.store.MergeStore
+import graft.streaming.StreamingUpsert
+
+/** The exactly-once streaming sink: arbitrary streams land in a
+  * MergeStore table through applyChanges with the batch id committed
+  * as an in-manifest marker (Delta's txnAppId/txnVersion idiom) — a
+  * redelivered batch drops whole, restarts resume, CDC-style delete
+  * rows compose with upserts in one transactional batch.
+  */
+class StreamingUpsertSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("stream lands as upserts + deletes; restart resumes; replayed batch drops") {
+    val base = tmpDir("stream-upsert")
+    val t = s"$base/tbl"
+    val ck = s"$base/ck"
+    val ms = MemoryStream[(Long, String, Boolean)]
+    def run(): Unit = {
+      val q = StreamingUpsert.exactlyOnce(
+        ms.toDF().toDF("id", "payload", "is_delete"),
+        t, pk = Seq("id"), checkpoint = ck, appId = "spec",
+        deleteCol = Some("is_delete"))
+      q.awaitTermination()
+    }
+    ms.addData((1L, "a", false), (2L, "b", false), (3L, "c", false))
+    run() // batch 0: births the table
+    assert(MergeStore.read(spark, t).count() == 3)
+    ms.addData((2L, "b2", false), (3L, "", true), (4L, "d", false))
+    run() // batch 1: update 2, delete 3, insert 4
+    val got = MergeStore.read(spark, t)
+      .select($"id", $"payload").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "b2", 4L -> "d"))
+    // Marker tracks the batch id inside the table's own commits.
+    assert(MergeStore.markerValue(t, "stream.spec").contains("1"))
+    // Manual redelivery of batch 1 (crash-between-commit-and-checkpoint
+    // shape): the guard drops it whole — no commit, no double-apply.
+    val v = MergeStore.version(t).get
+    val st = MergeStore.applyChanges(spark, t,
+      upserts = Seq((2L, "b2")).toDF("id", "payload"),
+      deleteKeys = Seq(3L).toDF("id"), pk = Seq("id"),
+      meta = Map("stream.spec" -> "1"),
+      guard = Some(MergeStore.MarkerGuard("stream.spec", 1L,
+        expected = Some(0L))))
+    assert(st.skippedReplay && MergeStore.version(t).contains(v))
+    // An empty catch-up run is a clean no-op.
+    run()
+    assert(MergeStore.read(spark, t).count() == 3)
+  }
+
+  test("constraints gate the streaming sink too") {
+    val base = tmpDir("stream-upsert-con")
+    val t = s"$base/tbl"
+    val ms = MemoryStream[(Long, String)]
+    ms.addData((1L, "ok"))
+    val q0 = StreamingUpsert.exactlyOnce(ms.toDF().toDF("id", "payload"),
+      t, pk = Seq("id"), checkpoint = s"$base/ck0", appId = "con")
+    q0.awaitTermination()
+    MergeStore.addConstraint(spark, t, "nonempty", "length(payload) > 0")
+    ms.addData((2L, ""))
+    val q1 = StreamingUpsert.exactlyOnce(ms.toDF().toDF("id", "payload"),
+      t, pk = Seq("id"), checkpoint = s"$base/ck0", appId = "con")
+    val failed =
+      try { q1.awaitTermination(); false }
+      catch { case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+        e.getMessage.contains("nonempty") ||
+          Option(e.getCause).exists(_.getMessage.contains("nonempty")) }
+    assert(failed, "violating batch must fail the stream loudly")
+    assert(MergeStore.read(spark, t).count() == 1) // nothing landed
+  }
+}
