@@ -1961,6 +1961,62 @@ object MergeStore {
       manifestMeta(target, Some(parentV)) - s"$ConstraintPrefix$name")
   }
 
+  /** DROP COLUMN as a metadata-only commit (Delta's drop without
+    * rewrite, possible because reads plan against the schema IN THE
+    * LOG): the recorded schema loses the field, every reader's
+    * projection excludes the physical column from that version on, and
+    * rewrites gradually purge the bytes (a compaction finishes the
+    * job). Time travel below the drop still shows the column. Refused
+    * when the column is a stats/bloom/cluster participant or a CHECK
+    * constraint references it (drop those first — a silent skip-column
+    * drop would un-prune existing consumers), and on legacy
+    * schema-less manifests (compact once to record the schema).
+    * ADD COLUMN is merge's `allowSchemaEvolution`; RENAME is
+    * deliberately absent — it needs per-file logical→physical name
+    * mapping (Delta column mapping), a format revision this store
+    * doesn't carry. */
+  def dropColumn(spark: SparkSession, target: String,
+                 colName: String): Int = {
+    val parentV = currentVersion(target)
+      .getOrElse(sys.error(s"no committed version at $target"))
+    val schema = manifestSchema(target, parentV).getOrElse(sys.error(
+      s"dropColumn at $target needs a manifest-recorded schema — " +
+        "run compact once to record it"))
+    require(schema.fieldNames.contains(colName),
+      s"no column '$colName' at $target")
+    require(schema.fields.length > 1,
+      s"cannot drop the only column of $target")
+    val sCols = statsColumns(target, Some(parentV))
+    val bCols = bloomColumns(target, Some(parentV))
+    require(!sCols.contains(colName) && !bCols.contains(colName),
+      s"column '$colName' at $target drives data skipping " +
+        s"(stats=$sCols blooms=$bCols) — re-init stats/blooms without " +
+        "it first")
+    // Referenced columns via the same public analyze-a-zero-row-filter
+    // route as impliedBounds (Column keeps its expression private);
+    // an analysis failure degrades to a conservative substring check.
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val referencing = constraints(target, Some(parentV)).filter {
+      case (_, check) =>
+        try probe.limit(0).where(expr(check)).queryExecution.analyzed
+          .collectFirst {
+            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+              f.condition.references.map(_.name).toSet
+          }.exists(_.contains(colName))
+        catch { case _: Throwable => check.contains(colName) }
+    }
+    require(referencing.isEmpty,
+      s"column '$colName' at $target is referenced by constraint(s) " +
+        s"${referencing.keys.mkString(", ")} — drop them first")
+    val newSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name == colName))
+    val meta = manifestMeta(target, Some(parentV)).filterNot { case (k, _) =>
+      isStatsKey(k) && k.substring(k.lastIndexOf(':') + 1) == colName
+    } + (SchemaKey -> newSchema.json)
+    commit(target, liveFiles(target, Some(parentV)), parentV, meta)
+  }
+
   /** Fail `verb` loudly if any of the table's constraints rejects a row
     * of `rows` (the verb's NEW row content — incoming batch, post-SET
     * projection); one combined aggregate, no commit has happened yet. */

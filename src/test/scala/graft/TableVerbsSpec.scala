@@ -275,4 +275,49 @@ class TableVerbsSpec extends SparkSpec {
     val h = MergeStore.history(target)
     assert(h.map(_._1) == Seq(0, 1) && h(0)._2 <= h(1)._2)
   }
+
+  // ------------------------------------------------------------ DROP COLUMN
+
+  test("dropColumn: metadata-only drop; verbs continue; rewrites purge bytes") {
+    val target = freshTable() // schema: id, grp, payload
+    val v0 = MergeStore.version(target).get
+    MergeStore.dropColumn(spark, target, "payload")
+    assert(MergeStore.version(target).contains(v0 + 1))
+    assert(MergeStore.liveFiles(target) ==
+      MergeStore.liveFiles(target, Some(v0)), "drop must not rewrite files")
+    val back = MergeStore.read(spark, target)
+    assert(back.columns.toSeq == Seq("id", "grp"))
+    // Time travel below the drop still shows the column.
+    assert(MergeStore.read(spark, target, Some(v0)).columns.contains("payload"))
+    // Verbs keep working against the narrowed schema.
+    MergeStore.merge(spark,
+      spark.range(N.toLong, N.toLong + 5)
+        .select(col("id"), lit(0).cast("int").as("grp")),
+      target, pk = Seq("id"))
+    MergeStore.deleteWhere(spark, target, col("id") < 10)
+    assert(MergeStore.read(spark, target).count() == N + 5 - 10)
+    assert(MergeStore.read(spark, target).columns.toSeq == Seq("id", "grp"))
+    // A compaction purges the dropped bytes physically.
+    MergeStore.compact(spark, target, targetFiles = 2)
+    val physical = spark.read.parquet(
+      MergeStore.liveFiles(target).map(f => s"$target/data/" + f): _*)
+    assert(!physical.columns.contains("payload"),
+      "compaction should purge dropped column bytes")
+  }
+
+  test("dropColumn refusals: skipping participants, constraint references, legacy") {
+    val target = freshTable() // clustered on id => id is a stats column
+    intercept[IllegalArgumentException] {
+      MergeStore.dropColumn(spark, target, "id")
+    }
+    MergeStore.addConstraint(spark, target, "grp_pos", "grp >= 0")
+    val e = intercept[IllegalArgumentException] {
+      MergeStore.dropColumn(spark, target, "grp")
+    }
+    assert(e.getMessage.contains("grp_pos"))
+    MergeStore.dropConstraint(spark, target, "grp_pos")
+    MergeStore.dropColumn(spark, target, "grp") // now fine
+    assert(MergeStore.read(spark, target).columns.toSeq ==
+      Seq("id", "payload"))
+  }
 }
