@@ -395,7 +395,9 @@ object MergeStore {
                               sCols: Seq[String],
                               schema: org.apache.spark.sql.types.StructType,
                               bCols: Seq[String] = Nil,
-                              bloomFpp: Double = 0.01): Int = {
+                              bloomFpp: Double = 0.01,
+                              dvUpdates: Map[String, String] = Map.empty)
+      : Int = {
     require(!userMeta.keys.exists(k =>
         k == StatsColsKey || k == SchemaKey || k == BloomColsKey ||
           k == BloomFppKey || isStatsKey(k) || isBloomKey(k) ||
@@ -416,7 +418,7 @@ object MergeStore {
           (isDvKey(k) && fileSet.contains(k.stripPrefix(DvPrefix)))
       }
     if (sCols.isEmpty && bCols.isEmpty)
-      commit(target, files, parent, policyCarry ++ userMeta)
+      commit(target, files, parent, policyCarry ++ dvUpdates ++ userMeta)
     else {
       val carried =
         if (parent < 0) Map.empty[String, String]
@@ -434,7 +436,8 @@ object MergeStore {
           BloomFppKey -> bloomFpp.toString)
          else Map.empty)
       commit(target, files, parent,
-        policyCarry ++ userMeta ++ carried ++ fresh ++ blooms ++ props)
+        policyCarry ++ dvUpdates ++ userMeta ++ carried ++ fresh ++
+          blooms ++ props)
     }
   }
 
@@ -962,6 +965,90 @@ object MergeStore {
         manifestMeta(target, Some(parentV)) ++ updates)
       MorDeleteStats(before.size, affected.size, rowsDeleted)
     } finally doomed.unpersist()
+  }
+
+  /** Merge-on-read UPDATE: [[updateWhere]]'s semantics at
+    * deletion-vector cost — matching rows' OLD positions are marked in
+    * sidecars and their post-SET images land as ONE appended file, in
+    * a single commit. O(matched rows), never a rewrite of the files
+    * they sit in: the MOR answer for a scattered compliance UPDATE
+    * (re-attribute, redact a field) against huge files. SET sees the
+    * OLD row; constraints see the post-SET image; the change feed nets
+    * the marked/appended pair per key into update pre/post images
+    * automatically. Reads pay the vectors' anti-join until
+    * purge/compaction, like MOR deletes. */
+  def updateWhereMor(spark: SparkSession, target: String,
+                     predicate: org.apache.spark.sql.Column,
+                     set: Map[String, org.apache.spark.sql.Column],
+                     maxRetries: Int = 0,
+                     snapshotVersion: Option[Int] = None): UpdateStats = {
+    require(set.nonEmpty, s"UPDATE at $target needs SET assignments")
+    try updateMorOnce(spark, target, snapshotVersion, predicate, set)
+    catch {
+      case _: java.util.ConcurrentModificationException if maxRetries > 0 =>
+        updateWhereMor(spark, target, predicate, set, maxRetries - 1, None)
+    }
+  }
+
+  private def updateMorOnce(spark: SparkSession, target: String,
+                            snapshotVersion: Option[Int],
+                            predicate: org.apache.spark.sql.Column,
+                            set: Map[String, org.apache.spark.sql.Column])
+      : UpdateStats = {
+    val parentV = snapshotVersion.orElse(currentVersion(target))
+      .getOrElse(sys.error(s"no committed version at $target"))
+    val before = liveFiles(target, Some(parentV))
+    def full = read(spark, target, Some(parentV))
+    val schema = manifestSchema(target, parentV).getOrElse(full.schema)
+    val unknown = set.keySet -- schema.fieldNames.toSet
+    require(unknown.isEmpty,
+      s"UPDATE SET references columns not in $target: " +
+        unknown.toSeq.sorted.mkString(", "))
+    val matched = coalesce(predicate, lit(false))
+    val candidates =
+      pruneByPredicate(spark, target, parentV, before, predicate)
+    if (candidates.isEmpty) return UpdateStats(before.size, 0, 0L)
+    val paths = candidates.map(f => dataDir(target).resolve(f).toString)
+    val raw = manifestSchema(target, parentV) match {
+      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
+    val hit = applyDvJoin(spark, target, parentV,
+        raw.withColumn("__gdvf",
+            element_at(split(input_file_name(), "/"), -1))
+          .withColumn("__gdvp", col("_metadata.row_index")),
+        "__gdvf", "__gdvp", Some(candidates))
+      .where(matched).cache()
+    try {
+      val affected = hit.select("__gdvf").distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      if (affected.isEmpty) return UpdateStats(before.size, 0, 0L)
+      val rowsUpdated = hit.count()
+      // Post-SET images of exactly the matched rows (SET sees the OLD
+      // row — the projection reads pre-update values).
+      val updated = hit.select(schema.fields.map { f =>
+        set.get(f.name).map(_.cast(f.dataType).as(f.name))
+          .getOrElse(col(f.name))
+      }.toSeq: _*)
+      enforceConstraints(spark, target, parentV, updated, "updateWhereMor")
+      val next = parentV + 1
+      val existing = dvMeta(target, Some(parentV))
+        .filter { case (f, _) => affected.contains(f) }
+      val doomed = hit.select("__gdvf", "__gdvp")
+      val allPos =
+        if (existing.isEmpty) doomed
+        else doomed.unionByName(dvPositions(spark, target, existing))
+      val updates = writeDvSidecars(spark, target, allPos, affected, next)
+      val newFiles = writeFiles(updated.repartition(1), target)
+      val (bCols, fpp) = inheritedBloom(target, parentV)
+      // One commit: vectors bury the old images, the appended file
+      // carries the new ones; stats for the new file ride along.
+      commitWithStats(spark, target, before ++ newFiles, parentV,
+        Map.empty, newFiles, statsColumns(target, Some(parentV)), schema,
+        bCols, fpp, dvUpdates = updates)
+      UpdateStats(before.size, affected.size, rowsUpdated)
+    } finally hit.unpersist()
   }
 
   /** Write one `<datafile>.v<version>.dv.parquet` sidecar per file of

@@ -167,6 +167,42 @@ class DeletionVectorSpec extends SparkSpec {
     }
   }
 
+  test("updateWhereMor: post-images appended, old images buried, feed nets to updates") {
+    val t = freshTable("dv-mor-upd")
+    val filesBefore = MergeStore.liveFiles(t)
+    val st = MergeStore.updateWhereMor(spark, t, col("id") % 200 === 3,
+      Map("payload" -> concat(lit("upd-"), col("id"))))
+    assert(st.rowsUpdated == 50)
+    // Old files all carried; exactly one appended post-image file.
+    assert(MergeStore.liveFiles(t).toSet.intersect(filesBefore.toSet)
+      == filesBefore.toSet)
+    assert(MergeStore.liveFiles(t).size == filesBefore.size + 1)
+    val back = MergeStore.read(spark, t)
+    assert(back.count() == N) // update, not delete
+    assert(back.where(col("payload").startsWith("upd-")).count() == 50)
+    assert(back.where(col("id") === 3L).select("payload")
+      .collect()(0).getString(0) == "upd-3")
+    // Bit-equal to the COW UPDATE on a twin table.
+    val twin = freshTable("dv-mor-upd-twin")
+    MergeStore.updateWhere(spark, twin, col("id") % 200 === 3,
+      Map("payload" -> concat(lit("upd-"), col("id"))))
+    assert(back.orderBy("id").collect().toSeq ==
+      MergeStore.read(spark, twin).orderBy("id").collect().toSeq)
+    // The typed feed nets the buried/appended pair into updates.
+    val feed = MergeStore.changes(spark, t, 0, 1, pk = Seq("id"),
+      includePreimages = true)
+    val byType = feed.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("update_postimage" -> 50L,
+      "update_preimage" -> 50L), s"got $byType")
+    // A second MOR update composes (supersede + another append).
+    MergeStore.updateWhereMor(spark, t, col("id") === 3L,
+      Map("payload" -> lit("again")))
+    assert(MergeStore.read(spark, t).where(col("id") === 3L)
+      .select("payload").collect()(0).getString(0) == "again")
+    assert(MergeStore.read(spark, t).count() == N)
+  }
+
   test("optimistic concurrency: racing MOR delete and merge both land via retry") {
     val t = freshTable("dv-occ")
     import scala.concurrent.{Await, Future}
