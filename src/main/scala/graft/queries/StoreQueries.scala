@@ -861,7 +861,85 @@ object StoreQueries extends QueryFamily {
       FROM documents
       ORDER BY doc_id"""))
 
+  private val q121 = QueryDef(
+    "q121_mor_update",
+    "Merge-on-read UPDATE (deletion vectors bury the old images, ONE " +
+      "appended file carries the post-SET images — O(matched) for a " +
+      "scattered compliance UPDATE, zero rewrites of the holding " +
+      "files): orders clustered on o_orderkey takes updateWhereMor " +
+      "SET o_totalprice *= 1.10, o_orderpriority = '9-ADJ' WHERE " +
+      "o_orderstatus = 'P', then a MOR delete of o_orderkey % 41 — " +
+      "vectors from BOTH verbs compose on the same table. The oracle " +
+      "replays both as a projection + filter from scratch: a row " +
+      "served from a buried image, a lost post-image, or a misapplied " +
+      "vector breaks the hash.",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val target = preparedTable(s, dir, "q121",
+        base = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_orderpriority"), col("o_totalprice")),
+        clusterBy = Seq("o_orderkey")) { t =>
+        MergeStore.updateWhereMor(s, t, col("o_orderstatus") === "P",
+          Map("o_totalprice" -> (col("o_totalprice") * 1.10),
+            "o_orderpriority" -> lit("9-ADJ")))
+        MergeStore.deleteWhereMor(s, t, col("o_orderkey") % 41 === 0)
+      }
+      MergeStore.read(s, target)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast(DecimalType(20, 4)))
+            .cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+               AS sum_price
+      FROM (
+        SELECT CASE WHEN o_orderstatus = 'P' THEN '9-ADJ'
+                    ELSE o_orderpriority END AS o_orderpriority,
+               CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 1.10
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 41 <> 0)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  private val q122 = QueryDef(
+    "q122_drop_column",
+    "DROP COLUMN as a metadata-only commit (schema-in-the-log): " +
+      "documents lands with (doc_id, text, lang, n_chars); lang is " +
+      "dropped (no file rewritten — the recorded schema loses the " +
+      "field and every reader's projection excludes it), then a merge " +
+      "revises doc_id % 13 against the NARROWED schema, rewriting " +
+      "some pre-drop files. The read-back must show exactly the " +
+      "remaining columns with the revision applied; a resurrected " +
+      "column or a verb tripping over the dropped field breaks the " +
+      "hash.",
+    (s, dir) => {
+      val target = preparedTable(s, dir, "q122",
+        base = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"),
+            col("n_chars"))) { t =>
+        MergeStore.dropColumn(s, t, "lang")
+        MergeStore.merge(s,
+          MergeStore.read(s, t).where(col("doc_id") % 13 === 0)
+            .withColumn("n_chars", col("n_chars") + 7),
+          t, pk = Seq("doc_id"))
+      }
+      MergeStore.read(s, target)
+        .select(col("doc_id"), length(col("text")).as("len"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, CAST(length(text) AS INTEGER) AS len,
+             CASE WHEN doc_id % 13 = 0 THEN n_chars + 7
+                  ELSE n_chars END AS n_chars
+      FROM documents
+      ORDER BY doc_id"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q91, q92, q96, q97, q98, q101, q107, q109, q110, q111, q112,
-      q113, q115, q116, q117, q118, q119, q120)
+      q113, q115, q116, q117, q118, q119, q120, q121, q122)
 }
