@@ -1093,10 +1093,37 @@ object MergeStore {
     * surviving rows and drop the vectors — content unchanged (the
     * change feed across a purge emits nothing), read-side anti-join
     * cost gone. Returns the number of files rewritten. */
-  def purgeDeletes(spark: SparkSession, target: String): Int = {
+  def purgeDeletes(spark: SparkSession, target: String,
+                   minDeletedFraction: Double = 0.0): Int = {
+    require(minDeletedFraction >= 0.0 && minDeletedFraction <= 1.0,
+      "minDeletedFraction must be in [0, 1]")
     val parentV = currentVersion(target)
       .getOrElse(sys.error(s"no committed version at $target"))
-    val marked = dvMeta(target, Some(parentV)).keys.toSeq.sorted
+    val allMarked = dvMeta(target, Some(parentV))
+    if (allMarked.isEmpty) return 0
+    // Threshold form (Delta REORG's practical shape): rewrite only
+    // files whose vector buries at least the given row fraction —
+    // a file with a handful of buried rows keeps its cheap vector
+    // instead of paying a full rewrite. Cost of the triage: sidecar
+    // row counts (tiny) + ONE count aggregate over the marked files.
+    val marked: Seq[String] =
+      if (minDeletedFraction <= 0.0) allMarked.keys.toSeq.sorted
+      else {
+        val dead = dvPositions(spark, target, allMarked)
+          .groupBy("__gdvf").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val total = spark.read.option("mergeSchema", "true").parquet(
+            allMarked.keys.toSeq.sorted
+              .map(f => dataDir(target).resolve(f).toString): _*)
+          .select(element_at(split(input_file_name(), "/"), -1)
+            .as("__gdvf"))
+          .groupBy("__gdvf").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        allMarked.keys.toSeq.sorted.filter { f =>
+          val t = total.getOrElse(f, 0L)
+          t > 0L && dead.getOrElse(f, 0L).toDouble / t >= minDeletedFraction
+        }
+      }
     if (marked.isEmpty) return 0
     val before = liveFiles(target, Some(parentV))
     def full = read(spark, target, Some(parentV))

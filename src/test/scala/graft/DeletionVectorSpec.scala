@@ -134,6 +134,29 @@ class DeletionVectorSpec extends SparkSpec {
     assert(MergeStore.purgeDeletes(spark, t) == 0)
   }
 
+  test("threshold purge rewrites only heavily-buried files; light vectors stay") {
+    val t = freshTable("dv-threshold") // 8 files, id-clustered
+    // Heavy burial in the low-id files (40% of their rows), one light
+    // mark in the high range (~0.08% of its file).
+    MergeStore.deleteWhereMor(spark, t,
+      col("id") < (N / 4) && col("id") % 5 < 2) // 40% of files 0-1
+    MergeStore.deleteMor(spark, t, Seq((N - 1).toLong).toDF("id"),
+      pk = Seq("id"))
+    val markedBefore = MergeStore.dvMeta(t).keys.toSet
+    val expect = MergeStore.read(spark, t).orderBy("id").collect().toSeq
+    val rewritten = MergeStore.purgeDeletes(spark, t,
+      minDeletedFraction = 0.2)
+    assert(rewritten > 0 && rewritten < markedBefore.size,
+      s"expected a partial purge, rewrote $rewritten of ${markedBefore.size}")
+    val remaining = MergeStore.dvMeta(t)
+    assert(remaining.nonEmpty, "the lightly-marked file must keep its vector")
+    assert(MergeStore.read(spark, t).orderBy("id").collect().toSeq == expect)
+    // Full purge finishes the job.
+    assert(MergeStore.purgeDeletes(spark, t) == remaining.size)
+    assert(MergeStore.dvMeta(t).isEmpty)
+    assert(MergeStore.read(spark, t).orderBy("id").collect().toSeq == expect)
+  }
+
   test("restore across MOR deletes revives rows; the feed shows inserts back") {
     val t = freshTable("dv-restore")
     MergeStore.deleteWhereMor(spark, t, col("id") < 100) // v1
