@@ -229,6 +229,53 @@ object ScaleProbe {
     }
   }
 
+  /** The AUTOMATIC skipping path (GraftFileIndex behind readSkipping)
+    * vs a plain full-list read, same filtered aggregate: verifies the
+    * FileIndex route hits the manifest-pruned numbers with no explicit
+    * scan verb — and that a DV-bearing table keeps skipping (the
+    * anti-join rides above the pruned scan). Answers cross-checked. */
+  private def skipReadProbe(spark: SparkSession, n: Long,
+                            fileCounts: Seq[Int]): Unit = {
+    import graft.store.Layouts
+    val df = spark.range(n).select(col("id"),
+      (col("id") % 97).cast("int").as("grp"),
+      concat(lit("payload-"), col("id")).as("payload"))
+    fileCounts.foreach { files =>
+      val t = java.nio.file.Files.createTempDirectory("skipread")
+        .toString + "/tbl"
+      MergeStore.init(spark, df, t, files, clusterBy = Seq("id"))
+      val lo = n / 2
+      val hi = n / 2 + 1000
+      def pred = col("id") >= lo && col("id") <= hi
+      val (skipRes, bytesSkip) = Layouts.measuredInputBytes(spark) {
+        time(MergeStore.readSkipping(spark, t).where(pred)
+          .agg(count(lit(1)), sum("id")).collect()(0))
+      }
+      val (fullRes, bytesFull) = Layouts.measuredInputBytes(spark) {
+        time(MergeStore.read(spark, t).where(pred)
+          .agg(count(lit(1)), sum("id")).collect()(0))
+      }
+      require(skipRes._1 == fullRes._1,
+        s"skipping changed the answer: ${skipRes._1} != ${fullRes._1}")
+      // MOR-delete half the probed range: skipping must survive DVs.
+      MergeStore.deleteWhereMor(spark, t,
+        col("id") >= lo && col("id") < lo + 500)
+      val (dvRes, bytesDv) = Layouts.measuredInputBytes(spark) {
+        time(MergeStore.readSkipping(spark, t).where(pred)
+          .agg(count(lit(1)), sum("id")).collect()(0))
+      }
+      val expectRows = hi - lo + 1 - 500
+      require(dvRes._1.getLong(0) == expectRows,
+        s"DV read wrong: ${dvRes._1.getLong(0)} != $expectRows")
+      println(s"""{"metric":"skip_read","rows":$n,"files":$files,""" +
+        s""""skip_sec":${f"${skipRes._2}%.3f"},""" +
+        s""""full_sec":${f"${fullRes._2}%.3f"},""" +
+        s""""skip_bytes":$bytesSkip,"full_bytes":$bytesFull,""" +
+        s""""skip_dv_sec":${f"${dvRes._2}%.3f"},""" +
+        s""""skip_dv_bytes":$bytesDv}""")
+    }
+  }
+
   private def manifestSkipProbe(spark: SparkSession, n: Long,
                                 fileCounts: Seq[Int]): Unit = {
     import graft.store.Layouts
@@ -839,6 +886,15 @@ object ScaleProbe {
       val multiples = if (args.length > 2) args.drop(2).map(_.toInt).toSeq
         else Seq(10, 50, 100)
       annCurveProbe(spark, sfDir, multiples)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("skip-read")) {
+      val spark = GraftSession.local(32)
+      val n = if (args.length > 1) args(1).toLong else 4000000L
+      val counts = if (args.length > 2) args.drop(2).map(_.toInt).toSeq
+        else Seq(16, 64, 256)
+      skipReadProbe(spark, n, counts)
       spark.stop()
       return
     }

@@ -822,7 +822,7 @@ object MergeStore {
       .map(s => dvDir(target).resolve(s).toString)
     spark.read.schema(posSchema).parquet(paths: _*)
       .select(
-        regexp_replace(element_at(split(input_file_name(), "/"), -1),
+        regexp_replace(col("_metadata.file_name"),
           "\\.v\\d+(-[0-9a-f]{8})?\\.dv\\.parquet$", "").as("__gdvf"),
         col("pos").as("__gdvp"))
   }
@@ -863,8 +863,14 @@ object MergeStore {
                              version: Int, df: DataFrame,
                              names: Option[Seq[String]] = None): DataFrame = {
     if (dvMeta(target, Some(version)).isEmpty) return df // common fast path
+    // _metadata.file_name, never input_file_name(): the metadata column
+    // is DETERMINISTIC, so filters above this wrap still push through
+    // the projection and the anti-join down into the scan — manifest
+    // skipping (GraftFileIndex) keeps working on DV-bearing tables.
+    // (input_file_name() is nondeterministic and would pin every
+    // predicate above the join, un-pruning the read.)
     val marked = df
-      .withColumn("__gdvf", element_at(split(input_file_name(), "/"), -1))
+      .withColumn("__gdvf", col("_metadata.file_name"))
       .withColumn("__gdvp", col("_metadata.row_index"))
     applyDvJoin(spark, target, version, marked, "__gdvf", "__gdvp", names)
       .drop("__gdvf", "__gdvp")
