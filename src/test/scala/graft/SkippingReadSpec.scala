@@ -163,4 +163,21 @@ class SkippingReadSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"expected the 100-row dim to auto-broadcast, plan:\n$plan")
   }
+
+  test("pruning survives deletion vectors: filters push below the DV anti-join") {
+    val t = initClustered()
+    MergeStore.deleteWhereMor(spark, t, col("id") >= 100 && col("id") < 200)
+    val p = col("id") >= 100 && col("id") < 300
+    val df = MergeStore.readSkipping(spark, t).where(p)
+    // The DV wrap derives its file column from _metadata.file_name
+    // (deterministic) precisely so this predicate still reaches
+    // listFiles — input_file_name() would pin it above the anti-join
+    // and silently un-prune every DV-bearing table.
+    val planned = plannedFiles(df)
+    assert(planned.size < FILES / 2,
+      s"DV wrap blocked pushdown: planned ${planned.size} of $FILES files")
+    assert(df.count() == 100) // 200..299 alive; 100..199 buried
+    assert(df.orderBy("id").collect().toSeq ==
+      MergeStore.read(spark, t).where(p).orderBy("id").collect().toSeq)
+  }
 }
