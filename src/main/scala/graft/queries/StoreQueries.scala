@@ -939,7 +939,48 @@ object StoreQueries extends QueryFamily {
       FROM documents
       ORDER BY doc_id"""))
 
+  private val q123 = QueryDef(
+    "q123_rename_column",
+    "RENAME COLUMN via column mapping (Delta column mapping / Iceberg " +
+      "field ids): documents lands clustered on doc_id, then doc_id -> " +
+      "document_id and text -> body as metadata-only commits — the " +
+      "fields keep their on-disk names, recorded in the manifest " +
+      "schema, and the per-file stats keys rewrite in the SAME commit. " +
+      "A merge keyed on the RENAMED pk then revises doc_id % 7 " +
+      "(manifest-pruned through the rewritten stats keys, new files " +
+      "written under the physical names), and the final read goes " +
+      "through readSkipping with a range predicate on the renamed " +
+      "column — planning-time pruning across the logical->physical " +
+      "translation. A stale stats key, a mapping lost by the merge's " +
+      "recorded schema, or a reader resolving the wrong name breaks " +
+      "the hash.",
+    (s, dir) => {
+      val target = preparedTable(s, dir, "q123",
+        base = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("n_chars"))) { t =>
+        MergeStore.renameColumn(s, t, "doc_id", "document_id") // v1
+        MergeStore.renameColumn(s, t, "text", "body")          // v2
+        MergeStore.merge(s, // v3: revision keyed on the renamed pk
+          MergeStore.read(s, t).where(col("document_id") % 7 === 0)
+            .withColumn("n_chars", col("n_chars") + 100),
+          t, pk = Seq("document_id"))
+      }
+      MergeStore.readSkipping(s, target)
+        .where(col("document_id") % 5 =!= 0 && col("document_id") <= 1500)
+        .select(col("document_id"), length(col("body")).as("len"),
+          col("n_chars"))
+        .orderBy("document_id")
+    },
+    Some("""
+      SELECT doc_id AS document_id,
+             CAST(length(text) AS INTEGER) AS len,
+             CASE WHEN doc_id % 7 = 0 THEN n_chars + 100
+                  ELSE n_chars END AS n_chars
+      FROM documents
+      WHERE doc_id % 5 <> 0 AND doc_id <= 1500
+      ORDER BY document_id"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q91, q92, q96, q97, q98, q101, q107, q109, q110, q111, q112,
-      q113, q115, q116, q117, q118, q119, q120, q121, q122)
+      q113, q115, q116, q117, q118, q119, q120, q121, q122, q123)
 }

@@ -94,17 +94,28 @@ object GraftFileIndex {
     val index = new GraftFileIndex(spark, target, v)
     val schema = MergeStore.manifestSchema(target, v)
       .getOrElse(MergeStore.read(spark, target, Some(v)).schema)
+    // The relation speaks the files' PHYSICAL column names (a renamed
+    // column keeps its on-disk name); the logical rename is an
+    // alias-only projection ON TOP, so Catalyst still pushes user
+    // predicates through it into listFiles — which translates the
+    // physical attribute names back to the manifest's logical stats
+    // keys (MergeStore.candidatesForFilters).
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = StructType(Nil),
-      dataSchema = schema,
+      dataSchema = MergeStore.physicalSchema(schema),
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
     // Deletion vectors apply ON TOP of the skipping relation (the
     // anti-join's own filters still push into the scan); a DV-free
     // table gets the bare relation, plan unchanged.
-    MergeStore.applyDv(spark, target, v,
+    val dvApplied = MergeStore.applyDv(spark, target, v,
       spark.baseRelationToDataFrame(relation))
+    val renames = MergeStore.logicalByPhysical(schema)
+    if (renames.isEmpty) dvApplied
+    else dvApplied.select(dvApplied.columns.map(c =>
+      renames.get(c).map(l => org.apache.spark.sql.functions.col(c).as(l))
+        .getOrElse(org.apache.spark.sql.functions.col(c))).toIndexedSeq: _*)
   }
 }

@@ -180,6 +180,105 @@ object MergeStore {
     val rest = k.drop(2) // both prefixes are two chars
     rest.take(rest.indexOf(':'))
   }
+  /** Column an `s:`/`b:` per-file key describes. */
+  private def statsKeyCol(k: String): String =
+    k.substring(k.lastIndexOf(':') + 1)
+
+  // ------------------------------------------------------------------
+  // Column mapping: RENAME COLUMN without rewriting a byte (Delta's
+  // column-mapping mode / Iceberg's field-id indirection, expressed in
+  // names). A renamed field keeps its ON-DISK (physical) column name
+  // forever — recorded as `graft.physical` metadata on the field inside
+  // the manifest schema — and every reader/writer crosses the boundary
+  // exactly once: files are always written with PHYSICAL names, the
+  // API always shows LOGICAL names. A table that never renamed has no
+  // mapping entries and every helper below is an exact no-op, so the
+  // pre-mapping format is the degenerate case, not a second code path.
+  // ------------------------------------------------------------------
+
+  /** Field-metadata key holding a column's on-disk name when it
+    * differs from the (renamed) logical name. Reserved: user schemas
+    * must not set it. */
+  private[store] val PhysicalNameKey = "graft.physical"
+
+  private[store] def physicalNameOf(
+      f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalNameKey))
+      f.metadata.getString(PhysicalNameKey)
+    else f.name
+
+  /** The schema as the data files spell it: logical names swapped for
+    * physical ones (field metadata kept — the parquet reader ignores
+    * it, and round-tripping preserves the mapping). */
+  private[store] def physicalSchema(
+      st: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      st.fields.map(f => f.copy(name = physicalNameOf(f))))
+
+  /** physical -> logical, only the fields that actually differ. */
+  private[store] def logicalByPhysical(
+      st: org.apache.spark.sql.types.StructType): Map[String, String] =
+    st.fields.iterator.map(f => physicalNameOf(f) -> f.name)
+      .filter(p => p._1 != p._2).toMap
+
+  /** Rename `df`'s columns per `m` in ONE simultaneous projection —
+    * a swap (a->b while c->a) must never collide mid-rename, and extra
+    * columns (`__file`, DV probe columns) pass through untouched.
+    * Aliases inherit the child attribute's metadata, so the mapping
+    * survives the rename and plain selects/unions downstream. */
+  private def renameAll(df: DataFrame, m: Map[String, String]): DataFrame =
+    if (m.isEmpty || !df.columns.exists(m.contains)) df
+    else df.select(df.columns.map(c =>
+      if (m.contains(c)) col(c).as(m(c)) else col(c)).toIndexedSeq: _*)
+
+  /** Physical-named frame (a file read) -> logical names, per `st`'s
+    * mapping. Applied AFTER any `_metadata`-derived probe columns are
+    * materialized (the projection is alias-only, so filters above it
+    * still push into the scan). */
+  private def toLogical(df: DataFrame,
+                        st: org.apache.spark.sql.types.StructType)
+      : DataFrame =
+    renameAll(df, logicalByPhysical(st))
+
+  /** Logical-named frame (verb output) -> physical names for the file
+    * write, per `st`'s mapping. Every [[writeFiles]] call site crosses
+    * here so a renamed table's new files stay uniform with its carried
+    * ones. */
+  private def toPhysical(df: DataFrame,
+                         st: org.apache.spark.sql.types.StructType)
+      : DataFrame =
+    renameAll(df,
+      st.fields.iterator.map(f => f.name -> physicalNameOf(f))
+        .filter(p => p._1 != p._2).toMap)
+
+  /** Carry the table's rename mapping onto the schema a verb is about
+    * to RECORD: frames built from user batches (a merge's incoming
+    * select, a union) lose field metadata, and a commit recording a
+    * mapping-less schema would silently un-map the table — every
+    * subsequent read would look up logical names in physically-named
+    * files and null-fill the lot. Fields keep the verb's (possibly
+    * evolved) types; fields the table schema maps inherit its physical
+    * name. */
+  private def withMapping(st: org.apache.spark.sql.types.StructType,
+                          table: Option[org.apache.spark.sql.types.StructType])
+      : org.apache.spark.sql.types.StructType = table match {
+    case None => st
+    case Some(ts) =>
+      val phys = ts.fields.iterator
+        .filter(_.metadata.contains(PhysicalNameKey))
+        .map(f => f.name -> f.metadata.getString(PhysicalNameKey)).toMap
+      if (phys.isEmpty) st
+      else org.apache.spark.sql.types.StructType(st.fields.map { f =>
+        phys.get(f.name) match {
+          case Some(p) =>
+            val mb = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata).putString(PhysicalNameKey, p).build()
+            f.copy(metadata = mb)
+          case None => f
+        }
+      })
+  }
 
   /** [[manifestMeta]] minus the engine's reserved data-skipping keys
     * (`s:*` per-file stats, `stats.cols`, `schema`) — the metadata a
@@ -305,11 +404,14 @@ object MergeStore {
     * column-pruned Spark scan of JUST those files (O(batch), the
     * write-time stats pass). Returns file -> stats-meta entries. */
   private def computeFileStats(spark: SparkSession, target: String,
-                               files: Seq[String], sCols: Seq[String])
+                               files: Seq[String], sCols: Seq[String],
+                               renames: Map[String, String] = Map.empty)
       : Map[String, String] = {
     if (files.isEmpty || sCols.isEmpty) return Map.empty
-    val df = spark.read.parquet(
-      files.map(f => dataDir(target).resolve(f).toString): _*)
+    // Fresh files spell renamed columns physically; stats lines key by
+    // LOGICAL name (the rename verb rewrites carried lines to match).
+    val df = renameAll(spark.read.parquet(
+      files.map(f => dataDir(target).resolve(f).toString): _*), renames)
     val fields = df.schema.fields
       .filter(f => sCols.contains(f.name) && tagOf(f.dataType).isDefined)
     if (fields.isEmpty) return Map.empty
@@ -426,9 +528,10 @@ object MergeStore {
           (isStatsKey(k) || isBloomKey(k)) &&
             fileSet.contains(statsKeyFile(k))
         }
-      val fresh = computeFileStats(spark, target, newFiles, sCols)
+      val renames = logicalByPhysical(schema)
+      val fresh = computeFileStats(spark, target, newFiles, sCols, renames)
       val blooms = computeFileBlooms(spark, target, newFiles, bCols,
-        bloomFpp)
+        bloomFpp, renames)
       val props = Map(SchemaKey -> schema.json) ++
         (if (sCols.nonEmpty) Map(StatsColsKey -> sCols.mkString(","))
          else Map.empty) ++
@@ -500,10 +603,12 @@ object MergeStore {
     * long, strings as UTF-8). Returns the manifest reference lines. */
   private def computeFileBlooms(spark: SparkSession, target: String,
                                 files: Seq[String], bCols: Seq[String],
-                                fpp: Double): Map[String, String] = {
+                                fpp: Double,
+                                renames: Map[String, String] = Map.empty)
+      : Map[String, String] = {
     if (files.isEmpty || bCols.isEmpty) return Map.empty
-    val df = spark.read.parquet(
-      files.map(f => dataDir(target).resolve(f).toString): _*)
+    val df = renameAll(spark.read.parquet(
+      files.map(f => dataDir(target).resolve(f).toString): _*), renames)
     val present = bCols.filter(c => df.schema.fields.exists(fd =>
       fd.name == c && (fd.dataType match {
         case org.apache.spark.sql.types.ByteType |
@@ -710,7 +815,9 @@ object MergeStore {
       .getOrElse(if (zorderBy.nonEmpty) zorderBy else clusterBy)
       .filter(c => df.schema.fields.exists(f =>
         f.name == c && tagOf(f.dataType).isDefined))
-    val files = writeFiles(arranged, target)
+    // A re-init from a mapped read carries the mapping in the frame's
+    // own field metadata; a fresh frame has none and both hops no-op.
+    val files = writeFiles(toPhysical(arranged, arranged.schema), target)
     commitWithStats(spark, target, files,
       currentVersion(target).getOrElse(-1), meta, files, sCols,
       arranged.schema, bloomCols, bloomFpp)
@@ -759,18 +866,22 @@ object MergeStore {
     val files = liveFiles(target, Some(v))
     require(files.nonEmpty, s"no committed version at $target")
     val paths = files.map(f => dataDir(target).resolve(f).toString)
-    val raw = manifestSchema(target, v) match {
+    manifestSchema(target, v) match {
       // Manifest schema: plan with zero footer reads; files predating
       // an evolved column null-fill it (the parquet reader's missing-
       // column rule), exactly as the mergeSchema union showed them.
-      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+      // Files spell renamed columns by their PHYSICAL names; the
+      // logical rename lands above the DV anti-join (alias-only, so
+      // user filters still push into the scan).
+      case Some(st) => toLogical(applyDv(spark, target, v,
+        spark.read.schema(physicalSchema(st)).parquet(paths: _*)), st)
       // Legacy manifests: mergeSchema inference — after an evolving
       // merge the untouched carried files keep the OLD physical schema;
       // the union schema is the table. Cost: a footer read per file.
-      case None =>
-        spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      // (No manifest schema means no rename ever happened.)
+      case None => applyDv(spark, target, v,
+        spark.read.option("mergeSchema", "true").parquet(paths: _*))
     }
-    applyDv(spark, target, v, raw)
   }
 
   // ------------------------------------------------------------------
@@ -942,15 +1053,19 @@ object MergeStore {
     // and position are computed directly over the scan, BEFORE the DV
     // anti-join (input_file_name's single-source rule).
     val paths = candidates.map(f => dataDir(target).resolve(f).toString)
-    val raw = manifestSchema(target, parentV) match {
-      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+    val stOpt = manifestSchema(target, parentV)
+    val raw = stOpt match {
+      case Some(st) => spark.read.schema(physicalSchema(st)).parquet(paths: _*)
       case None =>
         spark.read.option("mergeSchema", "true").parquet(paths: _*)
     }
-    val alive = applyDvJoin(spark, target, parentV,
+    val alive0 = applyDvJoin(spark, target, parentV,
       raw.withColumn("__gdvf", element_at(split(input_file_name(), "/"), -1))
         .withColumn("__gdvp", col("_metadata.row_index")),
       "__gdvf", "__gdvp", Some(candidates))
+    // The doomed-row predicate speaks logical names; file/position
+    // probe columns are already materialized, so the rename is safe.
+    val alive = stOpt.map(toLogical(alive0, _)).getOrElse(alive0)
     val doomed = doomedOf(alive).select("__gdvf", "__gdvp").cache()
     try {
       val affected = doomed.select("__gdvf").distinct()
@@ -1015,16 +1130,18 @@ object MergeStore {
       pruneByPredicate(spark, target, parentV, before, predicate)
     if (candidates.isEmpty) return UpdateStats(before.size, 0, 0L)
     val paths = candidates.map(f => dataDir(target).resolve(f).toString)
-    val raw = manifestSchema(target, parentV) match {
-      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+    val stOpt = manifestSchema(target, parentV)
+    val raw = stOpt match {
+      case Some(st) => spark.read.schema(physicalSchema(st)).parquet(paths: _*)
       case None =>
         spark.read.option("mergeSchema", "true").parquet(paths: _*)
     }
-    val hit = applyDvJoin(spark, target, parentV,
+    val hit0 = applyDvJoin(spark, target, parentV,
         raw.withColumn("__gdvf",
             element_at(split(input_file_name(), "/"), -1))
           .withColumn("__gdvp", col("_metadata.row_index")),
         "__gdvf", "__gdvp", Some(candidates))
+    val hit = stOpt.map(toLogical(hit0, _)).getOrElse(hit0)
       .where(matched).cache()
     try {
       val affected = hit.select("__gdvf").distinct()
@@ -1046,7 +1163,8 @@ object MergeStore {
         if (existing.isEmpty) doomed
         else doomed.unionByName(dvPositions(spark, target, existing))
       val updates = writeDvSidecars(spark, target, allPos, affected, next)
-      val newFiles = writeFiles(updated.repartition(1), target)
+      val newFiles =
+        writeFiles(toPhysical(updated.repartition(1), schema), target)
       val (bCols, fpp) = inheritedBloom(target, parentV)
       // One commit: vectors bury the old images, the appended file
       // carries the new ones; stats for the new file ride along.
@@ -1137,8 +1255,8 @@ object MergeStore {
     val survivors = readSubset(spark, target, parentV, full, marked)
     val newFiles =
       if (survivors.isEmpty) Seq.empty
-      else writeFiles(
-        survivors.repartition(math.max(1, marked.size)), target)
+      else writeFiles(toPhysical(
+        survivors.repartition(math.max(1, marked.size)), schema), target)
     val (bCols, fpp) = inheritedBloom(target, parentV)
     commitWithStats(spark, target,
       (before.filterNot(marked.toSet) ++ newFiles).distinct, parentV,
@@ -1173,10 +1291,10 @@ object MergeStore {
         if (names.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
-        else applyDv(spark, target, version,
-          spark.read.schema(st).parquet(
+        else toLogical(applyDv(spark, target, version,
+          spark.read.schema(physicalSchema(st)).parquet(
             names.map(f => dataDir(target).resolve(f).toString): _*),
-          Some(names))
+          Some(names)), st)
       case None =>
         if (names.isEmpty) full.limit(0)
         else full.limit(0).unionByName(
@@ -1208,8 +1326,8 @@ object MergeStore {
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
             .withColumn("__file", lit(""))
-        else marked(spark.read.schema(st).parquet(
-          names.map(f => dataDir(target).resolve(f).toString): _*))
+        else toLogical(marked(spark.read.schema(physicalSchema(st)).parquet(
+          names.map(f => dataDir(target).resolve(f).toString): _*)), st)
       case None =>
         if (names.isEmpty) full.limit(0).withColumn("__file", lit(""))
         else full.limit(0).withColumn("__file", lit(""))
@@ -1441,6 +1559,19 @@ object MergeStore {
       s"merge batch carries columns absent from the table " +
         s"(${extra.mkString(", ")}) — a drifted producer, or pass " +
         "allowSchemaEvolution=true to append them")
+    val tableSchema = manifestSchema(target, parentV)
+    // A renamed-away column's PHYSICAL name is still spelled inside
+    // every carried file; evolving in a new column under that name
+    // would make two fields collide on disk (and resurrect old bytes).
+    val physTaken = tableSchema.toSeq.flatMap(_.fields)
+      .filter(f => physicalNameOf(f) != f.name)
+      .map(physicalNameOf).toSet
+    val collides = extra.filter(physTaken.contains)
+    require(collides.isEmpty,
+      s"evolved column(s) ${collides.mkString(", ")} collide with the " +
+        s"on-disk (physical) name of a renamed column at $target — " +
+        "pick another name, or compact and re-init to retire the " +
+        "physical name")
     val batchOnlyOrd = ordCols.filterNot(snapshot.columns.contains)
     val incoming = (
       if (allowSchemaEvolution)
@@ -1475,14 +1606,19 @@ object MergeStore {
       .join(incoming, pk, "left_anti")
     val replacement =
       survivors.unionByName(incoming, allowMissingColumns = true)
+    // The recorded schema re-inherits the table's rename mapping:
+    // `incoming` is built over the user batch, whose attributes carry
+    // no field metadata.
+    val recorded = withMapping(incoming.schema, tableSchema)
     val newFiles =
-      if (affected.isEmpty) writeFiles(incoming, target)
-      else writeFiles(replacement.repartition(math.max(1, affected.size)), target)
+      if (affected.isEmpty) writeFiles(toPhysical(incoming, recorded), target)
+      else writeFiles(toPhysical(
+        replacement.repartition(math.max(1, affected.size)), recorded), target)
     val sCols = statsColumns(target, Some(parentV))
     val (bCols, fpp) = inheritedBloom(target, parentV)
     try commitWithStats(spark, target,
       (before.filterNot(affected) ++ newFiles).distinct, parentV,
-      Map.empty, newFiles, sCols, incoming.schema, bCols, fpp)
+      Map.empty, newFiles, sCols, recorded, bCols, fpp)
     finally incoming.unpersist()
     MergeStats(before.size, affected.size, rowsInserted, rowsUpdated)
   }
@@ -1594,7 +1730,8 @@ object MergeStore {
     // A fully-dead file set writes nothing — the manifest just drops it.
     val newFiles =
       if (kept.isEmpty) Seq.empty
-      else writeFiles(kept.repartition(math.max(1, affected.size)), target)
+      else writeFiles(toPhysical(
+        kept.repartition(math.max(1, affected.size)), schema), target)
     val (bCols, fpp) = inheritedBloom(target, parentV)
     commitWithStats(spark, target,
       (before.filterNot(affected) ++ newFiles).distinct, parentV,
@@ -1804,14 +1941,24 @@ object MergeStore {
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[String] = {
     if (filters.isEmpty || files.isEmpty) return files
+    // The skipping relation's dataSchema is the PHYSICAL one (it must
+    // match the files), so pushed filters name physical columns; stats
+    // and bloom lines key by logical name. Physical names are unique,
+    // so the translation is unambiguous.
+    val ren = manifestSchema(target, version)
+      .map(logicalByPhysical).getOrElse(Map.empty)
+    def logical(c: String): String = ren.getOrElse(c, c)
     val afterStats = pruneByConstraints(target, version, files,
-      boundsOfExpressions(filters))
+      boundsOfExpressions(filters).map { case (c, lo, hi) =>
+        (logical(c), lo, hi)
+      })
     val bCols = bloomColumns(target, Some(version))
     if (bCols.isEmpty || afterStats.isEmpty) afterStats
     else {
       val meta = manifestMeta(target, Some(version))
       bloomPointsOfExpressions(filters).foldLeft(afterStats) {
-        case (fs, (c, vs)) =>
+        case (fs, (c0, vs)) =>
+          val c = logical(c0)
           if (!bCols.contains(c) || fs.isEmpty) fs
           else bloomPruneFiles(target, meta, fs, c, vs)
       }
@@ -1895,8 +2042,8 @@ object MergeStore {
           case None => col(f.name)
         }
       }.toSeq: _*)
-    val newFiles = writeFiles(
-      updated.repartition(math.max(1, affected.size)), target)
+    val newFiles = writeFiles(toPhysical(
+      updated.repartition(math.max(1, affected.size)), schema), target)
     val (bCols, fpp) = inheritedBloom(target, parentV)
     commitWithStats(spark, target,
       (before.filterNot(affected) ++ newFiles).distinct, parentV,
@@ -2092,9 +2239,7 @@ object MergeStore {
     * drop would un-prune existing consumers), and on legacy
     * schema-less manifests (compact once to record the schema).
     * ADD COLUMN is merge's `allowSchemaEvolution`; RENAME is
-    * deliberately absent — it needs per-file logical→physical name
-    * mapping (Delta column mapping), a format revision this store
-    * doesn't carry. */
+    * [[renameColumn]] (column mapping). */
   def dropColumn(spark: SparkSession, target: String,
                  colName: String): Int = {
     val parentV = currentVersion(target)
@@ -2133,6 +2278,95 @@ object MergeStore {
       schema.fields.filterNot(_.name == colName))
     val meta = manifestMeta(target, Some(parentV)).filterNot { case (k, _) =>
       isStatsKey(k) && k.substring(k.lastIndexOf(':') + 1) == colName
+    } + (SchemaKey -> newSchema.json)
+    commit(target, liveFiles(target, Some(parentV)), parentV, meta)
+  }
+
+  /** RENAME COLUMN as a metadata-only commit — Delta's column-mapping
+    * move (Iceberg reaches the same place with field ids): the field
+    * keeps its ON-DISK (physical) column name forever, recorded as
+    * [[PhysicalNameKey]] metadata on the field in the manifest schema,
+    * and only the LOGICAL name changes. Zero data movement at any
+    * scale — a 100 TB rename is one manifest write — because every
+    * reader maps physical→logical in one alias-only projection and
+    * every writer maps back ([[toLogical]]/[[toPhysical]]), so carried
+    * files and post-rename files stay mutually readable. Per-file
+    * stats and bloom manifest lines key by logical name; this commit
+    * rewrites them (and `stats.cols`/`bloom.cols`) in the SAME CAS, so
+    * data skipping on the renamed column keeps working with no window
+    * where keys and schema disagree. Time travel below the rename
+    * shows the old name; RESTORE to a pre-rename version restores it
+    * (the restored manifest's schema is authoritative); the change
+    * feed across a rename commit is empty (content is identity — the
+    * feed speaks the reading span's head names). Chained renames
+    * compose (the physical name never moves again); renaming BACK to
+    * the physical name retires the mapping entry.
+    *
+    * Refused when a CHECK constraint references the column (its SQL
+    * text would silently stop binding — drop and re-add it spelled
+    * with the new name), when `to` is already a logical column, and on
+    * legacy schema-less manifests (compact once to record the schema).
+    * The freed logical name stays RESERVED on disk: schema evolution
+    * refuses to add a column whose name collides with any mapped
+    * field's physical name (the carried files still spell it — a new
+    * field under that name would resurrect old bytes). */
+  def renameColumn(spark: SparkSession, target: String,
+                   from: String, to: String): Int = {
+    val parentV = currentVersion(target)
+      .getOrElse(sys.error(s"no committed version at $target"))
+    val schema = manifestSchema(target, parentV).getOrElse(sys.error(
+      s"renameColumn at $target needs a manifest-recorded schema — " +
+        "run compact once to record it"))
+    require(schema.fieldNames.contains(from),
+      s"no column '$from' at $target")
+    require(to != from, s"renameColumn at $target: '$from' -> itself")
+    require(!schema.fieldNames.contains(to),
+      s"column '$to' already exists at $target")
+    require(to.nonEmpty && !to.exists(c => c == ':' || c == '=' ||
+        c == ',' || c == '\n' || c == '\r'),
+      s"column name '$to' would corrupt manifest stats keys " +
+        "(':', '=', ',' and newlines are reserved)")
+    // Same public analyze-a-zero-row-filter probe as dropColumn: a
+    // constraint whose SQL references the old name would silently stop
+    // binding after the rename.
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val referencing = constraints(target, Some(parentV)).filter {
+      case (_, check) =>
+        try probe.limit(0).where(expr(check)).queryExecution.analyzed
+          .collectFirst {
+            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+              f.condition.references.map(_.name).toSet
+          }.exists(_.contains(from))
+        catch { case _: Throwable => check.contains(from) }
+    }
+    require(referencing.isEmpty,
+      s"column '$from' at $target is referenced by constraint(s) " +
+        s"${referencing.keys.mkString(", ")} — drop them first and " +
+        "re-add them spelled with the new name")
+    val newSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.map { f =>
+        if (f.name != from) f
+        else {
+          val phys = physicalNameOf(f)
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+          // Renaming back to the on-disk name retires the mapping.
+          val md = if (to == phys) mb.remove(PhysicalNameKey).build()
+            else mb.putString(PhysicalNameKey, phys).build()
+          f.copy(name = to, metadata = md)
+        }
+      })
+    // Stats/bloom lines and the column lists key by LOGICAL name —
+    // rewrite them inside the same CAS so skipping never goes stale.
+    val meta = manifestMeta(target, Some(parentV)).map {
+      case (k, v) if isStatsKey(k) && statsKeyCol(k) == from =>
+        statsKey(statsKeyFile(k), to) -> v
+      case (k, v) if isBloomKey(k) && statsKeyCol(k) == from =>
+        bloomKey(statsKeyFile(k), to) -> v
+      case (k, v) if k == StatsColsKey || k == BloomColsKey =>
+        k -> v.split(",").map(c => if (c == from) to else c).mkString(",")
+      case kv => kv
     } + (SchemaKey -> newSchema.json)
     commit(target, liveFiles(target, Some(parentV)), parentV, meta)
   }
@@ -2253,6 +2487,7 @@ object MergeStore {
         return ApplyStats(before.size, 0, 0L, 0L, skippedReplay = true)
     }
     val snapshot = read(spark, target, Some(parentV))
+    val recorded = withMapping(snapshot.schema, manifestSchema(target, parentV))
     val ord = if (ordCols.nonEmpty) ordCols.map(col)
       else Seq(monotonically_increasing_id())
     val incoming = Upsert.dedupByKey(
@@ -2288,7 +2523,7 @@ object MergeStore {
         // carried stats ride along untouched.
         if (meta.nonEmpty)
           commitWithStats(spark, target, before, parentV, meta, Nil,
-            sCols, snapshot.schema, bCols, bloomFpp)
+            sCols, recorded, bCols, bloomFpp)
         return ApplyStats(before.size, 0, 0L, 0L)
       }
       val survivors = readSubset(spark, target, parentV, snapshot,
@@ -2297,13 +2532,14 @@ object MergeStore {
         .join(keys, pk, "left_anti")
       val replacement = survivors.unionByName(incoming)
       val newFiles =
-        if (affected.isEmpty) writeFiles(incoming, target)
+        if (affected.isEmpty) writeFiles(toPhysical(incoming, recorded), target)
         else if (replacement.isEmpty) Seq.empty
-        else writeFiles(
-          replacement.repartition(math.max(1, affected.size)), target)
+        else writeFiles(toPhysical(
+          replacement.repartition(math.max(1, affected.size)), recorded),
+          target)
       commitWithStats(spark, target,
         (before.filterNot(affected) ++ newFiles).distinct, parentV,
-        meta, newFiles, sCols, incoming.schema, bCols, bloomFpp)
+        meta, newFiles, sCols, recorded, bCols, bloomFpp)
       ApplyStats(before.size, affected.size, rowsUpserted, rowsDeleted)
     } finally { incoming.unpersist(); keys.unpersist() }
   }
@@ -2335,12 +2571,17 @@ object MergeStore {
   def diff(spark: SparkSession, target: String,
            fromVersion: Int, toVersion: Int): DataFrame = {
     requireSpanReadable(target, fromVersion, toVersion)
+    // BOTH sides surface the TO version's logical names: physical
+    // (on-disk) names are the stable identity across a rename, so a
+    // span straddling a rename commit still aligns row-for-row.
+    val renames = manifestSchema(target, toVersion)
+      .map(logicalByPhysical).getOrElse(Map.empty)
     def readFiles(names: Seq[String], v: Int): Option[DataFrame] =
       if (names.isEmpty) None
-      else Some(applyDv(spark, target, v,
+      else Some(renameAll(applyDv(spark, target, v,
         spark.read.option("mergeSchema", "true").parquet(
           names.map(f => dataDir(target).resolve(f).toString): _*),
-        Some(names)))
+        Some(names)), renames))
     val before = liveFiles(target, Some(fromVersion)).toSet
     val after = liveFiles(target, Some(toVersion)).toSet
     // Rows of COMMON files un-deleted across the span (a restore below
@@ -2389,10 +2630,13 @@ object MergeStore {
     }
     val pFrom = posOf(fromDv)
     val pTo = posOf(toDv)
-    val content = spark.read.option("mergeSchema", "true").parquet(
-        changed.map(f => dataDir(target).resolve(f).toString): _*)
-      .withColumn("__gdvf", element_at(split(input_file_name(), "/"), -1))
-      .withColumn("__gdvp", col("_metadata.row_index"))
+    val content = renameAll(
+      spark.read.option("mergeSchema", "true").parquet(
+          changed.map(f => dataDir(target).resolve(f).toString): _*)
+        .withColumn("__gdvf", element_at(split(input_file_name(), "/"), -1))
+        .withColumn("__gdvp", col("_metadata.row_index")),
+      manifestSchema(target, toVersion)
+        .map(logicalByPhysical).getOrElse(Map.empty))
     def rowsAt(pos: DataFrame): DataFrame =
       content.join(broadcast(pos), Seq("__gdvf", "__gdvp"), "left_semi")
         .drop("__gdvf", "__gdvp")
@@ -2425,12 +2669,16 @@ object MergeStore {
               pk: Seq[String], includePreimages: Boolean = false): DataFrame = {
     require(pk.nonEmpty, s"changes at $target needs a key")
     requireSpanReadable(target, fromVersion, toVersion)
+    // Both sides in the TO version's logical names (see [[diff]]) —
+    // `pk` is spelled in the consumer's present-day names.
+    val renames = manifestSchema(target, toVersion)
+      .map(logicalByPhysical).getOrElse(Map.empty)
     def readFiles(names: Seq[String], v: Int): Option[DataFrame] =
       if (names.isEmpty) None
-      else Some(applyDv(spark, target, v,
+      else Some(renameAll(applyDv(spark, target, v,
         spark.read.option("mergeSchema", "true").parquet(
           names.map(f => dataDir(target).resolve(f).toString): _*),
-        Some(names)))
+        Some(names)), renames))
     val beforeNames = liveFiles(target, Some(fromVersion)).toSet
     val afterNames = liveFiles(target, Some(toVersion)).toSet
     val emptyOut = read(spark, target, Some(toVersion)).limit(0)
@@ -2554,9 +2802,10 @@ object MergeStore {
         f.name == c && tagOf(f.dataType).isDefined))
     val (inhB, fpp) = inheritedBloom(target, parentV)
     val bCols = bloomCols.getOrElse(inhB)
-    val files = writeFiles(arranged, target)
+    val recorded = withMapping(df.schema, manifestSchema(target, parentV))
+    val files = writeFiles(toPhysical(arranged, recorded), target)
     commitWithStats(spark, target, files, parentV, meta, files, sCols,
-      df.schema, bCols, fpp)
+      recorded, bCols, fpp)
   }
 
   /** Delete data files outside the retention window: anything not
