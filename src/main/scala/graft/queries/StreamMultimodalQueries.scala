@@ -526,6 +526,32 @@ object StreamMultimodalQueries extends QueryFamily {
     None,
     oracleGen = Some(imageClusterOracle))
 
+  private val q124 = QueryDef(
+    "q124_stream_join",
+    "Stream-STREAM interval join (attribution): the events parquet " +
+      "replayed as a file-source stream, split into watermarked click " +
+      "and purchase sides, inner-joined per user on a 30-minute " +
+      "attribution window (p.ts in [c.ts, c.ts + 30 min)), append mode " +
+      "into a memory sink. The time-range condition + both-side " +
+      "watermarks make the join state provably bounded — " +
+      "O(rate x (window + lateness)) instead of both streams — and " +
+      "with a lateness budget covering the replay the streamed pairs " +
+      "are bit-identical to the batch join, which is exactly what the " +
+      "DuckDB oracle replays.",
+    (s, dir) => graft.streaming.StreamingJoin
+      .runAttributionAvailableNow(s, dir, windowMinutes = 30)
+      .orderBy("user_id", "click_id", "purchase_id"),
+    Some("""
+      SELECT c.user_id AS user_id, c.event_id AS click_id,
+             p.event_id AS purchase_id,
+             CAST((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS BIGINT)
+               AS lag_sec
+      FROM events c JOIN events p
+        ON c.user_id = p.user_id
+       AND c.event_type = 'click' AND p.event_type = 'purchase'
+       AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+      ORDER BY c.user_id, click_id, purchase_id"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q32, q33, q34, q82, q90, q95, q100, q102, q103, q104)
+    Seq(q32, q33, q34, q82, q90, q95, q100, q102, q103, q104, q124)
 }
