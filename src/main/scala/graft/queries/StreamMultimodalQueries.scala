@@ -552,6 +552,39 @@ object StreamMultimodalQueries extends QueryFamily {
        AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
       ORDER BY c.user_id, click_id, purchase_id"""))
 
+  private val q125 = QueryDef(
+    "q125_stream_join_outer",
+    "LEFT OUTER stream-stream join (conversion funnel): q124's " +
+      "attribution join, but every click surfaces — matched pairs emit " +
+      "eagerly, an UNMATCHED click emits once with NULLs when the " +
+      "watermark closes its window (the engine must know no purchase " +
+      "can still arrive). A bounded replay therefore leaves the final " +
+      "delay+window of clicks unemitted, and the global watermark is " +
+      "the MIN across the two sides' own event-time maxima (each " +
+      "watermark node sees only its filtered rows) — the oracle " +
+      "replays the batch left join restricted to exactly that " +
+      "closed-click subset.",
+    (s, dir) => graft.streaming.StreamingJoin
+      .runAttributionOuterAvailableNow(s, dir, windowMinutes = 30,
+        delay = "10 minutes")
+      .orderBy("user_id", "click_id", "purchase_id"),
+    Some("""
+      WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+      p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      wm AS (
+        SELECT least((SELECT epoch_ms(max(ts)) FROM c),
+                     (SELECT epoch_ms(max(ts)) FROM p))
+               - 600000 - 1800000 AS cutoff_ms)
+      SELECT c.user_id AS user_id, c.event_id AS click_id,
+             p.event_id AS purchase_id,
+             CAST((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS BIGINT)
+               AS lag_sec
+      FROM c LEFT JOIN p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE, wm
+      WHERE p.event_id IS NOT NULL OR epoch_ms(c.ts) < wm.cutoff_ms
+      ORDER BY user_id, click_id, purchase_id"""))
+
   override val defs: Seq[QueryDef] =
-    Seq(q32, q33, q34, q82, q90, q95, q100, q102, q103, q104, q124)
+    Seq(q32, q33, q34, q82, q90, q95, q100, q102, q103, q104, q124, q125)
 }

@@ -2371,6 +2371,43 @@ object MergeStore {
     commit(target, liveFiles(target, Some(parentV)), parentV, meta)
   }
 
+  /** ADD COLUMN as a metadata-only commit — the explicit-DDL face of
+    * schema evolution (merge's `allowSchemaEvolution` needs a data
+    * batch to carry the new field; `ALTER TABLE ADD COLUMN` should
+    * not). The recorded schema gains a nullable field; every live file
+    * predates it, so readers null-fill by the parquet missing-column
+    * rule exactly as an evolving merge's carried files do, and later
+    * writes land values normally. Zero data movement at any scale.
+    * Refused when the name is already a logical column, or when it
+    * collides with a mapped field's ON-DISK name (the carried files
+    * spell that name — a new field over it would resurrect the renamed
+    * column's bytes), and on legacy schema-less manifests. */
+  def addColumn(spark: SparkSession, target: String, colName: String,
+                dataType: org.apache.spark.sql.types.DataType): Int = {
+    val parentV = currentVersion(target)
+      .getOrElse(sys.error(s"no committed version at $target"))
+    val schema = manifestSchema(target, parentV).getOrElse(sys.error(
+      s"addColumn at $target needs a manifest-recorded schema — " +
+        "run compact once to record it"))
+    require(!schema.fieldNames.contains(colName),
+      s"column '$colName' already exists at $target")
+    require(colName.nonEmpty && !colName.exists(c => c == ':' || c == '=' ||
+        c == ',' || c == '\n' || c == '\r'),
+      s"column name '$colName' would corrupt manifest stats keys " +
+        "(':', '=', ',' and newlines are reserved)")
+    val physTaken = schema.fields
+      .filter(f => physicalNameOf(f) != f.name).map(physicalNameOf).toSet
+    require(!physTaken.contains(colName),
+      s"column '$colName' collides with the on-disk (physical) name of " +
+        s"a renamed column at $target — pick another name, or compact " +
+        "and re-init to retire the physical name")
+    val newSchema = org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField(
+        colName, dataType, nullable = true))
+    commit(target, liveFiles(target, Some(parentV)), parentV,
+      manifestMeta(target, Some(parentV)) + (SchemaKey -> newSchema.json))
+  }
+
   /** Fail `verb` loudly if any of the table's constraints rejects a row
     * of `rows` (the verb's NEW row content — incoming batch, post-SET
     * projection); one combined aggregate, no commit has happened yet. */

@@ -214,6 +214,41 @@ class RenameColumnSpec extends SparkSpec {
     assert(e3.getMessage.contains("schema"))
   }
 
+  test("addColumn: metadata-only; null-filled reads; verbs land values") {
+    val t = freshTable("add-col")
+    val filesBefore = MergeStore.liveFiles(t)
+    MergeStore.addColumn(spark, t, "score",
+      org.apache.spark.sql.types.LongType)
+    assert(MergeStore.liveFiles(t) == filesBefore, "addColumn rewrote data")
+    val back = MergeStore.read(spark, t)
+    assert(back.columns.toSeq == Seq("id", "grp", "payload", "score"))
+    assert(back.where($"score".isNotNull).count() == 0) // null-filled
+    assert(MergeStore.readSkipping(spark, t)
+      .where($"score".isNull).count() == N)
+    // Writes land values in the new column; bystanders stay null.
+    MergeStore.merge(spark, spark.range(10L).select(col("id"),
+      lit(0).cast("int").as("grp"), lit("s").as("payload"),
+      (col("id") * 11).as("score")), t, Seq("id"))
+    MergeStore.updateWhere(spark, t, col("id") === 20L,
+      Map("score" -> lit(999L)))
+    val scored = MergeStore.read(spark, t)
+      .where($"score".isNotNull).select($"id", $"score")
+      .as[(Long, Long)].collect().toMap
+    assert(scored.size == 11)
+    assert(scored(3L) == 33L && scored(20L) == 999L)
+    // Refusals: duplicate, and a renamed-away physical name.
+    intercept[IllegalArgumentException] {
+      MergeStore.addColumn(spark, t, "score",
+        org.apache.spark.sql.types.LongType)
+    }
+    MergeStore.renameColumn(spark, t, "payload", "body")
+    val e = intercept[IllegalArgumentException] {
+      MergeStore.addColumn(spark, t, "payload",
+        org.apache.spark.sql.types.StringType)
+    }
+    assert(e.getMessage.contains("physical"))
+  }
+
   test("clone carries the mapping; IVM view follows a renamed source") {
     val t = freshTable("ren-clone")
     MergeStore.renameColumn(spark, t, "payload", "text")

@@ -35,6 +35,21 @@ class StreamingJoinSpec extends SparkSpec {
     assert(streamed == batchPairs)
   }
 
+  test("left-outer stream-stream join == matched pairs + closed unmatched clicks") {
+    val streamed = StreamingJoin.runAttributionOuterAvailableNow(
+        spark, sf(), windowMinutes = WIN, delay = "10 minutes")
+      .orderBy("user_id", "click_id", "purchase_id")
+      .collect().toSeq
+    val batch = StreamingJoin.attributionOuterBatch(
+        Tables.load(spark, sf(), "events"), WIN, delayMs = 600000L)
+      .orderBy("user_id", "click_id", "purchase_id")
+      .collect().toSeq
+    assert(streamed.exists(_.isNullAt(2)),
+      "no unconverted clicks emitted — the outer side never flushed")
+    assert(streamed == batch,
+      s"${streamed.size} streamed vs ${batch.size} batch rows")
+  }
+
   test("multi-batch in-order replay still equals the batch twin") {
     val dir = tmpDir("graft-sjoin-multi")
     val ev = Tables.load(spark, sf(), "events")
