@@ -980,7 +980,44 @@ object StoreQueries extends QueryFamily {
       WHERE doc_id % 5 <> 0 AND doc_id <= 1500
       ORDER BY document_id"""))
 
+  private val q126 = QueryDef(
+    "q126_wap_publish",
+    "Write-audit-publish: documents lands as the source table; a " +
+      "zero-copy BRANCH stages a revision merge (doc_id % 9 gets ' wap' " +
+      "appended) plus a predicate delete (doc_id % 23 = 0) while the " +
+      "source stays untouched; an audit reads the branch; then " +
+      "publishTable swaps the branch head onto the source as ONE " +
+      "manifest CAS against the recorded branch point. The oracle " +
+      "replays the staged verbs from scratch over the source input: a " +
+      "publish that leaked early, lost a staged verb, or clobbered " +
+      "the wrong base breaks the hash.",
+    (s, dir) => {
+      val target = preparedTable(s, dir, "q126") { t =>
+        val branch = java.nio.file.Files
+          .createTempDirectory("graft-q126-br").toString + "/branch"
+        MergeStore.branchTable(s, t, branch)
+        MergeStore.merge(s,
+          MergeStore.read(s, branch).where(col("doc_id") % 9 === 0)
+            .withColumn("text", concat(col("text"), lit(" wap"))),
+          branch, pk = Seq("doc_id"))
+        MergeStore.deleteWhere(s, branch, col("doc_id") % 23 === 0)
+        require(MergeStore.read(s, branch).count() > 0) // the audit
+        MergeStore.publishTable(s, t, branch,
+          meta = Map("audit.stamp" -> "q126"))
+      }
+      MergeStore.read(s, target)
+        .select(col("doc_id"), length(col("text")).as("len"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(CASE WHEN doc_id % 9 = 0 THEN length(text || ' wap')
+                       ELSE length(text) END AS INTEGER) AS len
+      FROM documents
+      WHERE doc_id % 23 <> 0
+      ORDER BY doc_id"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q91, q92, q96, q97, q98, q101, q107, q109, q110, q111, q112,
-      q113, q115, q116, q117, q118, q119, q120, q121, q122, q123)
+      q113, q115, q116, q117, q118, q119, q120, q121, q122, q123, q126)
 }

@@ -2128,7 +2128,12 @@ object MergeStore {
     * is a new table identity, not a follower — initialize followers
     * explicitly from the clone point. */
   def cloneTable(spark: SparkSession, source: String, dest: String,
-                 version: Option[Int] = None): Unit = {
+                 version: Option[Int] = None): Unit =
+    cloneWithMeta(source, dest, version, Map.empty)
+
+  private def cloneWithMeta(source: String, dest: String,
+                            version: Option[Int],
+                            extraMeta: Map[String, String]): Unit = {
     val v = version.orElse(currentVersion(source))
       .getOrElse(sys.error(s"no committed version at $source"))
     requireSpanReadable(source, v)
@@ -2165,7 +2170,110 @@ object MergeStore {
         }
       }
     }
-    commit(dest, files, -1, carried)
+    commit(dest, files, -1, carried ++ extraMeta)
+  }
+
+  // ------------------------------------------------------------------
+  // Write-audit-publish (WAP): stage a batch of verbs on a zero-copy
+  // BRANCH, audit the staged state with real queries, then publish the
+  // branch head back onto the source as ONE atomic commit — or drop
+  // the branch directory and nothing ever happened. The Iceberg WAP /
+  // Delta shallow-clone-then-swap workflow, built from parts the store
+  // already has: branch = clone + a recorded base version, publish =
+  // re-link + manifest CAS against that base. At 100 TB both
+  // directions are O(changed files) in data movement — ZERO bytes
+  // copy; only directory entries and one manifest write.
+  // ------------------------------------------------------------------
+
+  private[store] val WapSourceKey = "wap.source"
+  private[store] val WapBaseKey = "wap.base"
+
+  /** Create an audit branch of `source`'s head: a zero-copy clone that
+    * additionally records WHERE it came from and WHICH version — the
+    * base the eventual publish must CAS against. Mutate it with any
+    * verb; audit it with any reader; then [[publishTable]] or just
+    * delete the branch directory. (The markers live on the branch's
+    * birth commit — a branch vacuum that drops v0's manifest orphans
+    * the branch from its source; branches are short-lived staging
+    * areas, not tables to retain-and-vacuum.) */
+  def branchTable(spark: SparkSession, source: String,
+                  branch: String): Int = {
+    val base = currentVersion(source)
+      .getOrElse(sys.error(s"no committed version at $source"))
+    cloneWithMeta(source, branch, Some(base), Map(
+      WapSourceKey -> Paths.get(source).toAbsolutePath.normalize.toString,
+      WapBaseKey -> base.toString))
+    base
+  }
+
+  /** Publish an audited branch back onto its source: the branch head's
+    * file list (data files hard-linked into the source's directories —
+    * names are birth-unique, shared files already exist) and its
+    * schema/stats/bloom/DV/constraint metadata become the source's
+    * next version in ONE manifest CAS against the RECORDED base.
+    *
+    * Concurrency contract: if the source advanced past the branch
+    * point — a rival writer, another publish — this fails with a named
+    * error BEFORE linking anything visible to readers, because a
+    * publish is a whole-state swap and rebasing staged verbs onto
+    * moved data is exactly the replay the branch exists to avoid:
+    * re-branch from the new head and replay the verbs. A CAS loss in
+    * the final commit (rival landed between the check and the link)
+    * surfaces as the usual ConcurrentModificationException. The
+    * `wap.*` markers stay on the branch; caller `meta` (an audit
+    * stamp, a progress marker) rides the published commit. */
+  def publishTable(spark: SparkSession, source: String, branch: String,
+                   meta: Map[String, String] = Map.empty): Int = {
+    val bHead = currentVersion(branch)
+      .getOrElse(sys.error(s"no committed version at branch $branch"))
+    val bMeta = manifestMeta(branch, Some(bHead))
+    // The wap markers live on the branch's BIRTH commit (verb commits
+    // carry only schema/stats/policy metadata) — the history-walking
+    // marker read finds them whatever the branch did since.
+    val recorded = markerValue(branch, WapSourceKey).getOrElse(sys.error(
+      s"$branch is not a WAP branch (no $WapSourceKey marker) — " +
+        "create it with branchTable"))
+    val srcNorm = Paths.get(source).toAbsolutePath.normalize.toString
+    require(recorded == srcNorm,
+      s"branch $branch was cut from $recorded, not $srcNorm")
+    val base = markerValue(branch, WapBaseKey).get.toInt
+    val head = currentVersion(source)
+      .getOrElse(sys.error(s"no committed version at $source"))
+    if (head != base)
+      throw new java.util.ConcurrentModificationException(
+        s"cannot publish $branch onto $source: source advanced to " +
+          s"v$head past the branch point v$base — re-branch from the " +
+          "new head and replay the staged verbs (publish never " +
+          "clobbers concurrent commits)")
+    val files = liveFiles(branch, Some(bHead))
+    // Link data + sidecars under the source BEFORE the CAS: until the
+    // manifest lands, they are invisible orphans (vacuum-grace-
+    // protected like any staged write); after it, they are the state.
+    Files.createDirectories(dataDir(source))
+    files.foreach { f =>
+      val to = dataDir(source).resolve(f)
+      if (!Files.exists(to))
+        Files.createLink(to, dataDir(branch).resolve(f))
+    }
+    val published = bMeta -- Seq(WapSourceKey, WapBaseKey)
+    published.foreach { case (k, sidecar) =>
+      if (isBloomKey(k)) {
+        val from = bloomsDir(branch).resolve(sidecar)
+        val to = bloomsDir(source).resolve(sidecar)
+        if (Files.exists(from) && !Files.exists(to)) {
+          Files.createDirectories(bloomsDir(source))
+          Files.createLink(to, from)
+        }
+      } else if (isDvKey(k)) {
+        val from = dvDir(branch).resolve(sidecar)
+        val to = dvDir(source).resolve(sidecar)
+        if (Files.exists(from) && !Files.exists(to)) {
+          Files.createDirectories(dvDir(source))
+          Files.createLink(to, from)
+        }
+      }
+    }
+    commit(source, files, base, published ++ meta)
   }
 
   // ------------------------------------------------------------------
