@@ -180,9 +180,17 @@ object MergeStore {
     val rest = k.drop(2) // both prefixes are two chars
     rest.take(rest.indexOf(':'))
   }
-  /** Column an `s:`/`b:` per-file key describes. */
+  /** Column an `s:`/`b:`/`n:` per-file key describes. */
   private def statsKeyCol(k: String): String =
     k.substring(k.lastIndexOf(':') + 1)
+  /** Per-file null-count lines `n:<file>:<col>=<nulls> <rows>` — the
+    * lakehouse nullCount stat (Delta keeps it per column): IS NOT NULL
+    * prunes files whose column is ENTIRELY null (exactly the files
+    * min/max stats cannot describe at all), IS NULL prunes files with
+    * no nulls. Spark pushes IsNotNull alongside every equality/range
+    * filter, so sparse optional columns prune with no user action. */
+  private def isNullsKey(k: String): Boolean = k.startsWith("n:")
+  private def nullsKey(file: String, column: String) = s"n:$file:$column"
 
   // ------------------------------------------------------------------
   // Column mapping: RENAME COLUMN without rewriting a byte (Delta's
@@ -288,7 +296,7 @@ object MergeStore {
                        version: Option[Int] = None): Map[String, String] =
     manifestMeta(target, version).filterNot { case (k, _) =>
       k == StatsColsKey || k == SchemaKey || k == BloomColsKey ||
-        k == BloomFppKey || isStatsKey(k) || isBloomKey(k)
+        k == BloomFppKey || isStatsKey(k) || isBloomKey(k) || isNullsKey(k)
     }
 
   /** The table's stats columns at a version (empty = no stats kept —
@@ -378,6 +386,68 @@ object MergeStore {
       }.toSeq.groupBy(_._1)
       .map { case (f, kvs) => f -> kvs.map(_._2).toMap }
 
+  /** Per-file null-count stats of a version:
+    * file -> col -> (nulls, rows). */
+  private def fileNullsOf(target: String, version: Int)
+      : Map[String, Map[String, (Long, Long)]] =
+    manifestMeta(target, Some(version)).iterator
+      .filter { case (k, _) => isNullsKey(k) }
+      .flatMap { case (k, v) =>
+        v.split(" ", 2) match {
+          case Array(n, r) =>
+            try Some(statsKeyFile(k) ->
+              (statsKeyCol(k) -> (n.toLong, r.toLong)))
+            catch { case _: NumberFormatException => None }
+          case _ => None // malformed line: file stays a candidate
+        }
+      }.toSeq.groupBy(_._1)
+      .map { case (f, kvs) => f -> kvs.map(_._2).toMap }
+
+  /** Nullness constraints of resolved filter conjuncts:
+    * `(col, wantNull)` for every top-level IS NULL / IS NOT NULL on a
+    * bare column. Spark pushes IsNotNull alongside every equality and
+    * range filter, so this fires on ordinary predicates for free. */
+  private[store] def nullnessOfExpressions(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[(String, Boolean)] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    def conjuncts(e: ce.Expression): Seq[ce.Expression] = e match {
+      case ce.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    exprs.flatMap(conjuncts).flatMap {
+      case ce.IsNull(a: ce.AttributeReference) => Some(a.name -> true)
+      case ce.IsNotNull(a: ce.AttributeReference) => Some(a.name -> false)
+      case _ => None
+    }
+  }
+
+  /** Prune by null-count lines: IS NOT NULL drops files whose stats
+    * column is ENTIRELY null (rows > 0, nulls == rows — the files
+    * min/max lines cannot describe at all), IS NULL drops files with
+    * zero nulls. Missing/malformed lines keep the file a candidate —
+    * the usual guaranteed-superset contract. */
+  private def pruneByNullness(target: String, version: Int,
+                              files: Seq[String],
+                              wants: Seq[(String, Boolean)]): Seq[String] = {
+    if (wants.isEmpty || files.isEmpty) return files
+    val sCols = statsColumns(target, Some(version))
+    val applicable = wants.filter { case (c, _) => sCols.contains(c) }
+    if (applicable.isEmpty) return files
+    val nulls = fileNullsOf(target, version)
+    files.filter { f =>
+      val fs = nulls.getOrElse(f, Map.empty)
+      applicable.forall { case (c, wantNull) =>
+        fs.get(c) match {
+          case Some((n, rows)) =>
+            if (wantNull) n > 0L || rows == 0L
+            else n < rows || rows == 0L
+          case None => true
+        }
+      }
+    }
+  }
+
   /** Files of `version` that may hold rows with `bounds`-overlapping
     * values on EVERY bounded column (a file disjoint on ANY column
     * cannot hold a conjunctive match). `bounds`: col -> (tag, lo, hi),
@@ -412,23 +482,32 @@ object MergeStore {
     // LOGICAL name (the rename verb rewrites carried lines to match).
     val df = renameAll(spark.read.parquet(
       files.map(f => dataDir(target).resolve(f).toString): _*), renames)
-    val fields = df.schema.fields
-      .filter(f => sCols.contains(f.name) && tagOf(f.dataType).isDefined)
-    if (fields.isEmpty) return Map.empty
+    // min/max need an ordered (tag-able) type; null counts apply to
+    // ANY stats column — an all-null file has no min/max line at all,
+    // and its nulls line is precisely what lets IS NOT NULL prune it.
+    val present = df.schema.fields.filter(f => sCols.contains(f.name))
+    val fields = present.filter(f => tagOf(f.dataType).isDefined)
+    if (present.isEmpty) return Map.empty
     val aggs = fields.flatMap { f =>
       val in = statInput(f.name, f.dataType)
       Seq(min(in).as(s"__mn_${f.name}"), max(in).as(s"__mx_${f.name}"))
-    }
+    } ++ present.map(f =>
+      count(col(f.name)).as(s"__nn_${f.name}")) :+
+      count(lit(1)).as("__rows")
     df.withColumn("__file", element_at(split(input_file_name(), "/"), -1))
       .groupBy("__file").agg(aggs.head, aggs.tail: _*)
       .collect().iterator.flatMap { r =>
         val file = r.getAs[String]("__file")
+        val rows = r.getAs[Long]("__rows")
         fields.flatMap { f =>
           val tag = tagOf(f.dataType).get
           for {
             mn <- encodeStatValue(tag, r.getAs[Any](s"__mn_${f.name}"))
             mx <- encodeStatValue(tag, r.getAs[Any](s"__mx_${f.name}"))
           } yield statsKey(file, f.name) -> s"$tag $mn $mx"
+        } ++ present.map { f =>
+          nullsKey(file, f.name) ->
+            s"${rows - r.getAs[Long](s"__nn_${f.name}")} $rows"
         }
       }.toMap
   }
@@ -503,9 +582,9 @@ object MergeStore {
     require(!userMeta.keys.exists(k =>
         k == StatsColsKey || k == SchemaKey || k == BloomColsKey ||
           k == BloomFppKey || isStatsKey(k) || isBloomKey(k) ||
-          isConstraintKey(k) || isDvKey(k)),
+          isNullsKey(k) || isConstraintKey(k) || isDvKey(k)),
       s"manifest metadata keys '$StatsColsKey', '$SchemaKey', " +
-        s"'$BloomColsKey', '$BloomFppKey', 's:*', 'b:*', '$DvPrefix*' " +
+        s"'$BloomColsKey', '$BloomFppKey', 's:*', 'b:*', 'n:*', '$DvPrefix*' " +
         s"and '$ConstraintPrefix*' are reserved")
     val fileSet = files.toSet
     // Constraints are table POLICY, not per-commit state: they carry
@@ -525,7 +604,7 @@ object MergeStore {
       val carried =
         if (parent < 0) Map.empty[String, String]
         else manifestMeta(target, Some(parent)).filter { case (k, _) =>
-          (isStatsKey(k) || isBloomKey(k)) &&
+          (isStatsKey(k) || isBloomKey(k) || isNullsKey(k)) &&
             fileSet.contains(statsKeyFile(k))
         }
       val renames = logicalByPhysical(schema)
@@ -1657,7 +1736,7 @@ object MergeStore {
     * is TRUE die; NULL and FALSE survive (SQL DELETE semantics). Same COW
     * rewrite + CAS commit as the key form. The affected-file probe is
     * manifest-pruned by the bounds the predicate IMPLIES on stats columns
-    * ([[impliedBounds]]) before any file opens, and the predicate is
+    * (the implied-bounds extraction) before any file opens, and the predicate is
     * pushed into the remaining scan (parquet row-group min/max). */
   def deleteWhere(spark: SparkSession, target: String,
                   predicate: org.apache.spark.sql.Column,
@@ -1740,38 +1819,22 @@ object MergeStore {
     DeleteStats(before.size, affected.size, rowsDeleted)
   }
 
-  /** Conservative per-column bound constraints IMPLIED by a predicate,
-    * for manifest pruning: only top-level AND conjuncts comparing a bare
-    * column to a literal contribute (=, <, <=, >, >=, both operand
-    * orders; BETWEEN arrives pre-desugared to >= AND <=). Everything
-    * else — ORs, function calls, column-to-column compares, IN — adds
-    * no constraint. Each extracted bound is a logical consequence of
-    * the predicate, so a file whose stats exclude it cannot hold a
-    * matching row: pruning with these is a guaranteed SUPERSET of the
-    * true match set, and every caller still applies the exact
-    * predicate. Strict inequalities relax to inclusive bounds (superset
-    * again). Returned as a constraint LIST (a column may appear twice);
-    * consumers fold them instead of intersecting typed values. */
-  private def impliedBounds(schemaPlan: DataFrame,
-                            predicate: org.apache.spark.sql.Column)
-      : Seq[(String, Option[Any], Option[Any])] = {
-    // Column -> resolved Expression via the PUBLIC path: analyze a
-    // zero-row filter over the table's own plan and take the Filter
-    // condition (the Column API keeps its expression private in
-    // Spark 4). Analysis also type-coerces literals to the column
-    // type, so bound values land encodable.
-    val root =
-      try schemaPlan.limit(0).where(predicate).queryExecution.analyzed
-        .collectFirst {
-          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-            f.condition
-        }
-      catch { case _: Throwable => None }
-    root.map(e => boundsOfExpressions(Seq(e))).getOrElse(Nil)
-  }
-
-  /** [[impliedBounds]]'s extraction over already-resolved Catalyst
-    * expressions — the shared core for the verb path (which resolves a
+  /** Conservative per-column bound constraints IMPLIED by a predicate
+    * ([[boundsOfExpressions]]'s contract): only top-level AND conjuncts
+    * comparing a bare column to a literal contribute (=, <, <=, >, >=,
+    * both operand orders; BETWEEN arrives pre-desugared to >= AND <=).
+    * Everything else — ORs, function calls, column-to-column compares,
+    * IN — adds no constraint. Each extracted bound is a logical
+    * consequence of the predicate, so a file whose stats exclude it
+    * cannot hold a matching row: pruning with these is a guaranteed
+    * SUPERSET of the true match set, and every caller still applies
+    * the exact predicate. The verb path resolves its `Column` via the
+    * PUBLIC analyze-a-zero-row-filter route inside
+    * [[pruneByPredicate]]; analysis also type-coerces literals to the
+    * column type, so bound values land encodable.
+    *
+    * The extraction over already-resolved Catalyst expressions — the
+    * shared core for the verb path (which resolves a
     * `Column` by analysis) and [[GraftFileIndex]] (whose `listFiles`
     * receives resolved data filters straight from FileSourceStrategy).
     * Input is a filter LIST (implicitly conjunctive, the planner's
@@ -1821,7 +1884,7 @@ object MergeStore {
     }
   }
 
-  /** Prune `files` by every [[impliedBounds]] constraint of `predicate`
+  /** Prune `files` by every implied-bounds constraint of `predicate`
     * that lands on a stats column — folded one constraint at a time, so
     * repeated bounds on one column intersect without typed value
     * comparisons. No stats, no constraint, or an extraction miss all
@@ -1837,8 +1900,21 @@ object MergeStore {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
       case None => read(spark, target, Some(parentV))
     }
-    pruneByConstraints(target, parentV, files,
-      impliedBounds(schemaPlan, predicate))
+    // The same analyzed condition serves both extractions: value
+    // bounds for min/max lines, nullness for null-count lines (a
+    // DELETE WHERE c IS NULL against a mostly-complete table prunes
+    // to the files that actually hold nulls).
+    val root =
+      try schemaPlan.limit(0).where(predicate).queryExecution.analyzed
+        .collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
+        }
+      catch { case _: Throwable => None }
+    val exprs = root.toSeq
+    pruneByNullness(target, parentV,
+      pruneByConstraints(target, parentV, files, boundsOfExpressions(exprs)),
+      nullnessOfExpressions(exprs))
   }
 
   /** Fold [[boundsOfExpressions]] constraints over the manifest stats —
@@ -1948,10 +2024,12 @@ object MergeStore {
     val ren = manifestSchema(target, version)
       .map(logicalByPhysical).getOrElse(Map.empty)
     def logical(c: String): String = ren.getOrElse(c, c)
-    val afterStats = pruneByConstraints(target, version, files,
+    val afterBounds = pruneByConstraints(target, version, files,
       boundsOfExpressions(filters).map { case (c, lo, hi) =>
         (logical(c), lo, hi)
       })
+    val afterStats = pruneByNullness(target, version, afterBounds,
+      nullnessOfExpressions(filters).map { case (c, w) => (logical(c), w) })
     val bCols = bloomColumns(target, Some(version))
     if (bCols.isEmpty || afterStats.isEmpty) afterStats
     else {
@@ -1976,7 +2054,7 @@ object MergeStore {
     * because the per-column `when(p, e)` projections evaluate in one
     * select over the pre-update scan. File-granular COW: the
     * affected-file probe (manifest-pruned by the predicate's
-    * [[impliedBounds]]) finds files holding matching rows, only those
+    * the implied bounds) finds files holding matching rows, only those
     * rewrite, every other file carries by reference into one manifest
     * CAS commit — so the typed [[changes]] feed shows exactly the
     * updated rows as update pre/post-image pairs and CDC followers
@@ -2103,7 +2181,7 @@ object MergeStore {
     val carried = manifestMeta(target, Some(toVersion)).filter { case (k, _) =>
       k == StatsColsKey || k == SchemaKey || k == BloomColsKey ||
         k == BloomFppKey || isDvKey(k) ||
-        ((isStatsKey(k) || isBloomKey(k)) && files.contains(statsKeyFile(k)))
+        ((isStatsKey(k) || isBloomKey(k) || isNullsKey(k)) && files.contains(statsKeyFile(k)))
     }
     // Constraints are current POLICY, not versioned data: the head's
     // constraint set survives the rollback (restore does not
@@ -2151,7 +2229,7 @@ object MergeStore {
       k == StatsColsKey || k == SchemaKey || k == BloomColsKey ||
         k == BloomFppKey || isConstraintKey(k) ||
         (isDvKey(k) && files.contains(k.stripPrefix(DvPrefix))) ||
-        ((isStatsKey(k) || isBloomKey(k)) && files.contains(statsKeyFile(k)))
+        ((isStatsKey(k) || isBloomKey(k) || isNullsKey(k)) && files.contains(statsKeyFile(k)))
     }
     carried.foreach { case (k, sidecar) =>
       if (isBloomKey(k)) {
@@ -2366,7 +2444,7 @@ object MergeStore {
         s"(stats=$sCols blooms=$bCols) — re-init stats/blooms without " +
         "it first")
     // Referenced columns via the same public analyze-a-zero-row-filter
-    // route as impliedBounds (Column keeps its expression private);
+    // route as pruneByPredicate (Column keeps its expression private);
     // an analysis failure degrades to a conservative substring check.
     val probe = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -2385,7 +2463,7 @@ object MergeStore {
     val newSchema = org.apache.spark.sql.types.StructType(
       schema.fields.filterNot(_.name == colName))
     val meta = manifestMeta(target, Some(parentV)).filterNot { case (k, _) =>
-      isStatsKey(k) && k.substring(k.lastIndexOf(':') + 1) == colName
+      (isStatsKey(k) || isNullsKey(k)) && statsKeyCol(k) == colName
     } + (SchemaKey -> newSchema.json)
     commit(target, liveFiles(target, Some(parentV)), parentV, meta)
   }
@@ -2470,6 +2548,8 @@ object MergeStore {
     val meta = manifestMeta(target, Some(parentV)).map {
       case (k, v) if isStatsKey(k) && statsKeyCol(k) == from =>
         statsKey(statsKeyFile(k), to) -> v
+      case (k, v) if isNullsKey(k) && statsKeyCol(k) == from =>
+        nullsKey(statsKeyFile(k), to) -> v
       case (k, v) if isBloomKey(k) && statsKeyCol(k) == from =>
         bloomKey(statsKeyFile(k), to) -> v
       case (k, v) if k == StatsColsKey || k == BloomColsKey =>

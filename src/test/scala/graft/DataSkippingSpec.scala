@@ -234,6 +234,34 @@ class DataSkippingSpec extends SparkSpec {
     assert(pruned == full && pruned.size == 11)
   }
 
+  test("verb probes prune by nullness: a complete out-of-reach file can be GONE") {
+    val t = tmpDir("skip-null-verb") + "/tbl"
+    val df = spark.range(1000L).select(col("id"),
+      when(col("id") % 5 === 0, lit(null)).otherwise(col("id"))
+        .cast("long").as("v"),
+      concat(lit("p-"), col("id")).as("payload"))
+    MergeStore.init(spark, df, t, 8, clusterBy = Seq("v"),
+      statsCols = Some(Seq("v")))
+    // Physically delete a file whose v column is COMPLETE (no nulls):
+    // a DELETE WHERE v IS NULL must never even list it — its nulls
+    // line says 0 of n, so the probe prunes it before any scan.
+    val meta = MergeStore.manifestMeta(t)
+    val complete = meta.collectFirst {
+      case (k, v) if k.startsWith("n:") && v.startsWith("0 ") =>
+        k.stripPrefix("n:").takeWhile(_ != ':')
+    }.getOrElse(fail("no complete file — fixture layout drifted"))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(t, "data", complete))
+    val stats = MergeStore.deleteWhere(spark, t, col("v").isNull)
+    assert(stats.rowsDeleted == 200)
+    // The rerun prunes the same way (the rewritten replacements carry
+    // nulls=0 lines too) and is a no-op — the gone file was never
+    // listed by either pass. (A full read WOULD crash: we broke the
+    // table on purpose; the point is the pruned verb path never looks.)
+    assert(MergeStore.deleteWhere(spark, t, col("v").isNull)
+      .rowsDeleted == 0)
+  }
+
   test("scanForKeys == semi-join over the full read, while pruning") {
     val t = freshTable()
     val keys = spark.range(3000L, 3050L).select(col("id"))

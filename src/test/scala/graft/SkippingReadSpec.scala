@@ -164,6 +164,41 @@ class SkippingReadSpec extends SparkSpec {
       s"expected the 100-row dim to auto-broadcast, plan:\n$plan")
   }
 
+  test("null-count stats: IS NOT NULL prunes all-null files, IS NULL prunes complete ones") {
+    val t = tmpDir("skip-nullcnt") + "/tbl"
+    // Cluster by v so its NULL rows co-locate: range partitioning
+    // sorts nulls first, so the leading files are ALL-null — exactly
+    // the files min/max lines cannot describe (no orderable values).
+    val df = spark.range(N.toLong).select(col("id"),
+      when(col("id") % 4 === 0, lit(null)).otherwise(col("id"))
+        .cast("long").as("v"))
+    MergeStore.init(spark, df, t, FILES, clusterBy = Seq("v"),
+      statsCols = Some(Seq("v")))
+    val nNull = N / 4
+    val notNull = MergeStore.readSkipping(spark, t)
+      .where(col("v").isNotNull)
+    val p1 = plannedFiles(notNull)
+    assert(p1.size < FILES,
+      s"IS NOT NULL planned all $FILES files — all-null files unpruned")
+    assert(notNull.count() == N - nNull)
+    val isNull = MergeStore.readSkipping(spark, t).where(col("v").isNull)
+    val p2 = plannedFiles(isNull)
+    assert(p2.size < FILES / 2,
+      s"IS NULL planned ${p2.size} of $FILES — complete files unpruned")
+    assert(isNull.count() == nNull)
+    // An equality pushes IsNotNull implicitly: the all-null files drop
+    // from the plan even though they carry no min/max line at all.
+    val eq = MergeStore.readSkipping(spark, t).where(col("v") === 8001L)
+    assert(plannedFiles(eq).size < FILES / 2)
+    assert(eq.count() == 1)
+    // The null-count lines follow a rename like every other stats key.
+    MergeStore.renameColumn(spark, t, "v", "val")
+    val renamed = MergeStore.readSkipping(spark, t)
+      .where(col("val").isNull)
+    assert(plannedFiles(renamed).size == p2.size)
+    assert(renamed.count() == nNull)
+  }
+
   test("pruning survives deletion vectors: filters push below the DV anti-join") {
     val t = initClustered()
     MergeStore.deleteWhereMor(spark, t, col("id") >= 100 && col("id") < 200)
