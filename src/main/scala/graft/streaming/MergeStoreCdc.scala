@@ -264,13 +264,46 @@ class MergeStoreCdcSource(spark: SparkSession, path: String,
       else if (toV <= fromV)
         spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-      else changesByCommit(spark, path, pk, includePreimages, fromV, toV)
-        .select(schema.fieldNames.map(col): _*)
+      else alignToStart(
+        changesByCommit(spark, path, pk, includePreimages, fromV, toV))
     // v1 contract: the returned plan must be flagged streaming (see
     // SparkStreamingShim). Rows still compute lazily, inside the
     // micro-batch's own job.
     StreamingBatches.asStreamingBatch(spark, batch.queryExecution.toRdd,
       schema)
+  }
+
+  /** Align a span's feed onto the stream's START-resolved schema.
+    * By name when every start column is present — the common case;
+    * evolution-appended columns silently drop until restart (the
+    * documented cdcSchema contract). A mid-stream RENAME commit keeps
+    * every position and type and only changes names, so when start
+    * names are missing but the feed's table columns match the start
+    * schema position-for-position and type-for-type, alias them back:
+    * the running stream keeps its start shape, a restart adopts the
+    * new names (Delta's column-mapping CDC contract). Anything else —
+    * a dropped column, a type change — fails loudly; restart to adopt
+    * the new schema. The two CDC columns are engine-named and never
+    * rename. */
+  private def alignToStart(feed: DataFrame): DataFrame = {
+    if (schema.fieldNames.forall(feed.columns.contains))
+      return feed.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val tableFields = schema.fields.dropRight(2) // CDC cols trail
+    val feedTable = feed.schema.fields.filterNot(f =>
+      f.name == MergeStoreCdc.ChangeTypeCol ||
+        f.name == MergeStoreCdc.CommitVersionCol)
+    val positional = feedTable.length >= tableFields.length &&
+      tableFields.indices.forall(i =>
+        feedTable(i).dataType == tableFields(i).dataType)
+    if (!positional)
+      throw new IllegalStateException(
+        s"graft-cdc at $path: the table's schema changed mid-stream in " +
+          "a way the start-resolved shape cannot absorb (dropped " +
+          "column or type change) — restart the query to adopt it")
+    feed.select(tableFields.indices.map(i =>
+      col(feedTable(i).name).as(tableFields(i).name)) :+
+      col(MergeStoreCdc.ChangeTypeCol) :+
+      col(MergeStoreCdc.CommitVersionCol): _*)
   }
 
   override def commit(end: V1Offset): Unit = ()

@@ -235,6 +235,50 @@ class StreamingCdcSpec extends SparkSpec {
       .select($"score").as[Double].collect().toSeq == Seq(7.5, 7.5, 7.5))
   }
 
+  test("rename mid-stream: zero change rows, positional carry, restart adopts the new name") {
+    val t = tmpDir("cdc-rename") + "/tbl"
+    val out = tmpDir("cdc-rename") + "/out"
+    val ck = tmpDir("cdc-rename") + "/ck"
+    MergeStore.init(spark, rows(0, 50, "v1"), t, numFiles = 2,
+      clusterBy = Seq("id")) // v0
+    def stream() = MergeStoreCdc.readStream(spark, t, pk = Seq("id"),
+      fromVersion = Some(0))
+    val q1 = stream()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ck).start()
+    try {
+      MergeStore.merge(spark, rows(0, 3, "a"), t, pk = Seq("id")) // v1
+      q1.processAllAvailable()
+      // v2 renames payload -> text while the stream runs: a pure
+      // metadata commit, so the feed emits NOTHING for it; the
+      // renamed-table commits after it deliver their rows under the
+      // stream's START-resolved shape (column mapping keeps positions
+      // and types — the rename is invisible to a positional consumer,
+      // exactly the schema-evolution contract one verb over).
+      MergeStore.renameColumn(spark, t, "payload", "text") // v2
+      MergeStore.merge(spark, rows(3, 6, "b")
+        .withColumnRenamed("payload", "text"), t, pk = Seq("id")) // v3
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val run1 = spark.read.parquet(out)
+    assert(run1.columns.contains("payload") && !run1.columns.contains("text"))
+    assert(run1.where($"_commit_version" === 2L).count() == 0) // pure rename
+    assert(run1.where($"_commit_version" === 3L)
+      .select($"payload").as[String].collect().toSet ==
+      Set("b-3", "b-4", "b-5")) // post-rename rows, old label, right values
+    // A restart re-resolves the schema and speaks the new name.
+    assert(stream().schema.fieldNames.contains("text"))
+    MergeStore.merge(spark, rows(6, 8, "c")
+      .withColumnRenamed("payload", "text"), t, pk = Seq("id")) // v4
+    val q2 = stream()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ck).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val run2 = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(run2.where($"_commit_version" === 4L)
+      .select($"text").as[String].collect().toSet == Set("c-6", "c-7"))
+  }
+
   test("pre-image feed streams too (IVM's input shape)") {
     val t = tmpDir("cdc-pre") + "/tbl"
     val ck = tmpDir("cdc-pre") + "/ck"
