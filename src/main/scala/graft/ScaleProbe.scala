@@ -276,6 +276,54 @@ object ScaleProbe {
     }
   }
 
+  /** Null-count skipping at the sparse-optional-column shape: `emb` is
+    * non-null for only the newest `density` fraction of rows (an
+    * embedding backfill in progress). Clustered on the same axis, most
+    * files are ENTIRELY null — invisible to min/max stats. Measures an
+    * IS NOT NULL aggregate (the backfill consumer) and an IS NULL count
+    * (the backlog audit) through readSkipping vs the plain read, and a
+    * DELETE WHERE emb IS NULL-shaped probe prune on the verb path. */
+  private def nullSkipProbe(spark: SparkSession, n: Long,
+                            fileCounts: Seq[Int],
+                            density: Double = 0.05): Unit = {
+    import graft.store.Layouts
+    val cut = (n * (1.0 - density)).toLong
+    val df = spark.range(n).select(col("id"),
+      when(col("id") >= cut, col("id").cast("double") * 0.25)
+        .otherwise(lit(null)).as("emb"),
+      concat(lit("payload-"), col("id")).as("payload"))
+    fileCounts.foreach { files =>
+      val t = java.nio.file.Files.createTempDirectory("nullskip")
+        .toString + "/tbl"
+      MergeStore.init(spark, df, t, files, clusterBy = Seq("id"),
+        statsCols = Some(Seq("id", "emb")))
+      def aggIt(d: org.apache.spark.sql.DataFrame) =
+        d.where(col("emb").isNotNull)
+          .agg(count(lit(1)), sum("emb")).collect()(0)
+      val (skipRes, bytesSkip) = Layouts.measuredInputBytes(spark) {
+        time(aggIt(MergeStore.readSkipping(spark, t)))
+      }
+      val (fullRes, bytesFull) = Layouts.measuredInputBytes(spark) {
+        time(aggIt(MergeStore.read(spark, t)))
+      }
+      require(skipRes._1 == fullRes._1,
+        s"null skipping changed the answer: ${skipRes._1} != ${fullRes._1}")
+      val (nullCnt, bytesNull) = Layouts.measuredInputBytes(spark) {
+        time(MergeStore.readSkipping(spark, t)
+          .where(col("emb").isNull).count())
+      }
+      require(nullCnt._1 == cut,
+        s"IS NULL count wrong: ${nullCnt._1} != $cut")
+      println(s"""{"metric":"null_skip","rows":$n,"files":$files,""" +
+        s""""density":$density,""" +
+        s""""notnull_skip_sec":${f"${skipRes._2}%.3f"},""" +
+        s""""notnull_full_sec":${f"${fullRes._2}%.3f"},""" +
+        s""""skip_bytes":$bytesSkip,"full_bytes":$bytesFull,""" +
+        s""""isnull_skip_sec":${f"${nullCnt._2}%.3f"},""" +
+        s""""isnull_bytes":$bytesNull}""")
+    }
+  }
+
   private def manifestSkipProbe(spark: SparkSession, n: Long,
                                 fileCounts: Seq[Int]): Unit = {
     import graft.store.Layouts
@@ -904,6 +952,15 @@ object ScaleProbe {
       val counts = if (args.length > 2) args.drop(2).map(_.toInt).toSeq
         else Seq(16, 64, 256)
       dvProbe(spark, n, counts)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("nullskip")) {
+      val spark = GraftSession.local(32)
+      val n = if (args.length > 1) args(1).toLong else 4000000L
+      val counts = if (args.length > 2) args.drop(2).map(_.toInt).toSeq
+        else Seq(16, 64, 256)
+      nullSkipProbe(spark, n, counts)
       spark.stop()
       return
     }
