@@ -403,6 +403,30 @@ object MergeStore {
       }.toSeq.groupBy(_._1)
       .map { case (f, kvs) => f -> kvs.map(_._2).toMap }
 
+  /** Exact row count from the manifest alone — `COUNT(*)` with zero
+    * data-file IO. Every `n:` line carries its file's row count, so a
+    * table whose every live file has one answers from metadata; files
+    * with deletion vectors subtract their sidecar's position count
+    * (one tiny parquet read per marked file — the vectors, not the
+    * data). None when any live file predates null-count stats (or the
+    * table keeps none): the caller falls back to a scan. At 100 TB
+    * this is the difference between a catalog lookup and a job. */
+  def rowCount(spark: SparkSession, target: String,
+               version: Option[Int] = None): Option[Long] = {
+    val v = version.orElse(currentVersion(target))
+      .getOrElse(return None)
+    val files = liveFiles(target, Some(v))
+    if (files.isEmpty) return Some(0L)
+    val nulls = fileNullsOf(target, v)
+    val perFile = files.map(f =>
+      nulls.get(f).flatMap(_.values.headOption).map(_._2))
+    if (perFile.exists(_.isEmpty)) return None // legacy file: scan instead
+    val live = perFile.flatten.sum
+    val dv = dvMeta(target, Some(v))
+    if (dv.isEmpty) Some(live)
+    else Some(live - dvPositions(spark, target, dv).count())
+  }
+
   /** Nullness constraints of resolved filter conjuncts:
     * `(col, wantNull)` for every top-level IS NULL / IS NOT NULL on a
     * bare column. Spark pushes IsNotNull alongside every equality and

@@ -262,6 +262,36 @@ class DataSkippingSpec extends SparkSpec {
       .rowsDeleted == 0)
   }
 
+  test("rowCount answers COUNT(*) from the manifest, exact through verbs and DVs") {
+    val t = tmpDir("rowcount") + "/tbl"
+    val df = spark.range(2000L).select(col("id"),
+      concat(lit("p-"), col("id")).as("payload"))
+    MergeStore.init(spark, df, t, 8, clusterBy = Seq("id"))
+    def check(): Unit = {
+      val meta = MergeStore.rowCount(spark, t)
+      assert(meta.contains(MergeStore.read(spark, t).count()),
+        s"manifest count $meta != scan")
+    }
+    check() // 2000
+    MergeStore.merge(spark, spark.range(1990L, 2050L).select(col("id"),
+      lit("m").as("payload")), t, Seq("id"))
+    check() // 2050
+    MergeStore.deleteWhere(spark, t, col("id") % 7 === 0)
+    check()
+    // MOR deletes subtract their vectors' positions.
+    MergeStore.deleteWhereMor(spark, t, col("id") % 11 === 1)
+    check()
+    MergeStore.updateWhereMor(spark, t, col("id") === 2L,
+      Map("payload" -> lit("u")))
+    check() // update: net row count unchanged, old buried + new appended
+    MergeStore.purgeDeletes(spark, t)
+    check()
+    // A stats-less table answers None (fallback to a scan).
+    val legacy = tmpDir("rowcount-legacy") + "/tbl"
+    MergeStore.init(spark, df, legacy, 4) // no clusterBy: no stats cols
+    assert(MergeStore.rowCount(spark, legacy).isEmpty)
+  }
+
   test("scanForKeys == semi-join over the full read, while pruning") {
     val t = freshTable()
     val keys = spark.range(3000L, 3050L).select(col("id"))
