@@ -230,6 +230,28 @@ object MergeStore {
     st.fields.iterator.map(f => physicalNameOf(f) -> f.name)
       .filter(p => p._1 != p._2).toMap
 
+  /** Column-name translation between two versions' schemas, routed
+    * through the STABLE physical names: version `v`'s logical name ->
+    * version `w`'s logical name, only the names that moved. Lets a
+    * span consumer (the CDC source's multi-commit union) align
+    * per-commit frames onto one shape across rename commits. Empty
+    * when either version predates schema-in-the-log. */
+  private[graft] def renameMapBetween(target: String, v: Int,
+                                      w: Int): Map[String, String] =
+    (manifestSchema(target, v), manifestSchema(target, w)) match {
+      case (Some(a), Some(b)) =>
+        val byPhys = b.fields.iterator
+          .map(f => physicalNameOf(f) -> f.name).toMap
+        a.fields.iterator.flatMap(f => byPhys.get(physicalNameOf(f))
+          .filter(_ != f.name).map(f.name -> _)).toMap
+      case _ => Map.empty
+    }
+
+  /** [[renameAll]] for package consumers (the CDC span union). */
+  private[graft] def renameColumns(df: DataFrame,
+                                   m: Map[String, String]): DataFrame =
+    renameAll(df, m)
+
   /** Rename `df`'s columns per `m` in ONE simultaneous projection —
     * a swap (a->b while c->a) must never collide mid-rename, and extra
     * columns (`__file`, DV probe columns) pass through untouched.

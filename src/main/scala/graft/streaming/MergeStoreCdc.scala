@@ -55,16 +55,34 @@ object MergeStoreCdc {
 
   /** The BATCH equivalent of a micro-batch span: per-commit typed
     * changes, unioned. Shared by the source's getBatch and by specs
-    * pinning stream == batch. */
+    * pinning stream == batch.
+    *
+    * Each commit's feed speaks ITS OWN version's logical names; a
+    * span straddling a RENAME commit would union mismatched names and
+    * wedge the stream on a span no restart can change, so every
+    * per-commit frame is aligned onto the SPAN END's names first —
+    * via the stable physical names (`pk` is spelled in the span-end
+    * names, so the per-commit change computation gets it translated
+    * BACK). A span straddling schema EVOLUTION null-fills the
+    * appended columns on pre-evolution commits
+    * (allowMissingColumns — the same shape read() gives their
+    * files). */
   def changesByCommit(spark: SparkSession, path: String, pk: Seq[String],
                       includePreimages: Boolean,
                       fromVersion: Int, toVersion: Int): DataFrame = {
     require(toVersion > fromVersion,
       s"empty CDC span ($fromVersion, $toVersion] at $path")
     (fromVersion + 1 to toVersion).map { v =>
-      MergeStore.changes(spark, path, v - 1, v, pk, includePreimages)
+      val toSpanEnd = MergeStore.renameMapBetween(path, v, toVersion)
+      val pkAtV = {
+        val back = toSpanEnd.map(_.swap)
+        pk.map(c => back.getOrElse(c, c))
+      }
+      MergeStore.renameColumns(
+        MergeStore.changes(spark, path, v - 1, v, pkAtV, includePreimages),
+        toSpanEnd)
         .withColumn(CommitVersionCol, lit(v.toLong))
-    }.reduce(_ unionByName _)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Open the change stream. `fromVersion`: emit commits AFTER this

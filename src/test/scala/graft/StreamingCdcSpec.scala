@@ -279,6 +279,49 @@ class StreamingCdcSpec extends SparkSpec {
       .select($"text").as[String].collect().toSet == Set("c-6", "c-7"))
   }
 
+  test("one catch-up batch straddling a rename (and an evolution) drains cleanly") {
+    val t = tmpDir("cdc-straddle") + "/tbl"
+    MergeStore.init(spark, rows(0, 40, "v1"), t, numFiles = 2,
+      clusterBy = Seq("id")) // v0
+    MergeStore.merge(spark, rows(0, 3, "a"), t, pk = Seq("id")) // v1
+    MergeStore.renameColumn(spark, t, "payload", "text") // v2
+    MergeStore.merge(spark, rows(3, 6, "b")
+      .withColumnRenamed("payload", "text"), t, pk = Seq("id")) // v3
+    // The stream starts AFTER all three commits: batch 0 is ONE span
+    // (0, 3] whose per-commit frames speak different logical names —
+    // pre-fix, the union wedged the stream on a span no restart could
+    // change. Aligned via physical names, it drains in head names.
+    val out = tmpDir("cdc-straddle") + "/out"
+    val ck = tmpDir("cdc-straddle") + "/ck"
+    val q = MergeStoreCdc.readStream(spark, t, pk = Seq("id"),
+        fromVersion = Some(0))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+      .select($"id", $"text", $"_change_type", $"_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    val want = MergeStoreCdc.changesByCommit(spark, t, Seq("id"),
+        includePreimages = false, fromVersion = 0, toVersion = 3)
+      .select($"id", $"text", $"_change_type", $"_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    assert(got.collect { case (_, _, _, v) => v } == Set(1L, 3L)) // v2 silent
+    // An evolution inside the span null-fills its column on earlier
+    // commits, exactly as read() shows their files.
+    MergeStore.merge(spark, rows(6, 8, "c")
+      .withColumnRenamed("payload", "text")
+      .withColumn("score", lit(2.5)), t, pk = Seq("id"),
+      allowSchemaEvolution = true) // v4
+    val span = MergeStoreCdc.changesByCommit(spark, t, Seq("id"),
+      includePreimages = false, fromVersion = 0, toVersion = 4)
+    assert(span.where($"_commit_version" === 4L)
+      .select($"score").as[Double].collect().toSeq == Seq(2.5, 2.5))
+    assert(span.where($"_commit_version" === 1L)
+      .where($"score".isNull).count() == 3)
+  }
+
   test("pre-image feed streams too (IVM's input shape)") {
     val t = tmpDir("cdc-pre") + "/tbl"
     val ck = tmpDir("cdc-pre") + "/ck"
