@@ -100,6 +100,25 @@ class WapSpec extends SparkSpec {
     }
   }
 
+  test("a publish is an ordinary commit to followers: the replica converges") {
+    val src = freshSource("wap-follow")
+    val replica = tmpDir("wap-follow-rep") + "/tbl"
+    MergeStore.cloneTable(spark, src, replica) // replica at v0 state
+    val br = tmpDir("wap-follow-br") + "/branch"
+    MergeStore.branchTable(spark, src, br)
+    MergeStore.merge(spark, spark.range(10L).select(col("id"),
+      lit(3).cast("int").as("grp"), lit("wap").as("payload")), br, Seq("id"))
+    MergeStore.deleteWhere(spark, br, col("id") >= 5900L)
+    MergeStore.publishTable(spark, src, br) // src v1
+    // The publish's change feed is computed relationally from the
+    // file-list diff like any commit — one sync converges the replica.
+    MergeStore.sync(spark, src, replica, fromVersion = 0, toVersion = 1,
+      pk = Seq("id"))
+    val a = MergeStore.read(spark, src).orderBy("id").collect().toSeq
+    val b = MergeStore.read(spark, replica).orderBy("id").collect().toSeq
+    assert(a == b && a.size == N - 100 + 0)
+  }
+
   test("publish is CAS-atomic: a second publish of the same branch is refused") {
     val src = freshSource("wap-double")
     val br = tmpDir("wap-double-br") + "/branch"
