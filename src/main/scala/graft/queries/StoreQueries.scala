@@ -1017,7 +1017,34 @@ object StoreQueries extends QueryFamily {
       WHERE doc_id % 23 <> 0
       ORDER BY doc_id"""))
 
+  private val q127 = QueryDef(
+    "q127_metadata_count",
+    "Metadata-only COUNT(*): documents lands clustered (per-file " +
+      "null-count lines ride every commit), takes a COW delete of " +
+      "doc_id % 13 = 0 and a MOR delete of doc_id % 17 = 0, and the " +
+      "row count is answered from the MANIFEST alone — per-file " +
+      "row counts from the n: lines minus the deletion-vector " +
+      "sidecars' positions, zero data-file reads (at 100 TB a catalog " +
+      "lookup instead of a job). The oracle recomputes the count from " +
+      "scratch; a stale stats line, a missed vector, or a double-" +
+      "counted file breaks the value.",
+    (s, dir) => {
+      val target = preparedTable(s, dir, "q127") { t =>
+        MergeStore.deleteWhere(s, t, col("doc_id") % 13 === 0) // COW
+        MergeStore.deleteWhereMor(s, t, col("doc_id") % 17 === 0) // MOR
+      }
+      val n = MergeStore.rowCount(s, target).getOrElse(
+        sys.error("manifest row count unavailable — n: lines missing"))
+      import s.implicits._
+      Seq(n).toDF("n_rows")
+    },
+    Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_rows
+      FROM documents
+      WHERE doc_id % 13 <> 0 AND doc_id % 17 <> 0"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q91, q92, q96, q97, q98, q101, q107, q109, q110, q111, q112,
-      q113, q115, q116, q117, q118, q119, q120, q121, q122, q123, q126)
+      q113, q115, q116, q117, q118, q119, q120, q121, q122, q123, q126,
+      q127)
 }
