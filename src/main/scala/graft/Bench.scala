@@ -134,9 +134,23 @@ object Bench {
       val ts = timings(name)
       if (ts.contains(-1.0)) None else Some(ts.min)
     }
+    // MEDIAN is the regression-gate estimator: min-of-N is the best
+    // plan-cost proxy on a quiet box, but a load transient during ONE
+    // pass can still fake a cross-round regression (or hide one) in a
+    // min — the median of interleaved passes is robust to a single
+    // loaded pass, so round-over-round claims compare medians.
+    def median(name: String): Option[Double] = {
+      val ts = timings(name)
+      if (ts.contains(-1.0)) None
+      else Some(ts.sorted.apply(ts.size / 2))
+    }
     def jsonMap(qs: Seq[(String, () => DataFrame)]): String =
       qs.map { case (k, _) =>
         s"\"" + k + "\":" + best(k).map(_.toString).getOrElse("null")
+      }.mkString("{", ",", "}")
+    def jsonMedianMap(qs: Seq[(String, () => DataFrame)]): String =
+      qs.map { case (k, _) =>
+        s"\"" + k + "\":" + median(k).map(t => f"$t%.3f").getOrElse("null")
       }.mkString("{", ",", "}")
     val failed = (mainQs ++ skewQs).collect {
       case (k, _) if best(k).isEmpty => k
@@ -165,7 +179,7 @@ object Bench {
     // repo carries everything for round-over-round comparison.
     val buildJson = bm25BuildSec.map(t => f"$t%.3f").getOrElse("null")
     val sigJson = mediaSigBuildSec.map(t => f"$t%.3f").getOrElse("null")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(mainQs)},"queries_spread":${spreadJson(mainQs)},"skew":${jsonMap(skewQs)},"skew_spread":${spreadJson(skewQs)},"failed":$failedJson,"passes":$passes,"probe_sec":$probeJson,"bm25_index_build_sec":$buildJson,"media_sig_build_sec":$sigJson,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(mainQs)},"queries_median":${jsonMedianMap(mainQs)},"queries_spread":${spreadJson(mainQs)},"skew":${jsonMap(skewQs)},"skew_spread":${spreadJson(skewQs)},"failed":$failedJson,"passes":$passes,"probe_sec":$probeJson,"bm25_index_build_sec":$buildJson,"media_sig_build_sec":$sigJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullJson + "\n").getBytes("UTF-8"))

@@ -395,6 +395,59 @@ object ScaleProbe {
     }
   }
 
+  /** Commit METADATA cost vs live-file count: with full-snapshot
+    * manifests every trickle commit rewrote the complete file list plus
+    * every per-file stats line — O(live files) bytes per commit, tens
+    * of MB at 100 TB (10⁵–10⁶ files). With incremental manifests a
+    * trickle commit writes a DELTA (its few changed files + their fresh
+    * stats) and only every interval-th commit is a full snapshot. This
+    * probe builds tables at several live-file counts, runs the same
+    * key-local trickle merge and a metadata-only marker commit against
+    * each, and reports the DELTA manifest bytes next to the full
+    * snapshot's: flat vs file count is the pass condition (the full
+    * line shows what every commit USED to cost). Time travel across
+    * the span is exercised so the measurement can't silently trade
+    * correctness. */
+  private def commitCostProbe(spark: SparkSession,
+                              fileCounts: Seq[Int]): Unit = {
+    fileCounts.foreach { files =>
+      val rows = files.toLong * 50
+      val dir = java.nio.file.Files.createTempDirectory("commitcost")
+        .toString
+      val t = s"$dir/tbl"
+      val df = spark.range(rows).select(col("id"),
+        (col("id") % 97).cast("int").as("grp"),
+        concat(lit("p-"), col("id")).as("payload"))
+      val (_, initSec) = time(
+        MergeStore.init(spark, df, t, files, clusterBy = Seq("id")))
+      def manifestBytes(v: Int): Long = java.nio.file.Files.size(
+        java.nio.file.Paths.get(t, "_manifest", s"v$v.list"))
+      // Key-local trickle merge: 50 keys from one narrow range.
+      val batch = spark.range(rows / 2, rows / 2 + 50).select(col("id"),
+        lit(7).cast("int").as("grp"),
+        concat(lit("v2-"), col("id")).as("payload"))
+      val (st, mergeSec) = time(MergeStore.merge(spark, batch, t, Seq("id")))
+      // Metadata-only marker commit (the streaming-sink heartbeat shape).
+      val empty = MergeStore.read(spark, t).limit(0)
+      val (_, markSec) = time(MergeStore.applyChanges(spark, t,
+        upserts = empty, deleteKeys = empty.select("id"), pk = Seq("id"),
+        meta = Map("probe.mark" -> "1")))
+      // Reconstruction still exact across the delta chain.
+      require(MergeStore.read(spark, t).count() == rows,
+        "delta-manifest head count drifted")
+      require(MergeStore.read(spark, t, Some(0)).count() == rows,
+        "time travel below the deltas drifted")
+      println(s"""{"metric":"commit_cost","files":$files,"rows":$rows,""" +
+        s""""full_manifest_bytes":${manifestBytes(0)},""" +
+        s""""merge_delta_bytes":${manifestBytes(1)},""" +
+        s""""marker_delta_bytes":${manifestBytes(2)},""" +
+        s""""files_rewritten":${st.filesRewritten},""" +
+        s""""init_sec":${f"$initSec%.3f"},""" +
+        s""""merge_sec":${f"$mergeSec%.3f"},""" +
+        s""""marker_commit_sec":${f"$markSec%.3f"}}""")
+    }
+  }
+
   /** Compressed bytes of the column chunks whose dotted path starts with
     * `colPrefix`, across every parquet file under `dir` (recursive) — the
     * exact IO a column-pruned scan of that column must perform. Read from
@@ -874,6 +927,14 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("commit-cost")) {
+      val spark = GraftSession.local(32)
+      val counts = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+        else Seq(512, 4096, 16384)
+      commitCostProbe(spark, counts)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("bm25seg")) {
       val spark = GraftSession.local(32)
       val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"

@@ -1043,8 +1043,73 @@ object StoreQueries extends QueryFamily {
       FROM documents
       WHERE doc_id % 13 <> 0 AND doc_id % 17 <> 0"""))
 
+  private val q128 = QueryDef(
+    "q128_sql_verbs",
+    "SQL text surface for the table verbs (graft.store.SqlVerbs): an " +
+      "analyst-shaped UPDATE, DELETE FROM, and MERGE INTO run as plain " +
+      "SQL strings through Spark's own parser and dispatch to the " +
+      "MergeStore verbs — same COW rewrites, constraint gates, and " +
+      "manifest CAS commits as the Scala API. Sequence: UPDATE marks " +
+      "open orders ending in 3 (price * 1.1, priority '9-SQL'), DELETE " +
+      "drops filled orders with key % 7 = 0, MERGE upserts a source " +
+      "view of every key % 1000 = 1 re-prioritized 'M-SQL' (re-" +
+      "inserting any the DELETE removed — delete-then-upsert " +
+      "composition across statements). The oracle replays all three " +
+      "statements as CASE/WHERE algebra from scratch.",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val target = preparedTable(s, dir, "q128",
+        base = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_orderpriority"), col("o_totalprice")),
+        clusterBy = Seq("o_orderkey")) { t =>
+        val cat = Map("ord" -> t)
+        graft.store.SqlVerbs.execute(s,
+          "UPDATE ord SET o_totalprice = o_totalprice * 1.1, " +
+            "o_orderpriority = '9-SQL' " +
+            "WHERE o_orderstatus = 'O' AND o_orderkey % 10 = 3", cat)
+        graft.store.SqlVerbs.execute(s,
+          "DELETE FROM ord " +
+            "WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 0", cat)
+        Tables.load(s, dir, "orders")
+          .where(col("o_orderkey") % 1000 === 1)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            lit("M-SQL").as("o_orderpriority"), col("o_totalprice"))
+          .createOrReplaceTempView("q128_src")
+        graft.store.SqlVerbs.execute(s,
+          "MERGE INTO ord t USING q128_src s " +
+            "ON t.o_orderkey = s.o_orderkey " +
+            "WHEN MATCHED THEN UPDATE SET * " +
+            "WHEN NOT MATCHED THEN INSERT *", cat)
+      }
+      MergeStore.read(s, target)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast(DecimalType(20, 4)))
+            .cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+               AS sum_price
+      FROM (
+        SELECT CASE WHEN o_orderkey % 1000 = 1 THEN 'M-SQL'
+                    WHEN o_orderstatus = 'O' AND o_orderkey % 10 = 3
+                      THEN '9-SQL'
+                    ELSE o_orderpriority END AS o_orderpriority,
+               CASE WHEN o_orderkey % 1000 = 1 THEN o_totalprice
+                    WHEN o_orderstatus = 'O' AND o_orderkey % 10 = 3
+                      THEN o_totalprice * 1.1
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0
+                   AND o_orderkey % 1000 <> 1))
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q91, q92, q96, q97, q98, q101, q107, q109, q110, q111, q112,
       q113, q115, q116, q117, q118, q119, q120, q121, q122, q123, q126,
-      q127)
+      q127, q128)
 }

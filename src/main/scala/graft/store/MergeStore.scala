@@ -47,8 +47,15 @@ import graft.operators.Upsert
   */
 object MergeStore {
 
+  /** `recomputes` counts lost CAS races resolved by REPLAYING the verb
+    * against the new head (the generally-correct resolution);
+    * `rebases` counts races resolved by RE-COMMITTING the
+    * already-computed result because the rival's commits were provably
+    * file-disjoint from this verb's read set ([[rebaseSafe]]) — the
+    * probe and rewrite ran exactly once however many rivals interleaved. */
   final case class MergeStats(filesTotal: Int, filesRewritten: Int,
-                              rowsInserted: Long, rowsUpdated: Long)
+                              rowsInserted: Long, rowsUpdated: Long,
+                              recomputes: Int = 0, rebases: Int = 0)
 
   final case class DeleteStats(filesTotal: Int, filesRewritten: Int,
                                rowsDeleted: Long)
@@ -83,16 +90,152 @@ object MergeStore {
     * maintenance) records as its high-water mark. */
   def version(target: String): Option[Int] = currentVersion(target)
 
+  // ------------------------------------------------------------------
+  // Incremental manifests + periodic checkpoints: commit metadata that
+  // is O(CHANGES), not O(live files). A full-snapshot manifest per
+  // commit rewrites the complete file list plus EVERY per-file stats/
+  // nulls/bloom/DV line — at 100 TB (10⁵–10⁶ files × several stats
+  // columns) each trickle commit would write tens of MB of metadata
+  // and N versions would retain N full copies. The public Delta design
+  // (incremental JSON actions + periodic parquet checkpoints; Iceberg
+  // reaches the same place with manifest files + a manifest list),
+  // expressed in this engine's line format:
+  //
+  //   - Most commits are DELTA manifests: first line
+  //     `#graft.manifest=delta`, then only the CHANGES vs the parent —
+  //     `#k=v` metadata set, `~k` metadata unset, `+file` added,
+  //     `-file` removed. A trickle merge's manifest holds its few
+  //     rewritten files and their fresh stats lines, never the table.
+  //   - Every [[checkpointInterval]]-th commit (and every fresh v0) is
+  //     a FULL snapshot in the legacy format, bounding reconstruction
+  //     to at most `interval` small reads. Legacy manifests ARE full
+  //     snapshots, so pre-delta tables read unchanged.
+  //   - Readers reconstruct version V by walking back to the nearest
+  //     full manifest (or `v<N>.ckpt` sidecar) and folding the deltas
+  //     forward; reconstructed states are memo-cached (manifests are
+  //     immutable, so the cache can never go stale — the fingerprint
+  //     guards pathological path reuse).
+  //   - [[vacuum]] materializes the retention FLOOR as a `v<N>.ckpt`
+  //     sidecar before dropping older manifests, so time travel inside
+  //     the window never loses its reconstruction base.
+  //
+  // The commit CAS is untouched: a delta manifest publishes through
+  // the same write-temp + create-if-absent link as a full one.
+  // ------------------------------------------------------------------
+
+  private val DeltaMarkerLine = "#graft.manifest=delta"
+  /** Reserved metadata key backing the delta marker line. */
+  private[store] val FormatKey = "graft.manifest"
+
+  /** Commits between full-snapshot manifests — the reconstruction walk
+    * is bounded by this. Overridable for the ScaleProbe commit-cost
+    * arm and checkpoint-boundary specs. */
+  private[store] def checkpointInterval: Int =
+    Integer.getInteger("graft.manifest.checkpoint.interval", 16).intValue()
+
+  private final case class ManifestState(files: Vector[String],
+                                         meta: Map[String, String])
+
+  /** Reconstructed-state memo: manifests are immutable once linked, so
+    * (path, version) fully determines the state; the (size, mtime)
+    * fingerprint of the version's own backing file guards test-style
+    * delete-and-recreate path reuse. Access-ordered LRU, driver-side
+    * metadata only. */
+  private val stateCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Int, Long, Long), ManifestState](
+        64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int, Long, Long), ManifestState])
+          : Boolean = size() > 512
+    })
+
+  private def parseFull(lines: Seq[String], where: String): ManifestState = {
+    val meta = Map.newBuilder[String, String]
+    val files = Vector.newBuilder[String]
+    lines.foreach { l =>
+      if (l.isEmpty) ()
+      else if (l.startsWith("#")) {
+        val kv = l.stripPrefix("#")
+        val i = kv.indexOf('=')
+        require(i > 0, s"malformed manifest metadata line at $where: $l")
+        meta += (kv.take(i) -> kv.drop(i + 1))
+      } else files += l
+    }
+    ManifestState(files.result().sorted, meta.result())
+  }
+
+  private def applyManifestDelta(base: ManifestState, lines: Seq[String],
+                                 where: String): ManifestState = {
+    val removed = Set.newBuilder[String]
+    val added = Vector.newBuilder[String]
+    var meta = base.meta
+    lines.iterator.drop(1).foreach { l => // line 0 is the marker
+      if (l.isEmpty) ()
+      else if (l.startsWith("#")) {
+        val kv = l.stripPrefix("#")
+        val i = kv.indexOf('=')
+        require(i > 0, s"malformed delta metadata line at $where: $l")
+        meta += (kv.take(i) -> kv.drop(i + 1))
+      } else if (l.startsWith("~")) meta -= l.stripPrefix("~")
+      else if (l.startsWith("+")) added += l.stripPrefix("+")
+      else if (l.startsWith("-")) removed += l.stripPrefix("-")
+      else sys.error(s"malformed delta manifest line at $where: $l")
+    }
+    val gone = removed.result()
+    ManifestState(
+      (base.files.filterNot(gone) ++ added.result()).sorted, meta)
+  }
+
+  private def ckptPath(target: String, v: Int): Path =
+    manifestDir(target).resolve(s"v$v.ckpt")
+  private def listPath(target: String, v: Int): Path =
+    manifestDir(target).resolve(s"v$v.list")
+
+  /** Reconstructed (files, meta) of a committed version; None when both
+    * its manifest and its checkpoint sidecar are gone (vacuumed). */
+  private def stateOpt(target: String, v: Int): Option[ManifestState] = {
+    val ckpt = ckptPath(target, v)
+    val list = listPath(target, v)
+    val backing =
+      if (Files.exists(ckpt)) ckpt
+      else if (Files.exists(list)) list
+      else return None
+    val key = (Paths.get(target).toAbsolutePath.normalize.toString, v,
+      Files.size(backing), Files.getLastModifiedTime(backing).toMillis)
+    Option(stateCache.get(key)).orElse {
+      val lines = Files.readAllLines(backing).asScala.toSeq
+      val state =
+        if (backing == ckpt || !lines.headOption.contains(DeltaMarkerLine))
+          parseFull(lines, s"$target v$v")
+        else {
+          if (v <= 0) applyManifestDelta(
+            ManifestState(Vector.empty, Map.empty), lines, s"$target v$v")
+          else applyManifestDelta(
+            stateOpt(target, v - 1).getOrElse(throw new IllegalStateException(
+              s"manifest chain broken at $target: v$v is a delta but its " +
+                s"base v${v - 1} has no manifest and no checkpoint — " +
+                "vacuum materializes the retention floor as a .ckpt; a " +
+                "hand-deleted manifest needs the table restored from a " +
+                "retained snapshot")),
+            lines, s"$target v$v")
+        }
+      stateCache.put(key, state)
+      Some(state)
+    }
+  }
+
   /** Live relative file names of a committed version (newest by default).
     * Old manifests stay readable until [[vacuum]] reclaims their files —
     * cheap time travel for debugging a bad merge. Metadata lines
-    * (`#key=value`, see [[manifestMeta]]) are not files. */
+    * (`#key=value`, see [[manifestMeta]]) are not files. Delta manifests
+    * reconstruct through the nearest checkpoint transparently. */
   def liveFiles(target: String, version: Option[Int] = None): Seq[String] =
     version.orElse(currentVersion(target)) match {
       case None => Seq.empty
-      case Some(v) =>
-        Files.readAllLines(manifestDir(target).resolve(s"v$v.list"))
-          .asScala.toSeq.filter(l => l.nonEmpty && !l.startsWith("#"))
+      case Some(v) => stateOpt(target, v).getOrElse(
+        throw new java.io.UncheckedIOException(
+          new java.nio.file.NoSuchFileException(
+            listPath(target, v).toString))).files
     }
 
   /** Metadata recorded INSIDE a manifest commit — `#key=value` lines
@@ -106,17 +249,7 @@ object MergeStore {
                    version: Option[Int] = None): Map[String, String] =
     version.orElse(currentVersion(target)) match {
       case None => Map.empty
-      case Some(v) =>
-        val p = manifestDir(target).resolve(s"v$v.list")
-        if (!Files.exists(p)) Map.empty
-        else Files.readAllLines(p).asScala
-          .filter(_.startsWith("#"))
-          .map { l =>
-            val kv = l.stripPrefix("#")
-            val i = kv.indexOf('=')
-            require(i > 0, s"malformed manifest metadata line at $target v$v: $l")
-            kv.take(i) -> kv.drop(i + 1)
-          }.toMap
+      case Some(v) => stateOpt(target, v).map(_.meta).getOrElse(Map.empty)
     }
 
   // ------------------------------------------------------------------
@@ -355,11 +488,16 @@ object MergeStore {
       else s // n: decimal text; d: ISO; t: micros
     }
 
-  /** Raw (decoded) bound text for a caller-supplied scan bound. */
+  /** Raw (decoded) bound text for a caller-supplied scan bound.
+    * Non-finite floats (NaN AND ±Infinity) contribute nothing: NaN is
+    * unorderable, and "Infinity" does not parse as the BigDecimal the
+    * numeric tag compares with — a file whose min/max touches either
+    * simply keeps no stats line and stays a scan candidate, instead of
+    * planting a NumberFormatException in every later pruneFiles walk. */
   private def rawStatValue(v: Any): Option[String] = v match {
     case null => None
-    case d: Double if d.isNaN => None // NaN unorderable: stay a candidate
-    case f: Float if f.isNaN => None
+    case d: Double if !java.lang.Double.isFinite(d) => None
+    case f: Float if !java.lang.Float.isFinite(f) => None
     case _ => Some(v.toString)
   }
 
@@ -446,7 +584,19 @@ object MergeStore {
     val live = perFile.flatten.sum
     val dv = dvMeta(target, Some(v))
     if (dv.isEmpty) Some(live)
-    else Some(live - dvPositions(spark, target, dv).count())
+    else {
+      // Sidecars are disjoint per file and each new sidecar SUPERSEDES
+      // with the union of positions, so the per-file recorded counts
+      // sum to exactly the buried total — COUNT(*) under MOR deletes
+      // is a pure catalog lookup, zero jobs. Any legacy line missing
+      // its count falls back to one tiny sidecar read.
+      val counts = dvCounts(target, Some(v))
+      // keys.toSeq BEFORE mapping: mapping a key SET to counts would
+      // collapse files that happen to share a count.
+      val recorded = dv.keys.toSeq.map(f => counts.getOrElse(f, None))
+      if (recorded.forall(_.isDefined)) Some(live - recorded.flatten.sum)
+      else Some(live - dvPositions(spark, target, dv).count())
+    }
   }
 
   /** Nullness constraints of resolved filter conjuncts:
@@ -509,8 +659,12 @@ object MergeStore {
       bounds.forall { case (c, (tag, lo, hi)) =>
         fs.get(c) match {
           case Some((stag, mn, mx)) if stag == tag =>
-            !(hi.exists(h => statLt(tag, h, mn)) ||
+            // A malformed legacy line (an "Infinity" min/max written
+            // before non-finite values were filtered) must keep the
+            // file a candidate, never fail the plan.
+            try !(hi.exists(h => statLt(tag, h, mn)) ||
               lo.exists(l => statLt(tag, mx, l)))
+            catch { case _: NumberFormatException => true }
           case _ => true // no/foreign stats: candidate
         }
       }
@@ -625,6 +779,31 @@ object MergeStore {
                               bloomFpp: Double = 0.01,
                               dvUpdates: Map[String, String] = Map.empty)
       : Int = {
+    val renames = logicalByPhysical(schema)
+    val fresh =
+      if (sCols.isEmpty && bCols.isEmpty) Map.empty[String, String]
+      else computeFileStats(spark, target, newFiles, sCols, renames)
+    val blooms =
+      if (bCols.isEmpty) Map.empty[String, String]
+      else computeFileBlooms(spark, target, newFiles, bCols, bloomFpp,
+        renames)
+    assembleAndCommit(spark, target, files, parent, userMeta, fresh,
+      blooms, sCols, schema, bCols, bloomFpp, dvUpdates)
+  }
+
+  /** [[commitWithStats]] with the fresh per-file stats/bloom lines
+    * PRE-COMPUTED — the rebase path re-commits an already-computed verb
+    * against a moved head without re-running the stats jobs. */
+  private def assembleAndCommit(spark: SparkSession, target: String,
+                                files: Seq[String], parent: Int,
+                                userMeta: Map[String, String],
+                                fresh: Map[String, String],
+                                blooms: Map[String, String],
+                                sCols: Seq[String],
+                                schema: org.apache.spark.sql.types.StructType,
+                                bCols: Seq[String],
+                                bloomFpp: Double,
+                                dvUpdates: Map[String, String]): Int = {
     require(!userMeta.keys.exists(k =>
         k == StatsColsKey || k == SchemaKey || k == BloomColsKey ||
           k == BloomFppKey || isStatsKey(k) || isBloomKey(k) ||
@@ -635,17 +814,25 @@ object MergeStore {
     val fileSet = files.toSet
     // Constraints are table POLICY, not per-commit state: they carry
     // through every verb commit until an explicit dropConstraint, the
-    // same way the schema does. Deletion-vector lines carry with their
-    // data file — a rewritten file's new NAME has no line, which is
-    // exactly the materialization contract.
+    // same way the schema does. WAP branch markers are policy too — a
+    // long-lived audit branch whose verb commits dropped them would be
+    // orphaned from its source the moment retention reclaimed its birth
+    // manifest. Deletion-vector lines carry with their data file — a
+    // rewritten file's new NAME has no line, which is exactly the
+    // materialization contract.
     val policyCarry =
       if (parent < 0) Map.empty[String, String]
       else manifestMeta(target, Some(parent)).filter { case (k, _) =>
-        isConstraintKey(k) ||
+        isConstraintKey(k) || k == WapSourceKey || k == WapBaseKey ||
           (isDvKey(k) && fileSet.contains(k.stripPrefix(DvPrefix)))
       }
+    // The schema rides EVERY commit, stats or not: a stats-less table
+    // (unclustered init) must still be able to drop/rename/add columns,
+    // whose verbs refuse without a manifest-recorded schema — and a
+    // schema-planned read skips per-file footer inference either way.
     if (sCols.isEmpty && bCols.isEmpty)
-      commit(target, files, parent, policyCarry ++ dvUpdates ++ userMeta)
+      commit(target, files, parent,
+        policyCarry ++ dvUpdates ++ userMeta + (SchemaKey -> schema.json))
     else {
       val carried =
         if (parent < 0) Map.empty[String, String]
@@ -653,10 +840,6 @@ object MergeStore {
           (isStatsKey(k) || isBloomKey(k) || isNullsKey(k)) &&
             fileSet.contains(statsKeyFile(k))
         }
-      val renames = logicalByPhysical(schema)
-      val fresh = computeFileStats(spark, target, newFiles, sCols, renames)
-      val blooms = computeFileBlooms(spark, target, newFiles, bCols,
-        bloomFpp, renames)
       val props = Map(SchemaKey -> schema.json) ++
         (if (sCols.nonEmpty) Map(StatsColsKey -> sCols.mkString(","))
          else Map.empty) ++
@@ -869,11 +1052,33 @@ object MergeStore {
       require(k.nonEmpty && !k.contains('=') && !(k + v).exists(c => c == '\n' || c == '\r'),
         s"manifest metadata key/value must be newline-free and '='-free keys: $k=$v")
     }
-    val metaLines = meta.toSeq.sorted.map { case (k, v) => s"#$k=$v" }
+    require(!meta.contains(FormatKey),
+      s"manifest metadata key '$FormatKey' is reserved (delta marker)")
+    // Callers still pass the FULL file list and FULL metadata map — the
+    // commit decides the ENCODING: a delta (only the changes vs the
+    // parent — O(changes) bytes however many files are live) on ordinary
+    // commits, a full snapshot on every interval-th version and on every
+    // fresh table (parent < 0), bounding the reconstruction walk.
+    val body: Seq[String] =
+      if (parent < 0 || next % checkpointInterval == 0 ||
+          stateOpt(target, parent).isEmpty)
+        meta.toSeq.sorted.map { case (k, v) => s"#$k=$v" } ++ files.sorted
+      else {
+        val base = stateOpt(target, parent).get
+        val baseFiles = base.files.toSet
+        val nextFiles = files.toSet
+        val sets = meta.toSeq
+          .filter { case (k, v) => !base.meta.get(k).contains(v) }
+          .sorted.map { case (k, v) => s"#$k=$v" }
+        val unsets = (base.meta.keySet -- meta.keySet).toSeq.sorted
+          .map("~" + _)
+        val adds = (nextFiles -- baseFiles).toSeq.sorted.map("+" + _)
+        val removes = (baseFiles -- nextFiles).toSeq.sorted.map("-" + _)
+        DeltaMarkerLine +: (sets ++ unsets ++ adds ++ removes)
+      }
     val tmp = dir.resolve(
       s".v$next-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    Files.write(tmp,
-      (metaLines ++ files.sorted).mkString("\n").getBytes("UTF-8"))
+    Files.write(tmp, body.mkString("\n").getBytes("UTF-8"))
     try {
       Files.createLink(dir.resolve(s"v$next.list"), tmp)
       next
@@ -1035,11 +1240,35 @@ object MergeStore {
   private def dvDir(target: String): Path = Paths.get(target, "_dv")
 
   /** datafile -> deletion-vector sidecar name at a version (empty =
-    * no vectors; the introspection twin of [[bloomColumns]]). */
+    * no vectors; the introspection twin of [[bloomColumns]]). The
+    * manifest line is `dv:<file>=<sidecar> <positions>`; the trailing
+    * position count (absent on legacy lines) makes COUNT(*) a pure
+    * catalog lookup — this accessor yields just the sidecar name. */
   def dvMeta(target: String,
              version: Option[Int] = None): Map[String, String] =
     manifestMeta(target, version).collect {
-      case (k, v) if isDvKey(k) => k.stripPrefix(DvPrefix) -> v
+      case (k, v) if isDvKey(k) =>
+        k.stripPrefix(DvPrefix) -> dvSidecarName(v)
+    }
+
+  private def dvSidecarName(line: String): String = {
+    val i = line.indexOf(' ')
+    if (i < 0) line else line.take(i)
+  }
+
+  /** datafile -> recorded DV position count at a version; None for a
+    * legacy line written before counts rode the manifest (the caller
+    * falls back to reading that file's sidecar). */
+  def dvCounts(target: String,
+               version: Option[Int] = None): Map[String, Option[Long]] =
+    manifestMeta(target, version).collect {
+      case (k, v) if isDvKey(k) =>
+        k.stripPrefix(DvPrefix) -> (v.split(" ", 2) match {
+          case Array(_, n) =>
+            try Some(n.toLong)
+            catch { case _: NumberFormatException => None }
+          case _ => None
+        })
     }
 
   /** All marked (data file, position) pairs of `entries` as a DataFrame
@@ -1288,8 +1517,12 @@ object MergeStore {
         if (existing.isEmpty) doomed
         else doomed.unionByName(dvPositions(spark, target, existing))
       val updates = writeDvSidecars(spark, target, allPos, affected, next)
-      val newFiles =
-        writeFiles(toPhysical(updated.repartition(1), schema), target)
+      // Size the appended post-image files by matched volume, like
+      // purgeDeletes: a broad UPDATE matching rows across N files must
+      // never funnel its whole rewrite through one task/file — that
+      // would be a silent scale cliff in a verb promising O(matched).
+      val newFiles = writeFiles(toPhysical(
+        updated.repartition(math.max(1, affected.size)), schema), target)
       val (bCols, fpp) = inheritedBloom(target, parentV)
       // One commit: vectors bury the old images, the appended file
       // carries the new ones; stats for the new file ride along.
@@ -1312,6 +1545,11 @@ object MergeStore {
     Files.createDirectories(dvDir(target))
     val stage = Files.createTempDirectory(
       Paths.get(target).getParent, ".dvstage-")
+    // Per-file position counts ride the manifest line so COUNT(*) on a
+    // MOR-heavy table never opens a sidecar (one tiny aggregate over
+    // the position rows the write is about to shuffle anyway).
+    val counts = pos.groupBy("__gdvf").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     pos.select(col("__gdvf"), col("__gdvp").as("pos"))
       .repartition(math.max(1, affected.size), col("__gdvf"))
       .sortWithinPartitions("pos")
@@ -1330,7 +1568,7 @@ object MergeStore {
       val name = s"$f.v$version-$batch.dv.parquet"
       Files.move(parts.head, dvDir(target).resolve(name),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      dvKeyOf(f) -> name
+      dvKeyOf(f) -> s"$name ${counts.getOrElse(f, 0L)}"
     }.toMap
     Files.walk(stage).sorted(java.util.Comparator.reverseOrder())
       .iterator().asScala.foreach(Files.deleteIfExists)
@@ -1628,6 +1866,59 @@ object MergeStore {
     base.join(keyRows, keyCols, "left_semi")
   }
 
+  /** File-disjoint OCC conflict resolution: decide whether a verb
+    * computed against `parentV` may RE-COMMIT its already-computed
+    * result onto `newHead` WITHOUT recomputation — Delta's commit
+    * protocol re-validates the loser's read set against the interleaved
+    * commits the same way, so disjoint writers never serialize into
+    * recompute chains. Safe iff every rival commit in
+    * (`parentV`, `newHead`] is logically disjoint from this verb's read
+    * set:
+    *
+    *   1. table POLICY unchanged — schema, stats/bloom configuration,
+    *      and constraints byte-equal across the span (a rival rename /
+    *      evolution / constraint change invalidates the computed
+    *      batch);
+    *   2. every file this verb REWRITES is still live at the new head
+    *      (a rival rewrite or compaction means the computed survivors
+    *      are stale);
+    *   3. the batch's key-bounds probe against the NEW head's live set
+    *      yields exactly the files probed at the parent — a rival
+    *      added or removed a file overlapping this batch's key range,
+    *      and its rows could change the match set. A table without key
+    *      stats never passes this after any rival file change
+    *      (conservative: candidates were "all files");
+    *   4. no deletion vector on a probed candidate changed — a rival
+    *      MOR delete (or a restore reviving buried rows) silently
+    *      changes which rows are ALIVE in files this verb read.
+    *
+    * The whole check is manifest-only (plus one tiny key-bounds
+    * aggregate on the already-cached batch): zero data-file IO. */
+  private def rebaseSafe(target: String, parentV: Int, newHead: Int,
+                         candidates: Seq[String], affected: Set[String],
+                         batchKeys: DataFrame, keyCols: Seq[String])
+      : Boolean = {
+    val pm = manifestMeta(target, Some(parentV))
+    val hm = manifestMeta(target, Some(newHead))
+    def policy(m: Map[String, String]): Map[String, String] =
+      m.filter { case (k, _) =>
+        k == SchemaKey || k == StatsColsKey || k == BloomColsKey ||
+          k == BloomFppKey || isConstraintKey(k)
+      }
+    if (policy(pm) != policy(hm)) return false
+    val headFiles = liveFiles(target, Some(newHead))
+    val headSet = headFiles.toSet
+    if (!affected.forall(headSet.contains)) return false
+    val candSet = candidates.toSet
+    if (pruneByKeyBounds(target, newHead, headFiles, batchKeys, keyCols)
+        .toSet != candSet) return false
+    def dvOf(m: Map[String, String]): Map[String, String] =
+      m.filter { case (k, _) =>
+        isDvKey(k) && candSet.contains(k.stripPrefix(DvPrefix))
+      }
+    dvOf(pm) == dvOf(hm)
+  }
+
   /** MERGE `updates` into the table on `pk` (incoming wins; within the
     * batch the highest `ordCols` wins, like CoreStore's intra-batch
     * order). Rewrites only the files containing matched keys.
@@ -1635,12 +1926,17 @@ object MergeStore {
     * Multi-writer safe via optimistic concurrency: the whole merge reads
     * ONE pinned snapshot version (never "the newest", which another
     * writer may advance mid-merge), and the final [[commit]] is a CAS on
-    * that snapshot. A lost race throws ConcurrentModificationException —
-    * or, with `maxRetries > 0`, transparently recomputes the merge
-    * against the new head (the data files it staged for the lost attempt
-    * become orphans, reclaimed by [[vacuum]]). Recomputation, not rebase:
-    * an upsert's result depends on the head's row versions, so replaying
-    * against the new snapshot is the only generally-correct resolution. */
+    * that snapshot. A lost race first tries a REBASE: when every rival
+    * commit is provably file-disjoint from this merge's read set
+    * ([[rebaseSafe]] — manifest-only check), the already-computed result
+    * re-commits onto the new head with the probe and rewrite having run
+    * exactly once, so key-disjoint concurrent writers never serialize
+    * into recompute chains. On true overlap the race throws
+    * ConcurrentModificationException — or, with `maxRetries > 0`,
+    * transparently RECOMPUTES the merge against the new head (the data
+    * files staged for the lost attempt become orphans, reclaimed by
+    * [[vacuum]]): an upsert's result depends on the head's row versions,
+    * so replay is the only generally-correct resolution there. */
   def merge(spark: SparkSession, updates: DataFrame, target: String,
             pk: Seq[String], ordCols: Seq[String] = Nil,
             maxRetries: Int = 0,
@@ -1652,8 +1948,9 @@ object MergeStore {
       case _: java.util.ConcurrentModificationException if maxRetries > 0 =>
         // Replay resolves the snapshot FRESH (never the stale pin): the
         // retry exists precisely because that version is no longer head.
-        merge(spark, updates, target, pk, ordCols, maxRetries - 1,
+        val st = merge(spark, updates, target, pk, ordCols, maxRetries - 1,
           allowSchemaEvolution = allowSchemaEvolution)
+        st.copy(recomputes = st.recomputes + 1)
     }
 
   private def mergeOnce(spark: SparkSession, updates: DataFrame,
@@ -1741,11 +2038,42 @@ object MergeStore {
         replacement.repartition(math.max(1, affected.size)), recorded), target)
     val sCols = statsColumns(target, Some(parentV))
     val (bCols, fpp) = inheritedBloom(target, parentV)
-    try commitWithStats(spark, target,
-      (before.filterNot(affected) ++ newFiles).distinct, parentV,
-      Map.empty, newFiles, sCols, recorded, bCols, fpp)
-    finally incoming.unpersist()
-    MergeStats(before.size, affected.size, rowsInserted, rowsUpdated)
+    try {
+      // Fresh stats/bloom lines for the new files compute ONCE — a
+      // rebase re-commits them against a moved head without re-running
+      // the jobs.
+      val renames = logicalByPhysical(recorded)
+      val fresh =
+        if (sCols.isEmpty && bCols.isEmpty) Map.empty[String, String]
+        else computeFileStats(spark, target, newFiles, sCols, renames)
+      val blooms =
+        if (bCols.isEmpty) Map.empty[String, String]
+        else computeFileBlooms(spark, target, newFiles, bCols, fpp, renames)
+      var head = parentV
+      var rebases = 0
+      var done = -1
+      while (done < 0) {
+        val list = (liveFiles(target, Some(head)).filterNot(affected) ++
+          newFiles).distinct
+        try {
+          assembleAndCommit(spark, target, list, head, Map.empty, fresh,
+            blooms, sCols, recorded, bCols, fpp, Map.empty)
+          done = head
+        } catch {
+          case cme: java.util.ConcurrentModificationException =>
+            val newHead = currentVersion(target).getOrElse(throw cme)
+            // Rebase only when the rivals' commits are provably
+            // disjoint from this merge's read set; the read set was
+            // fixed at parentV, so the check always spans from there.
+            if (!rebaseSafe(target, parentV, newHead, candidates,
+                affected, incoming.select(pk.map(col): _*), pk)) throw cme
+            head = newHead
+            rebases += 1
+        }
+      }
+      MergeStats(before.size, affected.size, rowsInserted, rowsUpdated,
+        rebases = rebases)
+    } finally incoming.unpersist()
   }
 
   /** DELETE by key set: remove every row whose `pk` appears in `keys` —
@@ -2286,8 +2614,9 @@ object MergeStore {
           Files.createLink(to, from)
         }
       } else if (isDvKey(k)) {
-        val from = dvDir(source).resolve(sidecar)
-        val to = dvDir(dest).resolve(sidecar)
+        val name = dvSidecarName(sidecar) // value may carry "<name> <n>"
+        val from = dvDir(source).resolve(name)
+        val to = dvDir(dest).resolve(name)
         if (Files.exists(from) && !Files.exists(to)) {
           Files.createDirectories(dvDir(dest))
           Files.createLink(to, from)
@@ -2389,8 +2718,9 @@ object MergeStore {
           Files.createLink(to, from)
         }
       } else if (isDvKey(k)) {
-        val from = dvDir(branch).resolve(sidecar)
-        val to = dvDir(source).resolve(sidecar)
+        val name = dvSidecarName(sidecar) // value may carry "<name> <n>"
+        val from = dvDir(branch).resolve(name)
+        val to = dvDir(source).resolve(name)
         if (Files.exists(from) && !Files.exists(to)) {
           Files.createDirectories(dvDir(source))
           Files.createLink(to, from)
@@ -2667,7 +2997,8 @@ object MergeStore {
 
   final case class ApplyStats(filesTotal: Int, filesRewritten: Int,
                               rowsUpserted: Long, rowsDeleted: Long,
-                              skippedReplay: Boolean = false)
+                              skippedReplay: Boolean = false,
+                              recomputes: Int = 0, rebases: Int = 0)
 
   /** In-transaction idempotence guard for [[applyChanges]] (Delta's
     * txnAppId/txnVersion check): the batch commits only if the newest
@@ -2739,8 +3070,9 @@ object MergeStore {
       meta, snapshotVersion, guard)
     catch {
       case _: java.util.ConcurrentModificationException if maxRetries > 0 =>
-        applyChanges(spark, target, upserts, deleteKeys, pk, ordCols, meta,
-          maxRetries - 1, guard = guard)
+        val st = applyChanges(spark, target, upserts, deleteKeys, pk,
+          ordCols, meta, maxRetries - 1, guard = guard)
+        st.copy(recomputes = st.recomputes + 1)
     }
 
   private def applyChangesOnce(spark: SparkSession, target: String,
@@ -2808,10 +3140,47 @@ object MergeStore {
         else writeFiles(toPhysical(
           replacement.repartition(math.max(1, affected.size)), recorded),
           target)
-      commitWithStats(spark, target,
-        (before.filterNot(affected) ++ newFiles).distinct, parentV,
-        meta, newFiles, sCols, recorded, bCols, bloomFpp)
-      ApplyStats(before.size, affected.size, rowsUpserted, rowsDeleted)
+      // Commit with file-disjoint rebase, like merge: stats compute
+      // once, a lost CAS against a provably-disjoint rival re-commits
+      // the computed result onto the new head. The MarkerGuard
+      // re-checks at EVERY rebased head — a rival maintainer that
+      // moved the marker turns the rebase into a dropped replay.
+      val renames = logicalByPhysical(recorded)
+      val fresh =
+        if (sCols.isEmpty && bCols.isEmpty) Map.empty[String, String]
+        else computeFileStats(spark, target, newFiles, sCols, renames)
+      val blooms =
+        if (bCols.isEmpty) Map.empty[String, String]
+        else computeFileBlooms(spark, target, newFiles, bCols, bloomFpp,
+          renames)
+      val probeKeys = incoming.select(pk.map(col): _*)
+        .unionByName(keys.select(pk.map(col): _*))
+      var head = parentV
+      var rebases = 0
+      var committed = false
+      while (!committed) {
+        guard.foreach { g =>
+          if (g.stale(markerValue(target, g.key, Some(head)).map(_.toLong)))
+            return ApplyStats(before.size, 0, 0L, 0L,
+              skippedReplay = true, rebases = rebases)
+        }
+        val list = (liveFiles(target, Some(head)).filterNot(affected) ++
+          newFiles).distinct
+        try {
+          assembleAndCommit(spark, target, list, head, meta, fresh,
+            blooms, sCols, recorded, bCols, bloomFpp, Map.empty)
+          committed = true
+        } catch {
+          case cme: java.util.ConcurrentModificationException =>
+            val newHead = currentVersion(target).getOrElse(throw cme)
+            if (!rebaseSafe(target, parentV, newHead, candidates,
+                affected, probeKeys, pk)) throw cme
+            head = newHead
+            rebases += 1
+        }
+      }
+      ApplyStats(before.size, affected.size, rowsUpserted, rowsDeleted,
+        rebases = rebases)
     } finally { incoming.unpersist(); keys.unpersist() }
   }
 
@@ -3111,14 +3480,37 @@ object MergeStore {
       .filter(p => !live.contains(p.getFileName.toString) &&
         Files.getLastModifiedTime(p).toMillis <= cutoff).toSeq
     orphans.foreach(Files.deleteIfExists)
+    // The retention FLOOR must stay reconstructable once its base
+    // manifests are gone: if its own manifest is a delta, materialize
+    // the full state as a `.ckpt` sidecar FIRST (idempotent content —
+    // a concurrent vacuum writes the same bytes; temp + atomic move).
+    if (floor > 0 && !Files.exists(ckptPath(target, floor))) {
+      val floorList = listPath(target, floor)
+      if (Files.exists(floorList) &&
+          Files.readAllLines(floorList).asScala.headOption
+            .contains(DeltaMarkerLine)) {
+        stateOpt(target, floor).foreach { st =>
+          val tmp = manifestDir(target).resolve(
+            s".v$floor-${java.util.UUID.randomUUID().toString.take(8)}.ckpt.tmp")
+          Files.write(tmp,
+            (st.meta.toSeq.sorted.map { case (k, v) => s"#$k=$v" } ++
+              st.files).mkString("\n").getBytes("UTF-8"))
+          Files.move(tmp, ckptPath(target, floor),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    }
     // Manifests below the retention floor reference vanished files —
     // remove them so a stale time travel fails at manifest lookup (a
-    // clear error) instead of at mid-scan file-not-found.
+    // clear error) instead of at mid-scan file-not-found. Checkpoint
+    // sidecars below the floor go with their manifests.
     Files.list(manifestDir(target)).iterator().asScala
       .filter { p =>
         val n = p.getFileName.toString
-        n.startsWith("v") && n.endsWith(".list") &&
-          n.stripPrefix("v").stripSuffix(".list").toInt < floor
+        n.startsWith("v") && (n.endsWith(".list") || n.endsWith(".ckpt")) &&
+          n.stripPrefix("v").stripSuffix(".list").stripSuffix(".ckpt")
+            .toInt < floor
       }.toSeq.foreach(Files.deleteIfExists)
     vacuumBlooms(target)
     vacuumDvs(target, floor, head, cutoff)

@@ -122,13 +122,15 @@ object PqStore {
   def init(spark: SparkSession, df: DataFrame, vecCol: String,
            ivf: IvfIndex.Model, rm: PqIndex.ResidualModel, indexDir: String,
            clusterCol: String = "ivf_cluster",
-           codeCol: String = "pq_code"): Int = {
+           codeCol: String = "pq_code",
+           meta: Map[String, String] = Map.empty): Int = {
     val stage = SnapshotStore.stage(indexDir)
     PqIndex.encodeResidual(
         IvfIndex.assign(spark, df, vecCol, ivf, clusterCol),
         vecCol, clusterCol, rm, codeCol)
       .write.partitionBy(clusterCol).parquet(s"$stage/$Vectors")
     writeModels(spark, ivf, rm, stage)
+    SnapshotStore.writeMeta(stage, meta)
     SnapshotStore.publish(indexDir, stage,
       currentVersion(indexDir).getOrElse(-1))
   }
@@ -263,6 +265,92 @@ object PqStore {
   def delete(spark: SparkSession, indexDir: String, doomedIds: DataFrame,
              idCol: String, clusterCol: String = "ivf_cluster"): Int =
     IvfStore.delete(spark, indexDir, doomedIds, idCol, clusterCol)
+
+  /** UPSERT vectors and DELETE ids in ONE atomic snapshot publish, with
+    * optional snapshot metadata — [[IvfStore.applyChanges]] on the
+    * coded layout, the verb a CDC-driven follower needs (a revised
+    * embedding is delete-old + insert-new, and the two must never be
+    * separable by a crash). The codes-and-codebooks rule holds by
+    * construction: upserts assign AND residual-encode with the PARENT
+    * snapshot's own pinned model pair (there is no model argument to
+    * mismatch), the parent's model republishes into the new snapshot,
+    * and deletion/revision never retrains — drift-triggered retrains
+    * stay on the [[reindex]] path. Partition-granular like [[delete]]:
+    * affected clusters are those holding any batch id's OLD vector;
+    * their survivors rewrite anti-joined, every other partition carries
+    * by hard link, and the freshly encoded upserts land in whatever
+    * clusters the parent model assigns. A doc in BOTH sets ends PRESENT
+    * with its new code (delete-then-upsert composition). An empty batch
+    * with metadata publishes a pure-carry snapshot so a follower's
+    * progress marker can advance past empty spans. */
+  def applyChanges(spark: SparkSession, indexDir: String,
+                   upserts: DataFrame, doomedIds: DataFrame,
+                   idCol: String, vecCol: String,
+                   clusterCol: String = "ivf_cluster",
+                   codeCol: String = "pq_code",
+                   meta: Map[String, String] = Map.empty): Int = {
+    import org.apache.spark.sql.functions.col
+    val parentV = currentVersion(indexDir).getOrElse(
+      sys.error(s"PqStore.applyChanges: no committed index at $indexDir"))
+    val snap = SnapshotStore.resolve(indexDir, Some(parentV))
+    val prev = java.nio.file.Paths.get(snap, Vectors)
+    val vectors = read(spark, indexDir, Some(parentV))
+    val clusterType = vectors.schema(clusterCol).dataType
+    require(Seq(org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(clusterType),
+      s"PqStore.applyChanges: cluster column '$clusterCol' must be " +
+        s"integral (got $clusterType) — delete()'s partition-path rule")
+    val batchIds = upserts.select(col(idCol)).distinct()
+      .unionByName(doomedIds.select(col(doomedIds.columns.head).as(idCol))
+        .distinct())
+      .distinct()
+    // Affected cluster list: bounded by k, driver-safe (delete()'s rule).
+    val affected = vectors.join(batchIds, Seq(idCol), "left_semi")
+      .select(col(clusterCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    val (ivf, rm) = models(spark, indexDir, Some(parentV))
+    // Encode with the PARENT's pinned model pair; project onto the
+    // committed table's column order so survivors and fresh rows union.
+    val assigned = PqIndex.encodeResidual(
+        IvfIndex.assign(spark, upserts, vecCol, ivf, clusterCol),
+        vecCol, clusterCol, rm, codeCol)
+      .select(vectors.columns.map(col).toIndexedSeq: _*)
+    val survivors =
+      if (affected.isEmpty) assigned.limit(0)
+      else vectors.where(col(clusterCol).isin(affected: _*)) // pruned
+        .join(batchIds, Seq(idCol), "left_anti")
+    val replacement = survivors.unionByName(assigned)
+    if (affected.isEmpty && upserts.isEmpty && meta.isEmpty)
+      return parentV // true no-op: don't burn a version
+    val stage = SnapshotStore.stage(indexDir)
+    replacement.write.partitionBy(clusterCol).parquet(s"$stage/$Vectors")
+    // Carry every UNaffected partition directory by hard link — batch
+    // files already staged under their cluster dirs sit alongside the
+    // carried names (distinct prefixes, no collision).
+    val affectedDirs = affected.map(c => s"$clusterCol=$c").toSet
+    java.nio.file.Files.list(prev).iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        !affectedDirs.contains(p.getFileName.toString))
+      .foreach { p =>
+        SnapshotStore.carryLink(p,
+          stage.resolve(Vectors).resolve(p.getFileName.toString),
+          s"carry-$parentV-")
+      }
+    writeModels(spark, ivf, rm, stage)
+    SnapshotStore.writeMeta(stage, meta)
+    SnapshotStore.publish(indexDir, stage, parentV)
+  }
+
+  /** Cap-gated re-pack of accreted per-cluster files — layout only,
+    * model and codes untouched. The snapshot layout matches IvfStore's,
+    * so its maintenance verb applies verbatim (the model directory —
+    * ivf + codebooks + anchors + params here — carries recursively). */
+  def maintainIndex(spark: SparkSession, indexDir: String, maxFiles: Int,
+                    clusterCol: String = "ivf_cluster",
+                    meta: Map[String, String] = Map.empty): Boolean =
+    IvfStore.maintainIndex(spark, indexDir, maxFiles, clusterCol, meta)
 
   /** Drop snapshots below the newest `retainVersions` — hard-link
     * reference counting keeps shared partition files alive while any

@@ -261,18 +261,21 @@ class MergeStoreCdcSource(spark: SparkSession, path: String,
     // Belt and braces with changes()' stable-order contract: the
     // InternalRow wrap below is POSITIONAL, so align to the source
     // schema explicitly before dropping to rows.
-    // An empty span is a no-op batch ONLY in the restart re-init shape
-    // (start.isEmpty — the engine re-calls getBatch(None, lastEnd) for
-    // batch 0, and a checkpoint whose history sits at or below the
-    // persisted start resolves to exactly that): nothing below the
-    // start is ever emitted, so nothing can be lost there. Any OTHER
-    // inverted span means the checkpoint and the start marker disagree
-    // — e.g. graft-cdc-start.v lost from a partially-copied checkpoint
-    // while the offset log survived, re-resolving the start past
-    // committed offsets — and a silent empty batch would SKIP the
-    // commits in between; fail loudly instead.
+    // An EQUAL span (toV == fromV) is always the benign no-op shape:
+    // restart re-initialization replays getBatch(start, end) for the
+    // last committed entry, and when that entry was a NO-DATA batch (a
+    // watermark-advancing tick of a downstream stateful consumer) its
+    // start and end offsets coincide — a healthy checkpoint must not
+    // die here. With start ABSENT an empty span is likewise the batch-0
+    // re-init (history at or below the persisted start). Only an
+    // INVERTED span (toV < fromV) with a known start means the
+    // checkpoint and the graft-cdc-start.v marker disagree — e.g. the
+    // marker lost from a partially-copied checkpoint while the offset
+    // log survived, re-resolving the start past committed offsets — and
+    // a silent empty batch would SKIP the commits in between; fail
+    // loudly instead.
     val batch =
-      if (toV <= fromV && start.isDefined)
+      if (toV < fromV && start.isDefined)
         throw new IllegalStateException(
           s"graft-cdc at $path: inverted batch span ($fromV, $toV] — the " +
             "checkpoint's offset log and its graft-cdc-start.v marker " +

@@ -108,27 +108,50 @@ object StreamingIvm {
       .agg(min(col(MergeStoreCdc.CommitVersionCol)),
         max(col(MergeStoreCdc.CommitVersionCol)))
       .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
-    val applied = IncrementalView.appliedVersion(viewTarget)
+    var applied = IncrementalView.appliedVersion(viewTarget)
     if (hi <= applied) return false // replayed batch: drop whole
     // A batch straddling the marker (lo <= applied < hi) happens when
     // the view advanced OUTSIDE this stream (a manual refresh between
     // runs, or a checkpoint older than the marker): the already-applied
     // prefix must be dropped per-commit, not hard-failed — commits are
     // whole within the feed, so the version filter slices exactly.
-    val fresh =
-      if (lo > applied) batch
-      else batch.where(col(MergeStoreCdc.CommitVersionCol) > applied)
-    val delta = IncrementalView.deltaState(
-      fresh.drop(MergeStoreCdc.CommitVersionCol), spec)
-    // expectedApplied closes the check-then-act window: the appliedVersion
-    // read above is only a pre-filter; the commit itself carries a
-    // MarkerGuard pinned at that base, re-verified inside every OCC
-    // attempt — a rival maintainer (a manual refresh racing this stream)
-    // that moved the marker mid-batch turns this commit into a dropped
-    // replay instead of a double-apply. Whoever advanced the marker is
-    // live and owns the span from its new value.
-    IncrementalView.applyDeltaToStore(spark, viewTarget, delta, spec,
-      hi.toInt, source, expectedApplied = Some(applied))
+    //
+    // The loop exists because a SKIPPED attempt must not strand a
+    // sub-span: the MarkerGuard drops the batch whole when a rival
+    // maintainer moved the marker mid-flight, but the rival may have
+    // applied a SHORTER overlapping span (a manual refresh that read
+    // the source before commits up to `hi` landed, moving the marker to
+    // m < hi). The streaming checkpoint still advances past this batch,
+    // so commits (m, hi] would otherwise be applied by NO ONE and the
+    // view would sit silently stale until a full refresh. Re-reading
+    // the marker and re-applying the remaining sub-span INSIDE this
+    // foreachBatch invocation closes that hole; each iteration either
+    // lands its span (marker -> hi, loop exits) or loses to a rival
+    // that strictly advanced the marker (markers only move up), so the
+    // loop terminates.
+    while (hi > applied) {
+      val fresh =
+        if (lo > applied) batch
+        else batch.where(col(MergeStoreCdc.CommitVersionCol) > applied)
+      val delta = IncrementalView.deltaState(
+        fresh.drop(MergeStoreCdc.CommitVersionCol), spec)
+      // expectedApplied closes the check-then-act window: the
+      // appliedVersion read above is only a pre-filter; the commit
+      // itself carries a MarkerGuard pinned at that base, re-verified
+      // inside every OCC attempt — a rival maintainer (a manual refresh
+      // racing this stream) that moved the marker mid-batch turns this
+      // commit into a dropped replay instead of a double-apply.
+      IncrementalView.applyDeltaToStore(spark, viewTarget, delta, spec,
+        hi.toInt, source, expectedApplied = Some(applied))
+      val now = IncrementalView.appliedVersion(viewTarget)
+      if (now <= applied)
+        throw new IllegalStateException(
+          s"IVM marker at $viewTarget did not advance past $applied " +
+            s"while applying span ($lo, $hi] — a rival moved it " +
+            "backwards? failing the batch so the checkpoint does not " +
+            "advance past an unapplied span")
+      applied = now
+    }
     true
   }
 }

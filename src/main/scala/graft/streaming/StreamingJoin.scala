@@ -104,9 +104,17 @@ object StreamingJoin {
   def closedClickCutoffMs(events: DataFrame, delayMs: Long,
                           windowMinutes: Int): Long = {
     val (c, p) = sides(events)
-    val sideMax = Seq(c, p).map(
-      _.agg(max(unix_millis(col("ts")))).head.getLong(0))
-    sideMax.min - delayMs - windowMinutes.toLong * 60000L
+    // An EMPTY side leaves max(ts) NULL: its watermark node never
+    // advances past the epoch, so the global MIN watermark closes no
+    // click at all — the degenerate replay emits matches only (and
+    // with no clicks, nothing). Long.MinValue is exactly that cutoff;
+    // an unguarded getLong would NPE on the null aggregate instead.
+    val sideMax = Seq(c, p).map { side =>
+      val r = side.agg(max(unix_millis(col("ts")))).head
+      if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+    }
+    if (sideMax.contains(Long.MinValue)) Long.MinValue
+    else sideMax.min - delayMs - windowMinutes.toLong * 60000L
   }
 
   /** Batch twin of the streamed left-outer attribution under a bounded

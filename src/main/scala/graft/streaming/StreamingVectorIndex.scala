@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.operators.IvfIndex
-import graft.store.{IvfStore, MergeStore, SnapshotStore}
+import graft.store.{IvfStore, MergeStore, PqStore, SnapshotStore}
 
 /** Continuous vector-index maintenance: the [[MergeStoreCdc]] change
   * stream of an embeddings table drives [[IvfStore.applyChanges]]
@@ -35,6 +35,35 @@ import graft.store.{IvfStore, MergeStore, SnapshotStore}
   * re-assign.
   */
 object StreamingVectorIndex {
+
+  /** Which ANN store a followed index applies its change batches to —
+    * the one seam between the plain-IVF and IVF-PQ lifecycles. Both
+    * share the snapshot layout (vectors/ + model/), the marker idiom,
+    * and the maintenance verb; they differ only in the applyChanges
+    * encode step (PQ residual-encodes with the parent's pinned
+    * codebooks). */
+  sealed trait StoreKind {
+    private[streaming] def applyChanges(spark: SparkSession,
+        indexDir: String, upserts: DataFrame, deletes: DataFrame,
+        idCol: String, vecCol: String, meta: Map[String, String]): Int
+  }
+  /** Plain IVF ([[IvfStore]]). */
+  case object PlainIvf extends StoreKind {
+    private[streaming] def applyChanges(spark: SparkSession,
+        indexDir: String, upserts: DataFrame, deletes: DataFrame,
+        idCol: String, vecCol: String, meta: Map[String, String]): Int =
+      IvfStore.applyChanges(spark, indexDir, upserts, deletes, idCol,
+        vecCol, meta = meta)
+  }
+  /** IVF-PQ ([[PqStore]]): upserts re-encode under the PARENT
+    * snapshot's pinned codebooks; retrains stay out-of-band. */
+  case object IvfPq extends StoreKind {
+    private[streaming] def applyChanges(spark: SparkSession,
+        indexDir: String, upserts: DataFrame, deletes: DataFrame,
+        idCol: String, vecCol: String, meta: Map[String, String]): Int =
+      PqStore.applyChanges(spark, indexDir, upserts, deletes, idCol,
+        vecCol, meta = meta)
+  }
 
   /** Snapshot-metadata key holding the applied source version. */
   private[graft] val AppliedKey = "ivf.applied"
@@ -74,7 +103,8 @@ object StreamingVectorIndex {
              idCol: String, vecCol: String, checkpoint: String,
              trigger: Trigger = Trigger.AvailableNow(),
              maxVersionsPerBatch: Int = 0,
-             maintainEvery: Int = 0, maxFiles: Int = 64): StreamingQuery = {
+             maintainEvery: Int = 0, maxFiles: Int = 64,
+             store: StoreKind = PlainIvf): StreamingQuery = {
     var advancedBatches = 0L // driver-side: foreachBatch runs on the driver
     MergeStoreCdc.readStream(spark, sourceTarget, pk = Seq(idCol),
         includePreimages = false,
@@ -82,7 +112,7 @@ object StreamingVectorIndex {
         fromVersion = Some(appliedVersion(indexDir)))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val advanced = applyCdcBatch(batch, indexDir, idCol, vecCol)
+        val advanced = applyCdcBatch(batch, indexDir, idCol, vecCol, store)
         if (advanced && maintainEvery > 0) {
           advancedBatches += 1
           if (advancedBatches % maintainEvery == 0)
@@ -101,7 +131,8 @@ object StreamingVectorIndex {
     * [[IvfStore.applyChanges]] publish carrying the marker. Visible for
     * specs; returns true iff the batch advanced the index. */
   def applyCdcBatch(batch: DataFrame, indexDir: String,
-                    idCol: String, vecCol: String): Boolean = {
+                    idCol: String, vecCol: String,
+                    store: StoreKind = PlainIvf): Boolean = {
     if (batch.isEmpty) return false
     val applied = appliedVersion(indexDir)
     val Array(lo, hi) = batch
@@ -128,7 +159,7 @@ object StreamingVectorIndex {
     val deletes = terminal
       .where(col(MergeStoreCdc.ChangeTypeCol) === "delete")
       .select(col(idCol))
-    IvfStore.applyChanges(batch.sparkSession, indexDir, upserts, deletes,
+    store.applyChanges(batch.sparkSession, indexDir, upserts, deletes,
       idCol, vecCol, meta = Map(AppliedKey -> hi.toString))
     true
   }

@@ -216,6 +216,43 @@ class DataSkippingSpec extends SparkSpec {
     assert(dPruned.count() == dFull.count())
   }
 
+  test("non-finite doubles: no stats line, file stays candidate, scans exact") {
+    val t = tmpDir("inf-stats") + "/tbl"
+    // One file's score range touches +Infinity: it must keep NO min/max
+    // line (Infinity does not parse as the BigDecimal the numeric tag
+    // compares with) and stay a candidate on every range probe, never
+    // plant a NumberFormatException in the planner.
+    val df = spark.range(1000L).select(col("id"),
+      when(col("id") === 999L, lit(Double.PositiveInfinity))
+        .when(col("id") === 998L, lit(Double.NegativeInfinity))
+        .otherwise(col("id").cast("double") / 10.0).as("score"))
+    MergeStore.init(spark, df, t, 4, clusterBy = Seq("id"),
+      statsCols = Some(Seq("id", "score")))
+    val meta = MergeStore.manifestMeta(t)
+    val infFiles = MergeStore.liveFiles(t).filter { f =>
+      // files holding ids 998/999 sit in the top id range
+      MergeStore.candidateFiles(spark, t, "id", Some(998L), Some(999L))
+        .contains(f)
+    }
+    assert(infFiles.nonEmpty)
+    assert(infFiles.forall(f => !meta.contains(s"s:$f:score")),
+      "a file with a non-finite score must carry no min/max stats line")
+    // Range scans on the score column stay exact AND never throw.
+    val got = MergeStore.scanRange(spark, t, "score", Some(50.0), Some(60.0))
+      .count()
+    assert(got == MergeStore.read(spark, t)
+      .where(col("score").between(50.0, 60.0)).count())
+    // An infinity probe finds the infinite rows (file kept candidate).
+    assert(MergeStore.scanRange(spark, t, "score",
+      Some(Double.PositiveInfinity), None).count() == 1)
+    // Verbs whose predicate implies score bounds still work.
+    val doomed = MergeStore.read(spark, t)
+      .where(col("score") > 90.0).count()
+    assert(doomed > 0)
+    assert(MergeStore.deleteWhere(spark, t, col("score") > 90.0)
+      .rowsDeleted == doomed)
+  }
+
   test("nulls: all-null stats column leaves the file a candidate, exact") {
     val t = tmpDir("skip-null") + "/tbl"
     // Half the rows carry NULL v; one whole range of files is all-null.
@@ -284,6 +321,16 @@ class DataSkippingSpec extends SparkSpec {
     MergeStore.updateWhereMor(spark, t, col("id") === 2L,
       Map("payload" -> lit("u")))
     check() // update: net row count unchanged, old buried + new appended
+    // The counted path is PURE catalog: with position counts recorded
+    // in the dv: lines, COUNT(*) must not open a single sidecar — prove
+    // it by hiding the sidecar directory entirely.
+    val expected = MergeStore.read(spark, t).count()
+    val dvDir = java.nio.file.Paths.get(t, "_dv")
+    val hidden = java.nio.file.Paths.get(t, "_dv_hidden")
+    java.nio.file.Files.move(dvDir, hidden)
+    try assert(MergeStore.rowCount(spark, t).contains(expected),
+      "rowCount touched a DV sidecar despite recorded counts")
+    finally java.nio.file.Files.move(hidden, dvDir)
     MergeStore.purgeDeletes(spark, t)
     check()
     // A stats-less table answers None (fallback to a scan).

@@ -196,10 +196,19 @@ class DeletionVectorSpec extends SparkSpec {
     val st = MergeStore.updateWhereMor(spark, t, col("id") % 200 === 3,
       Map("payload" -> concat(lit("upd-"), col("id"))))
     assert(st.rowsUpdated == 50)
-    // Old files all carried; exactly one appended post-image file.
+    // Old files all carried; post-images append SIZED BY MATCHED VOLUME
+    // (one file per affected input file, like purgeDeletes) — a broad
+    // UPDATE must never funnel its whole rewrite through one task.
     assert(MergeStore.liveFiles(t).toSet.intersect(filesBefore.toSet)
       == filesBefore.toSet)
-    assert(MergeStore.liveFiles(t).size == filesBefore.size + 1)
+    val appended = MergeStore.liveFiles(t).filterNot(filesBefore.contains)
+    assert(appended.size > 1 && appended.size <= st.filesRewritten,
+      s"appended ${appended.size} files for ${st.filesRewritten} marked")
+    // Every appended file carries its own stats lines (data skipping
+    // keeps working on the post-image rows).
+    val meta = MergeStore.manifestMeta(t)
+    assert(appended.forall(f => meta.contains(s"n:$f:id")),
+      "appended post-image file missing null-count stats")
     val back = MergeStore.read(spark, t)
     assert(back.count() == N) // update, not delete
     assert(back.where(col("payload").startsWith("upd-")).count() == 50)

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
@@ -205,13 +207,30 @@ class RenameColumnSpec extends SparkSpec {
         allowSchemaEvolution = true)
     }
     assert(e2.getMessage.contains("physical"))
-    // Legacy schema-less manifest (no stats -> no recorded schema).
+    // EVERY commit now records the schema — even a stats-less
+    // unclustered init — so rename works on such tables directly.
+    val statless = tmpDir("ren-statless") + "/tbl"
+    MergeStore.init(spark, base, statless, 4)
+    MergeStore.renameColumn(spark, statless, "payload", "text")
+    assert(MergeStore.read(spark, statless).columns.contains("text"))
+    // A genuinely LEGACY manifest (written before schema-in-the-log):
+    // model it by stripping the schema line. The named refusal fires,
+    // and its remedy — one compact — records the schema for real, even
+    // with no stats and no bloom columns (the migration path must not
+    // be a dead end for exactly those tables).
     val legacy = tmpDir("ren-legacy") + "/tbl"
     MergeStore.init(spark, base, legacy, 4)
+    val m0 = java.nio.file.Paths.get(legacy, "_manifest", "v0.list")
+    val stripped = java.nio.file.Files.readAllLines(m0)
+      .asScala.filterNot(_.startsWith("#schema=")).asJava
+    java.nio.file.Files.write(m0, stripped)
     val e3 = intercept[RuntimeException] {
       MergeStore.renameColumn(spark, legacy, "payload", "text")
     }
     assert(e3.getMessage.contains("schema"))
+    MergeStore.compact(spark, legacy, 4)
+    MergeStore.renameColumn(spark, legacy, "payload", "text")
+    assert(MergeStore.read(spark, legacy).columns.contains("text"))
   }
 
   test("addColumn: metadata-only; null-filled reads; verbs land values") {

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.store.{MergeStore, SqlVerbs}
+
+/** SQL text surface for the table verbs: `UPDATE / DELETE FROM /
+  * MERGE INTO` statements parsed by Spark's OWN parser dispatch to the
+  * MergeStore verbs with identical semantics to the Scala API — same
+  * COW/MOR cost shape, same constraints, same change feed.
+  */
+class SqlVerbsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val N = 6000
+
+  private def base = spark.range(N.toLong)
+    .select(col("id"), (col("id") % 97).cast("int").as("grp"),
+      concat(lit("v1-"), col("id")).as("payload"))
+
+  private def fresh(tag: String): (String, Map[String, String]) = {
+    val t = tmpDir(tag) + "/tbl"
+    MergeStore.init(spark, base, t, 8, clusterBy = Seq("id"))
+    (t, Map("events" -> t))
+  }
+
+  test("UPDATE by SQL == updateWhere: simultaneous SET, NULL predicate rows survive") {
+    val (t, cat) = fresh("sqlv-upd")
+    val r = SqlVerbs.execute(spark,
+      "UPDATE events SET payload = concat('u-', id), grp = grp + 1 " +
+        "WHERE id % 100 = 3", cat)
+    val st = r.asInstanceOf[SqlVerbs.Updated].stats
+    assert(st.rowsUpdated == 60)
+    // Twin table through the Scala API: bit-identical result.
+    val twin = tmpDir("sqlv-upd-twin") + "/tbl"
+    MergeStore.init(spark, base, twin, 8, clusterBy = Seq("id"))
+    MergeStore.updateWhere(spark, twin, expr("id % 100 = 3"),
+      Map("payload" -> expr("concat('u-', id)"), "grp" -> expr("grp + 1")))
+    assert(MergeStore.read(spark, t).orderBy("id").collect().toSeq ==
+      MergeStore.read(spark, twin).orderBy("id").collect().toSeq)
+    assert(MergeStore.read(spark, t).where($"id" === 103L)
+      .select($"payload").as[String].head() == "u-103")
+  }
+
+  test("DELETE by SQL == deleteWhere; MOR routing marks instead of rewriting") {
+    val (t, cat) = fresh("sqlv-del")
+    val r = SqlVerbs.execute(spark,
+      "DELETE FROM events WHERE grp = 7", cat)
+    assert(r.asInstanceOf[SqlVerbs.Deleted].stats.rowsDeleted ==
+      base.where($"grp" === 7).count())
+    assert(MergeStore.read(spark, t).where($"grp" === 7).count() == 0)
+    // MOR route: deletion vectors, no data-file rewrite.
+    val filesBefore = MergeStore.liveFiles(t).toSet
+    val r2 = SqlVerbs.execute(spark,
+      "DELETE FROM events WHERE id = 100", cat, mor = true)
+    assert(r2.asInstanceOf[SqlVerbs.MorDeleted].stats.rowsDeleted == 1)
+    assert(MergeStore.liveFiles(t).toSet == filesBefore,
+      "MOR delete must not rewrite data files")
+    assert(MergeStore.dvMeta(t).nonEmpty)
+    assert(MergeStore.read(spark, t).where($"id" === 100L).count() == 0)
+  }
+
+  test("MERGE INTO by SQL == merge: upsert form on the ON-clause keys") {
+    val (t, cat) = fresh("sqlv-merge")
+    spark.range(100L, 110L)
+      .select(col("id"), lit(7).cast("int").as("grp"),
+        concat(lit("m-"), col("id")).as("payload"))
+      .union(spark.range(N.toLong, N + 5L)
+        .select(col("id"), lit(8).cast("int").as("grp"),
+          concat(lit("new-"), col("id")).as("payload")))
+      .createOrReplaceTempView("updates_v")
+    val r = SqlVerbs.execute(spark,
+      "MERGE INTO events t USING updates_v s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *", cat)
+    val st = r.asInstanceOf[SqlVerbs.Merged].stats
+    assert(st.rowsUpdated == 10 && st.rowsInserted == 5)
+    val rows = MergeStore.read(spark, t)
+      .where($"id".isin((100L to 109L) ++ (N.toLong until N + 5L): _*))
+      .select($"id", $"payload").as[(Long, String)].collect().toMap
+    (100L to 109L).foreach(i => assert(rows(i) == s"m-$i"))
+    (N.toLong until N + 5).foreach(i => assert(rows(i) == s"new-$i"))
+    assert(MergeStore.read(spark, t).count() == N + 5)
+    // Sole WHEN MATCHED THEN DELETE: key-set removal.
+    spark.range(100L, 105L).select(col("id"))
+      .createOrReplaceTempView("doomed_v")
+    val r2 = SqlVerbs.execute(spark,
+      "MERGE INTO events t USING doomed_v s ON t.id = s.id " +
+        "WHEN MATCHED THEN DELETE", cat)
+    assert(r2.asInstanceOf[SqlVerbs.Deleted].stats.rowsDeleted == 5)
+    assert(MergeStore.read(spark, t).count() == N)
+  }
+
+  test("refusals are loud: unknown table, unsupported shapes, constraints still gate") {
+    val (t, cat) = fresh("sqlv-refuse")
+    intercept[RuntimeException] {
+      SqlVerbs.execute(spark, "DELETE FROM nope WHERE id = 1", cat)
+    }
+    intercept[RuntimeException] {
+      SqlVerbs.execute(spark, "SELECT * FROM events", cat)
+    }
+    intercept[RuntimeException] { // conditional action unsupported
+      SqlVerbs.execute(spark,
+        "MERGE INTO events t USING events s ON t.id = s.id " +
+          "WHEN MATCHED AND s.grp = 1 THEN DELETE", cat)
+    }
+    // The dispatched verb's own constraint gate still fires from SQL.
+    MergeStore.addConstraint(spark, t, "grp_pos", "grp >= 0")
+    intercept[IllegalStateException] {
+      SqlVerbs.execute(spark,
+        "UPDATE events SET grp = -1 WHERE id = 5", cat)
+    }
+    assert(MergeStore.read(spark, t).where($"grp" < 0).count() == 0)
+  }
+}

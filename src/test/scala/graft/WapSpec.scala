@@ -132,4 +132,26 @@ class WapSpec extends SparkSpec {
     }
     assert(MergeStore.read(spark, src).count() == N - 1)
   }
+
+  test("wap markers are branch POLICY: publish survives a branch-side vacuum") {
+    val src = freshSource("wap-vacuum")
+    val br = tmpDir("wap-vacuum-br") + "/branch"
+    MergeStore.branchTable(spark, src, br) // markers born on branch v0
+    // A long-lived audit branch: several verb commits, then retention
+    // maintenance DROPS the birth manifest. The wap.* markers must ride
+    // every branch commit like constraints do, or the vacuum would
+    // sever the branch from its source and the publish would fail.
+    MergeStore.merge(spark, spark.range(N.toLong, N + 5L).select(col("id"),
+      lit(1).cast("int").as("grp"), lit("aud").as("payload")), br, Seq("id"))
+    MergeStore.deleteWhere(spark, br, col("id") === 1L)
+    MergeStore.vacuum(br, retainVersions = 1, graceMillis = 0)
+    assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(br, "_manifest", "v0.list")),
+      "vacuum should have dropped the branch's birth manifest")
+    val v = MergeStore.publishTable(spark, src, br)
+    assert(v == 1)
+    assert(MergeStore.read(spark, src).count() == N + 5 - 1)
+    // The published commit does NOT leak the branch markers.
+    assert(!MergeStore.userManifestMeta(src).contains("wap.source"))
+  }
 }
