@@ -140,13 +140,16 @@ object MergeStore {
     * (path, version) fully determines the state; the (size, mtime)
     * fingerprint of the version's own backing file guards test-style
     * delete-and-recreate path reuse. Access-ordered LRU, driver-side
-    * metadata only. */
+    * metadata only — capacity is deliberately small because ONE entry
+    * of a 10⁵-file table is megabytes of strings; 64 comfortably covers
+    * a reconstruction walk (≤ checkpointInterval) plus the hot heads of
+    * every table a driver concurrently serves. */
   private val stateCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[(String, Int, Long, Long), ManifestState](
         64, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(String, Int, Long, Long), ManifestState])
-          : Boolean = size() > 512
+          : Boolean = size() > 64
     })
 
   private def parseFull(lines: Seq[String], where: String): ManifestState = {
@@ -747,7 +750,7 @@ object MergeStore {
     * file name — column-pruned and file-pruned, the cheapest plan that
     * can answer "which files hold matched keys". */
   private def probeScan(spark: SparkSession, target: String, version: Int,
-                        full: DataFrame, names: Seq[String],
+                        full: => DataFrame, names: Seq[String],
                         cols: Seq[String]): DataFrame = {
     val withFile =
       if (names.isEmpty)
@@ -1966,6 +1969,15 @@ object MergeStore {
       else Seq(monotonically_increasing_id())
     val deduped = Upsert.dedupByKey(
       updates.where(pk.map(col(_).isNotNull).reduce(_ && _)), pk, ord)
+    // With a manifest-recorded schema the verb NEVER builds the
+    // full-table read plan just to learn column names: constructing it
+    // lists every live file (an InMemoryFileIndex pass — a parallel
+    // listing JOB past the discovery threshold, an object-store HEAD
+    // per path at 100 TB), and a pruned trickle merge must stay
+    // O(candidate files) end to end.
+    val tableSchema = manifestSchema(target, parentV)
+    val tableCols: Seq[String] =
+      tableSchema.map(_.fieldNames.toSeq).getOrElse(snapshot.columns.toSeq)
     // Schema evolution (Delta's mergeSchema shape): with it on, batch
     // columns absent from the table are APPENDED (carried files keep
     // their physical schema — read()'s mergeSchema nulls them there),
@@ -1976,12 +1988,11 @@ object MergeStore {
     // Batch-only ordering columns are part of the merge CONTRACT, not
     // schema drift — only other unknown columns trip the strict check.
     val extra = deduped.columns
-      .filterNot(snapshot.columns.contains).filterNot(ordCols.contains)
+      .filterNot(tableCols.contains).filterNot(ordCols.contains)
     require(allowSchemaEvolution || extra.isEmpty,
       s"merge batch carries columns absent from the table " +
         s"(${extra.mkString(", ")}) — a drifted producer, or pass " +
         "allowSchemaEvolution=true to append them")
-    val tableSchema = manifestSchema(target, parentV)
     // A renamed-away column's PHYSICAL name is still spelled inside
     // every carried file; evolving in a new column under that name
     // would make two fields collide on disk (and resurrect old bytes).
@@ -1994,12 +2005,17 @@ object MergeStore {
         s"on-disk (physical) name of a renamed column at $target — " +
         "pick another name, or compact and re-init to retire the " +
         "physical name")
-    val batchOnlyOrd = ordCols.filterNot(snapshot.columns.contains)
+    val batchOnlyOrd = ordCols.filterNot(tableCols.contains)
+    def emptyTable = tableSchema match {
+      case Some(st) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      case None => snapshot.limit(0)
+    }
     val incoming = (
       if (allowSchemaEvolution)
-        snapshot.limit(0).unionByName(deduped.drop(batchOnlyOrd: _*),
+        emptyTable.unionByName(deduped.drop(batchOnlyOrd: _*),
           allowMissingColumns = true)
-      else deduped.select(snapshot.columns.map(col).toIndexedSeq: _*)
+      else deduped.select(tableCols.map(col).toIndexedSeq: _*)
       ).cache()
     enforceConstraints(spark, target, parentV, incoming, "merge")
 
@@ -3089,19 +3105,35 @@ object MergeStore {
       if (g.stale(markerValue(target, g.key, Some(parentV)).map(_.toLong)))
         return ApplyStats(before.size, 0, 0L, 0L, skippedReplay = true)
     }
-    val snapshot = read(spark, target, Some(parentV))
-    val recorded = withMapping(snapshot.schema, manifestSchema(target, parentV))
+    // Schema and columns come from the manifest when recorded — the
+    // full-table read plan (a listing job over every live file) is
+    // never built on the pruned path, same as merge/delete.
+    def snapshot = read(spark, target, Some(parentV))
+    val recorded = manifestSchema(target, parentV)
+      .getOrElse(withMapping(snapshot.schema, None))
     val ord = if (ordCols.nonEmpty) ordCols.map(col)
       else Seq(monotonically_increasing_id())
     val incoming = Upsert.dedupByKey(
         upserts.where(pk.map(col(_).isNotNull).reduce(_ && _)), pk, ord)
-      .select(snapshot.columns.map(col).toIndexedSeq: _*).cache()
+      .select(recorded.fieldNames.map(col).toIndexedSeq: _*).cache()
     enforceConstraints(spark, target, parentV, incoming, "applyChanges")
     val keys = deleteKeys.select(pk.map(col): _*)
       .where(pk.map(col(_).isNotNull).reduce(_ && _)).distinct().cache()
     val sCols = statsColumns(target, Some(parentV))
     val (bCols, bloomFpp) = inheritedBloom(target, parentV)
     try {
+      // Heartbeat shape: an empty change batch exists only to advance a
+      // progress marker — probing every candidate file for keys that
+      // cannot exist is pure waste (measured 12-34 s per commit at
+      // 4-16k live files: the per-micro-batch idle cost of a streaming
+      // sink). Commit the metadata against the unchanged file list and
+      // return before any table IO.
+      if (incoming.isEmpty && keys.isEmpty) {
+        if (meta.nonEmpty)
+          commitWithStats(spark, target, before, parentV, meta, Nil,
+            sCols, recorded, bCols, bloomFpp)
+        return ApplyStats(before.size, 0, 0L, 0L)
+      }
       // One pruned, pk-only probe answers both verbs: candidate files
       // come from the COMBINED key bounds (upserts ∪ deletes) — a file
       // outside both batches' ranges can hold neither a matched upsert
