@@ -58,7 +58,8 @@ object MergeStore {
                               recomputes: Int = 0, rebases: Int = 0)
 
   final case class DeleteStats(filesTotal: Int, filesRewritten: Int,
-                               rowsDeleted: Long)
+                               rowsDeleted: Long,
+                               recomputes: Int = 0, rebases: Int = 0)
 
   /** Default vacuum grace window (10 min): a data file younger than this
     * is never reclaimed even when no retained manifest references it,
@@ -1345,7 +1346,8 @@ object MergeStore {
   }
 
   final case class MorDeleteStats(filesTotal: Int, filesMarked: Int,
-                                  rowsDeleted: Long)
+                                  rowsDeleted: Long,
+                                  recomputes: Int = 0, rebases: Int = 0)
 
   /** Merge-on-read DELETE by predicate: mark matching rows' positions
     * in per-file deletion-vector sidecars instead of rewriting files —
@@ -1366,7 +1368,9 @@ object MergeStore {
       prunePredicate = Some(predicate))
     catch {
       case _: java.util.ConcurrentModificationException if maxRetries > 0 =>
-        deleteWhereMor(spark, target, predicate, maxRetries - 1, None)
+        val st = deleteWhereMor(spark, target, predicate,
+          maxRetries - 1, None)
+        st.copy(recomputes = st.recomputes + 1)
     }
   }
 
@@ -1384,7 +1388,8 @@ object MergeStore {
       pruneKeys = Some((keyRows, pk)))
     catch {
       case _: java.util.ConcurrentModificationException if maxRetries > 0 =>
-        deleteMor(spark, target, keys, pk, maxRetries - 1, None)
+        val st = deleteMor(spark, target, keys, pk, maxRetries - 1, None)
+        st.copy(recomputes = st.recomputes + 1)
     }
   }
 
@@ -1439,9 +1444,26 @@ object MergeStore {
         if (existing.isEmpty) doomed
         else doomed.unionByName(dvPositions(spark, target, existing))
       val updates = writeDvSidecars(spark, target, allPos, affected, next)
-      commit(target, before, parentV,
-        manifestMeta(target, Some(parentV)) ++ updates)
-      MorDeleteStats(before.size, affected.size, rowsDeleted)
+      // File-disjoint rebase, like the COW verbs: two concurrent MOR
+      // deletes marking DIFFERENT files (the GDPR trickle shape) both
+      // land without recompute — the loser re-commits its sidecar
+      // lines onto the new head's manifest. A rival touching the same
+      // candidate files (its dv: lines moved) recomputes, because this
+      // attempt's sidecars unioned the PARENT's positions.
+      val candidatesAt: (Int, Seq[String]) => Seq[String] = (v, fs) =>
+        pruneKeys match {
+          case Some((keyRows, pk)) => pruneByKeyBounds(target, v, fs,
+            keyRows, pk)
+          case None => prunePredicate
+            .map(p => pruneByPredicate(spark, target, v, fs, p))
+            .getOrElse(fs)
+        }
+      val rebases = commitWithRebase(target, parentV, candidates,
+        affected.toSet, candidatesAt,
+        head => commit(target, liveFiles(target, Some(head)), head,
+          manifestMeta(target, Some(head)) ++ updates): Unit)
+      MorDeleteStats(before.size, affected.size, rowsDeleted,
+        rebases = rebases)
     } finally doomed.unpersist()
   }
 
@@ -1464,7 +1486,9 @@ object MergeStore {
     try updateMorOnce(spark, target, snapshotVersion, predicate, set)
     catch {
       case _: java.util.ConcurrentModificationException if maxRetries > 0 =>
-        updateWhereMor(spark, target, predicate, set, maxRetries - 1, None)
+        val st = updateWhereMor(spark, target, predicate, set,
+          maxRetries - 1, None)
+        st.copy(recomputes = st.recomputes + 1)
     }
   }
 
@@ -1527,12 +1551,28 @@ object MergeStore {
       val newFiles = writeFiles(toPhysical(
         updated.repartition(math.max(1, affected.size)), schema), target)
       val (bCols, fpp) = inheritedBloom(target, parentV)
-      // One commit: vectors bury the old images, the appended file
-      // carries the new ones; stats for the new file ride along.
-      commitWithStats(spark, target, before ++ newFiles, parentV,
-        Map.empty, newFiles, statsColumns(target, Some(parentV)), schema,
-        bCols, fpp, dvUpdates = updates)
-      UpdateStats(before.size, affected.size, rowsUpdated)
+      val sCols = statsColumns(target, Some(parentV))
+      val renames = logicalByPhysical(schema)
+      val fresh =
+        if (sCols.isEmpty && bCols.isEmpty) Map.empty[String, String]
+        else computeFileStats(spark, target, newFiles, sCols, renames)
+      val blooms =
+        if (bCols.isEmpty) Map.empty[String, String]
+        else computeFileBlooms(spark, target, newFiles, bCols, fpp,
+          renames)
+      // One commit: vectors bury the old images, the appended files
+      // carry the new ones; stats ride along. File-disjoint rebase as
+      // everywhere — the dv-line check refuses when a rival marked the
+      // same candidate files.
+      val rebases = commitWithRebase(target, parentV, candidates,
+        affected.toSet,
+        (v, fs) => pruneByPredicate(spark, target, v, fs, predicate),
+        head => assembleAndCommit(spark, target,
+          (liveFiles(target, Some(head)) ++ newFiles).distinct, head,
+          Map.empty, fresh, blooms, sCols, schema, bCols, fpp,
+          dvUpdates = updates): Unit)
+      UpdateStats(before.size, affected.size, rowsUpdated,
+        rebases = rebases)
     } finally hit.unpersist()
   }
 
@@ -1895,11 +1935,14 @@ object MergeStore {
     *      MOR delete (or a restore reviving buried rows) silently
     *      changes which rows are ALIVE in files this verb read.
     *
-    * The whole check is manifest-only (plus one tiny key-bounds
-    * aggregate on the already-cached batch): zero data-file IO. */
+    * The whole check is manifest-only (plus one tiny bounds aggregate
+    * on the already-cached batch inside `candidatesAt`): zero
+    * data-file IO. `candidatesAt(version, files)` re-runs the verb's
+    * OWN pruning (key bounds for merge/applyChanges/key deletes,
+    * implied predicate bounds for WHERE verbs) against the new head. */
   private def rebaseSafe(target: String, parentV: Int, newHead: Int,
                          candidates: Seq[String], affected: Set[String],
-                         batchKeys: DataFrame, keyCols: Seq[String])
+                         candidatesAt: (Int, Seq[String]) => Seq[String])
       : Boolean = {
     val pm = manifestMeta(target, Some(parentV))
     val hm = manifestMeta(target, Some(newHead))
@@ -1913,13 +1956,40 @@ object MergeStore {
     val headSet = headFiles.toSet
     if (!affected.forall(headSet.contains)) return false
     val candSet = candidates.toSet
-    if (pruneByKeyBounds(target, newHead, headFiles, batchKeys, keyCols)
-        .toSet != candSet) return false
+    if (candidatesAt(newHead, headFiles).toSet != candSet) return false
     def dvOf(m: Map[String, String]): Map[String, String] =
       m.filter { case (k, _) =>
         isDvKey(k) && candSet.contains(k.stripPrefix(DvPrefix))
       }
     dvOf(pm) == dvOf(hm)
+  }
+
+  /** The commit-or-rebase loop every row-level verb shares: try the
+    * CAS at `head`; on loss, validate the read set against the new
+    * head with [[rebaseSafe]] and retry the commit there (the computed
+    * result and its fresh stats re-commit unchanged — `attemptAt`
+    * receives the head to commit against), rethrowing to the verb's
+    * recompute path on true overlap. Returns the rebase count. */
+  private def commitWithRebase(target: String, parentV: Int,
+                               candidates: Seq[String],
+                               affected: Set[String],
+                               candidatesAt: (Int, Seq[String]) => Seq[String],
+                               attemptAt: Int => Unit): Int = {
+    var head = parentV
+    var rebases = 0
+    var committed = false
+    while (!committed) {
+      try { attemptAt(head); committed = true }
+      catch {
+        case cme: java.util.ConcurrentModificationException =>
+          val newHead = currentVersion(target).getOrElse(throw cme)
+          if (!rebaseSafe(target, parentV, newHead, candidates, affected,
+              candidatesAt)) throw cme
+          head = newHead
+          rebases += 1
+      }
+    }
+    rebases
   }
 
   /** MERGE `updates` into the table on `pk` (incoming wins; within the
@@ -2065,28 +2135,15 @@ object MergeStore {
       val blooms =
         if (bCols.isEmpty) Map.empty[String, String]
         else computeFileBlooms(spark, target, newFiles, bCols, fpp, renames)
-      var head = parentV
-      var rebases = 0
-      var done = -1
-      while (done < 0) {
-        val list = (liveFiles(target, Some(head)).filterNot(affected) ++
-          newFiles).distinct
-        try {
-          assembleAndCommit(spark, target, list, head, Map.empty, fresh,
-            blooms, sCols, recorded, bCols, fpp, Map.empty)
-          done = head
-        } catch {
-          case cme: java.util.ConcurrentModificationException =>
-            val newHead = currentVersion(target).getOrElse(throw cme)
-            // Rebase only when the rivals' commits are provably
-            // disjoint from this merge's read set; the read set was
-            // fixed at parentV, so the check always spans from there.
-            if (!rebaseSafe(target, parentV, newHead, candidates,
-                affected, incoming.select(pk.map(col): _*), pk)) throw cme
-            head = newHead
-            rebases += 1
-        }
-      }
+      val rebases = commitWithRebase(target, parentV, candidates,
+        affected,
+        (v, fs) => pruneByKeyBounds(target, v, fs,
+          incoming.select(pk.map(col): _*), pk),
+        head => assembleAndCommit(spark, target,
+          (liveFiles(target, Some(head)).filterNot(affected) ++
+            newFiles).distinct,
+          head, Map.empty, fresh, blooms, sCols, recorded, bCols, fpp,
+          Map.empty): Unit)
       MergeStats(before.size, affected.size, rowsInserted, rowsUpdated,
         rebases = rebases)
     } finally incoming.unpersist()
@@ -2151,8 +2208,9 @@ object MergeStore {
     catch {
       case _: java.util.ConcurrentModificationException if maxRetries > 0 =>
         // Replay against the FRESH head, exactly like merge's retry.
-        deleteRetrying(spark, target, maxRetries - 1, None, doomed,
-          survivors, pruneKeys, prunePredicate)
+        val st = deleteRetrying(spark, target, maxRetries - 1, None,
+          doomed, survivors, pruneKeys, prunePredicate)
+        st.copy(recomputes = st.recomputes + 1)
     }
 
   private def deleteOnce(spark: SparkSession, target: String,
@@ -2202,11 +2260,31 @@ object MergeStore {
       else writeFiles(toPhysical(
         kept.repartition(math.max(1, affected.size)), schema), target)
     val (bCols, fpp) = inheritedBloom(target, parentV)
-    commitWithStats(spark, target,
-      (before.filterNot(affected) ++ newFiles).distinct, parentV,
-      Map.empty, newFiles, statsColumns(target, Some(parentV)),
-      schema, bCols, fpp)
-    DeleteStats(before.size, affected.size, rowsDeleted)
+    val sCols = statsColumns(target, Some(parentV))
+    val renames = logicalByPhysical(schema)
+    val fresh =
+      if (sCols.isEmpty && bCols.isEmpty) Map.empty[String, String]
+      else computeFileStats(spark, target, newFiles, sCols, renames)
+    val blooms =
+      if (bCols.isEmpty) Map.empty[String, String]
+      else computeFileBlooms(spark, target, newFiles, bCols, fpp, renames)
+    val candidatesAt: (Int, Seq[String]) => Seq[String] = (v, fs) =>
+      pruneKeys match {
+        case Some((keyRows, pk)) => pruneByKeyBounds(target, v, fs,
+          keyRows, pk)
+        case None => prunePredicate
+          .map(p => pruneByPredicate(spark, target, v, fs, p))
+          .getOrElse(fs)
+      }
+    val rebases = commitWithRebase(target, parentV, candidates, affected,
+      candidatesAt,
+      head => assembleAndCommit(spark, target,
+        (liveFiles(target, Some(head)).filterNot(affected) ++
+          newFiles).distinct,
+        head, Map.empty, fresh, blooms, sCols, schema, bCols, fpp,
+        Map.empty): Unit)
+    DeleteStats(before.size, affected.size, rowsDeleted,
+      rebases = rebases)
   }
 
   /** Conservative per-column bound constraints IMPLIED by a predicate
@@ -2434,7 +2512,8 @@ object MergeStore {
   }
 
   final case class UpdateStats(filesTotal: Int, filesRewritten: Int,
-                               rowsUpdated: Long)
+                               rowsUpdated: Long,
+                               recomputes: Int = 0, rebases: Int = 0)
 
   /** UPDATE by predicate (`UPDATE t SET c = e, ... WHERE p` — the
     * compliance verb Delta/Iceberg express as copy-on-write UPDATE).
@@ -2461,7 +2540,9 @@ object MergeStore {
     try updateOnce(spark, target, snapshotVersion, predicate, set)
     catch {
       case _: java.util.ConcurrentModificationException if maxRetries > 0 =>
-        updateWhere(spark, target, predicate, set, maxRetries - 1, None)
+        val st = updateWhere(spark, target, predicate, set,
+          maxRetries - 1, None)
+        st.copy(recomputes = st.recomputes + 1)
     }
   }
 
@@ -2513,11 +2594,23 @@ object MergeStore {
     val newFiles = writeFiles(toPhysical(
       updated.repartition(math.max(1, affected.size)), schema), target)
     val (bCols, fpp) = inheritedBloom(target, parentV)
-    commitWithStats(spark, target,
-      (before.filterNot(affected) ++ newFiles).distinct, parentV,
-      Map.empty, newFiles, statsColumns(target, Some(parentV)),
-      schema, bCols, fpp)
-    UpdateStats(before.size, affected.size, rowsUpdated)
+    val sCols = statsColumns(target, Some(parentV))
+    val renames = logicalByPhysical(schema)
+    val fresh =
+      if (sCols.isEmpty && bCols.isEmpty) Map.empty[String, String]
+      else computeFileStats(spark, target, newFiles, sCols, renames)
+    val blooms =
+      if (bCols.isEmpty) Map.empty[String, String]
+      else computeFileBlooms(spark, target, newFiles, bCols, fpp, renames)
+    val rebases = commitWithRebase(target, parentV, candidates, affected,
+      (v, fs) => pruneByPredicate(spark, target, v, fs, predicate),
+      head => assembleAndCommit(spark, target,
+        (liveFiles(target, Some(head)).filterNot(affected) ++
+          newFiles).distinct,
+        head, Map.empty, fresh, blooms, sCols, schema, bCols, fpp,
+        Map.empty): Unit)
+    UpdateStats(before.size, affected.size, rowsUpdated,
+      rebases = rebases)
   }
 
   /** RESTORE to a committed version (Delta RESTORE): publish a NEW head
@@ -3206,7 +3299,9 @@ object MergeStore {
           case cme: java.util.ConcurrentModificationException =>
             val newHead = currentVersion(target).getOrElse(throw cme)
             if (!rebaseSafe(target, parentV, newHead, candidates,
-                affected, probeKeys, pk)) throw cme
+                affected,
+                (v, fs) => pruneByKeyBounds(target, v, fs, probeKeys, pk)))
+              throw cme
             head = newHead
             rebases += 1
         }

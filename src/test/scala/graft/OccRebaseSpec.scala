@@ -133,6 +133,68 @@ class OccRebaseSpec extends SparkSpec {
     assert(MergeStore.read(spark, t).where($"payload" === "a-15").count() == 1)
   }
 
+  test("COW delete and update rebase on disjoint files too") {
+    val t = fresh("occ-cowverbs")
+    MergeStore.merge(spark, batch("a", 10L to 19L), t, Seq("id")) // v1
+    // Pinned DELETE WHERE on a far key range: the predicate's implied
+    // bounds prune to files the rival never touched — rebase.
+    val d = MergeStore.deleteWhere(spark, t,
+      col("id").between(5000L, 5009L), maxRetries = 0,
+      snapshotVersion = Some(0))
+    assert(d.rebases == 1 && d.recomputes == 0, s"delete: $d")
+    assert(d.rowsDeleted == 10)
+    // Pinned UPDATE WHERE on another far range, against the new head's
+    // rival history (two commits now) — still disjoint, still rebases.
+    val u = MergeStore.updateWhere(spark, t,
+      col("id").between(7000L, 7004L),
+      Map("payload" -> concat(lit("upd-"), col("id"))),
+      maxRetries = 0, snapshotVersion = Some(1))
+    assert(u.rebases == 1 && u.recomputes == 0, s"update: $u")
+    val back = MergeStore.read(spark, t)
+    assert(back.count() == N - 10)
+    assert(back.where(col("id").between(5000L, 5009L)).count() == 0)
+    assert(back.where($"payload" === "upd-7002").count() == 1)
+    assert(back.where($"payload" === "a-15").count() == 1)
+  }
+
+  test("MOR deletes on disjoint files both land without recompute") {
+    val t = fresh("occ-morverbs")
+    MergeStore.deleteWhereMor(spark, t, col("id") < 10) // v1, marks file0
+    // Pinned MOR delete on a far range: different candidate files, so
+    // the loser re-commits its sidecar lines onto the rival's manifest.
+    val m = MergeStore.deleteWhereMor(spark, t,
+      col("id").between(5000L, 5004L), maxRetries = 0,
+      snapshotVersion = Some(0))
+    assert(m.rebases == 1 && m.recomputes == 0, s"mor delete: $m")
+    // BOTH verbs' vectors live in the head manifest.
+    assert(MergeStore.dvMeta(t).size >= 2)
+    assert(MergeStore.read(spark, t).count() == N - 10 - 5)
+    // MOR update far from both: rebases as well, one commit.
+    val mu = MergeStore.updateWhereMor(spark, t,
+      col("id").between(8000L, 8002L),
+      Map("payload" -> lit("mor-upd")), maxRetries = 0,
+      snapshotVersion = Some(1))
+    assert(mu.rebases == 1 && mu.recomputes == 0, s"mor update: $mu")
+    val back = MergeStore.read(spark, t)
+    assert(back.where($"payload" === "mor-upd").count() == 3)
+    assert(back.count() == N - 10 - 5)
+    // SAME-file MOR rivals must recompute: the loser's sidecar unioned
+    // the parent's positions, which the rival superseded.
+    val head = MergeStore.version(t).get
+    val first = MergeStore.deleteWhereMor(spark, t, col("id") === 5005L,
+      maxRetries = 0, snapshotVersion = Some(head)) // probes file8
+    assert(first.rowsDeleted == 1)
+    intercept[java.util.ConcurrentModificationException] {
+      // rival on the same file, pinned below the first's commit
+      MergeStore.deleteWhereMor(spark, t, col("id") === 5006L,
+        maxRetries = 0, snapshotVersion = Some(head))
+    }
+    val r = MergeStore.deleteWhereMor(spark, t, col("id") === 5006L,
+      maxRetries = 1)
+    assert(r.rowsDeleted == 1)
+    assert(MergeStore.read(spark, t).count() == N - 10 - 5 - 2)
+  }
+
   test("threaded disjoint writers: every merge computes exactly once") {
     val t = fresh("occ-threads")
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
