@@ -437,6 +437,25 @@ object ScaleProbe {
         "delta-manifest head count drifted")
       require(MergeStore.read(spark, t, Some(0)).count() == rows,
         "time travel below the deltas drifted")
+      // OCC resolution cost: a DISJOINT loser (pinned below a rival
+      // commit, far key range) resolves by manifest-only REBASE — its
+      // wall time is ONE verb compute; an OVERLAPPING loser pays the
+      // recompute (≈ two computes). The gap is what file-disjoint
+      // conflict validation buys per collision.
+      def keyBatch(lo: Long) = spark.range(lo, lo + 50).select(col("id"),
+        lit(9).cast("int").as("grp"),
+        concat(lit("occ-"), col("id")).as("payload"))
+      val pin = MergeStore.version(t).get
+      MergeStore.merge(spark, keyBatch(rows / 4), t, Seq("id")) // rival
+      val (stR, rebaseSec) = time(MergeStore.merge(spark,
+        keyBatch(3 * rows / 4), t, Seq("id"), maxRetries = 0,
+        snapshotVersion = Some(pin)))
+      require(stR.rebases == 1 && stR.recomputes == 0,
+        s"expected a rebase, got $stR")
+      val (stC, recomputeSec) = time(MergeStore.merge(spark,
+        keyBatch(rows / 4 + 10), t, Seq("id"), maxRetries = 1,
+        snapshotVersion = Some(pin)))
+      require(stC.recomputes == 1, s"expected a recompute, got $stC")
       println(s"""{"metric":"commit_cost","files":$files,"rows":$rows,""" +
         s""""full_manifest_bytes":${manifestBytes(0)},""" +
         s""""merge_delta_bytes":${manifestBytes(1)},""" +
@@ -444,7 +463,9 @@ object ScaleProbe {
         s""""files_rewritten":${st.filesRewritten},""" +
         s""""init_sec":${f"$initSec%.3f"},""" +
         s""""merge_sec":${f"$mergeSec%.3f"},""" +
-        s""""marker_commit_sec":${f"$markSec%.3f"}}""")
+        s""""marker_commit_sec":${f"$markSec%.3f"},""" +
+        s""""occ_rebase_sec":${f"$rebaseSec%.3f"},""" +
+        s""""occ_recompute_sec":${f"$recomputeSec%.3f"}}""")
     }
   }
 
