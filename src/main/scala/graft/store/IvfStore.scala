@@ -285,19 +285,47 @@ object IvfStore {
                    idCol: String, vecCol: String,
                    clusterCol: String = "ivf_cluster",
                    meta: Map[String, String] = Map.empty): Int = {
-    import org.apache.spark.sql.functions.col
     val parentV = currentVersion(indexDir).getOrElse(
       sys.error(s"IvfStore.applyChanges: no committed index at $indexDir"))
     requireModelDir(indexDir, Some(parentV))
+    applyChangesSkeleton(spark, indexDir, parentV, upserts, doomedIds,
+      idCol, clusterCol, meta, "IvfStore.applyChanges")(
+      ups => IvfIndex.assign(spark, ups, vecCol,
+        model(spark, indexDir, Some(parentV)), clusterCol))(
+      stage => SnapshotStore.carryLink(
+        java.nio.file.Paths.get(
+          SnapshotStore.resolve(indexDir, Some(parentV)), Model),
+        stage.resolve(Model), s"carry-$parentV-"))
+  }
+
+  /** The partition-granular applyChanges SKELETON both ANN stores
+    * share (plain IVF and IVF-PQ have the identical snapshot layout —
+    * vectors/ + model/ — and identical COW rules): resolve the pinned
+    * parent, find the affected clusters (those holding any batch id's
+    * OLD vector; bounded by k, driver-safe), rewrite their survivors
+    * anti-joined, land the store-specific `encode` of the upserts
+    * alongside, carry every untouched partition by hard link, persist
+    * the model via `persistModel` (IVF carries the parent's dir by
+    * link; PQ re-stages its tiny model tables), and publish ONE
+    * snapshot with `meta`. A doc in BOTH sets ends PRESENT with its
+    * new vector; an empty batch with metadata publishes a pure carry
+    * so follower markers advance past empty spans. */
+  private[store] def applyChangesSkeleton(
+      spark: SparkSession, indexDir: String, parentV: Int,
+      upserts: DataFrame, doomedIds: DataFrame, idCol: String,
+      clusterCol: String, meta: Map[String, String], verb: String)(
+      encode: DataFrame => DataFrame)(
+      persistModel: java.nio.file.Path => Unit): Int = {
+    import org.apache.spark.sql.functions.col
     val snap = SnapshotStore.resolve(indexDir, Some(parentV))
     val prev = java.nio.file.Paths.get(snap, Vectors)
-    val vectors = read(spark, indexDir, Some(parentV))
+    val vectors = spark.read.parquet(s"$snap/$Vectors")
     val clusterType = vectors.schema(clusterCol).dataType
     require(Seq(org.apache.spark.sql.types.IntegerType,
         org.apache.spark.sql.types.LongType,
         org.apache.spark.sql.types.ShortType,
         org.apache.spark.sql.types.ByteType).contains(clusterType),
-      s"IvfStore.applyChanges: cluster column '$clusterCol' must be " +
+      s"$verb: cluster column '$clusterCol' must be " +
         s"integral (got $clusterType) — delete()'s partition-path rule")
     val batchIds = upserts.select(col(idCol)).distinct()
       .unionByName(doomedIds.select(col(doomedIds.columns.head).as(idCol))
@@ -307,9 +335,7 @@ object IvfStore {
     val affected = vectors.join(batchIds, Seq(idCol), "left_semi")
       .select(col(clusterCol)).distinct()
       .collect().map(_.get(0)).toSeq
-    val parentModel = model(spark, indexDir, Some(parentV))
-    val assigned = IvfIndex.assign(spark,
-      upserts, vecCol, parentModel, clusterCol)
+    val assigned = encode(upserts)
       .select(vectors.columns.map(col).toIndexedSeq: _*)
     val survivors =
       if (affected.isEmpty) assigned.limit(0)
@@ -332,8 +358,7 @@ object IvfStore {
           stage.resolve(Vectors).resolve(p.getFileName.toString),
           s"carry-$parentV-")
       }
-    SnapshotStore.carryLink(java.nio.file.Paths.get(snap, Model),
-      stage.resolve(Model), s"carry-$parentV-")
+    persistModel(stage)
     SnapshotStore.writeMeta(stage, meta)
     SnapshotStore.publish(indexDir, stage, parentV)
   }

@@ -783,6 +783,21 @@ object MergeStore {
                               bloomFpp: Double = 0.01,
                               dvUpdates: Map[String, String] = Map.empty)
       : Int = {
+    val (fresh, blooms) = freshStatsAndBlooms(spark, target, newFiles,
+      sCols, bCols, bloomFpp, schema)
+    assembleAndCommit(spark, target, files, parent, userMeta, fresh,
+      blooms, sCols, schema, bCols, bloomFpp, dvUpdates)
+  }
+
+  /** Fresh per-file stats + bloom manifest lines for `newFiles` — the
+    * ONE site for the guarded computation every rebaseable verb
+    * precomputes (so a rebase re-commits the lines against a moved
+    * head without re-running the jobs) and [[commitWithStats]] runs
+    * inline. */
+  private def freshStatsAndBlooms(spark: SparkSession, target: String,
+      newFiles: Seq[String], sCols: Seq[String], bCols: Seq[String],
+      bloomFpp: Double, schema: org.apache.spark.sql.types.StructType)
+      : (Map[String, String], Map[String, String]) = {
     val renames = logicalByPhysical(schema)
     val fresh =
       if (sCols.isEmpty && bCols.isEmpty) Map.empty[String, String]
@@ -791,8 +806,7 @@ object MergeStore {
       if (bCols.isEmpty) Map.empty[String, String]
       else computeFileBlooms(spark, target, newFiles, bCols, bloomFpp,
         renames)
-    assembleAndCommit(spark, target, files, parent, userMeta, fresh,
-      blooms, sCols, schema, bCols, bloomFpp, dvUpdates)
+    (fresh, blooms)
   }
 
   /** [[commitWithStats]] with the fresh per-file stats/bloom lines
@@ -1461,7 +1475,7 @@ object MergeStore {
       val rebases = commitWithRebase(target, parentV, candidates,
         affected.toSet, candidatesAt,
         head => commit(target, liveFiles(target, Some(head)), head,
-          manifestMeta(target, Some(head)) ++ updates): Unit)
+          manifestMeta(target, Some(head)) ++ updates): Unit).get
       MorDeleteStats(before.size, affected.size, rowsDeleted,
         rebases = rebases)
     } finally doomed.unpersist()
@@ -1552,14 +1566,8 @@ object MergeStore {
         updated.repartition(math.max(1, affected.size)), schema), target)
       val (bCols, fpp) = inheritedBloom(target, parentV)
       val sCols = statsColumns(target, Some(parentV))
-      val renames = logicalByPhysical(schema)
-      val fresh =
-        if (sCols.isEmpty && bCols.isEmpty) Map.empty[String, String]
-        else computeFileStats(spark, target, newFiles, sCols, renames)
-      val blooms =
-        if (bCols.isEmpty) Map.empty[String, String]
-        else computeFileBlooms(spark, target, newFiles, bCols, fpp,
-          renames)
+      val (fresh, blooms) = freshStatsAndBlooms(spark, target, newFiles,
+        sCols, bCols, fpp, schema)
       // One commit: vectors bury the old images, the appended files
       // carry the new ones; stats ride along. File-disjoint rebase as
       // everywhere — the dv-line check refuses when a rival marked the
@@ -1570,7 +1578,7 @@ object MergeStore {
         head => assembleAndCommit(spark, target,
           (liveFiles(target, Some(head)) ++ newFiles).distinct, head,
           Map.empty, fresh, blooms, sCols, schema, bCols, fpp,
-          dvUpdates = updates): Unit)
+          dvUpdates = updates): Unit).get
       UpdateStats(before.size, affected.size, rowsUpdated,
         rebases = rebases)
     } finally hit.unpersist()
@@ -1969,17 +1977,23 @@ object MergeStore {
     * head with [[rebaseSafe]] and retry the commit there (the computed
     * result and its fresh stats re-commit unchanged — `attemptAt`
     * receives the head to commit against), rethrowing to the verb's
-    * recompute path on true overlap. Returns the rebase count. */
+    * recompute path on true overlap. `staleAt` is re-checked at EVERY
+    * head (applyChanges' MarkerGuard — a rival maintainer that moved
+    * the marker turns the rebase into a dropped replay): when it fires
+    * the loop returns None and nothing commits. Otherwise Some(rebase
+    * count). */
   private def commitWithRebase(target: String, parentV: Int,
                                candidates: Seq[String],
                                affected: Set[String],
                                candidatesAt: (Int, Seq[String]) => Seq[String],
-                               attemptAt: Int => Unit): Int = {
+                               attemptAt: Int => Unit,
+                               staleAt: Int => Boolean = _ => false)
+      : Option[Int] = {
     var head = parentV
     var rebases = 0
-    var committed = false
-    while (!committed) {
-      try { attemptAt(head); committed = true }
+    while (true) {
+      if (staleAt(head)) return None
+      try { attemptAt(head); return Some(rebases) }
       catch {
         case cme: java.util.ConcurrentModificationException =>
           val newHead = currentVersion(target).getOrElse(throw cme)
@@ -1989,7 +2003,7 @@ object MergeStore {
           rebases += 1
       }
     }
-    rebases
+    None // unreachable
   }
 
   /** MERGE `updates` into the table on `pk` (incoming wins; within the
@@ -2128,13 +2142,8 @@ object MergeStore {
       // Fresh stats/bloom lines for the new files compute ONCE — a
       // rebase re-commits them against a moved head without re-running
       // the jobs.
-      val renames = logicalByPhysical(recorded)
-      val fresh =
-        if (sCols.isEmpty && bCols.isEmpty) Map.empty[String, String]
-        else computeFileStats(spark, target, newFiles, sCols, renames)
-      val blooms =
-        if (bCols.isEmpty) Map.empty[String, String]
-        else computeFileBlooms(spark, target, newFiles, bCols, fpp, renames)
+      val (fresh, blooms) = freshStatsAndBlooms(spark, target, newFiles,
+        sCols, bCols, fpp, recorded)
       val rebases = commitWithRebase(target, parentV, candidates,
         affected,
         (v, fs) => pruneByKeyBounds(target, v, fs,
@@ -2143,7 +2152,7 @@ object MergeStore {
           (liveFiles(target, Some(head)).filterNot(affected) ++
             newFiles).distinct,
           head, Map.empty, fresh, blooms, sCols, recorded, bCols, fpp,
-          Map.empty): Unit)
+          Map.empty): Unit).get
       MergeStats(before.size, affected.size, rowsInserted, rowsUpdated,
         rebases = rebases)
     } finally incoming.unpersist()
@@ -2261,13 +2270,8 @@ object MergeStore {
         kept.repartition(math.max(1, affected.size)), schema), target)
     val (bCols, fpp) = inheritedBloom(target, parentV)
     val sCols = statsColumns(target, Some(parentV))
-    val renames = logicalByPhysical(schema)
-    val fresh =
-      if (sCols.isEmpty && bCols.isEmpty) Map.empty[String, String]
-      else computeFileStats(spark, target, newFiles, sCols, renames)
-    val blooms =
-      if (bCols.isEmpty) Map.empty[String, String]
-      else computeFileBlooms(spark, target, newFiles, bCols, fpp, renames)
+    val (fresh, blooms) = freshStatsAndBlooms(spark, target, newFiles,
+      sCols, bCols, fpp, schema)
     val candidatesAt: (Int, Seq[String]) => Seq[String] = (v, fs) =>
       pruneKeys match {
         case Some((keyRows, pk)) => pruneByKeyBounds(target, v, fs,
@@ -2282,7 +2286,7 @@ object MergeStore {
         (liveFiles(target, Some(head)).filterNot(affected) ++
           newFiles).distinct,
         head, Map.empty, fresh, blooms, sCols, schema, bCols, fpp,
-        Map.empty): Unit)
+        Map.empty): Unit).get
     DeleteStats(before.size, affected.size, rowsDeleted,
       rebases = rebases)
   }
@@ -2595,20 +2599,15 @@ object MergeStore {
       updated.repartition(math.max(1, affected.size)), schema), target)
     val (bCols, fpp) = inheritedBloom(target, parentV)
     val sCols = statsColumns(target, Some(parentV))
-    val renames = logicalByPhysical(schema)
-    val fresh =
-      if (sCols.isEmpty && bCols.isEmpty) Map.empty[String, String]
-      else computeFileStats(spark, target, newFiles, sCols, renames)
-    val blooms =
-      if (bCols.isEmpty) Map.empty[String, String]
-      else computeFileBlooms(spark, target, newFiles, bCols, fpp, renames)
+    val (fresh, blooms) = freshStatsAndBlooms(spark, target, newFiles,
+      sCols, bCols, fpp, schema)
     val rebases = commitWithRebase(target, parentV, candidates, affected,
       (v, fs) => pruneByPredicate(spark, target, v, fs, predicate),
       head => assembleAndCommit(spark, target,
         (liveFiles(target, Some(head)).filterNot(affected) ++
           newFiles).distinct,
         head, Map.empty, fresh, blooms, sCols, schema, bCols, fpp,
-        Map.empty): Unit)
+        Map.empty): Unit).get
     UpdateStats(before.size, affected.size, rowsUpdated,
       rebases = rebases)
   }
@@ -2754,10 +2753,11 @@ object MergeStore {
     * additionally records WHERE it came from and WHICH version — the
     * base the eventual publish must CAS against. Mutate it with any
     * verb; audit it with any reader; then [[publishTable]] or just
-    * delete the branch directory. (The markers live on the branch's
-    * birth commit — a branch vacuum that drops v0's manifest orphans
-    * the branch from its source; branches are short-lived staging
-    * areas, not tables to retain-and-vacuum.) */
+    * delete the branch directory. The `wap.*` markers are branch
+    * POLICY: born on v0 and CARRIED by every verb commit (like
+    * constraints), so retention maintenance on a long-lived branch —
+    * a vacuum that drops the birth manifest — can never sever it from
+    * its source (WapSpec publishes after exactly that). */
   def branchTable(spark: SparkSession, source: String,
                   branch: String): Int = {
     val base = currentVersion(source)
@@ -2789,9 +2789,9 @@ object MergeStore {
     val bHead = currentVersion(branch)
       .getOrElse(sys.error(s"no committed version at branch $branch"))
     val bMeta = manifestMeta(branch, Some(bHead))
-    // The wap markers live on the branch's BIRTH commit (verb commits
-    // carry only schema/stats/policy metadata) — the history-walking
-    // marker read finds them whatever the branch did since.
+    // The wap markers are POLICY carried on every branch commit; the
+    // history-walking read still covers pre-carry branches whose
+    // markers exist only on a retained birth commit.
     val recorded = markerValue(branch, WapSourceKey).getOrElse(sys.error(
       s"$branch is not a WAP branch (no $WapSourceKey marker) — " +
         "create it with branchTable"))
@@ -3270,44 +3270,24 @@ object MergeStore {
       // the computed result onto the new head. The MarkerGuard
       // re-checks at EVERY rebased head — a rival maintainer that
       // moved the marker turns the rebase into a dropped replay.
-      val renames = logicalByPhysical(recorded)
-      val fresh =
-        if (sCols.isEmpty && bCols.isEmpty) Map.empty[String, String]
-        else computeFileStats(spark, target, newFiles, sCols, renames)
-      val blooms =
-        if (bCols.isEmpty) Map.empty[String, String]
-        else computeFileBlooms(spark, target, newFiles, bCols, bloomFpp,
-          renames)
+      val (fresh, blooms) = freshStatsAndBlooms(spark, target, newFiles,
+        sCols, bCols, bloomFpp, recorded)
       val probeKeys = incoming.select(pk.map(col): _*)
         .unionByName(keys.select(pk.map(col): _*))
-      var head = parentV
-      var rebases = 0
-      var committed = false
-      while (!committed) {
-        guard.foreach { g =>
-          if (g.stale(markerValue(target, g.key, Some(head)).map(_.toLong)))
-            return ApplyStats(before.size, 0, 0L, 0L,
-              skippedReplay = true, rebases = rebases)
-        }
-        val list = (liveFiles(target, Some(head)).filterNot(affected) ++
-          newFiles).distinct
-        try {
-          assembleAndCommit(spark, target, list, head, meta, fresh,
-            blooms, sCols, recorded, bCols, bloomFpp, Map.empty)
-          committed = true
-        } catch {
-          case cme: java.util.ConcurrentModificationException =>
-            val newHead = currentVersion(target).getOrElse(throw cme)
-            if (!rebaseSafe(target, parentV, newHead, candidates,
-                affected,
-                (v, fs) => pruneByKeyBounds(target, v, fs, probeKeys, pk)))
-              throw cme
-            head = newHead
-            rebases += 1
-        }
+      commitWithRebase(target, parentV, candidates, affected,
+        (v, fs) => pruneByKeyBounds(target, v, fs, probeKeys, pk),
+        head => assembleAndCommit(spark, target,
+          (liveFiles(target, Some(head)).filterNot(affected) ++
+            newFiles).distinct,
+          head, meta, fresh, blooms, sCols, recorded, bCols, bloomFpp,
+          Map.empty): Unit,
+        staleAt = head => guard.exists(g => g.stale(
+          markerValue(target, g.key, Some(head)).map(_.toLong)))) match {
+        case None => ApplyStats(before.size, 0, 0L, 0L,
+          skippedReplay = true)
+        case Some(rebases) => ApplyStats(before.size, affected.size,
+          rowsUpserted, rowsDeleted, rebases = rebases)
       }
-      ApplyStats(before.size, affected.size, rowsUpserted, rowsDeleted,
-        rebases = rebases)
     } finally { incoming.unpersist(); keys.unpersist() }
   }
 

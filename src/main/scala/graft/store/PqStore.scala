@@ -289,58 +289,19 @@ object PqStore {
                    clusterCol: String = "ivf_cluster",
                    codeCol: String = "pq_code",
                    meta: Map[String, String] = Map.empty): Int = {
-    import org.apache.spark.sql.functions.col
     val parentV = currentVersion(indexDir).getOrElse(
       sys.error(s"PqStore.applyChanges: no committed index at $indexDir"))
-    val snap = SnapshotStore.resolve(indexDir, Some(parentV))
-    val prev = java.nio.file.Paths.get(snap, Vectors)
-    val vectors = read(spark, indexDir, Some(parentV))
-    val clusterType = vectors.schema(clusterCol).dataType
-    require(Seq(org.apache.spark.sql.types.IntegerType,
-        org.apache.spark.sql.types.LongType,
-        org.apache.spark.sql.types.ShortType,
-        org.apache.spark.sql.types.ByteType).contains(clusterType),
-      s"PqStore.applyChanges: cluster column '$clusterCol' must be " +
-        s"integral (got $clusterType) — delete()'s partition-path rule")
-    val batchIds = upserts.select(col(idCol)).distinct()
-      .unionByName(doomedIds.select(col(doomedIds.columns.head).as(idCol))
-        .distinct())
-      .distinct()
-    // Affected cluster list: bounded by k, driver-safe (delete()'s rule).
-    val affected = vectors.join(batchIds, Seq(idCol), "left_semi")
-      .select(col(clusterCol)).distinct()
-      .collect().map(_.get(0)).toSeq
+    // The PARENT's pinned model pair both encodes the upserts (no
+    // model argument to mismatch) and re-stages into the new snapshot
+    // (model tables are driver-tiny, so staging fresh beats linking a
+    // multi-table directory).
     val (ivf, rm) = models(spark, indexDir, Some(parentV))
-    // Encode with the PARENT's pinned model pair; project onto the
-    // committed table's column order so survivors and fresh rows union.
-    val assigned = PqIndex.encodeResidual(
-        IvfIndex.assign(spark, upserts, vecCol, ivf, clusterCol),
-        vecCol, clusterCol, rm, codeCol)
-      .select(vectors.columns.map(col).toIndexedSeq: _*)
-    val survivors =
-      if (affected.isEmpty) assigned.limit(0)
-      else vectors.where(col(clusterCol).isin(affected: _*)) // pruned
-        .join(batchIds, Seq(idCol), "left_anti")
-    val replacement = survivors.unionByName(assigned)
-    if (affected.isEmpty && upserts.isEmpty && meta.isEmpty)
-      return parentV // true no-op: don't burn a version
-    val stage = SnapshotStore.stage(indexDir)
-    replacement.write.partitionBy(clusterCol).parquet(s"$stage/$Vectors")
-    // Carry every UNaffected partition directory by hard link — batch
-    // files already staged under their cluster dirs sit alongside the
-    // carried names (distinct prefixes, no collision).
-    val affectedDirs = affected.map(c => s"$clusterCol=$c").toSet
-    java.nio.file.Files.list(prev).iterator().asScala
-      .filter(p => java.nio.file.Files.isDirectory(p) &&
-        !affectedDirs.contains(p.getFileName.toString))
-      .foreach { p =>
-        SnapshotStore.carryLink(p,
-          stage.resolve(Vectors).resolve(p.getFileName.toString),
-          s"carry-$parentV-")
-      }
-    writeModels(spark, ivf, rm, stage)
-    SnapshotStore.writeMeta(stage, meta)
-    SnapshotStore.publish(indexDir, stage, parentV)
+    IvfStore.applyChangesSkeleton(spark, indexDir, parentV, upserts,
+      doomedIds, idCol, clusterCol, meta, "PqStore.applyChanges")(
+      ups => PqIndex.encodeResidual(
+        IvfIndex.assign(spark, ups, vecCol, ivf, clusterCol),
+        vecCol, clusterCol, rm, codeCol))(
+      stage => writeModels(spark, ivf, rm, stage))
   }
 
   /** Cap-gated re-pack of accreted per-cluster files — layout only,

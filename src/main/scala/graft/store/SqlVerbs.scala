@@ -28,7 +28,11 @@ import org.apache.spark.sql.functions.expr
   *   - `MERGE INTO t USING s ON t.k = s.k [AND ...]
   *      WHEN MATCHED THEN UPDATE SET *
   *      WHEN NOT MATCHED THEN INSERT *` → [[MergeStore.merge]] on the
-  *     ON-clause key columns; `s` is a table/temp view name.
+  *     ON-clause key columns; `s` is a table/temp view name. The
+  *     single-action forms keep SQL semantics: UPDATE-only ignores
+  *     unmatched source rows, INSERT-only leaves matched target rows
+  *     untouched (source filtered against the statement's snapshot
+  *     before the verb — see [[mergeFiltered]]).
   *   - `MERGE INTO t USING s ON ... WHEN MATCHED THEN DELETE` (sole
   *     action) → [[MergeStore.delete]] by the source's key set.
   *
@@ -93,24 +97,61 @@ object SqlVerbs {
       "WHEN NOT MATCHED BY SOURCE is not supported — express removals " +
         "as an explicit DELETE")
     (m.matchedActions, m.notMatchedActions) match {
-      // The canonical upsert: UPDATE SET * + INSERT * (either alone
-      // still upserts — merge's contract — so both route together;
-      // conditions on the actions are not supported).
-      case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) |
-           (Seq(UpdateStarAction(None)), Seq()) |
-           (Seq(), Seq(InsertStarAction(None))) =>
+      // The canonical upsert: UPDATE SET * + INSERT *.
+      case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
         Merged(MergeStore.merge(spark, source, path, pk,
           maxRetries = maxRetries))
+      // UPDATE-only: SQL says unmatched source rows are IGNORED, so
+      // the source filters to keys PRESENT in the statement's snapshot
+      // before the upsert verb runs (a bare merge would insert them).
+      case (Seq(UpdateStarAction(None)), Seq()) =>
+        Merged(mergeFiltered(spark, path, source, pk, "left_semi",
+          maxRetries))
+      // INSERT-only: matched target rows must stay UNTOUCHED, so the
+      // source filters to keys ABSENT from the snapshot.
+      case (Seq(), Seq(InsertStarAction(None))) =>
+        Merged(mergeFiltered(spark, path, source, pk, "left_anti",
+          maxRetries))
       // Sole WHEN MATCHED THEN DELETE: key-set removal.
       case (Seq(org.apache.spark.sql.catalyst.plans.logical
           .DeleteAction(None)), Seq()) =>
         Deleted(MergeStore.delete(spark, path, source, pk,
           maxRetries = maxRetries))
       case _ => sys.error(
-        "MERGE supports WHEN MATCHED THEN UPDATE SET * / WHEN NOT " +
-          "MATCHED THEN INSERT * (the upsert form) or a sole WHEN " +
-          "MATCHED THEN DELETE — conditional/column-list actions are " +
-          "not supported")
+        "MERGE supports WHEN MATCHED THEN UPDATE SET * and/or WHEN " +
+          "NOT MATCHED THEN INSERT *, or a sole WHEN MATCHED THEN " +
+          "DELETE — conditional/column-list actions are not supported")
+    }
+  }
+
+  /** Single-action MERGE forms: the source semi/anti-joins the
+    * statement's PINNED snapshot on the key (update-only keeps matched
+    * keys, insert-only keeps unmatched), then the upsert verb runs
+    * against that SAME snapshot. On a lost CAS the whole
+    * filter-then-merge REPLAYS against the fresh head — retrying only
+    * the inner merge would re-match a stale filter (a key a rival
+    * inserted mid-flight must count as "matched" for SQL's
+    * NOT-MATCHED evaluation, exactly OCC's serializability story).
+    * The inner merge may still resolve a provably file-disjoint rival
+    * by rebase: its read set and this filter share one snapshot. */
+  private def mergeFiltered(spark: SparkSession, path: String,
+                            source: DataFrame, pk: Seq[String],
+                            joinType: String, maxRetries: Int)
+      : MergeStore.MergeStats = {
+    val v = MergeStore.version(path)
+      .getOrElse(sys.error(s"no committed version at $path"))
+    val filtered = source.join(
+      MergeStore.read(spark, path, Some(v)).select(pk.map(
+        org.apache.spark.sql.functions.col): _*),
+      pk, joinType)
+    try MergeStore.merge(spark, filtered, path, pk,
+      snapshotVersion = Some(v))
+    catch {
+      case _: java.util.ConcurrentModificationException
+          if maxRetries > 0 =>
+        val st = mergeFiltered(spark, path, source, pk, joinType,
+          maxRetries - 1)
+        st.copy(recomputes = st.recomputes + 1)
     }
   }
 

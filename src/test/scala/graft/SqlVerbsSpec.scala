@@ -91,6 +91,45 @@ class SqlVerbsSpec extends SparkSpec {
     assert(MergeStore.read(spark, t).count() == N)
   }
 
+  test("single-action MERGE keeps SQL semantics: insert-only and update-only") {
+    val (t, cat) = fresh("sqlv-single")
+    // Source overlaps the table on 100..104 and extends past N by 3.
+    spark.range(100L, 105L)
+      .select(col("id"), lit(1).cast("int").as("grp"),
+        concat(lit("src-"), col("id")).as("payload"))
+      .union(spark.range(N.toLong, N + 3L)
+        .select(col("id"), lit(2).cast("int").as("grp"),
+          concat(lit("src-"), col("id")).as("payload")))
+      .createOrReplaceTempView("single_src")
+    // INSERT-only: matched rows must stay UNTOUCHED (a bare upsert
+    // would overwrite 100..104 — the silent-wrong-data shape).
+    val ins = SqlVerbs.execute(spark,
+      "MERGE INTO events t USING single_src s ON t.id = s.id " +
+        "WHEN NOT MATCHED THEN INSERT *", cat)
+    val insSt = ins.asInstanceOf[SqlVerbs.Merged].stats
+    assert(insSt.rowsInserted == 3 && insSt.rowsUpdated == 0, s"$insSt")
+    val afterIns = MergeStore.read(spark, t)
+    assert(afterIns.count() == N + 3)
+    assert(afterIns.where($"id" === 102L).select($"payload")
+      .as[String].head() == "v1-102", "insert-only touched a matched row")
+    assert(afterIns.where($"id" === N.toLong).select($"payload")
+      .as[String].head() == s"src-$N")
+    // UPDATE-only: unmatched source rows must be IGNORED. Source still
+    // carries N..N+2 (now matched after the insert) plus nothing new —
+    // shrink the table first so the source has genuinely unmatched rows.
+    MergeStore.deleteWhere(spark, t, col("id") >= N.toLong) // back to N rows
+    val upd = SqlVerbs.execute(spark,
+      "MERGE INTO events t USING single_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET *", cat)
+    val updSt = upd.asInstanceOf[SqlVerbs.Merged].stats
+    assert(updSt.rowsUpdated == 5 && updSt.rowsInserted == 0, s"$updSt")
+    val afterUpd = MergeStore.read(spark, t)
+    assert(afterUpd.count() == N, "update-only inserted unmatched rows")
+    assert(afterUpd.where($"id" === 102L).select($"payload")
+      .as[String].head() == "src-102")
+    assert(afterUpd.where($"id" >= N.toLong).count() == 0)
+  }
+
   test("refusals are loud: unknown table, unsupported shapes, constraints still gate") {
     val (t, cat) = fresh("sqlv-refuse")
     intercept[RuntimeException] {
