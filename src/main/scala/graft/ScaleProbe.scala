@@ -469,6 +469,120 @@ object ScaleProbe {
     }
   }
 
+  /** Checkpoint-cost probe (VERDICT r12 #3): full-snapshot manifest
+    * BYTES and cold reconstruction WALL vs live-file count, compressed
+    * vs plain text, up to file counts (65k, 256k) where writing real
+    * parquet would dominate the probe — so the manifest is SYNTHETIC
+    * (realistic per-file stats/nulls lines committed through the REAL
+    * encoder via commitForProbe) and the reconstruction walk is the
+    * real reader, cache-cleared. A delta commit on top shows ordinary
+    * commits stay O(changes) whatever the snapshot format. */
+  private def ckptCostProbe(spark: SparkSession,
+                            fileCounts: Seq[Int]): Unit = {
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("grp",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.StringType))).json
+    fileCounts.foreach { files =>
+      val names = (0 until files).map(i => f"part-synth-$i%07d.parquet")
+      // One stats + one nulls line per file on `id` (the clustered
+      // column's realistic shape: 50 keys per file, contiguous ranges).
+      val meta = Map("schema" -> schemaJson, "stats.cols" -> "id") ++
+        names.zipWithIndex.flatMap { case (f, i) =>
+          Seq(s"s:$f:id" -> s"n ${i * 50L} ${i * 50L + 49}",
+            s"n:$f:id" -> s"0 50")
+        }
+      def run(threshold: Long): (Long, Double, Long) = {
+        val dir = java.nio.file.Files.createTempDirectory("ckptcost")
+        val t = s"$dir/tbl"
+        System.setProperty("graft.manifest.compress.threshold",
+          threshold.toString)
+        try {
+          MergeStore.commitForProbe(t, names, -1, meta)
+          val stored = java.nio.file.Files.size(
+            java.nio.file.Paths.get(t, "_manifest", "v0.list"))
+          MergeStore.clearStateCacheForProbe()
+          val (live, wall) = time(MergeStore.liveFiles(t))
+          require(live.size == files, "synthetic reconstruction drifted")
+          // Ordinary commit on top stays a delta: O(changes) bytes.
+          MergeStore.commitForProbe(t,
+            names :+ "part-synth-extra.parquet", 0,
+            meta + (s"s:part-synth-extra.parquet:id" ->
+              s"n ${files * 50L} ${files * 50L + 49}"))
+          val delta = java.nio.file.Files.size(
+            java.nio.file.Paths.get(t, "_manifest", "v1.list"))
+          (stored, wall, delta)
+        } finally System.clearProperty(
+          "graft.manifest.compress.threshold")
+      }
+      val (gzBytes, gzWall, gzDelta) = run(1L)            // always gzip
+      val (txtBytes, txtWall, txtDelta) = run(Long.MaxValue) // never
+      println(s"""{"metric":"ckpt_cost","files":$files,""" +
+        s""""snapshot_text_bytes":$txtBytes,""" +
+        s""""snapshot_gz_bytes":$gzBytes,""" +
+        s""""reconstruct_text_sec":${f"$txtWall%.3f"},""" +
+        s""""reconstruct_gz_sec":${f"$gzWall%.3f"},""" +
+        s""""delta_bytes_text":$txtDelta,"delta_bytes_gz":$gzDelta}""")
+    }
+  }
+
+  /** Multi-writer rebase throughput (VERDICT r12 #6): N concurrent
+    * KEY-DISJOINT merge writers hammer one clustered table, each
+    * landing `commitsPer` trickle merges. Every lost CAS must resolve
+    * by manifest-only REBASE (zero recomputes asserted) — the number
+    * SCALE.md's multi-writer story quotes is landed commits/sec and
+    * the rebase count at each N. */
+  private def rebaseContentionProbe(spark: SparkSession,
+                                    writerCounts: Seq[Int],
+                                    commitsPer: Int): Unit = {
+    writerCounts.foreach { n =>
+      val dir = java.nio.file.Files.createTempDirectory("occ-cont")
+      val t = s"$dir/tbl"
+      val rows = 800000L
+      MergeStore.init(spark,
+        spark.range(rows).select(col("id"),
+          (col("id") % 97).cast("int").as("grp"),
+          concat(lit("p-"), col("id")).as("payload")),
+        t, numFiles = 64, clusterBy = Seq("id"))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      val span = rows / n // one disjoint key region per writer
+      val (stats, wall) = time {
+        val fs = (0 until n).map { w =>
+          Future {
+            (0 until commitsPer).map { c =>
+              val lo = w * span + c * 100L
+              MergeStore.merge(spark,
+                spark.range(lo, lo + 50).select(col("id"),
+                  lit(w).cast("int").as("grp"),
+                  concat(lit(s"w$w-c$c-"), col("id")).as("payload")),
+                t, Seq("id"), maxRetries = 3)
+            }
+          }
+        }
+        try fs.flatMap(Await.result(_, 15.minutes))
+        finally pool.shutdown()
+      }
+      val rebases = stats.map(_.rebases).sum
+      val recomputes = stats.map(_.recomputes).sum
+      require(recomputes == 0,
+        s"key-disjoint writers recomputed at n=$n: $recomputes")
+      val landed = n * commitsPer
+      require(MergeStore.version(t).get == landed,
+        "a commit went missing under contention")
+      println(s"""{"metric":"rebase_contention","writers":$n,""" +
+        s""""commits":$landed,"wall_sec":${f"$wall%.3f"},""" +
+        s""""commits_per_sec":${f"${landed / wall}%.2f"},""" +
+        s""""rebases":$rebases,"recomputes":$recomputes}""")
+    }
+  }
+
   /** Compressed bytes of the column chunks whose dotted path starts with
     * `colPrefix`, across every parquet file under `dir` (recursive) — the
     * exact IO a column-pruned scan of that column must perform. Read from
@@ -953,6 +1067,23 @@ object ScaleProbe {
       val counts = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
         else Seq(512, 4096, 16384)
       commitCostProbe(spark, counts)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("ckpt-cost")) {
+      val spark = GraftSession.local(32)
+      val counts = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+        else Seq(4096, 16384, 65536, 262144)
+      ckptCostProbe(spark, counts)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("rebase-contention")) {
+      val spark = GraftSession.local(32)
+      val commitsPer = if (args.length > 1) args(1).toInt else 8
+      val writers = if (args.length > 2) args.drop(2).map(_.toInt).toSeq
+        else Seq(2, 4, 8)
+      rebaseContentionProbe(spark, writers, commitsPer)
       spark.stop()
       return
     }

@@ -32,6 +32,11 @@ object GraftSession {
     .config("spark.sql.parquet.aggregatePushdown", "true")
     .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
     .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    // The engine's SQL front door: MergeStore tables as a DSv2 catalog
+    // (SELECT with manifest skipping, INSERT INTO, UPDATE/DELETE/MERGE
+    // all through spark.sql) — see graft.store.GraftCatalog.
+    .config("spark.sql.catalog.graft", "graft.store.GraftCatalog")
+    .config("spark.sql.extensions", "graft.store.GraftSqlExtensions")
     .config("spark.ui.enabled", "false")
 
   /** Local session for tests / CLI mains. */

@@ -1108,8 +1108,199 @@ object StoreQueries extends QueryFamily {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""))
 
+  private val q129 = QueryDef(
+    "q129_insert_append",
+    "Blind APPEND (MergeStore.append) through its SQL spelling: INSERT " +
+      "INTO ... SELECT lands the orders slice o_orderkey % 3 = 1 next " +
+      "to a table initialized from the % 3 = 0 slice — zero key probe, " +
+      "zero rewrite, stats on the batch only (the ingest-scale verb) — " +
+      "then a MERGE upsert re-prioritizes % 6 = 0 to 'A-INS', proving " +
+      "append-then-merge composition: the merge probes and rewrites " +
+      "appended and initial files alike. The oracle replays the union " +
+      "and the CASE override from scratch.",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val cols = Seq("o_orderkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice")
+      val target = preparedTable(s, dir, "q129",
+        base = Tables.load(s, dir, "orders")
+          .where(col("o_orderkey") % 3 === 0)
+          .select(cols.map(col): _*),
+        clusterBy = Seq("o_orderkey")) { t =>
+        val cat = Map("ord" -> t)
+        Tables.load(s, dir, "orders")
+          .where(col("o_orderkey") % 3 === 1)
+          .select(cols.map(col): _*)
+          .createOrReplaceTempView("q129_src")
+        graft.store.SqlVerbs.execute(s,
+          "INSERT INTO ord SELECT * FROM q129_src", cat)
+        MergeStore.merge(s,
+          Tables.load(s, dir, "orders")
+            .where(col("o_orderkey") % 6 === 0)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              lit("A-INS").as("o_orderpriority"), col("o_totalprice")),
+          t, pk = Seq("o_orderkey"))
+      }
+      MergeStore.read(s, target)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast(DecimalType(20, 4)))
+            .cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+               AS sum_price
+      FROM (
+        SELECT CASE WHEN o_orderkey % 6 = 0 THEN 'A-INS'
+                    ELSE o_orderpriority END AS o_orderpriority,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 3 IN (0, 1))
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  private val q130 = QueryDef(
+    "q130_conditional_merge",
+    "Conditional + column-list MERGE (MergeStore.mergeConditional) as " +
+      "SQL: WHEN MATCHED AND s.price > t.price * 1.5 THEN UPDATE SET " +
+      "price, priority = 'C-SQL' — the late-arrival guard Delta users " +
+      "write constantly; false/NULL keeps the target row — plus WHEN " +
+      "NOT MATCHED THEN INSERT (cols) VALUES with NULL fill for the " +
+      "unlisted status column. Source doubles the price for keys " +
+      "% 20 = 3 (condition true) and halves it for the other matched " +
+      "keys (condition false, target kept); keys % 1000 = 7 shifted by " +
+      "5M are genuine inserts. The oracle replays the conditional " +
+      "algebra from scratch.",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val cols = Seq("o_orderkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice")
+      val target = preparedTable(s, dir, "q130",
+        base = Tables.load(s, dir, "orders").select(cols.map(col): _*),
+        clusterBy = Seq("o_orderkey")) { t =>
+        val cat = Map("ord" -> t)
+        val docs = Tables.load(s, dir, "orders")
+        docs.where(col("o_orderkey") % 10 === 3)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_orderpriority"),
+            (col("o_totalprice") *
+              when(col("o_orderkey") % 20 === 3, lit(2.0))
+                .otherwise(lit(0.5))).as("o_totalprice"))
+          .unionByName(docs.where(col("o_orderkey") % 1000 === 7)
+            .select((col("o_orderkey") + 5000000L).as("o_orderkey"),
+              col("o_orderstatus"), col("o_orderpriority"),
+              col("o_totalprice")))
+          .createOrReplaceTempView("q130_src")
+        graft.store.SqlVerbs.execute(s,
+          "MERGE INTO ord t USING q130_src s " +
+            "ON t.o_orderkey = s.o_orderkey " +
+            "WHEN MATCHED AND s.o_totalprice > t.o_totalprice * 1.5 " +
+            "THEN UPDATE SET o_totalprice = s.o_totalprice, " +
+            "o_orderpriority = 'C-SQL' " +
+            "WHEN NOT MATCHED THEN INSERT " +
+            "(o_orderkey, o_orderpriority, o_totalprice) " +
+            "VALUES (s.o_orderkey, 'N-SQL', s.o_totalprice)", cat)
+      }
+      MergeStore.read(s, target)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(when(col("o_orderstatus").isNull, 1)), lit(0))
+            .cast("long").as("null_status"),
+          sum(col("o_totalprice").cast(DecimalType(20, 4)))
+            .cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(coalesce(sum(CASE WHEN o_orderstatus IS NULL THEN 1
+                                    END), 0) AS BIGINT) AS null_status,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+               AS sum_price
+      FROM (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderkey % 20 = 3 THEN 'C-SQL'
+                    ELSE o_orderpriority END AS o_orderpriority,
+               CASE WHEN o_orderkey % 20 = 3 THEN o_totalprice * 2.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        UNION ALL
+        SELECT CAST(NULL AS VARCHAR), 'N-SQL', o_totalprice
+        FROM orders WHERE o_orderkey % 1000 = 7)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  private val q131 = QueryDef(
+    "q131_catalog_sql",
+    "The DSv2 catalog end to end (graft.store.GraftCatalog): a " +
+      "MergeStore table registered as graft.q131.ord, then INSERT INTO " +
+      "... SELECT, UPDATE, DELETE FROM, and MERGE INTO all run as " +
+      "plain spark.sql text — resolved by Spark's OWN analyzer against " +
+      "the catalog, dispatched to the verbs by the injected analysis " +
+      "rule — and the final SELECT itself plans through the " +
+      "GraftFileIndex skipping read. The oracle replays the statement " +
+      "sequence as relational algebra. Init = orders with even keys; " +
+      "INSERT adds odd keys divisible by 5; UPDATE re-prioritizes " +
+      "% 9 = 0; DELETE drops filled % 11 = 0; MERGE inserts the " +
+      "% 1000 = 1 slice (never present: odd, not divisible by 5) as " +
+      "'M-CAT'.",
+    (s, dir) => {
+      val cols = Seq("o_orderkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice")
+      val target = preparedTable(s, dir, "q131",
+        base = Tables.load(s, dir, "orders")
+          .where(col("o_orderkey") % 2 === 0)
+          .select(cols.map(col): _*),
+        clusterBy = Seq("o_orderkey")) { t =>
+        graft.store.GraftCatalog.register("q131.ord", t)
+        Tables.load(s, dir, "orders")
+          .where(col("o_orderkey") % 2 === 1 && col("o_orderkey") % 5 === 0)
+          .select(cols.map(col): _*)
+          .createOrReplaceTempView("q131_ins")
+        s.sql("INSERT INTO graft.q131.ord SELECT * FROM q131_ins")
+        s.sql("UPDATE graft.q131.ord SET o_orderpriority = 'U-CAT' " +
+          "WHERE o_orderkey % 9 = 0")
+        s.sql("DELETE FROM graft.q131.ord " +
+          "WHERE o_orderstatus = 'F' AND o_orderkey % 11 = 0")
+        Tables.load(s, dir, "orders")
+          .where(col("o_orderkey") % 1000 === 1)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            lit("M-CAT").as("o_orderpriority"), col("o_totalprice"))
+          .createOrReplaceTempView("q131_mrg")
+        s.sql("MERGE INTO graft.q131.ord t USING q131_mrg s " +
+          "ON t.o_orderkey = s.o_orderkey " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+      }
+      graft.store.GraftCatalog.register("q131.ord", target)
+      s.sql("""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                 AS sum_price
+        FROM graft.q131.ord
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+    },
+    Some("""
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+               AS sum_price
+      FROM (
+        SELECT CASE WHEN o_orderkey % 9 = 0 THEN 'U-CAT'
+                    ELSE o_orderpriority END AS o_orderpriority,
+               o_totalprice
+        FROM orders
+        WHERE (o_orderkey % 2 = 0
+               OR (o_orderkey % 2 = 1 AND o_orderkey % 5 = 0))
+          AND NOT (o_orderstatus = 'F' AND o_orderkey % 11 = 0)
+        UNION ALL
+        SELECT 'M-CAT', o_totalprice FROM orders
+        WHERE o_orderkey % 1000 = 1)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q91, q92, q96, q97, q98, q101, q107, q109, q110, q111, q112,
       q113, q115, q116, q117, q118, q119, q120, q121, q122, q123, q126,
-      q127, q128)
+      q127, q128, q129, q130, q131)
 }

@@ -1,0 +1,342 @@
+package graft.store
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** DSv2 `TableCatalog` over MergeStore tables — the engine's SQL front
+  * door. Registered as
+  * `spark.sql.catalog.graft = graft.store.GraftCatalog` (GraftSession
+  * sets it), it makes every statement the reference's BI-facing
+  * consumers speak (`architecture.md:152-158` — pure SQL over named
+  * tables) work against the transactional format:
+  *
+  *   - `SELECT ... FROM graft.db.t [VERSION AS OF n | TIMESTAMP AS OF ts]`
+  *     — planned through [[GraftFileIndex]] by [[GraftResolution]], so
+  *     manifest stats/bloom skipping, deletion vectors, and column
+  *     mapping apply to ANY spark.sql text for free.
+  *   - `INSERT INTO` / `INSERT OVERWRITE` / `df.writeTo(...).append()`
+  *     — Spark's analyzer aligns and casts the input, then the V1 write
+  *     fallback dispatches to [[MergeStore.append]] /
+  *     [[MergeStore.overwriteTable]] (the table declares
+  *     `V1_BATCH_WRITE`; no second write path exists).
+  *   - `UPDATE / DELETE FROM / MERGE INTO` — resolved by Spark's own
+  *     analyzer against this catalog, then [[GraftResolution]] converts
+  *     the resolved DML plan into a command dispatching the MergeStore
+  *     verbs (conditions re-resolve inside the verb's plan).
+  *   - `CREATE TABLE [AS SELECT]`, `DROP`, `ALTER TABLE ADD/DROP/RENAME
+  *     COLUMN`, `SHOW TABLES` — mapped to [[MergeStore.create]] /
+  *     directory ops / the schema-evolution verbs.
+  *
+  * Table resolution: an explicit [[GraftCatalog.register]] entry
+  * (tests, external paths) wins; otherwise
+  * `<warehouse>/<namespace...>/<table>` under the catalog's
+  * `warehouse` option. At 100 TB the catalog itself stays O(1) per
+  * lookup — it holds name → path only; all data/metadata scale lives
+  * in the manifest machinery behind it. */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = "graft"
+  private var confWarehouse: Option[String] = None
+
+  /** `spark.sql.catalog.<name>.warehouse` wins; the system property is
+    * the late-bound fallback (the catalog instance is cached per
+    * session, so tests point it at a temp dir after session build). */
+  private def warehouse: Option[String] = confWarehouse
+    .orElse(Option(System.getProperty("graft.catalog.warehouse")))
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    confWarehouse = Option(options.get("warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def key(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(".")
+
+  private def warehousePath(ident: Identifier): Option[String] =
+    warehouse.map(w =>
+      Paths.get(w, ident.namespace() :+ ident.name(): _*).toString)
+
+  /** Registered path if any, else the warehouse-derived location. */
+  private def pathOf(ident: Identifier): Option[String] =
+    Option(GraftCatalog.registry.get(key(ident))).orElse(warehousePath(ident))
+
+  override def tableExists(ident: Identifier): Boolean =
+    pathOf(ident).exists(MergeStore.exists)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val ns = namespace.mkString(".")
+    val registered = GraftCatalog.registry.asScala.keys
+      .filter { k =>
+        val parts = k.split('.')
+        parts.init.mkString(".") == ns
+      }
+      .map(k => Identifier.of(namespace, k.split('.').last)).toSeq
+    val fromWarehouse = warehouse.toSeq.flatMap { w =>
+      val dir = Paths.get(w, namespace: _*)
+      if (!Files.isDirectory(dir)) Seq.empty[Identifier]
+      else Files.list(dir).iterator().asScala
+        .filter(p => MergeStore.exists(p.toString))
+        .map(p => Identifier.of(namespace, p.getFileName.toString)).toSeq
+    }
+    (registered ++ fromWarehouse).distinct.toArray
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    pathOf(ident).filter(MergeStore.exists) match {
+      case Some(p) => GraftTable(key(ident), p, None)
+      case None => throw new NoSuchTableException(ident)
+    }
+
+  /** `VERSION AS OF n` — a version-pinned table. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = loadTable(ident).asInstanceOf[GraftTable]
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"VERSION AS OF wants the integer manifest version; got '$version'")
+    }
+    require(MergeStore.versionRetained(t.path, v),
+      s"version $v of ${key(ident)} is not retained (vacuumed or never " +
+        "committed)")
+    t.copy(pinnedVersion = Some(v))
+  }
+
+  /** `TIMESTAMP AS OF ts` — `timestamp` arrives in MICROseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = loadTable(ident).asInstanceOf[GraftTable]
+    val v = MergeStore.versionAt(t.path, timestamp / 1000L)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no commit of ${key(ident)} at or before timestamp $timestamp"))
+    t.copy(pinnedVersion = Some(v))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String])
+      : Table = {
+    require(partitions.isEmpty,
+      "PARTITIONED BY is not supported — MergeStore tables cluster by " +
+        "file layout (TBLPROPERTIES 'graft.stats.cols' declares the " +
+        "skip-index columns)")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val p = pathOf(ident).getOrElse(throw new IllegalStateException(
+      s"no location for ${key(ident)}: configure " +
+        s"spark.sql.catalog.$catalogName.warehouse or register the " +
+        "table path explicitly (GraftCatalog.register)"))
+    val props = properties.asScala
+    MergeStore.create(p, schema,
+      statsCols = props.get("graft.stats.cols").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+      bloomCols = props.get("graft.bloom.cols").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+      bloomFpp = props.get("graft.bloom.fpp").map(_.toDouble)
+        .getOrElse(0.01))
+    GraftTable(key(ident), p, None)
+  }
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table = {
+    val t = loadTable(ident).asInstanceOf[GraftTable]
+    val spark = SparkSession.active
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "nested ADD COLUMN is not supported")
+        MergeStore.addColumn(spark, t.path, add.fieldNames()(0),
+          add.dataType()): Unit
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "nested DROP COLUMN is not supported")
+        MergeStore.dropColumn(spark, t.path, del.fieldNames()(0)): Unit
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames().length == 1,
+          "nested RENAME COLUMN is not supported")
+        MergeStore.renameColumn(spark, t.path, ren.fieldNames()(0),
+          ren.newName()): Unit
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change ${other.getClass.getSimpleName} is not " +
+          "supported — constraints and layout go through the Scala API")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    pathOf(ident) match {
+      case Some(p) if MergeStore.exists(p) =>
+        val root = Paths.get(p)
+        Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists)
+        GraftCatalog.registry.remove(key(ident))
+        true
+      case _ => false
+    }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    (Option(GraftCatalog.registry.get(key(from))), warehousePath(to)) match {
+      case (Some(_), _) =>
+        // A registered (external-path) table renames in place: only the
+        // catalog name moves.
+        GraftCatalog.registry.put(key(to),
+          GraftCatalog.registry.remove(key(from)))
+      case (None, Some(dest)) =>
+        Files.createDirectories(Paths.get(dest).getParent)
+        Files.move(Paths.get(pathOf(from).get), Paths.get(dest))
+      case _ => throw new IllegalStateException(
+        s"no destination location for ${key(to)}")
+    }
+  }
+
+  // --- SupportsNamespaces: directories under the warehouse. ---
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val registered = GraftCatalog.registry.asScala.keys
+      .map(_.split('.').init.toSeq).toSet
+    val fromWarehouse = warehouse.toSeq.flatMap { w =>
+      val dir = Paths.get(w)
+      if (!Files.isDirectory(dir)) Seq.empty
+      else Files.list(dir).iterator().asScala.filter(Files.isDirectory(_))
+        .map(p => Seq(p.getFileName.toString)).toSeq
+    }.toSet
+    (registered ++ fromWarehouse).map(_.toArray).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    listNamespaces().exists(_.sameElements(namespace)) ||
+      warehouse.exists(w => Files.isDirectory(Paths.get(w, namespace: _*)))
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] =
+    if (namespaceExists(namespace)) java.util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: java.util.Map[String, String])
+      : Unit = warehouse match {
+    case Some(w) => Files.createDirectories(Paths.get(w, namespace: _*)): Unit
+    case None => throw new IllegalStateException(
+      s"no warehouse configured for catalog $catalogName")
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "namespace properties are not supported")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = warehouse match {
+    case Some(w) =>
+      val dir = Paths.get(w, namespace: _*)
+      if (!Files.isDirectory(dir)) false
+      else {
+        require(cascade || !Files.list(dir).iterator().hasNext,
+          s"namespace ${namespace.mkString(".")} is not empty")
+        Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists)
+        true
+      }
+    case None => false
+  }
+}
+
+object GraftCatalog {
+  /** Explicit name → path registrations (`db.t` → table dir): the test
+    * and external-location route; JVM-global like the session catalogs
+    * themselves. */
+  private[store] val registry = new ConcurrentHashMap[String, String]()
+
+  /** Register `name` (e.g. "db.orders") at an explicit MergeStore path,
+    * making `spark.sql("... graft.db.orders ...")` resolve to it. */
+  def register(name: String, path: String): Unit = {
+    require(name.contains('.'),
+      "register a namespaced name, e.g. \"db.orders\"")
+    registry.put(name, path): Unit
+  }
+
+  def unregister(name: String): Unit = { registry.remove(name): Unit }
+}
+
+/** A MergeStore table as seen by Spark's catalog machinery. Reads are
+  * handled by [[GraftResolution]] (which swaps the relation for the
+  * manifest-skipping plan — `pinnedVersion` carries time travel);
+  * writes go through the V1 fallback to the append/overwrite verbs. */
+final case class GraftTable(ident: String, path: String,
+                            pinnedVersion: Option[Int])
+  extends Table
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  override def name(): String = ident
+
+  override def schema(): StructType = {
+    val v = pinnedVersion.orElse(MergeStore.version(path))
+      .getOrElse(sys.error(s"no committed version at $path"))
+    MergeStore.manifestSchema(path, v)
+      .map(st => StructType(st.fields.map(f =>
+        f.copy(metadata = org.apache.spark.sql.types.Metadata.empty))))
+      .getOrElse(MergeStore.read(SparkSession.active, path, Some(v)).schema)
+  }
+
+  // No OVERWRITE_DYNAMIC: the node has no V1 write fallback;
+  // GraftResolution rewrites it to the truncate form instead (the
+  // table is unpartitioned, so the two are identical).
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
+
+  override def properties(): java.util.Map[String, String] =
+    Map("provider" -> "graft", "location" -> path).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      "cannot write to a time-travel (VERSION/TIMESTAMP AS OF) relation")
+    new GraftWriteBuilder(path)
+  }
+}
+
+/** INSERT INTO → append; INSERT OVERWRITE (truncate under static
+  * partitionOverwriteMode, dynamic-overwrite under dynamic — identical
+  * on an unpartitioned table) → overwriteTable. The analyzer has
+  * already aligned and store-assignment-cast the input columns. */
+final class GraftWriteBuilder(path: String)
+  extends WriteBuilder with SupportsTruncate
+  with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+
+  private var replace = false
+
+  override def truncate(): WriteBuilder = { replace = true; this }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    replace = true; this
+  }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          val spark = data.sparkSession
+          if (replace || overwrite)
+            MergeStore.overwriteTable(spark, data, path, maxRetries = 3): Unit
+          else MergeStore.append(spark, data, path, maxRetries = 3): Unit
+        }
+      }
+  }
+}

@@ -1,0 +1,338 @@
+package graft.store
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{AppendData, Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, LogicalPlan, MergeAction, MergeIntoTable, OverwriteByExpression, Project, SubqueryAlias, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.{expr, lit}
+import org.apache.spark.sql.types.LongType
+
+/** The analysis rule that makes [[GraftCatalog]] tables first-class to
+  * `spark.sql` (injected by `graft.store.GraftSqlExtensions`):
+  *
+  *   1. A RESOLVED `UPDATE / DELETE / MERGE INTO` whose target is a
+  *      [[GraftTable]] becomes a runnable command dispatching the
+  *      MergeStore verb — Spark's analyzer has already resolved names,
+  *      aligned assignments, and type-checked conditions against the
+  *      catalog schema; the verb re-resolves the (de-qualified)
+  *      expressions inside its own pinned-snapshot plan. This runs in
+  *      the RESOLUTION batch, so Spark's own row-level-operation
+  *      machinery (which would demand SupportsRowLevelOperations and a
+  *      full DSv2 write stack) never sees the node.
+  *   2. Any remaining GraftTable relation is a pure READ: it is swapped
+  *      for the [[GraftFileIndex]] skipping plan (manifest-pruned file
+  *      listing, deletion vectors, column mapping), with a projection
+  *      re-binding the relation's original attribute ids so references
+  *      above stay valid. Relations that are WRITE targets (AppendData
+  *      / INSERT, or a still-unresolved DML target) are left alone —
+  *      the V1 write fallback and a later pass of this rule handle them.
+  *
+  * Catalyst sees one declarative plan end to end: filters over the
+  * swapped read push into the parquet scan through the skipping index
+  * exactly as in [[GraftFileIndex.readSkipping]]. */
+final case class GraftResolution(spark: SparkSession)
+  extends Rule[LogicalPlan] {
+
+  private def graftOf(plan: LogicalPlan)
+      : Option[(DataSourceV2Relation, GraftTable)] = plan match {
+    case r: DataSourceV2Relation => r.table match {
+      case t: GraftTable => Some((r, t))
+      case _ => None
+    }
+    case SubqueryAlias(_, child) => graftOf(child)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val afterDml = plan.resolveOperatorsDown {
+      // INSERT OVERWRITE under the session's dynamic
+      // partitionOverwriteMode plans OverwritePartitionsDynamic, which
+      // has NO V1 write fallback. Graft tables are unpartitioned, so
+      // dynamic overwrite ≡ truncate-overwrite: rewrite to the
+      // OverwriteByExpression(true) form the V1 path executes.
+      case o: org.apache.spark.sql.catalyst.plans.logical
+          .OverwritePartitionsDynamic if graftOf(o.table).isDefined =>
+        if (o.isByName)
+          org.apache.spark.sql.catalyst.plans.logical.OverwriteByExpression
+            .byName(o.table, o.query,
+              org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral,
+              o.writeOptions)
+        else
+          org.apache.spark.sql.catalyst.plans.logical.OverwriteByExpression
+            .byPosition(o.table, o.query,
+              org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral,
+              o.writeOptions)
+      case u @ UpdateTable(rel, assignments, cond)
+          if u.resolved && graftOf(rel).isDefined =>
+        GraftUpdateCommand(graftOf(rel).get._2.path,
+          assignments.map { case Assignment(k, v) =>
+            targetColName(k) -> dequalify(v)
+          },
+          cond.map(dequalify))
+      case d @ DeleteFromTable(rel, cond)
+          if d.resolved && graftOf(rel).isDefined =>
+        GraftDeleteCommand(graftOf(rel).get._2.path, dequalify(cond))
+      case m: MergeIntoTable
+          if m.resolved && graftOf(m.targetTable).isDefined =>
+        toMergeCommand(m)
+    }
+    // Write targets keep their v2 relation (the V1 fallback writer and
+    // un-resolved DML need it); everything else Graft-backed is a read.
+    val writeTargets = afterDml.collect {
+      case u: UpdateTable => graftOf(u.table).map(_._1)
+      case d: DeleteFromTable => graftOf(d.table).map(_._1)
+      case m: MergeIntoTable => graftOf(m.targetTable).map(_._1)
+      case a: AppendData => graftOf(a.table).map(_._1)
+      case o: OverwriteByExpression => graftOf(o.table).map(_._1)
+      case o: org.apache.spark.sql.catalyst.plans.logical
+          .OverwritePartitionsDynamic => graftOf(o.table).map(_._1)
+      case i: InsertIntoStatement => graftOf(i.table).map(_._1)
+    }.flatten
+    afterDml.resolveOperatorsDown {
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[GraftTable] &&
+            !writeTargets.exists(_ eq r) =>
+        replaceRead(r)
+    }
+  }
+
+  /** The skipping read under the relation's ORIGINAL attribute ids. */
+  private def replaceRead(r: DataSourceV2Relation): LogicalPlan = {
+    val t = r.table.asInstanceOf[GraftTable]
+    val read = GraftFileIndex.readSkipping(spark, t.path, t.pinnedVersion)
+      .queryExecution.analyzed
+    val byName = read.output.map(a => a.name.toLowerCase -> a).toMap
+    val proj = r.output.map { out =>
+      val in = byName.getOrElse(out.name.toLowerCase, sys.error(
+        s"catalog schema drift at ${t.path}: column '${out.name}' has " +
+          "no match in the manifest read — reload the table"))
+      Alias(in, out.name)(exprId = out.exprId)
+    }
+    Project(proj, read)
+  }
+
+  /** Resolved attribute references → bare unresolved names, so the
+    * expression re-resolves inside the verb's own plan over the same
+    * table. Single-relation statements only (UPDATE/DELETE). */
+  private def dequalify(e: Expression): String = e.transform {
+    case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+  }.sql
+
+  private def targetColName(e: Expression): String = e match {
+    case a: AttributeReference => a.name
+    case a: UnresolvedAttribute => a.nameParts.last
+    case other => sys.error(
+      s"only top-level column assignments are supported; got ${other.sql}")
+  }
+
+  /** Resolved MERGE → command. Attribute sides are decided by exprId
+    * membership (target vs source output), then spelled onto the verb's
+    * `t` / `s` aliases. */
+  private def toMergeCommand(m: MergeIntoTable): LogicalPlan = {
+    require(!m.withSchemaEvolution,
+      "MERGE WITH SCHEMA EVOLUTION is not supported through the " +
+        "catalog — use MergeStore.merge(allowSchemaEvolution = true)")
+    require(m.notMatchedBySourceActions.isEmpty,
+      "WHEN NOT MATCHED BY SOURCE is not supported — express removals " +
+        "as an explicit DELETE")
+    val (_, table) = graftOf(m.targetTable).get
+    val tOut = m.targetTable.outputSet
+    val sOut = m.sourceTable.outputSet
+    def sideSql(e: Expression): String = e.transform {
+      case a: AttributeReference if tOut.contains(a) =>
+        UnresolvedAttribute(Seq("t", a.name))
+      case a: AttributeReference if sOut.contains(a) =>
+        UnresolvedAttribute(Seq("s", a.name))
+    }.sql
+    def sourceOnlySql(e: Expression): String = e.transform {
+      case a: AttributeReference if sOut.contains(a) =>
+        UnresolvedAttribute(Seq("s", a.name))
+      case a: AttributeReference => sys.error(
+        s"INSERT values may reference only the MERGE source; " +
+          s"'${a.name}' does not")
+    }.sql
+    val pk = keyColumns(m.mergeCondition, tOut, sOut)
+
+    def assignMap(assignments: Seq[Assignment],
+                  spell: Expression => String): Seq[(String, String)] =
+      assignments.map { case Assignment(k, v) =>
+        targetColName(k) -> spell(v)
+      }
+
+    val (mCond, mAssign) = m.matchedActions match {
+      case Seq() => (None, None)
+      case Seq(u: UpdateAction) =>
+        (u.condition.map(sideSql), Some(assignMap(u.assignments, sideSql)))
+      case Seq(DeleteAction(None)) if m.notMatchedActions.isEmpty =>
+        return GraftMergeDeleteCommand(table.path, m.sourceTable, pk)
+      case other => sys.error(
+        "MERGE supports one WHEN MATCHED action: UPDATE [AND cond] " +
+          s"SET ... or an unconditioned sole DELETE; got $other")
+    }
+    val (doInsert, insertVals) = m.notMatchedActions match {
+      case Seq() => (false, None)
+      case Seq(ia: InsertAction) if ia.condition.isEmpty =>
+        (true, Some(assignMap(ia.assignments, sourceOnlySql)))
+      case other => sys.error(
+        "MERGE supports one unconditioned WHEN NOT MATCHED INSERT " +
+          s"action; got $other")
+    }
+    GraftMergeCommand(table.path, m.sourceTable, pk, mCond, mAssign,
+      doInsert, insertVals)
+  }
+
+  /** ON-clause key columns of a RESOLVED merge condition: a conjunction
+    * of target-col = source-col equalities over the SAME column name. */
+  private def keyColumns(cond: Expression, tOut: AttributeSet,
+                         sOut: AttributeSet): Seq[String] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if a.name.equalsIgnoreCase(b.name) &&
+            ((tOut.contains(a) && sOut.contains(b)) ||
+              (sOut.contains(a) && tOut.contains(b))) => a.name
+      case other => sys.error(
+        "MERGE ON clause must be a conjunction of same-named column " +
+          s"equalities (t.k = s.k); offending conjunct: ${other.sql} — " +
+          "a non-key predicate belongs in WHEN MATCHED AND <cond>, not " +
+          "the ON clause")
+    }.distinct
+  }
+}
+
+/** Session extension wiring ONLY the catalog's analysis rule —
+  * `spark.sql.extensions = graft.store.GraftSqlExtensions` (GraftSession
+  * sets it). The optional latest-per-key optimizer rewrite stays in
+  * `graft.plans.GraftExtensions`, opt-in, so plans without the catalog
+  * are untouched. */
+class GraftSqlExtensions
+  extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(
+      e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectResolutionRule(GraftResolution.apply)
+}
+
+/** `UPDATE graft.db.t SET ... WHERE ...` at execution time. */
+final case class GraftUpdateCommand(path: String,
+                                    set: Seq[(String, String)],
+                                    cond: Option[String])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("rows_updated", LongType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val st = MergeStore.updateWhere(spark, path,
+      cond.map(expr).getOrElse(lit(true)),
+      set.map { case (k, v) => k -> expr(v) }.toMap, maxRetries = 3)
+    Seq(Row(st.rowsUpdated))
+  }
+}
+
+/** `DELETE FROM graft.db.t WHERE ...` at execution time. */
+final case class GraftDeleteCommand(path: String, cond: String)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("rows_deleted", LongType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val st = MergeStore.deleteWhere(spark, path, expr(cond),
+      maxRetries = 3)
+    Seq(Row(st.rowsDeleted))
+  }
+}
+
+/** `MERGE INTO` with a sole WHEN MATCHED DELETE: key-set removal. The
+  * resolved source plan rides along as data (not a child — the command
+  * is a leaf; the plan is already analyzed). */
+final case class GraftMergeDeleteCommand(path: String,
+                                         source: LogicalPlan,
+                                         pk: Seq[String])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("rows_deleted", LongType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.graftshim.PlanFrames.ofRows(spark, source)
+    val st = MergeStore.delete(spark, path, src, pk, maxRetries = 3)
+    Seq(Row(st.rowsDeleted))
+  }
+}
+
+/** `MERGE INTO` general form. The canonical full-star upsert (every
+  * column assigned `c = s.c`, no condition, star insert) dispatches the
+  * cheaper [[MergeStore.merge]] / filtered-merge paths; anything
+  * conditioned or column-listed goes to
+  * [[MergeStore.mergeConditional]]. */
+final case class GraftMergeCommand(path: String, source: LogicalPlan,
+                                   pk: Seq[String],
+                                   matchedCond: Option[String],
+                                   matchedAssign: Option[Seq[(String, String)]],
+                                   doInsert: Boolean,
+                                   insertVals: Option[Seq[(String, String)]])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("rows_updated", LongType)(),
+      AttributeReference("rows_inserted", LongType)())
+
+  /** The analyzer expands `SET * / INSERT *` into one assignment per
+    * table column, each exactly `c = s.c` — detect that shape to
+    * dispatch the cheaper star-form verbs. */
+  private def isStarMap(vals: Seq[(String, String)],
+                        cols: Seq[String]): Boolean =
+    vals.map(_._1).sorted == cols.sorted && vals.forall { case (k, v) =>
+      v == UnresolvedAttribute(Seq("s", k)).sql
+    }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.graftshim.PlanFrames.ofRows(spark, source)
+    val v = MergeStore.version(path)
+      .getOrElse(sys.error(s"no committed version at $path"))
+    val fields = MergeStore.manifestSchema(path, v).map(_.fields.toSeq)
+      .getOrElse(MergeStore.read(spark, path, Some(v)).schema.fields.toSeq)
+    val cols = fields.map(_.name)
+    def asMap(s: Seq[(String, String)]) =
+      s.map { case (k, sql) => k -> expr(sql) }.toMap
+    val st = (matchedAssign, matchedCond, doInsert) match {
+      // INSERT-only: matched target rows stay untouched — the filtered
+      // merge (anti-join against the statement snapshot) avoids
+      // rewriting the matched files at all.
+      case (None, None, true) =>
+        val aligned = insertVals match {
+          case Some(vals) if !isStarMap(vals, cols) =>
+            val m = asMap(vals)
+            src.alias("s").select(fields.map { f =>
+              m.getOrElse(f.name, lit(null)).cast(f.dataType).as(f.name)
+            }.toIndexedSeq: _*)
+          case _ => src.select(cols.map(
+            org.apache.spark.sql.functions.col): _*)
+        }
+        SqlVerbs.mergeFiltered(spark, path, aligned, pk, "left_anti", 3)
+      // Canonical upsert: star update + star insert, unconditioned.
+      case (Some(ma), None, true)
+          if isStarMap(ma, cols) && insertVals.forall(isStarMap(_, cols)) =>
+        MergeStore.merge(spark, src.select(cols.map(
+          org.apache.spark.sql.functions.col): _*), path, pk,
+          maxRetries = 3)
+      // Conditional / column-list / update-only family.
+      case _ =>
+        MergeStore.mergeConditional(spark, src, path, pk,
+          matchedCondition = matchedCond.map(expr),
+          matchedAssignments = matchedAssign.map(asMap),
+          insert = doInsert,
+          insertValues = insertVals.map(asMap),
+          maxRetries = 3)
+    }
+    Seq(Row(st.rowsUpdated, st.rowsInserted))
+  }
+}

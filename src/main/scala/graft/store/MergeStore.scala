@@ -91,6 +91,23 @@ object MergeStore {
     * maintenance) records as its high-water mark. */
   def version(target: String): Option[Int] = currentVersion(target)
 
+  /** Whether `v` is still reconstructable (its manifest or checkpoint
+    * is retained) — the time-travel precheck. */
+  def versionRetained(target: String, v: Int): Boolean =
+    stateOpt(target, v).isDefined
+
+  /** ScaleProbe hooks: commit a SYNTHETIC manifest through the real
+    * encoder (the checkpoint-cost arm measures metadata bytes and
+    * reconstruction wall at file counts where writing real parquet
+    * would dominate the probe), and drop the reconstruction memo so a
+    * timed walk is genuinely cold. Probe-only — no verb uses these. */
+  private[graft] def commitForProbe(target: String, files: Seq[String],
+                                    parent: Int,
+                                    meta: Map[String, String]): Int =
+    commit(target, files, parent, meta)
+
+  private[graft] def clearStateCacheForProbe(): Unit = stateCache.clear()
+
   // ------------------------------------------------------------------
   // Incremental manifests + periodic checkpoints: commit metadata that
   // is O(CHANGES), not O(live files). A full-snapshot manifest per
@@ -130,9 +147,10 @@ object MergeStore {
 
   /** Commits between full-snapshot manifests — the reconstruction walk
     * is bounded by this. Overridable for the ScaleProbe commit-cost
-    * arm and checkpoint-boundary specs. */
-  private[store] def checkpointInterval: Int =
-    Integer.getInteger("graft.manifest.checkpoint.interval", 16).intValue()
+    * arm and checkpoint-boundary specs; clamped to ≥ 1 so a zero or
+    * negative override can never divide-by-zero the commit path. */
+  private[store] def checkpointInterval: Int = math.max(1,
+    Integer.getInteger("graft.manifest.checkpoint.interval", 16).intValue())
 
   private final case class ManifestState(files: Vector[String],
                                          meta: Map[String, String])
@@ -140,18 +158,39 @@ object MergeStore {
   /** Reconstructed-state memo: manifests are immutable once linked, so
     * (path, version) fully determines the state; the (size, mtime)
     * fingerprint of the version's own backing file guards test-style
-    * delete-and-recreate path reuse. Access-ordered LRU, driver-side
-    * metadata only — capacity is deliberately small because ONE entry
-    * of a 10⁵-file table is megabytes of strings; 64 comfortably covers
-    * a reconstruction walk (≤ checkpointInterval) plus the hot heads of
-    * every table a driver concurrently serves. */
-  private val stateCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(String, Int, Long, Long), ManifestState](
-        64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Int, Long, Long), ManifestState])
-          : Boolean = size() > 64
-    })
+    * delete-and-recreate path reuse. (The fingerprint deliberately does
+    * NOT cover base manifests below a delta — production manifests are
+    * immutable; a test that hand-edits a BASE manifest must touch the
+    * descendant it re-reads, or go through a fresh table path.)
+    *
+    * SIZE-weighted, not entry-counted: one reconstructed state of a
+    * 10⁵–10⁶-file table is megabytes of strings, so an entry-count
+    * bound could pin GBs of driver heap at the stated scale target.
+    * The weight is the total line count (files + metadata entries)
+    * across cached states, evicting LRU-first past the cap — a few
+    * tens of MB of driver-side strings worst case. */
+  private object stateCache {
+    private val MaxWeightLines = 1L << 18 // 262,144 manifest lines
+    private val map =
+      new java.util.LinkedHashMap[(String, Int, Long, Long), ManifestState](
+        64, 0.75f, true)
+    private var weight = 0L
+    private def weightOf(s: ManifestState): Long =
+      s.files.size.toLong + s.meta.size
+    def get(k: (String, Int, Long, Long)): ManifestState =
+      map.synchronized(map.get(k))
+    def clear(): Unit = map.synchronized { map.clear(); weight = 0L }
+    def put(k: (String, Int, Long, Long), v: ManifestState): Unit =
+      map.synchronized {
+        val prev = map.put(k, v)
+        weight += weightOf(v) - (if (prev == null) 0L else weightOf(prev))
+        val it = map.entrySet().iterator()
+        while (weight > MaxWeightLines && it.hasNext) {
+          weight -= weightOf(it.next().getValue)
+          it.remove()
+        }
+      }
+  }
 
   private def parseFull(lines: Seq[String], where: String): ManifestState = {
     val meta = Map.newBuilder[String, String]
@@ -195,37 +234,110 @@ object MergeStore {
   private def listPath(target: String, v: Int): Path =
     manifestDir(target).resolve(s"v$v.list")
 
-  /** Reconstructed (files, meta) of a committed version; None when both
-    * its manifest and its checkpoint sidecar are gone (vacuumed). */
-  private def stateOpt(target: String, v: Int): Option[ManifestState] = {
-    val ckpt = ckptPath(target, v)
-    val list = listPath(target, v)
-    val backing =
-      if (Files.exists(ckpt)) ckpt
-      else if (Files.exists(list)) list
-      else return None
-    val key = (Paths.get(target).toAbsolutePath.normalize.toString, v,
-      Files.size(backing), Files.getLastModifiedTime(backing).toMillis)
-    Option(stateCache.get(key)).orElse {
-      val lines = Files.readAllLines(backing).asScala.toSeq
-      val state =
-        if (backing == ckpt || !lines.headOption.contains(DeltaMarkerLine))
-          parseFull(lines, s"$target v$v")
-        else {
-          if (v <= 0) applyManifestDelta(
-            ManifestState(Vector.empty, Map.empty), lines, s"$target v$v")
-          else applyManifestDelta(
-            stateOpt(target, v - 1).getOrElse(throw new IllegalStateException(
-              s"manifest chain broken at $target: v$v is a delta but its " +
-                s"base v${v - 1} has no manifest and no checkpoint — " +
-                "vacuum materializes the retention floor as a .ckpt; a " +
-                "hand-deleted manifest needs the table restored from a " +
-                "retained snapshot")),
-            lines, s"$target v$v")
-        }
-      stateCache.put(key, state)
-      Some(state)
+  // ------------------------------------------------------------------
+  // Compressed full snapshots: delta encoding made ordinary commits
+  // O(changes), but every checkpointInterval-th snapshot and every
+  // vacuum `.ckpt` still wrote the COMPLETE file list + stats/bloom/DV
+  // lines as plain text — 1.88 MB at 16 K files, extrapolating to
+  // tens of MB per checkpoint at 10⁵–10⁶ files (the public Delta
+  // design's answer is parquet checkpoints; gzip over the line format
+  // gets the same order-of-magnitude byte win without a Spark job on
+  // the commit path, and a parquet checkpoint remains the object-store
+  // evolution). Snapshots BELOW the threshold stay plain text (small
+  // tables keep human-readable, hand-editable manifests; the gzip
+  // header costs more than it saves); readers sniff the 0x1f8b magic,
+  // so legacy text manifests and mixed tables read unchanged. Deltas
+  // are never compressed — they are already O(changes) bytes.
+  // ------------------------------------------------------------------
+
+  private[store] def compressThreshold: Long =
+    java.lang.Long.getLong("graft.manifest.compress.threshold",
+      64L * 1024).longValue()
+
+  private def snapshotBytes(text: String): Array[Byte] = {
+    val plain = text.getBytes("UTF-8")
+    if (plain.length < compressThreshold) plain
+    else {
+      val bos = new java.io.ByteArrayOutputStream(plain.length / 8 + 64)
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(plain); gz.close()
+      bos.toByteArray
     }
+  }
+
+  /** Manifest/checkpoint lines, transparently gunzipping compressed
+    * snapshots (sniffed by magic bytes — never by name). */
+  private def readManifestLines(p: Path): Seq[String] = {
+    val bytes = Files.readAllBytes(p)
+    val text =
+      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
+          (bytes(1) & 0xff) == 0x8b) {
+        val gz = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try new String(gz.readAllBytes(), "UTF-8") finally gz.close()
+      } else new String(bytes, "UTF-8")
+    if (text.isEmpty) Seq.empty
+    else scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      text.split("\n", -1))
+  }
+
+  /** The checkpoint sidecar (preferred) or manifest backing a version,
+    * None when both are gone (vacuumed). */
+  private def backingOf(target: String, v: Int): Option[Path] = {
+    val ckpt = ckptPath(target, v)
+    if (Files.exists(ckpt)) Some(ckpt)
+    else Some(listPath(target, v)).filter(Files.exists(_))
+  }
+
+  private def cacheKey(target: String, v: Int, backing: Path) =
+    (Paths.get(target).toAbsolutePath.normalize.toString, v,
+      Files.size(backing), Files.getLastModifiedTime(backing).toMillis)
+
+  /** Reconstructed (files, meta) of a committed version; None when both
+    * its manifest and its checkpoint sidecar are gone (vacuumed).
+    * ITERATIVE reconstruction (not recursive): the walk back to the
+    * nearest full base is normally ≤ [[checkpointInterval]], but a
+    * pathological interval override (or a legacy table committed under
+    * one) must degrade to a long loop, never a StackOverflowError. */
+  private def stateOpt(target: String, v: Int): Option[ManifestState] = {
+    if (backingOf(target, v).isEmpty) return None
+    // Walk back collecting unapplied delta lines until a cached state,
+    // a full snapshot, or the v0 floor; then fold forward, oldest first.
+    var pending = List.empty[(Int, Seq[String])]
+    var cur = v
+    var state: ManifestState = null
+    while (state == null) {
+      val backing = backingOf(target, cur).getOrElse(
+        throw new IllegalStateException(
+          s"manifest chain broken at $target: v${cur + 1} is a delta but " +
+            s"its base v$cur has no manifest and no checkpoint — vacuum " +
+            "materializes the retention floor as a .ckpt; a hand-deleted " +
+            "manifest needs the table restored from a retained snapshot"))
+      val key = cacheKey(target, cur, backing)
+      val cached = stateCache.get(key)
+      if (cached != null) state = cached
+      else {
+        val lines = readManifestLines(backing)
+        val isDelta = backing.getFileName.toString.endsWith(".list") &&
+          lines.headOption.contains(DeltaMarkerLine)
+        if (!isDelta) {
+          state = parseFull(lines, s"$target v$cur")
+          stateCache.put(key, state)
+        } else if (cur <= 0) { // a delta v0: fold onto the empty table
+          pending ::= (cur -> lines)
+          state = ManifestState(Vector.empty, Map.empty)
+        } else {
+          pending ::= (cur -> lines)
+          cur -= 1
+        }
+      }
+    }
+    pending.foreach { case (pv, lines) =>
+      state = applyManifestDelta(state, lines, s"$target v$pv")
+    }
+    if (pending.nonEmpty)
+      stateCache.put(cacheKey(target, v, backingOf(target, v).get), state)
+    Some(state)
   }
 
   /** Live relative file names of a committed version (newest by default).
@@ -237,9 +349,10 @@ object MergeStore {
     version.orElse(currentVersion(target)) match {
       case None => Seq.empty
       case Some(v) => stateOpt(target, v).getOrElse(
-        throw new java.io.UncheckedIOException(
-          new java.nio.file.NoSuchFileException(
-            listPath(target, v).toString))).files
+        // The raw NoSuchFileException the pre-delta Files.readAllLines
+        // path threw — callers catching IOException keep working.
+        throw new java.nio.file.NoSuchFileException(
+          listPath(target, v).toString)).files
     }
 
   /** Metadata recorded INSIDE a manifest commit — `#key=value` lines
@@ -427,6 +540,26 @@ object MergeStore {
     * files and null-fill the lot. Fields keep the verb's (possibly
     * evolved) types; fields the table schema maps inherit its physical
     * name. */
+  /** The nullability to RECORD for a commit built from a user batch:
+    * a column stays nullable if the TABLE already says so (carried
+    * files may hold NULLs the batch doesn't — recording the batch's
+    * tighter nullability would both mis-declare the data under the
+    * planned read and make every mixed-nullability producer look like
+    * POLICY DRIFT to [[rebaseSafe]]), and widens to nullable when the
+    * batch introduces it. */
+  private def unionNullability(batch: org.apache.spark.sql.types.StructType,
+      table: Option[org.apache.spark.sql.types.StructType])
+      : org.apache.spark.sql.types.StructType = table match {
+    case None => batch
+    case Some(ts) => org.apache.spark.sql.types.StructType(
+      batch.fields.map { f =>
+        ts.fields.find(_.name == f.name) match {
+          case Some(tf) => f.copy(nullable = f.nullable || tf.nullable)
+          case None => f
+        }
+      })
+  }
+
   private def withMapping(st: org.apache.spark.sql.types.StructType,
                           table: Option[org.apache.spark.sql.types.StructType])
       : org.apache.spark.sql.types.StructType = table match {
@@ -1077,9 +1210,10 @@ object MergeStore {
     // parent — O(changes) bytes however many files are live) on ordinary
     // commits, a full snapshot on every interval-th version and on every
     // fresh table (parent < 0), bounding the reconstruction walk.
+    val isFull = parent < 0 || next % checkpointInterval == 0 ||
+      stateOpt(target, parent).isEmpty
     val body: Seq[String] =
-      if (parent < 0 || next % checkpointInterval == 0 ||
-          stateOpt(target, parent).isEmpty)
+      if (isFull)
         meta.toSeq.sorted.map { case (k, v) => s"#$k=$v" } ++ files.sorted
       else {
         val base = stateOpt(target, parent).get
@@ -1096,7 +1230,11 @@ object MergeStore {
       }
     val tmp = dir.resolve(
       s".v$next-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    Files.write(tmp, body.mkString("\n").getBytes("UTF-8"))
+    // Full snapshots past the size threshold compress; deltas and small
+    // snapshots stay plain text ([[snapshotBytes]]).
+    Files.write(tmp,
+      if (isFull) snapshotBytes(body.mkString("\n"))
+      else body.mkString("\n").getBytes("UTF-8"))
     try {
       Files.createLink(dir.resolve(s"v$next.list"), tmp)
       next
@@ -1205,14 +1343,40 @@ object MergeStore {
         s"no commit at or before $timestampMillis at $target — earliest " +
           s"retained commit is ${history(target).headOption.map(_._2)}"))))
 
+  /** Create an EMPTY table: commit v0 with zero files and the schema
+    * (plus optional stats/bloom policy) as manifest metadata — the DSv2
+    * catalog's CREATE TABLE. The first [[append]]/[[merge]] against it
+    * already writes skip-indexed files under the declared policy. */
+  def create(target: String, schema: org.apache.spark.sql.types.StructType,
+             statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+             bloomFpp: Double = 0.01): Unit = {
+    require(currentVersion(target).isEmpty,
+      s"table already exists at $target")
+    Files.createDirectories(dataDir(target))
+    val props = Map(SchemaKey -> schema.json) ++
+      (if (statsCols.nonEmpty) Map(StatsColsKey -> statsCols.mkString(","))
+       else Map.empty) ++
+      (if (bloomCols.nonEmpty) Map(BloomColsKey -> bloomCols.mkString(","),
+        BloomFppKey -> bloomFpp.toString)
+       else Map.empty)
+    commit(target, Nil, -1, props): Unit
+  }
+
   /** Read a committed version (newest by default) — exactly the
-    * manifest's files. */
+    * manifest's files. A version with ZERO files (a freshly created
+    * catalog table, or one whose every row was deleted) reads as the
+    * empty frame under the manifest schema. */
   def read(spark: SparkSession, target: String,
            version: Option[Int] = None): DataFrame = {
     val v = version.orElse(currentVersion(target))
       .getOrElse(sys.error(s"no committed version at $target"))
     val files = liveFiles(target, Some(v))
-    require(files.nonEmpty, s"no committed version at $target")
+    if (files.isEmpty) manifestSchema(target, v) match {
+      case Some(st) => return toLogical(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        physicalSchema(st)), st)
+      case None => sys.error(s"no committed version at $target")
+    }
     val paths = files.map(f => dataDir(target).resolve(f).toString)
     manifestSchema(target, v) match {
       // Manifest schema: plan with zero footer reads; files predating
@@ -2006,6 +2170,98 @@ object MergeStore {
     None // unreachable
   }
 
+  final case class AppendStats(filesTotal: Int, filesAdded: Int,
+                               rowsInserted: Long,
+                               recomputes: Int = 0, rebases: Int = 0)
+
+  /** Blind APPEND: write `rows` as new files and commit them alongside
+    * every live file — ZERO key probe, zero rewrite, stats on the batch
+    * only. The highest-frequency verb at ingest scale: a trickle
+    * producer appending to a 10⁵-file table pays O(batch) end to end
+    * where [[merge]] would pay the key-bounds probe per call. The
+    * caller asserts key disjointness (or doesn't care — duplicate keys
+    * land as duplicate rows, exactly SQL INSERT semantics); dedup needs
+    * [[merge]].
+    *
+    * Concurrency: the verb's READ SET is empty — it reads no data file —
+    * so a lost CAS rebases onto any rival commit whose table policy
+    * (schema / stats config / constraints) is unchanged, however many
+    * rivals interleave: concurrent appends NEVER recompute, they
+    * re-commit ([[rebaseSafe]] with no candidates and no affected
+    * files). A rival policy change recomputes (`maxRetries`), re-running
+    * the constraint gate against the new head.
+    *
+    * Batch contract mirrors strict [[merge]]: `rows` must project
+    * exactly onto the table's columns (drifted producers fail loudly);
+    * `numFiles > 0` repartitions the batch (size files to ~128 MB–1 GB
+    * at scale), 0 keeps the incoming partitioning. */
+  def append(spark: SparkSession, rows: DataFrame, target: String,
+             numFiles: Int = 0, maxRetries: Int = 0,
+             snapshotVersion: Option[Int] = None): AppendStats =
+    try appendOnce(spark, rows, target, numFiles, replace = false,
+      snapshotVersion)
+    catch {
+      case _: java.util.ConcurrentModificationException if maxRetries > 0 =>
+        val st = append(spark, rows, target, numFiles, maxRetries - 1)
+        st.copy(recomputes = st.recomputes + 1)
+    }
+
+  /** Replace the table's CONTENT with `rows` in one commit (INSERT
+    * OVERWRITE): the new files become the entire live set; schema,
+    * stats/bloom configuration, and constraints carry. Same empty read
+    * set as [[append]] — a racing append serializes BEFORE the
+    * overwrite and its rows are clobbered, which is exactly overwrite's
+    * contract. */
+  def overwriteTable(spark: SparkSession, rows: DataFrame, target: String,
+                     numFiles: Int = 0, maxRetries: Int = 0): AppendStats =
+    try appendOnce(spark, rows, target, numFiles, replace = true, None)
+    catch {
+      case _: java.util.ConcurrentModificationException if maxRetries > 0 =>
+        val st = overwriteTable(spark, rows, target, numFiles,
+          maxRetries - 1)
+        st.copy(recomputes = st.recomputes + 1)
+    }
+
+  private def appendOnce(spark: SparkSession, rows: DataFrame,
+                         target: String, numFiles: Int,
+                         replace: Boolean,
+                         snapshotVersion: Option[Int]): AppendStats = {
+    val parentV = snapshotVersion.orElse(currentVersion(target))
+      .getOrElse(sys.error(s"no committed version at $target"))
+    val tableSchema = manifestSchema(target, parentV)
+    val tableCols: Seq[String] = tableSchema.map(_.fieldNames.toSeq)
+      .getOrElse(read(spark, target, Some(parentV)).columns.toSeq)
+    val extra = rows.columns.filterNot(tableCols.contains)
+    require(extra.isEmpty,
+      s"append batch carries columns absent from the table " +
+        s"(${extra.mkString(", ")}) — a drifted producer; evolve the " +
+        "schema through merge(allowSchemaEvolution = true)")
+    val projected = rows.select(tableCols.map(col).toIndexedSeq: _*)
+    val incoming =
+      (if (numFiles > 0) projected.repartition(numFiles) else projected)
+        .cache()
+    try {
+      enforceConstraints(spark, target, parentV, incoming, "append")
+      val rowsInserted = incoming.count()
+      val recorded = withMapping(
+        unionNullability(incoming.schema, tableSchema), tableSchema)
+      val newFiles = writeFiles(toPhysical(incoming, recorded), target)
+      val sCols = statsColumns(target, Some(parentV))
+      val (bCols, fpp) = inheritedBloom(target, parentV)
+      val (fresh, blooms) = freshStatsAndBlooms(spark, target, newFiles,
+        sCols, bCols, fpp, recorded)
+      val rebases = commitWithRebase(target, parentV, Nil, Set.empty,
+        (_, _) => Nil,
+        head => assembleAndCommit(spark, target,
+          if (replace) newFiles
+          else (liveFiles(target, Some(head)) ++ newFiles).distinct,
+          head, Map.empty, fresh, blooms, sCols, recorded, bCols, fpp,
+          Map.empty): Unit).get
+      AppendStats(liveFiles(target, Some(parentV)).size, newFiles.size,
+        rowsInserted, rebases = rebases)
+    } finally incoming.unpersist()
+  }
+
   /** MERGE `updates` into the table on `pk` (incoming wins; within the
     * batch the highest `ordCols` wins, like CoreStore's intra-batch
     * order). Rewrites only the files containing matched keys.
@@ -2130,8 +2386,18 @@ object MergeStore {
       survivors.unionByName(incoming, allowMissingColumns = true)
     // The recorded schema re-inherits the table's rename mapping:
     // `incoming` is built over the user batch, whose attributes carry
-    // no field metadata.
-    val recorded = withMapping(incoming.schema, tableSchema)
+    // no field metadata. Nullability unions with the table's — carried
+    // files keep their NULLs whatever the batch declares.
+    val recorded = withMapping(
+      unionNullability(incoming.schema, tableSchema), tableSchema)
+    // A true no-op (empty effective batch: nothing matched, nothing to
+    // insert) commits NOTHING — no empty data file, no version churn;
+    // an idempotent rerun of an already-applied filtered merge stays
+    // invisible to the change feed and to followers.
+    if (affected.isEmpty && rowsInserted == 0L && rowsUpdated == 0L) {
+      incoming.unpersist()
+      return MergeStats(before.size, 0, 0L, 0L)
+    }
     val newFiles =
       if (affected.isEmpty) writeFiles(toPhysical(incoming, recorded), target)
       else writeFiles(toPhysical(
@@ -2156,6 +2422,161 @@ object MergeStore {
       MergeStats(before.size, affected.size, rowsInserted, rowsUpdated,
         rebases = rebases)
     } finally incoming.unpersist()
+  }
+
+  /** MERGE with CONDITIONAL and COLUMN-LIST actions — the Delta/Iceberg
+    * `WHEN MATCHED [AND cond] THEN UPDATE SET c = e, ...` /
+    * `WHEN NOT MATCHED THEN INSERT (cols) VALUES (...)` family that
+    * plain [[merge]] (full-row, incoming-always-wins) can't express.
+    * Expressions reference the target row as `t.<col>` and the source
+    * row as `s.<col>` (`functions.expr("s.ts > t.ts")`) — the SQL
+    * route maps the statement's own aliases onto t/s.
+    *
+    * Semantics (SQL MERGE, one matched + one not-matched action):
+    *   - matched (pk in both) and `matchedCondition` TRUE (false/NULL
+    *     keeps): new row is per column `matchedAssignments(c)` when
+    *     assigned, else the TARGET's value (`SET c = e` leaves
+    *     unassigned columns untouched); `matchedAssignments = None`
+    *     means `UPDATE SET *` (source row wins whole).
+    *   - matched, condition false/NULL: target row survives UNCHANGED
+    *     and the source row is discarded.
+    *   - unmatched source: inserted when `insert` — per column
+    *     `insertValues(c)` when assigned, else NULL
+    *     (`insertValues = None` means `INSERT *`); dropped when
+    *     `insert = false` (UPDATE-only statements).
+    *   - unmatched target rows: untouched.
+    * Assigned values CAST to the table column's type (SQL
+    * store-assignment), so `SET price = price * 1.1` can't silently
+    * widen the table.
+    *
+    * Same COW shape, read set, and OCC story as [[merge]]: candidates
+    * from the batch's key bounds, only files holding a matched pk
+    * rewrite (a file whose matches all FAIL the condition still
+    * rewrites — the probe reads pk columns only, deliberately), lost
+    * CAS rebases when provably file-disjoint else recomputes with
+    * `maxRetries`. */
+  def mergeConditional(spark: SparkSession, source: DataFrame,
+                       target: String, pk: Seq[String],
+                       matchedCondition: Option[org.apache.spark.sql.Column] = None,
+                       matchedAssignments: Option[Map[String, org.apache.spark.sql.Column]] = None,
+                       insert: Boolean = true,
+                       insertValues: Option[Map[String, org.apache.spark.sql.Column]] = None,
+                       ordCols: Seq[String] = Nil,
+                       maxRetries: Int = 0,
+                       snapshotVersion: Option[Int] = None): MergeStats =
+    try mergeConditionalOnce(spark, source, target, pk, matchedCondition,
+      matchedAssignments, insert, insertValues, ordCols, snapshotVersion)
+    catch {
+      case _: java.util.ConcurrentModificationException if maxRetries > 0 =>
+        val st = mergeConditional(spark, source, target, pk,
+          matchedCondition, matchedAssignments, insert, insertValues,
+          ordCols, maxRetries - 1)
+        st.copy(recomputes = st.recomputes + 1)
+    }
+
+  private def mergeConditionalOnce(spark: SparkSession, source: DataFrame,
+      target: String, pk: Seq[String],
+      matchedCondition: Option[org.apache.spark.sql.Column],
+      matchedAssignments: Option[Map[String, org.apache.spark.sql.Column]],
+      insert: Boolean,
+      insertValues: Option[Map[String, org.apache.spark.sql.Column]],
+      ordCols: Seq[String],
+      snapshotVersion: Option[Int]): MergeStats = {
+    val parentV = snapshotVersion.orElse(currentVersion(target))
+      .getOrElse(sys.error(s"no committed version at $target"))
+    val before = liveFiles(target, Some(parentV))
+    def snapshot = read(spark, target, Some(parentV))
+    val tableSchema = manifestSchema(target, parentV)
+    val fields: Seq[(String, Option[org.apache.spark.sql.types.DataType])] =
+      tableSchema.map(_.fields.toSeq.map(f => f.name -> Option(f.dataType)))
+        .getOrElse(snapshot.columns.toSeq.map(_ -> None))
+    val tableCols = fields.map(_._1)
+    def toTableType(c: org.apache.spark.sql.Column, name: String) =
+      fields.find(_._1 == name).flatMap(_._2)
+        .map(c.cast(_)).getOrElse(c).as(name)
+    (matchedAssignments.toSeq ++ insertValues.toSeq).flatten(_.keys)
+      .foreach { c => require(tableCols.contains(c),
+        s"assignment target '$c' is not a column of $target " +
+          s"(${tableCols.mkString(", ")})") }
+    val ord = if (ordCols.nonEmpty) ordCols.map(col)
+      else Seq(monotonically_increasing_id())
+    val deduped = Upsert.dedupByKey(
+      source.where(pk.map(col(_).isNotNull).reduce(_ && _)), pk, ord)
+    val src = deduped.cache()
+    try {
+      // Affected-file probe — identical read set to [[merge]].
+      val candidates = pruneByKeyBounds(target, parentV, before,
+        src.select(pk.map(col): _*), pk)
+      val liveKeys = probeScan(spark, target, parentV, snapshot,
+        candidates, pk)
+      val affected = liveKeys.join(src, pk, "left_semi")
+        .select("__file").distinct()
+        .collect().map(_.getString(0)).toSet
+
+      val affectedRows = readSubset(spark, target, parentV, snapshot,
+        affected.toSeq.sorted)
+      val pairs = affectedRows.alias("t").join(src.alias("s"),
+        pk.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
+        "inner")
+      val condTrue = matchedCondition
+        .map(c => coalesce(c, lit(false))).getOrElse(lit(true))
+      val updated = pairs.where(condTrue).select(tableCols.map { c =>
+        toTableType(matchedAssignments match {
+          case None => col(s"s.$c") // UPDATE SET *
+          case Some(m) => m.getOrElse(c, col(s"t.$c"))
+        }, c)
+      }.toIndexedSeq: _*)
+      val keptMatched = pairs.where(!condTrue)
+        .select(tableCols.map(c => col(s"t.$c").as(c)).toIndexedSeq: _*)
+      val unmatchedTarget = affectedRows.join(src, pk, "left_anti")
+      val srcCols = src.columns.toSet
+      val inserted =
+        if (!insert) affectedRows.limit(0)
+          .select(tableCols.map(col).toIndexedSeq: _*)
+        else src.alias("s").join(liveKeys, pk, "left_anti")
+          .select(tableCols.map { c =>
+            toTableType(insertValues match {
+              case None =>
+                require(srcCols.contains(c),
+                  s"INSERT * needs source column '$c' (absent from the " +
+                    "batch) — use insertValues to assign a subset")
+                col(s"s.$c")
+              case Some(m) => m.getOrElse(c, lit(null))
+            }, c)
+          }.toIndexedSeq: _*)
+      val rowsUpdated = pairs.where(condTrue).count()
+      val rowsInserted = inserted.count()
+      enforceConstraints(spark, target, parentV,
+        updated.unionByName(inserted), "mergeConditional")
+
+      val replacement = unmatchedTarget.unionByName(keptMatched)
+        .unionByName(updated).unionByName(inserted)
+      val recorded = withMapping(
+        unionNullability(replacement.schema, tableSchema), tableSchema)
+      // True no-op: nothing matched, nothing to insert → no commit.
+      if (affected.isEmpty && rowsInserted == 0L)
+        return MergeStats(before.size, 0, 0L, 0L)
+      val newFiles =
+        if (affected.isEmpty) writeFiles(
+          toPhysical(inserted, recorded), target)
+        else writeFiles(toPhysical(replacement.repartition(
+          math.max(1, affected.size)), recorded), target)
+      val sCols = statsColumns(target, Some(parentV))
+      val (bCols, fpp) = inheritedBloom(target, parentV)
+      val (fresh, blooms) = freshStatsAndBlooms(spark, target, newFiles,
+        sCols, bCols, fpp, recorded)
+      val rebases = commitWithRebase(target, parentV, candidates,
+        affected,
+        (v, fs) => pruneByKeyBounds(target, v, fs,
+          src.select(pk.map(col): _*), pk),
+        head => assembleAndCommit(spark, target,
+          (liveFiles(target, Some(head)).filterNot(affected) ++
+            newFiles).distinct,
+          head, Map.empty, fresh, blooms, sCols, recorded, bCols, fpp,
+          Map.empty): Unit).get
+      MergeStats(before.size, affected.size, rowsInserted, rowsUpdated,
+        rebases = rebases)
+    } finally src.unpersist()
   }
 
   /** DELETE by key set: remove every row whose `pk` appears in `keys` —
@@ -3594,14 +4015,14 @@ object MergeStore {
     if (floor > 0 && !Files.exists(ckptPath(target, floor))) {
       val floorList = listPath(target, floor)
       if (Files.exists(floorList) &&
-          Files.readAllLines(floorList).asScala.headOption
+          readManifestLines(floorList).headOption
             .contains(DeltaMarkerLine)) {
         stateOpt(target, floor).foreach { st =>
           val tmp = manifestDir(target).resolve(
             s".v$floor-${java.util.UUID.randomUUID().toString.take(8)}.ckpt.tmp")
-          Files.write(tmp,
+          Files.write(tmp, snapshotBytes(
             (st.meta.toSeq.sorted.map { case (k, v) => s"#$k=$v" } ++
-              st.files).mkString("\n").getBytes("UTF-8"))
+              st.files).mkString("\n")))
           Files.move(tmp, ckptPath(target, floor),
             java.nio.file.StandardCopyOption.ATOMIC_MOVE,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -3619,6 +4040,35 @@ object MergeStore {
           n.stripPrefix("v").stripSuffix(".list").stripSuffix(".ckpt")
             .toInt < floor
       }.toSeq.foreach(Files.deleteIfExists)
+    // Crash debris, all age-gated by the same grace window that protects
+    // in-flight writers: a commit/checkpoint temp file whose writer died
+    // between write and atomic link/move (`.v<N>-<uuid>.tmp` /
+    // `.ckpt.tmp` in _manifest), and a stage directory whose writer died
+    // between createTempDirectory and the move into data/ (`.stage-*` /
+    // `.dvstage-*` beside the table) — none is referenced by any
+    // manifest, so nothing else ever reclaims them.
+    Files.list(manifestDir(target)).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith(".") && n.endsWith(".tmp") &&
+          Files.getLastModifiedTime(p).toMillis <= cutoff
+      }.toSeq.foreach(Files.deleteIfExists)
+    val parent = Paths.get(target).toAbsolutePath.getParent
+    if (parent != null && Files.isDirectory(parent))
+      Files.list(parent).iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          (n.startsWith(".stage-") || n.startsWith(".dvstage-")) &&
+            Files.isDirectory(p)
+        }.toSeq.foreach { dir =>
+          // Age-gate on the NEWEST mtime in the tree: a long write job
+          // keeps touching task files under the stage dir while the top
+          // dir's own mtime goes stale.
+          val entries = Files.walk(dir).iterator().asScala.toSeq
+          if (entries.forall(e =>
+              Files.getLastModifiedTime(e).toMillis <= cutoff))
+            entries.reverse.foreach(Files.deleteIfExists)
+        }
     vacuumBlooms(target)
     vacuumDvs(target, floor, head, cutoff)
     orphans.size

@@ -1,10 +1,10 @@
 package graft.store
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.functions.{col, expr, lit}
 
 /** SQL text surface for the MergeStore table verbs: the thin dispatcher
   * that lets an analyst's `UPDATE / DELETE FROM / MERGE INTO` statement
@@ -46,6 +46,7 @@ object SqlVerbs {
   final case class MorDeleted(stats: MergeStore.MorDeleteStats)
     extends VerbResult
   final case class Merged(stats: MergeStore.MergeStats) extends VerbResult
+  final case class Appended(stats: MergeStore.AppendStats) extends VerbResult
 
   /** Parse and execute one DML statement against `tables`
     * (logical name → MergeStore table path). `mor = true` routes
@@ -57,10 +58,11 @@ object SqlVerbs {
     plan match {
       case UpdateTable(rel, assignments, cond) =>
         val path = pathOf(rel, tables)
+        val strip = stripSelfQualifier(selfNames(rel)) _
         val set = assignments.map { case Assignment(k, v) =>
-          attrName(k) -> expr(v.sql)
+          attrName(k, selfNames(rel)) -> expr(strip(v).sql)
         }.toMap
-        val where = cond.map(c => expr(c.sql))
+        val where = cond.map(c => expr(strip(c).sql))
           .getOrElse(org.apache.spark.sql.functions.lit(true))
         if (mor) Updated(MergeStore.updateWhereMor(spark, path, where, set,
           maxRetries = maxRetries))
@@ -68,18 +70,77 @@ object SqlVerbs {
           maxRetries = maxRetries))
       case DeleteFromTable(rel, cond) =>
         val path = pathOf(rel, tables)
-        val where = expr(cond.sql)
+        val where = expr(stripSelfQualifier(selfNames(rel))(cond).sql)
         if (mor) MorDeleted(MergeStore.deleteWhereMor(spark, path, where,
           maxRetries = maxRetries))
         else Deleted(MergeStore.deleteWhere(spark, path, where,
           maxRetries = maxRetries))
       case m: MergeIntoTable =>
         executeMerge(spark, m, tables, maxRetries)
+      case i: InsertIntoStatement =>
+        executeInsert(spark, i, tables, maxRetries)
       case other => sys.error(
-        s"SqlVerbs supports UPDATE / DELETE FROM / MERGE INTO; got " +
-          s"${other.getClass.getSimpleName} — run queries through " +
-          "spark.sql over MergeStore.read, and DDL through the Scala API")
+        s"SqlVerbs supports UPDATE / DELETE FROM / MERGE INTO / INSERT " +
+          s"INTO; got ${other.getClass.getSimpleName} — run queries " +
+          "through spark.sql over MergeStore.read, and DDL through the " +
+          "Scala API")
     }
+  }
+
+  /** `INSERT INTO t [(cols)] VALUES ... / SELECT ...` →
+    * [[MergeStore.append]] (blind append — duplicate keys land as
+    * duplicate rows, exactly SQL INSERT; use MERGE for upsert);
+    * `INSERT OVERWRITE` → [[MergeStore.overwriteTable]]. A column list
+    * maps the query's output onto the named columns and NULL-fills the
+    * rest; without one the query maps positionally onto the table's
+    * columns. Values cast to the table column types (store-assignment). */
+  private def executeInsert(spark: SparkSession, i: InsertIntoStatement,
+                            tables: Map[String, String],
+                            maxRetries: Int): VerbResult = {
+    val path = pathOf(i.table, tables)
+    require(i.partitionSpec.isEmpty,
+      "INSERT ... PARTITION is not supported — MergeStore tables are " +
+        "file-clustered, not hive-partitioned")
+    val data =
+      org.apache.spark.sql.graftshim.PlanFrames.ofRows(spark, i.query)
+    val fields = tableFields(spark, path)
+    val aligned =
+      if (i.userSpecifiedCols.isEmpty) {
+        require(data.columns.length == fields.length,
+          s"INSERT query produces ${data.columns.length} columns but the " +
+            s"table has ${fields.length} " +
+            s"(${fields.map(_.name).mkString(", ")}) — list the insert " +
+            "columns to assign a subset")
+        data.toDF(fields.map(_.name): _*)
+          .select(fields.map(f => col(f.name).cast(f.dataType).as(f.name))
+            .toIndexedSeq: _*)
+      } else {
+        val unknown = i.userSpecifiedCols.filterNot(c =>
+          fields.exists(_.name == c))
+        require(unknown.isEmpty,
+          s"INSERT column(s) ${unknown.mkString(", ")} are not columns " +
+            s"of the table (${fields.map(_.name).mkString(", ")})")
+        require(i.userSpecifiedCols.length == data.columns.length,
+          s"INSERT lists ${i.userSpecifiedCols.length} columns but the " +
+            s"query produces ${data.columns.length}")
+        val named = data.toDF(i.userSpecifiedCols: _*)
+        named.select(fields.map { f =>
+          (if (named.columns.contains(f.name)) col(f.name)
+           else lit(null)).cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*)
+      }
+    Appended(
+      if (i.overwrite) MergeStore.overwriteTable(spark, aligned, path,
+        maxRetries = maxRetries)
+      else MergeStore.append(spark, aligned, path, maxRetries = maxRetries))
+  }
+
+  private def tableFields(spark: SparkSession, path: String)
+      : Seq[org.apache.spark.sql.types.StructField] = {
+    val v = MergeStore.version(path)
+      .getOrElse(sys.error(s"no committed version at $path"))
+    MergeStore.manifestSchema(path, v).map(_.fields.toSeq)
+      .getOrElse(MergeStore.read(spark, path, Some(v)).schema.fields.toSeq)
   }
 
   private def executeMerge(spark: SparkSession, m: MergeIntoTable,
@@ -96,6 +157,8 @@ object SqlVerbs {
     require(m.notMatchedBySourceActions.isEmpty,
       "WHEN NOT MATCHED BY SOURCE is not supported — express removals " +
         "as an explicit DELETE")
+    val tNames = selfNames(m.targetTable)
+    val sNames = selfNames(m.sourceTable)
     (m.matchedActions, m.notMatchedActions) match {
       // The canonical upsert: UPDATE SET * + INSERT *.
       case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
@@ -108,21 +171,122 @@ object SqlVerbs {
         Merged(mergeFiltered(spark, path, source, pk, "left_semi",
           maxRetries))
       // INSERT-only: matched target rows must stay UNTOUCHED, so the
-      // source filters to keys ABSENT from the snapshot.
+      // source filters to keys ABSENT from the snapshot. A column list
+      // aligns the source onto the table first (unlisted columns NULL).
       case (Seq(), Seq(InsertStarAction(None))) =>
         Merged(mergeFiltered(spark, path, source, pk, "left_anti",
           maxRetries))
+      case (Seq(), Seq(ia: InsertAction)) if ia.condition.isEmpty =>
+        Merged(mergeFiltered(spark, path,
+          alignInsertSource(spark, path, source, ia, sNames, pk), pk,
+          "left_anti", maxRetries))
       // Sole WHEN MATCHED THEN DELETE: key-set removal.
-      case (Seq(org.apache.spark.sql.catalyst.plans.logical
-          .DeleteAction(None)), Seq()) =>
+      case (Seq(DeleteAction(None)), Seq()) =>
         Deleted(MergeStore.delete(spark, path, source, pk,
           maxRetries = maxRetries))
+      // Conditional and/or column-list family →
+      // [[MergeStore.mergeConditional]]: one matched UPDATE action
+      // (optionally conditioned, star or column-list) plus at most one
+      // unconditioned not-matched INSERT (star or column-list).
+      case (Seq(matched), notMatched)
+          if isUpdateShape(matched) && notMatched.size <= 1 &&
+            notMatched.forall(isPlainInsertShape) =>
+        val (mCond, mAssign) = matched match {
+          case UpdateStarAction(c) =>
+            (c.map(e => mapBoth(e, tNames, sNames)), None)
+          case u: UpdateAction =>
+            (u.condition.map(e => mapBoth(e, tNames, sNames)),
+              Some(u.assignments.map { case Assignment(k, v) =>
+                attrName(k, tNames) -> mapBoth(v, tNames, sNames)
+              }.toMap))
+          case other => sys.error(s"unreachable action shape: $other")
+        }
+        val (doInsert, insertVals) = notMatched match {
+          case Seq(InsertStarAction(None)) => (true, None)
+          case Seq(ia: InsertAction) =>
+            (true, Some(ia.assignments.map { case Assignment(k, v) =>
+              attrName(k, tNames) -> mapSourceOnly(v, tNames, sNames)
+            }.toMap))
+          case Seq() => (false, None)
+          case other => sys.error(s"unreachable action shape: $other")
+        }
+        Merged(MergeStore.mergeConditional(spark, source, path, pk,
+          matchedCondition = mCond, matchedAssignments = mAssign,
+          insert = doInsert, insertValues = insertVals,
+          maxRetries = maxRetries))
       case _ => sys.error(
-        "MERGE supports WHEN MATCHED THEN UPDATE SET * and/or WHEN " +
-          "NOT MATCHED THEN INSERT *, or a sole WHEN MATCHED THEN " +
-          "DELETE — conditional/column-list actions are not supported")
+        "MERGE supports WHEN MATCHED [AND cond] THEN UPDATE SET * | " +
+          "SET c = e, ... plus WHEN NOT MATCHED THEN INSERT * | " +
+          "(cols) VALUES (...), or a sole WHEN MATCHED THEN DELETE — " +
+          "conditional INSERT/DELETE actions and multiple actions per " +
+          "clause are not supported")
     }
   }
+
+  private def isUpdateShape(a: MergeAction): Boolean = a match {
+    case UpdateStarAction(_) => true
+    case _: UpdateAction => true
+    case _ => false
+  }
+
+  private def isPlainInsertShape(a: MergeAction): Boolean = a match {
+    case InsertStarAction(None) => true
+    case ia: InsertAction => ia.condition.isEmpty
+    case _ => false
+  }
+
+  /** Column-list INSERT-only MERGE: align the source onto the table's
+    * columns (assigned values under their target names, the rest NULL)
+    * so the star-shaped filtered-merge path can run it. */
+  private def alignInsertSource(spark: SparkSession, path: String,
+                                source: DataFrame, ia: InsertAction,
+                                sNames: Set[String],
+                                pk: Seq[String]): DataFrame = {
+    val fields = tableFields(spark, path)
+    val vals = ia.assignments.map { case Assignment(k, v) =>
+      attrName(k, Set.empty) -> mapSourceOnly(v, Set.empty, sNames)
+    }.toMap
+    val missingPk = pk.filterNot(vals.contains)
+    require(missingPk.isEmpty,
+      s"INSERT column list must assign every ON-clause key column; " +
+        s"missing: ${missingPk.mkString(", ")}")
+    source.alias("s").select(fields.map { f =>
+      vals.getOrElse(f.name, lit(null)).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+  }
+
+  /** Rewrite a MERGE expression's column qualifiers onto the verb's
+    * own `t` (target) / `s` (source) aliases. A bare column stays bare —
+    * the verb's join resolves it, or names the ambiguity. Any other
+    * qualifier refuses loudly. */
+  private def mapBoth(e: Expression, tNames: Set[String],
+                      sNames: Set[String]): Column =
+    expr(e.transformUp {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 =>
+        val q = a.nameParts.init.mkString(".").toLowerCase
+        if (tNames.contains(q)) UnresolvedAttribute(Seq("t", a.nameParts.last))
+        else if (sNames.contains(q))
+          UnresolvedAttribute(Seq("s", a.nameParts.last))
+        else sys.error(
+          s"column reference '${a.nameParts.mkString(".")}' qualifies " +
+            s"by '$q', which is neither the MERGE target nor its source")
+    }.sql)
+
+  /** INSERT VALUES expressions see only the SOURCE row: bare columns
+    * resolve against it, source-qualified references map to `s`, and a
+    * target-qualified reference refuses (SQL scope rule). */
+  private def mapSourceOnly(e: Expression, tNames: Set[String],
+                            sNames: Set[String]): Column =
+    expr(e.transformUp {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+        UnresolvedAttribute(Seq("s", a.nameParts.head))
+      case a: UnresolvedAttribute =>
+        val q = a.nameParts.init.mkString(".").toLowerCase
+        if (sNames.contains(q)) UnresolvedAttribute(Seq("s", a.nameParts.last))
+        else sys.error(
+          s"INSERT values may reference only the MERGE source; " +
+            s"'${a.nameParts.mkString(".")}' does not")
+    }.sql)
 
   /** Single-action MERGE forms: the source semi/anti-joins the
     * statement's PINNED snapshot on the key (update-only keeps matched
@@ -134,9 +298,9 @@ object SqlVerbs {
     * NOT-MATCHED evaluation, exactly OCC's serializability story).
     * The inner merge may still resolve a provably file-disjoint rival
     * by rebase: its read set and this filter share one snapshot. */
-  private def mergeFiltered(spark: SparkSession, path: String,
-                            source: DataFrame, pk: Seq[String],
-                            joinType: String, maxRetries: Int)
+  private[store] def mergeFiltered(spark: SparkSession, path: String,
+                                   source: DataFrame, pk: Seq[String],
+                                   joinType: String, maxRetries: Int)
       : MergeStore.MergeStats = {
     val v = MergeStore.version(path)
       .getOrElse(sys.error(s"no committed version at $path"))
@@ -182,14 +346,55 @@ object SqlVerbs {
           s"subquery as a temp view first); got ${other.getClass.getSimpleName}")
     }
 
-  private def attrName(e: Expression): String = e match {
-    case a: UnresolvedAttribute => a.nameParts.last
+  /** The names a statement may use to qualify its own target's columns:
+    * the alias if one was written (`UPDATE ord t SET t.x ...`), plus the
+    * table's own (possibly dotted) name. */
+  private def selfNames(rel: LogicalPlan): Set[String] = rel match {
+    case SubqueryAlias(id, child) => selfNames(child) + id.name.toLowerCase
+    case r: UnresolvedRelation =>
+      Set(r.multipartIdentifier.mkString(".").toLowerCase,
+        r.multipartIdentifier.last.toLowerCase)
+    case _ => Set.empty
+  }
+
+  /** Strip the statement's OWN alias/table qualifier from column
+    * references (`t.x` → `x` when `t` names the target), so the
+    * condition round-trips through `Expression.sql` into a frame that
+    * carries no alias. Any OTHER qualifier refuses loudly here — left
+    * alone it would surface later as an unrelated-looking
+    * unresolved-attribute error deep inside the verb. */
+  private def stripSelfQualifier(self: Set[String])(e: Expression)
+      : Expression = e.transformUp {
+    case a: UnresolvedAttribute if a.nameParts.length > 1 =>
+      val qualifier = a.nameParts.init.mkString(".")
+      if (self.contains(qualifier.toLowerCase))
+        UnresolvedAttribute(Seq(a.nameParts.last))
+      else sys.error(
+        s"column reference '${a.nameParts.mkString(".")}' qualifies by " +
+          s"'$qualifier', which is not this statement's target table or " +
+          "alias — UPDATE/DELETE conditions may reference only the " +
+          "target's own columns")
+  }
+
+  private def attrName(e: Expression, self: Set[String]): String = e match {
+    case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+      a.nameParts.head
+    case a: UnresolvedAttribute
+        if self.contains(a.nameParts.init.mkString(".").toLowerCase) =>
+      a.nameParts.last
+    case a: UnresolvedAttribute => sys.error(
+      s"SET target '${a.nameParts.mkString(".")}' qualifies by " +
+        s"'${a.nameParts.init.mkString(".")}', which is not this " +
+        "statement's target table or alias")
     case other => sys.error(
       s"SET target must be a bare column, got: ${other.sql}")
   }
 
   /** Key columns of a MERGE ON conjunction: every conjunct must be an
-    * equality between the SAME column name on both sides. */
+    * equality between the SAME column name on both sides. A refusal
+    * names the offending conjunct — a user mixing equalities with an
+    * extra predicate (`t.k = s.k AND t.ts < s.ts`) should move the
+    * predicate into WHEN MATCHED AND, not the ON clause. */
   private def keyColumns(cond: Expression): Seq[String] = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -198,7 +403,11 @@ object SqlVerbs {
     val keys = conjuncts(cond).map {
       case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
           if a.nameParts.last == b.nameParts.last => a.nameParts.last
-      case other => return Seq.empty
+      case other => sys.error(
+        "MERGE ON clause must be a conjunction of same-named column " +
+          s"equalities (t.k = s.k); offending conjunct: ${other.sql} — " +
+          "a non-key predicate belongs in WHEN MATCHED AND <cond>, not " +
+          "the ON clause")
     }
     keys.distinct
   }

@@ -24,3 +24,18 @@ object StreamingBatches {
     spark.asInstanceOf[ClassicSession]
       .internalCreateDataFrame(rows, schema, isStreaming = true)
 }
+
+object PlanFrames {
+
+  /** A logical plan as a DataFrame — `Dataset.ofRows`, which is
+    * `private[sql]`. The SQL-verb layer needs it to evaluate a parsed
+    * INSERT statement's query subtree, and the catalog's analysis rule
+    * needs it to splice a MergeStore skipping read under a resolved
+    * relation; Spark's own catalog extensions (Delta's DeltaAnalysis,
+    * Iceberg's extensions) reach the same entry point. */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[ClassicSession], plan)
+}

@@ -140,6 +140,47 @@ class ManifestDeltaSpec extends SparkSpec {
     assert(MergeStore.read(spark, t).count() == N)
   }
 
+  test("full snapshots past the size threshold compress; mixed tables read exactly") {
+    // Force compression for everything: threshold 1 byte.
+    System.setProperty("graft.manifest.compress.threshold", "1")
+    val t = try {
+      val t = fresh("md-gzip") // v0: full snapshot → compressed
+      (1L to 5L).foreach(trickle(t, _))
+      t
+    } finally System.clearProperty("graft.manifest.compress.threshold")
+    def isGzip(p: java.nio.file.Path): Boolean = {
+      val b = java.nio.file.Files.readAllBytes(p)
+      b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
+    }
+    val m0 = java.nio.file.Paths.get(t, "_manifest", "v0.list")
+    assert(isGzip(m0), "the full v0 snapshot should be gzip past threshold")
+    // Deltas stay plain text whatever the threshold — already O(changes).
+    assert(!isGzip(java.nio.file.Paths.get(t, "_manifest", "v1.list")))
+    assert(isDelta(t, 1))
+    // Reads reconstruct through the compressed base exactly.
+    assert(MergeStore.read(spark, t).count() == N)
+    assert(MergeStore.read(spark, t).where($"id" === 12L)
+      .select($"payload").as[String].head() == "r1-12")
+    assert(MergeStore.read(spark, t, Some(0)).where($"id" === 12L)
+      .select($"payload").as[String].head() == "v1-12")
+    // Stats metadata reconstructs too (skipping still works).
+    assert(MergeStore.scanRange(spark, t, "id", Some(10L), Some(14L))
+      .count() == 5)
+    // Vacuum's floor checkpoint compresses and still serves time travel.
+    System.setProperty("graft.manifest.compress.threshold", "1")
+    try MergeStore.vacuum(t, retainVersions = 3, graceMillis = 0)
+    finally System.clearProperty("graft.manifest.compress.threshold")
+    val ckpt = java.nio.file.Paths.get(t, "_manifest", "v3.ckpt")
+    assert(java.nio.file.Files.exists(ckpt) && isGzip(ckpt))
+    assert(MergeStore.read(spark, t, Some(3)).where($"id" === 32L)
+      .select($"payload").as[String].head() == "r3-32")
+    // Below the threshold (the default 64 KB), snapshots stay plain
+    // text: small tables keep hand-readable manifests.
+    val plain = fresh("md-plain")
+    assert(!isGzip(java.nio.file.Paths.get(plain, "_manifest", "v0.list")))
+    assert(MergeStore.read(spark, plain).count() == N)
+  }
+
   test("markers, restore, and the change feed work through deltas") {
     val t = fresh("md-feed")
     trickle(t, 1L)
