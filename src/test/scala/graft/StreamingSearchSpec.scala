@@ -136,6 +136,59 @@ class StreamingSearchSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("follower resumes exactly across delta-manifest checkpoints and index compactions") {
+    // The cross-feature interaction delta manifests introduced: the
+    // SOURCE table's commits are delta-encoded with a full snapshot
+    // every checkpointInterval-th version, and the index may be
+    // compacted (by the stream's own maintenance OR a rival maintainer)
+    // between catch-ups. The follower must resume bit-exactly across
+    // BOTH: a catch-up span crossing the source's full-snapshot
+    // boundary, and a compaction that rewrote its own index mid-follow.
+    val t = tmpDir("ssearch-dm") + "/tbl"
+    val ix = tmpDir("ssearch-dm") + "/ix"
+    MergeStore.init(spark, docs(0, 300, "v1"), t, numFiles = 2,
+      clusterBy = Seq("id")) // v0: full snapshot
+    StreamingSearch.initIndex(spark, t, ix, "id", "text", numFiles = 2)
+    // 20 trickle merges: versions 1..20 — deltas except v16 (the
+    // interval-th full snapshot), so the follower's catch-up spans
+    // reconstruct through the checkpoint boundary.
+    (1 to 20).foreach { i =>
+      MergeStore.merge(spark, docs(i * 10L, i * 10L + 10,
+        s"rev$i"), t, pk = Seq("id"))
+    }
+    // One catch-up run with in-stream maintenance: its own compactions
+    // land between applied spans.
+    StreamingSearch.follow(spark, t, ix, "id", "text",
+      tmpDir("ssearch-dm") + "/ck1", numFiles = 2, maintainEvery = 1,
+      compactFiles = 2, maxPostingsFiles = 4).awaitTermination()
+    assert(StreamingSearch.appliedVersion(ix) == 20)
+    assertMatchesScratch(t, ix)
+    // A RIVAL maintainer compacts the index between runs; its commit
+    // must carry the applied marker, so the next catch-up neither
+    // replays nor skips.
+    Bm25.compactIndex(spark, ix, numFiles = 2)
+    assert(StreamingSearch.appliedVersion(ix) == 20,
+      "compaction dropped the follower's high-water mark")
+    (21 to 23).foreach { i =>
+      MergeStore.merge(spark, docs(0, 40, s"late$i"), t, pk = Seq("id"))
+    }
+    StreamingSearch.follow(spark, t, ix, "id", "text",
+      tmpDir("ssearch-dm") + "/ck2", numFiles = 2)
+      .awaitTermination()
+    assert(StreamingSearch.appliedVersion(ix) == 23)
+    assertMatchesScratch(t, ix)
+    // Source-side retention under delta manifests: vacuum to a floor
+    // above the full snapshot, then keep following — the floor .ckpt
+    // keeps the change feed's base reconstructable.
+    MergeStore.vacuum(t, retainVersions = 2, graceMillis = 0)
+    MergeStore.merge(spark, docs(5, 15, "post-vac"), t, pk = Seq("id"))
+    StreamingSearch.follow(spark, t, ix, "id", "text",
+      tmpDir("ssearch-dm") + "/ck3", numFiles = 2)
+      .awaitTermination()
+    assert(StreamingSearch.appliedVersion(ix) == 24)
+    assertMatchesScratch(t, ix)
+  }
+
   test("maintainEvery compacts from inside the stream, marker survives vacuum") {
     val t = tmpDir("ssearch-mt") + "/tbl"
     val ix = tmpDir("ssearch-mt") + "/ix"
