@@ -1299,8 +1299,59 @@ object StoreQueries extends QueryFamily {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""))
 
+  private val q132 = QueryDef(
+    "q132_merge_by_source",
+    "MERGE ... WHEN NOT MATCHED BY SOURCE (the replication-reconcile " +
+      "form: make the target mirror the source's key set): the source " +
+      "is the orders slice o_orderkey % 4 = 0 re-prioritized 'K-SRC'; " +
+      "matched rows take it, and target rows WITHOUT a source match " +
+      "whose status is 'F' are DELETED by the bySource action — " +
+      "condition false/NULL keeps. Runs as one SQL statement through " +
+      "SqlVerbs; the oracle replays the algebra (matched override + " +
+      "unmatched conditional anti-delete) from scratch.",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val cols = Seq("o_orderkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice")
+      val target = preparedTable(s, dir, "q132",
+        base = Tables.load(s, dir, "orders").select(cols.map(col): _*),
+        clusterBy = Seq("o_orderkey")) { t =>
+        val cat = Map("ord" -> t)
+        Tables.load(s, dir, "orders")
+          .where(col("o_orderkey") % 4 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            lit("K-SRC").as("o_orderpriority"), col("o_totalprice"))
+          .createOrReplaceTempView("q132_src")
+        graft.store.SqlVerbs.execute(s,
+          "MERGE INTO ord t USING q132_src s " +
+            "ON t.o_orderkey = s.o_orderkey " +
+            "WHEN MATCHED THEN UPDATE SET * " +
+            "WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'F' " +
+            "THEN DELETE", cat)
+      }
+      MergeStore.read(s, target)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast(DecimalType(20, 4)))
+            .cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+               AS sum_price
+      FROM (
+        SELECT CASE WHEN o_orderkey % 4 = 0 THEN 'K-SRC'
+                    ELSE o_orderpriority END AS o_orderpriority,
+               o_totalprice
+        FROM orders
+        WHERE o_orderkey % 4 = 0
+           OR NOT (o_orderstatus = 'F'))
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q91, q92, q96, q97, q98, q101, q107, q109, q110, q111, q112,
       q113, q115, q116, q117, q118, q119, q120, q121, q122, q123, q126,
-      q127, q128, q129, q130, q131)
+      q127, q128, q129, q130, q131, q132)
 }

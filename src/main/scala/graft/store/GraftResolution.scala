@@ -135,12 +135,16 @@ final case class GraftResolution(spark: SparkSession)
     require(!m.withSchemaEvolution,
       "MERGE WITH SCHEMA EVOLUTION is not supported through the " +
         "catalog — use MergeStore.merge(allowSchemaEvolution = true)")
-    require(m.notMatchedBySourceActions.isEmpty,
-      "WHEN NOT MATCHED BY SOURCE is not supported — express removals " +
-        "as an explicit DELETE")
     val (_, table) = graftOf(m.targetTable).get
     val tOut = m.targetTable.outputSet
     val sOut = m.sourceTable.outputSet
+    def targetOnlySql(e: Expression): String = e.transform {
+      case a: AttributeReference if tOut.contains(a) =>
+        UnresolvedAttribute(Seq(a.name))
+      case a: AttributeReference => sys.error(
+        "NOT MATCHED BY SOURCE expressions may reference only the " +
+          s"MERGE target; '${a.name}' does not")
+    }.sql
     def sideSql(e: Expression): String = e.transform {
       case a: AttributeReference if tOut.contains(a) =>
         UnresolvedAttribute(Seq("t", a.name))
@@ -162,11 +166,21 @@ final case class GraftResolution(spark: SparkSession)
         targetColName(k) -> spell(v)
       }
 
+    val bySource = m.notMatchedBySourceActions match {
+      case Seq() => None
+      case Seq(DeleteAction(c)) => Some((c.map(targetOnlySql), None))
+      case Seq(u: UpdateAction) => Some((u.condition.map(targetOnlySql),
+        Some(assignMap(u.assignments, targetOnlySql))))
+      case other => sys.error(
+        "WHEN NOT MATCHED BY SOURCE supports one DELETE or UPDATE SET " +
+          s"action; got $other")
+    }
     val (mCond, mAssign) = m.matchedActions match {
       case Seq() => (None, None)
       case Seq(u: UpdateAction) =>
         (u.condition.map(sideSql), Some(assignMap(u.assignments, sideSql)))
-      case Seq(DeleteAction(None)) if m.notMatchedActions.isEmpty =>
+      case Seq(DeleteAction(None))
+          if m.notMatchedActions.isEmpty && bySource.isEmpty =>
         return GraftMergeDeleteCommand(table.path, m.sourceTable, pk)
       case other => sys.error(
         "MERGE supports one WHEN MATCHED action: UPDATE [AND cond] " +
@@ -181,7 +195,7 @@ final case class GraftResolution(spark: SparkSession)
           s"action; got $other")
     }
     GraftMergeCommand(table.path, m.sourceTable, pk, mCond, mAssign,
-      doInsert, insertVals)
+      doInsert, insertVals, bySource)
   }
 
   /** ON-clause key columns of a RESOLVED merge condition: a conjunction
@@ -278,7 +292,9 @@ final case class GraftMergeCommand(path: String, source: LogicalPlan,
                                    matchedCond: Option[String],
                                    matchedAssign: Option[Seq[(String, String)]],
                                    doInsert: Boolean,
-                                   insertVals: Option[Seq[(String, String)]])
+                                   insertVals: Option[Seq[(String, String)]],
+                                   bySource: Option[(Option[String],
+                                     Option[Seq[(String, String)]])] = None)
   extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
@@ -307,7 +323,7 @@ final case class GraftMergeCommand(path: String, source: LogicalPlan,
       // INSERT-only: matched target rows stay untouched — the filtered
       // merge (anti-join against the statement snapshot) avoids
       // rewriting the matched files at all.
-      case (None, None, true) =>
+      case (None, None, true) if bySource.isEmpty =>
         val aligned = insertVals match {
           case Some(vals) if !isStarMap(vals, cols) =>
             val m = asMap(vals)
@@ -320,17 +336,28 @@ final case class GraftMergeCommand(path: String, source: LogicalPlan,
         SqlVerbs.mergeFiltered(spark, path, aligned, pk, "left_anti", 3)
       // Canonical upsert: star update + star insert, unconditioned.
       case (Some(ma), None, true)
-          if isStarMap(ma, cols) && insertVals.forall(isStarMap(_, cols)) =>
+          if bySource.isEmpty && isStarMap(ma, cols) &&
+            insertVals.forall(isStarMap(_, cols)) =>
         MergeStore.merge(spark, src.select(cols.map(
           org.apache.spark.sql.functions.col): _*), path, pk,
           maxRetries = 3)
-      // Conditional / column-list / update-only family.
+      // Conditional / column-list / update-only / by-source family.
       case _ =>
+        // With a bySource action and NO matched action, matched rows
+        // must stay untouched (SQL scope: the statement said nothing
+        // about them) — an always-false matched condition.
+        val mc =
+          if (bySource.isDefined && matchedAssign.isEmpty &&
+              matchedCond.isEmpty) Some(lit(false))
+          else matchedCond.map(expr)
         MergeStore.mergeConditional(spark, src, path, pk,
-          matchedCondition = matchedCond.map(expr),
+          matchedCondition = mc,
           matchedAssignments = matchedAssign.map(asMap),
           insert = doInsert,
           insertValues = insertVals.map(asMap),
+          notMatchedBySource = bySource.map { case (c, a) =>
+            MergeStore.BySourceAction(c.map(expr), a.map(asMap))
+          },
           maxRetries = 3)
     }
     Seq(Row(st.rowsUpdated, st.rowsInserted))

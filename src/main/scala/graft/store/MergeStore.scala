@@ -55,6 +55,7 @@ object MergeStore {
     * probe and rewrite ran exactly once however many rivals interleaved. */
   final case class MergeStats(filesTotal: Int, filesRewritten: Int,
                               rowsInserted: Long, rowsUpdated: Long,
+                              rowsDeleted: Long = 0,
                               recomputes: Int = 0, rebases: Int = 0)
 
   final case class DeleteStats(filesTotal: Int, filesRewritten: Int,
@@ -2444,7 +2445,13 @@ object MergeStore {
     *     `insertValues(c)` when assigned, else NULL
     *     (`insertValues = None` means `INSERT *`); dropped when
     *     `insert = false` (UPDATE-only statements).
-    *   - unmatched target rows: untouched.
+    *   - unmatched target rows: untouched — unless a
+    *     `notMatchedBySource` action is given (SQL's `WHEN NOT MATCHED
+    *     BY SOURCE [AND cond] THEN DELETE | UPDATE SET ...`): target
+    *     rows with NO source match where its condition holds are
+    *     deleted (`assignments = None`) or updated per assignments;
+    *     condition false/NULL keeps. BySource expressions use BARE
+    *     target column names (only the target row is in scope).
     * Assigned values CAST to the table column's type (SQL
     * store-assignment), so `SET price = price * 1.1` can't silently
     * widen the table.
@@ -2454,25 +2461,37 @@ object MergeStore {
     * rewrite (a file whose matches all FAIL the condition still
     * rewrites — the probe reads pk columns only, deliberately), lost
     * CAS rebases when provably file-disjoint else recomputes with
-    * `maxRetries`. */
+    * `maxRetries`. A bySource action widens the read set to the files
+    * its condition can touch (stats-pruned; the WHOLE table when
+    * unconditioned — inherent to the semantics), but rewrites only
+    * files holding a row the action actually changes. */
   def mergeConditional(spark: SparkSession, source: DataFrame,
                        target: String, pk: Seq[String],
                        matchedCondition: Option[org.apache.spark.sql.Column] = None,
                        matchedAssignments: Option[Map[String, org.apache.spark.sql.Column]] = None,
                        insert: Boolean = true,
                        insertValues: Option[Map[String, org.apache.spark.sql.Column]] = None,
+                       notMatchedBySource: Option[BySourceAction] = None,
                        ordCols: Seq[String] = Nil,
                        maxRetries: Int = 0,
                        snapshotVersion: Option[Int] = None): MergeStats =
     try mergeConditionalOnce(spark, source, target, pk, matchedCondition,
-      matchedAssignments, insert, insertValues, ordCols, snapshotVersion)
+      matchedAssignments, insert, insertValues, notMatchedBySource,
+      ordCols, snapshotVersion)
     catch {
       case _: java.util.ConcurrentModificationException if maxRetries > 0 =>
         val st = mergeConditional(spark, source, target, pk,
           matchedCondition, matchedAssignments, insert, insertValues,
-          ordCols, maxRetries - 1)
+          notMatchedBySource, ordCols, maxRetries - 1)
         st.copy(recomputes = st.recomputes + 1)
     }
+
+  /** `WHEN NOT MATCHED BY SOURCE [AND condition] THEN DELETE`
+    * (`assignments = None`) `| UPDATE SET c = e, ...` (assignments
+    * map). Expressions reference the target row by BARE column name. */
+  final case class BySourceAction(
+      condition: Option[org.apache.spark.sql.Column],
+      assignments: Option[Map[String, org.apache.spark.sql.Column]])
 
   private def mergeConditionalOnce(spark: SparkSession, source: DataFrame,
       target: String, pk: Seq[String],
@@ -2480,6 +2499,7 @@ object MergeStore {
       matchedAssignments: Option[Map[String, org.apache.spark.sql.Column]],
       insert: Boolean,
       insertValues: Option[Map[String, org.apache.spark.sql.Column]],
+      notMatchedBySource: Option[BySourceAction],
       ordCols: Seq[String],
       snapshotVersion: Option[Int]): MergeStats = {
     val parentV = snapshotVersion.orElse(currentVersion(target))
@@ -2494,7 +2514,8 @@ object MergeStore {
     def toTableType(c: org.apache.spark.sql.Column, name: String) =
       fields.find(_._1 == name).flatMap(_._2)
         .map(c.cast(_)).getOrElse(c).as(name)
-    (matchedAssignments.toSeq ++ insertValues.toSeq).flatten(_.keys)
+    (matchedAssignments.toSeq ++ insertValues.toSeq ++
+        notMatchedBySource.flatMap(_.assignments).toSeq).flatten(_.keys)
       .foreach { c => require(tableCols.contains(c),
         s"assignment target '$c' is not a column of $target " +
           s"(${tableCols.mkString(", ")})") }
@@ -2504,14 +2525,40 @@ object MergeStore {
       source.where(pk.map(col(_).isNotNull).reduce(_ && _)), pk, ord)
     val src = deduped.cache()
     try {
-      // Affected-file probe — identical read set to [[merge]].
-      val candidates = pruneByKeyBounds(target, parentV, before,
+      // Affected-file probe — the matched side reads like [[merge]].
+      val keyCandidates = pruneByKeyBounds(target, parentV, before,
         src.select(pk.map(col): _*), pk)
       val liveKeys = probeScan(spark, target, parentV, snapshot,
-        candidates, pk)
-      val affected = liveKeys.join(src, pk, "left_semi")
+        keyCandidates, pk)
+      val matchAffected = liveKeys.join(src, pk, "left_semi")
         .select("__file").distinct()
         .collect().map(_.getString(0)).toSet
+      // BySource side: its condition stats-prunes the candidate files
+      // (an unconditioned action reads the whole table — inherent),
+      // but the REWRITE set is only the files holding a row the action
+      // actually changes (unmatched ∧ condition), found by one
+      // column-pruned scan.
+      def bsCandidatesAt(v: Int, fs: Seq[String]): Seq[String] =
+        notMatchedBySource match {
+          case None => Nil
+          case Some(a) => a.condition
+            .map(c => pruneByPredicate(spark, target, v, fs, c))
+            .getOrElse(fs)
+        }
+      val bsCandidates = bsCandidatesAt(parentV, before)
+      val bsHit = notMatchedBySource.map(a =>
+        a.condition.map(c => coalesce(c, lit(false))).getOrElse(lit(true)))
+      val bsAffected: Set[String] = notMatchedBySource match {
+        case None => Set.empty
+        case Some(_) =>
+          readSubsetWithFile(spark, target, parentV, snapshot,
+              bsCandidates)
+            .join(src, pk, "left_anti").where(bsHit.get)
+            .select("__file").distinct()
+            .collect().map(_.getString(0)).toSet
+      }
+      val candidates = (keyCandidates ++ bsCandidates).distinct
+      val affected = matchAffected ++ bsAffected
 
       val affectedRows = readSubset(spark, target, parentV, snapshot,
         affected.toSeq.sorted)
@@ -2528,7 +2575,27 @@ object MergeStore {
       }.toIndexedSeq: _*)
       val keptMatched = pairs.where(!condTrue)
         .select(tableCols.map(c => col(s"t.$c").as(c)).toIndexedSeq: _*)
-      val unmatchedTarget = affectedRows.join(src, pk, "left_anti")
+      val unmatchedRaw = affectedRows.join(src, pk, "left_anti")
+      // WHEN NOT MATCHED BY SOURCE: delete or update the unmatched
+      // target rows its condition hits; the rest carry unchanged.
+      val (unmatchedTarget, rowsDeletedBs, updatedBsOpt) =
+        notMatchedBySource match {
+          case None => (unmatchedRaw, 0L, None)
+          case Some(a) =>
+            val kept = unmatchedRaw.where(!bsHit.get)
+              .select(tableCols.map(col).toIndexedSeq: _*)
+            a.assignments match {
+              case None => // DELETE
+                (kept, unmatchedRaw.where(bsHit.get).count(), None)
+              case Some(m) =>
+                val updatedBs = unmatchedRaw.alias("t").where(bsHit.get)
+                  .select(tableCols.map(c =>
+                    toTableType(m.getOrElse(c, col(s"t.$c")), c))
+                    .toIndexedSeq: _*)
+                (kept.unionByName(updatedBs), 0L, Some(updatedBs))
+            }
+        }
+      val rowsUpdatedBs = updatedBsOpt.map(_.count()).getOrElse(0L)
       val srcCols = src.columns.toSet
       val inserted =
         if (!insert) affectedRows.limit(0)
@@ -2544,10 +2611,11 @@ object MergeStore {
               case Some(m) => m.getOrElse(c, lit(null))
             }, c)
           }.toIndexedSeq: _*)
-      val rowsUpdated = pairs.where(condTrue).count()
+      val rowsUpdated = pairs.where(condTrue).count() + rowsUpdatedBs
       val rowsInserted = inserted.count()
       enforceConstraints(spark, target, parentV,
-        updated.unionByName(inserted), "mergeConditional")
+        updatedBsOpt.foldLeft(updated.unionByName(inserted))(
+          _.unionByName(_)), "mergeConditional")
 
       val replacement = unmatchedTarget.unionByName(keptMatched)
         .unionByName(updated).unionByName(inserted)
@@ -2567,15 +2635,16 @@ object MergeStore {
         sCols, bCols, fpp, recorded)
       val rebases = commitWithRebase(target, parentV, candidates,
         affected,
-        (v, fs) => pruneByKeyBounds(target, v, fs,
-          src.select(pk.map(col): _*), pk),
+        (v, fs) => (pruneByKeyBounds(target, v, fs,
+          src.select(pk.map(col): _*), pk) ++ bsCandidatesAt(v, fs))
+          .distinct,
         head => assembleAndCommit(spark, target,
           (liveFiles(target, Some(head)).filterNot(affected) ++
             newFiles).distinct,
           head, Map.empty, fresh, blooms, sCols, recorded, bCols, fpp,
           Map.empty): Unit).get
       MergeStats(before.size, affected.size, rowsInserted, rowsUpdated,
-        rebases = rebases)
+        rowsDeleted = rowsDeletedBs, rebases = rebases)
     } finally src.unpersist()
   }
 

@@ -154,11 +154,57 @@ object SqlVerbs {
     require(pk.nonEmpty,
       "MERGE ON clause must be a conjunction of same-named column " +
         s"equalities (t.k = s.k); got: ${m.mergeCondition.sql}")
-    require(m.notMatchedBySourceActions.isEmpty,
-      "WHEN NOT MATCHED BY SOURCE is not supported — express removals " +
-        "as an explicit DELETE")
     val tNames = selfNames(m.targetTable)
     val sNames = selfNames(m.sourceTable)
+    // WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE | UPDATE SET:
+    // target-only scope, dispatched as the verb's BySourceAction.
+    val bySource: Option[MergeStore.BySourceAction] =
+      m.notMatchedBySourceActions match {
+        case Seq() => None
+        case Seq(DeleteAction(c)) => Some(MergeStore.BySourceAction(
+          c.map(e => mapTargetOnly(e, tNames, sNames)), None))
+        case Seq(u: UpdateAction) => Some(MergeStore.BySourceAction(
+          u.condition.map(e => mapTargetOnly(e, tNames, sNames)),
+          Some(u.assignments.map { case Assignment(k, v) =>
+            attrName(k, tNames) -> mapTargetOnly(v, tNames, sNames)
+          }.toMap)))
+        case other => sys.error(
+          "WHEN NOT MATCHED BY SOURCE supports one DELETE or UPDATE " +
+            s"SET action; got $other")
+      }
+    if (bySource.isDefined) {
+      // The bySource family always routes through the conditional verb.
+      val (mCond, mAssign, refusal) = m.matchedActions match {
+        case Seq() => (Some(lit(false)), None, None)
+        case Seq(UpdateStarAction(c)) =>
+          (Some(c.map(e => mapBoth(e, tNames, sNames)).getOrElse(lit(true))),
+            None, None)
+        case Seq(u: UpdateAction) =>
+          (Some(u.condition.map(e => mapBoth(e, tNames, sNames))
+            .getOrElse(lit(true))),
+            Some(u.assignments.map { case Assignment(k, v) =>
+              attrName(k, tNames) -> mapBoth(v, tNames, sNames)
+            }.toMap), None)
+        case other => (None, None, Some(other))
+      }
+      refusal.foreach(o => sys.error(
+        "with WHEN NOT MATCHED BY SOURCE, the matched action must be " +
+          s"a single UPDATE (or absent); got $o"))
+      val (doInsert, insertVals) = m.notMatchedActions match {
+        case Seq() => (false, None)
+        case Seq(InsertStarAction(None)) => (true, None)
+        case Seq(ia: InsertAction) if ia.condition.isEmpty =>
+          (true, Some(ia.assignments.map { case Assignment(k, v) =>
+            attrName(k, tNames) -> mapSourceOnly(v, tNames, sNames)
+          }.toMap))
+        case other => sys.error(
+          s"unsupported WHEN NOT MATCHED action(s): $other")
+      }
+      return Merged(MergeStore.mergeConditional(spark, source, path, pk,
+        matchedCondition = mCond, matchedAssignments = mAssign,
+        insert = doInsert, insertValues = insertVals,
+        notMatchedBySource = bySource, maxRetries = maxRetries))
+    }
     (m.matchedActions, m.notMatchedActions) match {
       // The canonical upsert: UPDATE SET * + INSERT *.
       case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
@@ -270,6 +316,21 @@ object SqlVerbs {
         else sys.error(
           s"column reference '${a.nameParts.mkString(".")}' qualifies " +
             s"by '$q', which is neither the MERGE target nor its source")
+    }.sql)
+
+  /** NOT MATCHED BY SOURCE expressions see only the TARGET row: the
+    * verb evaluates them over bare target columns, so target-qualified
+    * references strip to bare names and a source-qualified reference
+    * refuses (SQL scope rule — no source row exists for these rows). */
+  private def mapTargetOnly(e: Expression, tNames: Set[String],
+                            sNames: Set[String]): Column =
+    expr(e.transformUp {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 =>
+        val q = a.nameParts.init.mkString(".").toLowerCase
+        if (tNames.contains(q)) UnresolvedAttribute(Seq(a.nameParts.last))
+        else sys.error(
+          "NOT MATCHED BY SOURCE expressions may reference only the " +
+            s"MERGE target; '${a.nameParts.mkString(".")}' does not")
     }.sql)
 
   /** INSERT VALUES expressions see only the SOURCE row: bare columns

@@ -200,6 +200,60 @@ class ConditionalMergeSpec extends SparkSpec {
         "still win with ts=1000")
   }
 
+  test("NOT MATCHED BY SOURCE: conditional delete and update, via Scala and SQL") {
+    val t = fresh("cm-bys")
+    // Source covers ids 0..199 (+10 new); bySource DELETE removes
+    // unmatched rows with grp >= 90, bySource semantics must leave
+    // matched rows and condition-false unmatched rows alone.
+    val st = MergeStore.mergeConditional(spark, source, t, Seq("id"),
+      matchedCondition = Some(expr("s.ts > t.ts")),
+      insert = false,
+      notMatchedBySource = Some(MergeStore.BySourceAction(
+        Some(expr("grp >= 90")), None)))
+    val expectedDeleted =
+      base.where($"id" >= 200 && $"grp" >= 90).count()
+    assert(st.rowsDeleted == expectedDeleted, s"$st vs $expectedDeleted")
+    val after = MergeStore.read(spark, t)
+    assert(after.count() == N - expectedDeleted)
+    assert(after.where($"id" >= 200 && $"grp" >= 90).count() == 0)
+    // Matched rows with grp >= 90 SURVIVE (bySource never touches them).
+    assert(after.where($"id" < 200 && $"grp" >= 90).count() ==
+      base.where($"id" < 200 && $"grp" >= 90).count())
+    // bySource UPDATE via SQL: unmatched rows tagged, matched rows
+    // upserted, twin through the Scala verb bit-identical.
+    val t2 = fresh("cm-bys-sql")
+    val cat = Map("events" -> t2)
+    source.createOrReplaceTempView("cm_bys_src")
+    val r = SqlVerbs.execute(spark,
+      "MERGE INTO events t USING cm_bys_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET payload = s.payload " +
+        "WHEN NOT MATCHED BY SOURCE AND t.grp < 3 THEN " +
+        "UPDATE SET payload = concat('stale-', t.payload)", cat)
+    val st2 = r.asInstanceOf[SqlVerbs.Merged].stats
+    assert(st2.rowsDeleted == 0 && st2.rowsInserted == 0)
+    val twin = tmpDir("cm-bys-twin") + "/tbl"
+    MergeStore.init(spark, base, twin, 8, clusterBy = Seq("id"))
+    MergeStore.mergeConditional(spark, source, twin, Seq("id"),
+      matchedAssignments = Some(Map("payload" -> expr("s.payload"))),
+      insert = false,
+      notMatchedBySource = Some(MergeStore.BySourceAction(
+        Some(expr("grp < 3")),
+        Some(Map("payload" -> expr("concat('stale-', payload)"))))))
+    assert(MergeStore.read(spark, t2).orderBy("id").collect().toSeq ==
+      MergeStore.read(spark, twin).orderBy("id").collect().toSeq)
+    assert(MergeStore.read(spark, t2).where($"id" === 291L) // 291 % 97 == 0
+      .select($"payload").as[String].head() == "stale-v1-291")
+    assert(MergeStore.read(spark, t2).where($"id" === 100L)
+      .select($"payload").as[String].head() == "src-100")
+    // A source-side reference inside a bySource expression refuses.
+    val e = intercept[RuntimeException] {
+      SqlVerbs.execute(spark,
+        "MERGE INTO events t USING cm_bys_src s ON t.id = s.id " +
+          "WHEN NOT MATCHED BY SOURCE AND s.grp = 1 THEN DELETE", cat)
+    }
+    assert(e.getMessage.contains("only the MERGE target"))
+  }
+
   test("refusals: conditional INSERT, target reference in INSERT values, foreign qualifier") {
     val t = fresh("cm-refuse")
     val cat = Map("events" -> t)

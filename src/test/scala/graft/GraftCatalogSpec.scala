@@ -156,6 +156,26 @@ class GraftCatalogSpec extends SparkSpec {
       .select($"payload").as[String].head() == "m-105!")
   }
 
+  test("MERGE ... NOT MATCHED BY SOURCE through spark.sql") {
+    val t = fresh("bys")
+    // Source keeps ids < 1000 (grp bumped); everything else with an odd
+    // id is stale and must be deleted by the bySource action.
+    base.where($"id" < 1000)
+      .select($"id", ($"grp" + 100).cast("int").as("grp"), $"payload")
+      .createOrReplaceTempView("cat_bys_src")
+    val st = spark.sql("MERGE INTO graft.db.bys t USING cat_bys_src s " +
+      "ON t.id = s.id WHEN MATCHED THEN UPDATE SET grp = s.grp " +
+      "WHEN NOT MATCHED BY SOURCE AND t.id % 2 = 1 THEN DELETE")
+      .collect().head
+    assert(st.getLong(0) == 1000)
+    val after = MergeStore.read(spark, t)
+    assert(after.count() == N - (N - 1000) / 2)
+    assert(after.where($"id" >= 1000 && $"id" % 2 === 1).count() == 0)
+    assert(after.where($"id" === 5L).select($"grp").as[Int].head() == 105)
+    assert(after.where($"id" === 1002L).count() == 1, "condition-false " +
+      "unmatched rows must survive")
+  }
+
   test("CREATE TABLE, append into it, CTAS, SHOW TABLES, DROP") {
     System.setProperty("graft.catalog.warehouse", tmpDir("cat-wh"))
     try {
