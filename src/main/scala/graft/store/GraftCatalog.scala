@@ -137,6 +137,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"spark.sql.catalog.$catalogName.warehouse or register the " +
         "table path explicitly (GraftCatalog.register)"))
     val props = properties.asScala
+    if (props.get("graft.mor").exists(_.toBoolean))
+      GraftCatalog.morPaths.add(
+        Paths.get(p).toAbsolutePath.normalize.toString): Unit
     MergeStore.create(p, schema,
       statsCols = props.get("graft.stats.cols").toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
@@ -263,15 +266,30 @@ object GraftCatalog {
     * themselves. */
   private[store] val registry = new ConcurrentHashMap[String, String]()
 
+  /** Paths whose SQL UPDATE/DELETE route merge-on-read (deletion
+    * vectors) instead of copy-on-write — session-scope routing policy,
+    * like the `mor` flag on [[SqlVerbs.execute]]. */
+  private[store] val morPaths =
+    java.util.Collections.newSetFromMap(
+      new ConcurrentHashMap[String, java.lang.Boolean]())
+
   /** Register `name` (e.g. "db.orders") at an explicit MergeStore path,
-    * making `spark.sql("... graft.db.orders ...")` resolve to it. */
-  def register(name: String, path: String): Unit = {
+    * making `spark.sql("... graft.db.orders ...")` resolve to it.
+    * `mor = true` routes the table's SQL UPDATE/DELETE through the
+    * deletion-vector verbs (O(change) trickle deletes, no rewrite). */
+  def register(name: String, path: String, mor: Boolean = false): Unit = {
     require(name.contains('.'),
       "register a namespaced name, e.g. \"db.orders\"")
-    registry.put(name, path): Unit
+    registry.put(name, path)
+    val norm = Paths.get(path).toAbsolutePath.normalize.toString
+    if (mor) morPaths.add(norm) else morPaths.remove(norm)
+    (): Unit
   }
 
   def unregister(name: String): Unit = { registry.remove(name): Unit }
+
+  private[store] def isMor(path: String): Boolean =
+    morPaths.contains(Paths.get(path).toAbsolutePath.normalize.toString)
 }
 
 /** A MergeStore table as seen by Spark's catalog machinery. Reads are

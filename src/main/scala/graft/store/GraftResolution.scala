@@ -116,10 +116,19 @@ final case class GraftResolution(spark: SparkSession)
 
   /** Resolved attribute references → bare unresolved names, so the
     * expression re-resolves inside the verb's own plan over the same
-    * table. Single-relation statements only (UPDATE/DELETE). */
-  private def dequalify(e: Expression): String = e.transform {
-    case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
-  }.sql
+    * table. Single-relation statements only (UPDATE/DELETE). A
+    * subquery cannot round-trip through `Expression.sql` — refuse it
+    * loudly here instead of failing with a parse error downstream. */
+  private def dequalify(e: Expression): String = {
+    require(!e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst
+        .expressions.SubqueryExpression]),
+      "subqueries in UPDATE/DELETE conditions are not supported — " +
+        "materialize the subquery as a temp view and use MERGE INTO " +
+        s"(got: ${e.sql})")
+    e.transform {
+      case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+    }.sql
+  }
 
   private def targetColName(e: Expression): String = e match {
     case a: AttributeReference => a.name
@@ -243,10 +252,15 @@ final case class GraftUpdateCommand(path: String,
     Seq(AttributeReference("rows_updated", LongType)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val st = MergeStore.updateWhere(spark, path,
-      cond.map(expr).getOrElse(lit(true)),
-      set.map { case (k, v) => k -> expr(v) }.toMap, maxRetries = 3)
-    Seq(Row(st.rowsUpdated))
+    val where = cond.map(expr).getOrElse(lit(true))
+    val assigns = set.map { case (k, v) => k -> expr(v) }.toMap
+    val rows =
+      if (GraftCatalog.isMor(path))
+        MergeStore.updateWhereMor(spark, path, where, assigns,
+          maxRetries = 3).rowsUpdated
+      else MergeStore.updateWhere(spark, path, where, assigns,
+        maxRetries = 3).rowsUpdated
+    Seq(Row(rows))
   }
 }
 
@@ -258,9 +272,13 @@ final case class GraftDeleteCommand(path: String, cond: String)
     Seq(AttributeReference("rows_deleted", LongType)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val st = MergeStore.deleteWhere(spark, path, expr(cond),
-      maxRetries = 3)
-    Seq(Row(st.rowsDeleted))
+    val rows =
+      if (GraftCatalog.isMor(path))
+        MergeStore.deleteWhereMor(spark, path, expr(cond),
+          maxRetries = 3).rowsDeleted
+      else MergeStore.deleteWhere(spark, path, expr(cond),
+        maxRetries = 3).rowsDeleted
+    Seq(Row(rows))
   }
 }
 

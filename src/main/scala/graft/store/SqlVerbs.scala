@@ -25,19 +25,28 @@ import org.apache.spark.sql.functions.{col, expr, lit}
   *     (or [[MergeStore.updateWhereMor]] with `mor = true`)
   *   - `DELETE FROM t [WHERE p]` → [[MergeStore.deleteWhere]] /
   *     [[MergeStore.deleteWhereMor]]
-  *   - `MERGE INTO t USING s ON t.k = s.k [AND ...]
-  *      WHEN MATCHED THEN UPDATE SET *
-  *      WHEN NOT MATCHED THEN INSERT *` → [[MergeStore.merge]] on the
-  *     ON-clause key columns; `s` is a table/temp view name. The
-  *     single-action forms keep SQL semantics: UPDATE-only ignores
-  *     unmatched source rows, INSERT-only leaves matched target rows
-  *     untouched (source filtered against the statement's snapshot
-  *     before the verb — see [[mergeFiltered]]).
-  *   - `MERGE INTO t USING s ON ... WHEN MATCHED THEN DELETE` (sole
-  *     action) → [[MergeStore.delete]] by the source's key set.
+  *   - `INSERT INTO t [(cols)] VALUES ... | SELECT ...` →
+  *     [[MergeStore.append]]; `INSERT OVERWRITE` →
+  *     [[MergeStore.overwriteTable]]
+  *   - `MERGE INTO t USING s ON t.k = s.k [AND ...]` with the full
+  *     action family: `WHEN MATCHED [AND cond] THEN UPDATE SET * |
+  *     SET c = e, ...`, `WHEN NOT MATCHED THEN INSERT * | (cols)
+  *     VALUES (...)`, `WHEN NOT MATCHED BY SOURCE [AND cond] THEN
+  *     DELETE | UPDATE SET ...`, and a sole `WHEN MATCHED THEN
+  *     DELETE`. The canonical star upsert dispatches [[MergeStore
+  *     .merge]]; conditioned/column-list/by-source forms dispatch
+  *     [[MergeStore.mergeConditional]]; single-action forms keep SQL
+  *     semantics (UPDATE-only ignores unmatched source rows,
+  *     INSERT-only leaves matched target rows untouched — source
+  *     filtered against the statement's snapshot, [[mergeFiltered]]).
+  *     Conditional INSERT actions and multiple actions per clause
+  *     remain refusals.
   *
   * Concurrency, constraints, stats upkeep, and the change feed are the
-  * dispatched verb's own — SQL is a spelling, not a second engine. */
+  * dispatched verb's own — SQL is a spelling, not a second engine.
+  * The DSv2 catalog ([[GraftCatalog]] + [[GraftResolution]]) is the
+  * analyzer-resolved route to the same verbs; this object remains the
+  * no-catalog path and the shared dispatch target. */
 object SqlVerbs {
 
   sealed trait VerbResult

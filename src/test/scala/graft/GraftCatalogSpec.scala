@@ -116,6 +116,14 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT count(*) AS n FROM graft.db.dml WHERE grp = 7")
       .as[Long].head() == 0)
+    // Subqueries in DML conditions refuse loudly (they cannot
+    // round-trip into the verb's own plan) — with the remedy named.
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM graft.db.dml WHERE id IN " +
+        "(SELECT id FROM graft.db.dml WHERE grp = 9)").collect()
+    }
+    assert(e.getMessage.contains("temp view"),
+      s"want the named refusal, got: ${e.getMessage}")
   }
 
   test("MERGE INTO through spark.sql: canonical upsert, conditional, insert-only") {
@@ -219,6 +227,29 @@ class GraftCatalogSpec extends SparkSpec {
       .contains("grp"))
     assert(MergeStore.read(spark, t).columns.toSet ==
       Set("id", "body", "score"))
+  }
+
+  test("MOR-registered tables route SQL UPDATE/DELETE through deletion vectors") {
+    val t = tmpDir("cat-mor") + "/tbl"
+    MergeStore.init(spark, base, t, FILES, clusterBy = Seq("id"))
+    GraftCatalog.register("db.morred", t, mor = true)
+    val filesBefore = MergeStore.liveFiles(t).toSet
+    assert(spark.sql("DELETE FROM graft.db.morred WHERE id = 77")
+      .as[Long].head() == 1)
+    assert(MergeStore.liveFiles(t).toSet == filesBefore,
+      "MOR delete must not rewrite data files")
+    assert(MergeStore.dvMeta(t).nonEmpty)
+    val upd = spark.sql(
+      "UPDATE graft.db.morred SET payload = 'mor-up' WHERE id = 78")
+    assert(upd.as[Long].head() == 1)
+    assert(filesBefore.subsetOf(MergeStore.liveFiles(t).toSet),
+      "MOR update buries + appends, never rewrites a live file")
+    assert(spark.sql(
+      "SELECT payload FROM graft.db.morred WHERE id = 78")
+      .as[String].head() == "mor-up")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.db.morred").as[Long].head() ==
+      N - 1)
   }
 
   test("deletion vectors apply through the catalog read") {
