@@ -137,16 +137,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"spark.sql.catalog.$catalogName.warehouse or register the " +
         "table path explicitly (GraftCatalog.register)"))
     val props = properties.asScala
-    if (props.get("graft.mor").exists(_.toBoolean))
-      GraftCatalog.morPaths.add(
-        Paths.get(p).toAbsolutePath.normalize.toString): Unit
     MergeStore.create(p, schema,
       statsCols = props.get("graft.stats.cols").toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
       bloomCols = props.get("graft.bloom.cols").toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
       bloomFpp = props.get("graft.bloom.fpp").map(_.toDouble)
-        .getOrElse(0.01))
+        .getOrElse(0.01),
+      // TBLPROPERTIES('graft.mor'='true'): durable policy — carried
+      // like constraints through every verb commit.
+      mor = props.get("graft.mor").exists(_.toBoolean))
     GraftTable(key(ident), p, None)
   }
 
@@ -288,8 +288,12 @@ object GraftCatalog {
 
   def unregister(name: String): Unit = { registry.remove(name): Unit }
 
+  /** MOR routing policy: the session-scope registration flag OR the
+    * table's own durable `graft.mor` manifest policy. */
   private[store] def isMor(path: String): Boolean =
-    morPaths.contains(Paths.get(path).toAbsolutePath.normalize.toString)
+    morPaths.contains(Paths.get(path).toAbsolutePath.normalize.toString) ||
+      MergeStore.manifestMeta(path).get(MergeStore.MorKey)
+        .exists(_.toBoolean)
 }
 
 /** A MergeStore table as seen by Spark's catalog machinery. Reads are

@@ -976,6 +976,7 @@ object MergeStore {
       if (parent < 0) Map.empty[String, String]
       else manifestMeta(target, Some(parent)).filter { case (k, _) =>
         isConstraintKey(k) || k == WapSourceKey || k == WapBaseKey ||
+          k == MorKey ||
           (isDvKey(k) && fileSet.contains(k.stripPrefix(DvPrefix)))
       }
     // The schema rides EVERY commit, stats or not: a stats-less table
@@ -1344,13 +1345,20 @@ object MergeStore {
         s"no commit at or before $timestampMillis at $target — earliest " +
           s"retained commit is ${history(target).headOption.map(_._2)}"))))
 
+  /** Table policy flag: SQL UPDATE/DELETE against this table route
+    * merge-on-read (deletion vectors). Carried like constraints —
+    * durable across sessions, set at [[create]] or by
+    * [[GraftCatalog.register]]'s session override. */
+  private[store] val MorKey = "graft.mor"
+
   /** Create an EMPTY table: commit v0 with zero files and the schema
-    * (plus optional stats/bloom policy) as manifest metadata — the DSv2
-    * catalog's CREATE TABLE. The first [[append]]/[[merge]] against it
-    * already writes skip-indexed files under the declared policy. */
+    * (plus optional stats/bloom/MOR policy) as manifest metadata — the
+    * DSv2 catalog's CREATE TABLE. The first [[append]]/[[merge]]
+    * against it already writes skip-indexed files under the declared
+    * policy. */
   def create(target: String, schema: org.apache.spark.sql.types.StructType,
              statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
-             bloomFpp: Double = 0.01): Unit = {
+             bloomFpp: Double = 0.01, mor: Boolean = false): Unit = {
     require(currentVersion(target).isEmpty,
       s"table already exists at $target")
     Files.createDirectories(dataDir(target))
@@ -1359,7 +1367,8 @@ object MergeStore {
        else Map.empty) ++
       (if (bloomCols.nonEmpty) Map(BloomColsKey -> bloomCols.mkString(","),
         BloomFppKey -> bloomFpp.toString)
-       else Map.empty)
+       else Map.empty) ++
+      (if (mor) Map(MorKey -> "true") else Map.empty)
     commit(target, Nil, -1, props): Unit
   }
 

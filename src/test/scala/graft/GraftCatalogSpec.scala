@@ -250,6 +250,23 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT count(*) AS n FROM graft.db.morred").as[Long].head() ==
       N - 1)
+    // Durable MOR policy: CREATE TABLE with 'graft.mor' carries the
+    // flag through ordinary verb commits like a constraint — a fresh
+    // session (or registration without the flag) still routes MOR.
+    System.setProperty("graft.catalog.warehouse", tmpDir("cat-mor-wh"))
+    try {
+      spark.sql("CREATE TABLE graft.wh.mord (id BIGINT, v STRING) " +
+        "TBLPROPERTIES ('graft.mor'='true', 'graft.stats.cols'='id')")
+      spark.sql("INSERT INTO graft.wh.mord VALUES (1, 'a'), (2, 'b')")
+      val p = System.getProperty("graft.catalog.warehouse") + "/wh/mord"
+      val files = MergeStore.liveFiles(p).toSet
+      spark.sql("DELETE FROM graft.wh.mord WHERE id = 1")
+      assert(MergeStore.liveFiles(p).toSet == files,
+        "created-with-mor table must delete via deletion vectors")
+      assert(MergeStore.dvMeta(p).nonEmpty)
+      assert(spark.sql("SELECT count(*) AS n FROM graft.wh.mord")
+        .as[Long].head() == 1)
+    } finally System.clearProperty("graft.catalog.warehouse")
   }
 
   test("deletion vectors apply through the catalog read") {
