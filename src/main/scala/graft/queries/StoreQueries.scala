@@ -75,7 +75,7 @@ object StoreQueries extends QueryFamily {
     "q92_change_feed",
     "MergeStore typed change feed across three versions: v0 = documents, " +
       "v1 merges updates (doc_id % 13 == 0, text || ' v2') plus inserts " +
-      "(doc_id + 1000000), v2 deletes doc_id % 29 == 0 (not updated " +
+      "(doc_id shifted past any SF's id range), v2 deletes doc_id % 29 == 0 (not updated " +
       "keys). changes(0, 2) must emit exactly the inserts, the update " +
       "POST-images, and the delete PRE-images, tagged — files common to " +
       "both manifests are never scanned, and a pure compaction would " +
@@ -86,7 +86,7 @@ object StoreQueries extends QueryFamily {
         val updates = docs.where(col("doc_id") % 13 === 0)
           .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"))
         val inserts = docs.where(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + 1000000).as("doc_id"),
+          .select((col("doc_id") + 10000000000L).as("doc_id"),
             concat(lit("ins-"), col("doc_id")).as("text"))
         MergeStore.merge(s, updates.unionByName(inserts), t,
           pk = Seq("doc_id")) // v1
@@ -102,7 +102,7 @@ object StoreQueries extends QueryFamily {
     },
     Some("""
       SELECT doc_id, _change_type, len FROM (
-        SELECT doc_id + 1000000 AS doc_id, 'insert' AS _change_type,
+        SELECT doc_id + 10000000000 AS doc_id, 'insert' AS _change_type,
                CAST(length('ins-' || doc_id) AS INTEGER) AS len
         FROM documents WHERE doc_id % 13 = 0
         UNION ALL
@@ -195,7 +195,7 @@ object StoreQueries extends QueryFamily {
         val updates = docs.where(col("doc_id") % 13 === 0)
           .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"))
         val inserts = docs.where(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + 1000000).as("doc_id"),
+          .select((col("doc_id") + 10000000000L).as("doc_id"),
             concat(lit("ins-"), col("doc_id")).as("text"))
         MergeStore.merge(s, updates.unionByName(inserts), t,
           pk = Seq("doc_id")) // v1
@@ -218,7 +218,7 @@ object StoreQueries extends QueryFamily {
         SELECT doc_id, CAST(length(text) AS INTEGER)
         FROM documents WHERE doc_id % 13 <> 0 AND doc_id % 29 <> 0
         UNION ALL
-        SELECT doc_id + 1000000, CAST(length('ins-' || doc_id) AS INTEGER)
+        SELECT doc_id + 10000000000, CAST(length('ins-' || doc_id) AS INTEGER)
         FROM documents WHERE doc_id % 13 = 0)
       ORDER BY doc_id"""))
 
@@ -299,7 +299,7 @@ object StoreQueries extends QueryFamily {
         val updates = docs.where(col("doc_id") % 13 === 0)
           .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"))
         val inserts = docs.where(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + 1000000).as("doc_id"),
+          .select((col("doc_id") + 10000000000L).as("doc_id"),
             concat(lit("ins-"), col("doc_id")).as("text"))
         MergeStore.merge(s, updates.unionByName(inserts), t,
           pk = Seq("doc_id")) // v1
@@ -325,7 +325,7 @@ object StoreQueries extends QueryFamily {
     },
     Some("""
       SELECT doc_id, _change_type, _commit_version, len FROM (
-        SELECT doc_id + 1000000 AS doc_id, 'insert' AS _change_type,
+        SELECT doc_id + 10000000000 AS doc_id, 'insert' AS _change_type,
                CAST(1 AS BIGINT) AS _commit_version,
                CAST(length('ins-' || doc_id) AS INTEGER) AS len
         FROM documents WHERE doc_id % 13 = 0
@@ -1187,8 +1187,11 @@ object StoreQueries extends QueryFamily {
             (col("o_totalprice") *
               when(col("o_orderkey") % 20 === 3, lit(2.0))
                 .otherwise(lit(0.5))).as("o_totalprice"))
+          // Shift far past any plausible SF's key range — a collision
+          // with a real orderkey would flip these rows from the INSERT
+          // branch to the MATCHED branch and diverge from the oracle.
           .unionByName(docs.where(col("o_orderkey") % 1000 === 7)
-            .select((col("o_orderkey") + 5000000L).as("o_orderkey"),
+            .select((col("o_orderkey") + 10000000000L).as("o_orderkey"),
               col("o_orderstatus"), col("o_orderpriority"),
               col("o_totalprice")))
           .createOrReplaceTempView("q130_src")

@@ -281,9 +281,19 @@ object GraftCatalog {
     require(name.contains('.'),
       "register a namespaced name, e.g. \"db.orders\"")
     registry.put(name, path)
-    val norm = Paths.get(path).toAbsolutePath.normalize.toString
-    if (mor) morPaths.add(norm) else morPaths.remove(norm)
-    (): Unit
+    // mor=true ADDS the routing; the default never removes it — a
+    // second registration of the same path (an alias, a refresh) must
+    // not silently disable previously-established MOR routing. Turn it
+    // off explicitly with clearMor.
+    if (mor) morPaths.add(
+      Paths.get(path).toAbsolutePath.normalize.toString): Unit
+  }
+
+  /** Drop the session-scope MOR routing for a path (the durable
+    * `graft.mor` manifest policy, if any, still applies). */
+  def clearMor(path: String): Unit = {
+    morPaths.remove(
+      Paths.get(path).toAbsolutePath.normalize.toString): Unit
   }
 
   def unregister(name: String): Unit = { registry.remove(name): Unit }

@@ -344,9 +344,16 @@ final case class GraftMergeCommand(path: String, source: LogicalPlan,
       case (None, None, true) if bySource.isEmpty =>
         val aligned = insertVals match {
           case Some(vals) if !isStarMap(vals, cols) =>
+            // A column list that skips a key column would insert
+            // NULL-keyed rows the key-probing verbs then drop — refuse
+            // (same contract as the no-catalog route).
+            val missingPk = pk.filterNot(k => vals.exists(_._1 == k))
+            require(missingPk.isEmpty,
+              s"INSERT column list must assign every ON-clause key " +
+                s"column; missing: ${missingPk.mkString(", ")}")
             val m = asMap(vals)
             src.alias("s").select(fields.map { f =>
-              m.getOrElse(f.name, lit(null)).cast(f.dataType).as(f.name)
+              m.getOrElse(f.name, lit(null)).cast(MergeStore.nullableForm(f.dataType)).as(f.name)
             }.toIndexedSeq: _*)
           case _ => src.select(cols.map(
             org.apache.spark.sql.functions.col): _*)

@@ -183,12 +183,24 @@ object MergeStore {
     def clear(): Unit = map.synchronized { map.clear(); weight = 0L }
     def put(k: (String, Int, Long, Long), v: ManifestState): Unit =
       map.synchronized {
-        val prev = map.put(k, v)
-        weight += weightOf(v) - (if (prev == null) 0L else weightOf(prev))
-        val it = map.entrySet().iterator()
-        while (weight > MaxWeightLines && it.hasNext) {
-          weight -= weightOf(it.next().getValue)
-          it.remove()
+        // A single state heavier than the whole budget is never
+        // admitted — evicting everything ELSE to make room would
+        // thrash every other table's hot state on each access to one
+        // huge table, and the huge state still wouldn't fit.
+        if (weightOf(v) > MaxWeightLines) {
+          val prev = map.remove(k)
+          if (prev != null) weight -= weightOf(prev)
+        } else {
+          val prev = map.put(k, v)
+          weight += weightOf(v) - (if (prev == null) 0L else weightOf(prev))
+          val it = map.entrySet().iterator()
+          while (weight > MaxWeightLines && it.hasNext) {
+            val e = it.next()
+            if (e.getKey != k) { // never evict the entry just admitted
+              weight -= weightOf(e.getValue)
+              it.remove()
+            }
+          }
         }
       }
   }
@@ -541,6 +553,58 @@ object MergeStore {
     * files and null-fill the lot. Fields keep the verb's (possibly
     * evolved) types; fields the table schema maps inherit its physical
     * name. */
+  /** Align a user batch's column TYPES onto the table's manifest
+    * schema: equal types pass through, safe up-casts (INT → BIGINT,
+    * FLOAT → DOUBLE — Spark's loss-free store-assignment set) cast,
+    * anything else refuses LOUDLY. Without this, a type-drifted
+    * producer would commit its own types as the table-wide `#schema=`
+    * and every carried file would stop planning (the read schema no
+    * longer matches the old parquet footers) — an append that
+    * succeeds silently and bricks the table at read time. The SQL
+    * routes (analyzer-aligned writes, SqlVerbs' explicit casts) never
+    * reach the refusal. */
+  /** `dt` with every nesting level nullable — the CAST-target form: a
+    * cast to a type carrying NOT NULL fields fails analysis outright
+    * (CAST_WITHOUT_SUGGESTION), and nullability never changes bytes. */
+  private[store] def nullableForm(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        f.copy(dataType = nullableForm(f.dataType), nullable = true)))
+      case at: ArrayType => ArrayType(nullableForm(at.elementType),
+        containsNull = true)
+      case mt: MapType => MapType(nullableForm(mt.keyType),
+        nullableForm(mt.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  private def alignBatchTypes(batch: DataFrame,
+      table: Option[org.apache.spark.sql.types.StructType],
+      verb: String): DataFrame = table match {
+    case None => batch
+    case Some(ts) =>
+      val byName = ts.fields.map(f => f.name -> f.dataType).toMap
+      val aligned = batch.schema.fields.map { f =>
+        byName.get(f.name) match {
+          case Some(want)
+              if nullableForm(want) == nullableForm(f.dataType) =>
+            col(f.name)
+          case Some(want)
+              if org.apache.spark.sql.catalyst.expressions.Cast
+                .canUpCast(f.dataType, want) =>
+            col(f.name).cast(nullableForm(want)).as(f.name)
+          case Some(want) => sys.error(
+            s"$verb batch column '${f.name}' is ${f.dataType.sql} but " +
+              s"the table records ${want.sql} — a type-drifted " +
+              "producer; cast the batch explicitly")
+          case None => col(f.name) // evolution-path column
+        }
+      }
+      batch.select(aligned.toIndexedSeq: _*)
+  }
+
   /** The nullability to RECORD for a commit built from a user batch:
     * a column stays nullable if the TABLE already says so (carried
     * files may hold NULLs the batch doesn't — recording the batch's
@@ -2246,13 +2310,21 @@ object MergeStore {
       s"append batch carries columns absent from the table " +
         s"(${extra.mkString(", ")}) — a drifted producer; evolve the " +
         "schema through merge(allowSchemaEvolution = true)")
-    val projected = rows.select(tableCols.map(col).toIndexedSeq: _*)
+    val projected = alignBatchTypes(
+      rows.select(tableCols.map(col).toIndexedSeq: _*), tableSchema,
+      "append")
     val incoming =
       (if (numFiles > 0) projected.repartition(numFiles) else projected)
         .cache()
     try {
       enforceConstraints(spark, target, parentV, incoming, "append")
       val rowsInserted = incoming.count()
+      // An EMPTY batch commits nothing (no empty data file, no version
+      // churn) — same idempotent-rerun contract as the merge verbs. An
+      // empty OVERWRITE still commits: "replace with nothing" is a
+      // real truncation.
+      if (rowsInserted == 0L && !replace)
+        return AppendStats(liveFiles(target, Some(parentV)).size, 0, 0L)
       val recorded = withMapping(
         unionNullability(incoming.schema, tableSchema), tableSchema)
       val newFiles = writeFiles(toPhysical(incoming, recorded), target)
@@ -2365,7 +2437,9 @@ object MergeStore {
       if (allowSchemaEvolution)
         emptyTable.unionByName(deduped.drop(batchOnlyOrd: _*),
           allowMissingColumns = true)
-      else deduped.select(tableCols.map(col).toIndexedSeq: _*)
+      else alignBatchTypes(
+        deduped.select(tableCols.map(col).toIndexedSeq: _*), tableSchema,
+        "merge")
       ).cache()
     enforceConstraints(spark, target, parentV, incoming, "merge")
 
@@ -2522,12 +2596,21 @@ object MergeStore {
     val tableCols = fields.map(_._1)
     def toTableType(c: org.apache.spark.sql.Column, name: String) =
       fields.find(_._1 == name).flatMap(_._2)
-        .map(c.cast(_)).getOrElse(c).as(name)
+        .map(t => c.cast(nullableForm(t))).getOrElse(c).as(name)
     (matchedAssignments.toSeq ++ insertValues.toSeq ++
         notMatchedBySource.flatMap(_.assignments).toSeq).flatten(_.keys)
       .foreach { c => require(tableCols.contains(c),
         s"assignment target '$c' is not a column of $target " +
           s"(${tableCols.mkString(", ")})") }
+    // An insert column list that skips a key column would land
+    // NULL-keyed rows (which every key-probing verb then ignores) —
+    // refuse instead of silently inserting unreachable rows.
+    if (insert) insertValues.foreach { m =>
+      val missingPk = pk.filterNot(m.contains)
+      require(missingPk.isEmpty,
+        s"INSERT column list must assign every key column; missing: " +
+          s"${missingPk.mkString(", ")}")
+    }
     val ord = if (ordCols.nonEmpty) ordCols.map(col)
       else Seq(monotonically_increasing_id())
     val deduped = Upsert.dedupByKey(
@@ -4125,11 +4208,18 @@ object MergeStore {
     // between createTempDirectory and the move into data/ (`.stage-*` /
     // `.dvstage-*` beside the table) — none is referenced by any
     // manifest, so nothing else ever reclaims them.
+    // Every stat/walk/delete below tolerates the entry VANISHING
+    // mid-sweep: commit() creates and deletes its `.tmp` within
+    // milliseconds and writeFiles empties its stage dir on success, so
+    // a vacuum concurrent with live writers constantly races them —
+    // debris that disappeared was never debris.
+    def mtimeOrNow(p: Path): Long =
+      try Files.getLastModifiedTime(p).toMillis
+      catch { case _: java.io.IOException => Long.MaxValue }
     Files.list(manifestDir(target)).iterator().asScala
       .filter { p =>
         val n = p.getFileName.toString
-        n.startsWith(".") && n.endsWith(".tmp") &&
-          Files.getLastModifiedTime(p).toMillis <= cutoff
+        n.startsWith(".") && n.endsWith(".tmp") && mtimeOrNow(p) <= cutoff
       }.toSeq.foreach(Files.deleteIfExists)
     val parent = Paths.get(target).toAbsolutePath.getParent
     if (parent != null && Files.isDirectory(parent))
@@ -4142,10 +4232,14 @@ object MergeStore {
           // Age-gate on the NEWEST mtime in the tree: a long write job
           // keeps touching task files under the stage dir while the top
           // dir's own mtime goes stale.
-          val entries = Files.walk(dir).iterator().asScala.toSeq
-          if (entries.forall(e =>
-              Files.getLastModifiedTime(e).toMillis <= cutoff))
-            entries.reverse.foreach(Files.deleteIfExists)
+          try {
+            val entries = Files.walk(dir).iterator().asScala.toSeq
+            if (entries.forall(e => mtimeOrNow(e) <= cutoff))
+              entries.reverse.foreach(Files.deleteIfExists)
+          } catch {
+            case _: java.io.IOException | _: java.io.UncheckedIOException =>
+              () // the owner finished (or is mid-write): not debris
+          }
         }
     vacuumBlooms(target)
     vacuumDvs(target, floor, head, cutoff)

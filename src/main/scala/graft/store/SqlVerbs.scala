@@ -67,7 +67,8 @@ object SqlVerbs {
     plan match {
       case UpdateTable(rel, assignments, cond) =>
         val path = pathOf(rel, tables)
-        val strip = stripSelfQualifier(selfNames(rel)) _
+        lazy val roots = columnRoots(spark, path)
+        val strip = stripSelfQualifier(selfNames(rel), roots) _
         val set = assignments.map { case Assignment(k, v) =>
           attrName(k, selfNames(rel)) -> expr(strip(v).sql)
         }.toMap
@@ -79,7 +80,8 @@ object SqlVerbs {
           maxRetries = maxRetries))
       case DeleteFromTable(rel, cond) =>
         val path = pathOf(rel, tables)
-        val where = expr(stripSelfQualifier(selfNames(rel))(cond).sql)
+        val where = expr(stripSelfQualifier(selfNames(rel),
+          columnRoots(spark, path))(cond).sql)
         if (mor) MorDeleted(MergeStore.deleteWhereMor(spark, path, where,
           maxRetries = maxRetries))
         else Deleted(MergeStore.deleteWhere(spark, path, where,
@@ -121,7 +123,7 @@ object SqlVerbs {
             s"(${fields.map(_.name).mkString(", ")}) — list the insert " +
             "columns to assign a subset")
         data.toDF(fields.map(_.name): _*)
-          .select(fields.map(f => col(f.name).cast(f.dataType).as(f.name))
+          .select(fields.map(f => col(f.name).cast(MergeStore.nullableForm(f.dataType)).as(f.name))
             .toIndexedSeq: _*)
       } else {
         val unknown = i.userSpecifiedCols.filterNot(c =>
@@ -135,7 +137,7 @@ object SqlVerbs {
         val named = data.toDF(i.userSpecifiedCols: _*)
         named.select(fields.map { f =>
           (if (named.columns.contains(f.name)) col(f.name)
-           else lit(null)).cast(f.dataType).as(f.name)
+           else lit(null)).cast(MergeStore.nullableForm(f.dataType)).as(f.name)
         }.toIndexedSeq: _*)
       }
     Appended(
@@ -165,17 +167,23 @@ object SqlVerbs {
         s"equalities (t.k = s.k); got: ${m.mergeCondition.sql}")
     val tNames = selfNames(m.targetTable)
     val sNames = selfNames(m.sourceTable)
+    // Struct-field roots (lazy — consulted only when a multi-part
+    // reference is neither alias): a head naming a COLUMN is struct
+    // access, not a table qualifier.
+    lazy val tRoots = columnRoots(spark, path)
+    lazy val sRoots = source.columns.map(_.toLowerCase).toSet
+    lazy val bothRoots = tRoots ++ sRoots
     // WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE | UPDATE SET:
     // target-only scope, dispatched as the verb's BySourceAction.
     val bySource: Option[MergeStore.BySourceAction] =
       m.notMatchedBySourceActions match {
         case Seq() => None
         case Seq(DeleteAction(c)) => Some(MergeStore.BySourceAction(
-          c.map(e => mapTargetOnly(e, tNames, sNames)), None))
+          c.map(e => mapTargetOnly(e, tNames, sNames, tRoots)), None))
         case Seq(u: UpdateAction) => Some(MergeStore.BySourceAction(
-          u.condition.map(e => mapTargetOnly(e, tNames, sNames)),
+          u.condition.map(e => mapTargetOnly(e, tNames, sNames, tRoots)),
           Some(u.assignments.map { case Assignment(k, v) =>
-            attrName(k, tNames) -> mapTargetOnly(v, tNames, sNames)
+            attrName(k, tNames) -> mapTargetOnly(v, tNames, sNames, tRoots)
           }.toMap)))
         case other => sys.error(
           "WHEN NOT MATCHED BY SOURCE supports one DELETE or UPDATE " +
@@ -186,13 +194,13 @@ object SqlVerbs {
       val (mCond, mAssign, refusal) = m.matchedActions match {
         case Seq() => (Some(lit(false)), None, None)
         case Seq(UpdateStarAction(c)) =>
-          (Some(c.map(e => mapBoth(e, tNames, sNames)).getOrElse(lit(true))),
+          (Some(c.map(e => mapBoth(e, tNames, sNames, bothRoots)).getOrElse(lit(true))),
             None, None)
         case Seq(u: UpdateAction) =>
-          (Some(u.condition.map(e => mapBoth(e, tNames, sNames))
+          (Some(u.condition.map(e => mapBoth(e, tNames, sNames, bothRoots))
             .getOrElse(lit(true))),
             Some(u.assignments.map { case Assignment(k, v) =>
-              attrName(k, tNames) -> mapBoth(v, tNames, sNames)
+              attrName(k, tNames) -> mapBoth(v, tNames, sNames, bothRoots)
             }.toMap), None)
         case other => (None, None, Some(other))
       }
@@ -204,7 +212,7 @@ object SqlVerbs {
         case Seq(InsertStarAction(None)) => (true, None)
         case Seq(ia: InsertAction) if ia.condition.isEmpty =>
           (true, Some(ia.assignments.map { case Assignment(k, v) =>
-            attrName(k, tNames) -> mapSourceOnly(v, tNames, sNames)
+            attrName(k, tNames) -> mapSourceOnly(v, tNames, sNames, sRoots)
           }.toMap))
         case other => sys.error(
           s"unsupported WHEN NOT MATCHED action(s): $other")
@@ -248,11 +256,11 @@ object SqlVerbs {
             notMatched.forall(isPlainInsertShape) =>
         val (mCond, mAssign) = matched match {
           case UpdateStarAction(c) =>
-            (c.map(e => mapBoth(e, tNames, sNames)), None)
+            (c.map(e => mapBoth(e, tNames, sNames, bothRoots)), None)
           case u: UpdateAction =>
-            (u.condition.map(e => mapBoth(e, tNames, sNames)),
+            (u.condition.map(e => mapBoth(e, tNames, sNames, bothRoots)),
               Some(u.assignments.map { case Assignment(k, v) =>
-                attrName(k, tNames) -> mapBoth(v, tNames, sNames)
+                attrName(k, tNames) -> mapBoth(v, tNames, sNames, bothRoots)
               }.toMap))
           case other => sys.error(s"unreachable action shape: $other")
         }
@@ -260,7 +268,7 @@ object SqlVerbs {
           case Seq(InsertStarAction(None)) => (true, None)
           case Seq(ia: InsertAction) =>
             (true, Some(ia.assignments.map { case Assignment(k, v) =>
-              attrName(k, tNames) -> mapSourceOnly(v, tNames, sNames)
+              attrName(k, tNames) -> mapSourceOnly(v, tNames, sNames, sRoots)
             }.toMap))
           case Seq() => (false, None)
           case other => sys.error(s"unreachable action shape: $other")
@@ -299,60 +307,75 @@ object SqlVerbs {
                                 pk: Seq[String]): DataFrame = {
     val fields = tableFields(spark, path)
     val vals = ia.assignments.map { case Assignment(k, v) =>
-      attrName(k, Set.empty) -> mapSourceOnly(v, Set.empty, sNames)
+      attrName(k, Set.empty) -> mapSourceOnly(v, Set.empty, sNames,
+        source.columns.map(_.toLowerCase).toSet)
     }.toMap
     val missingPk = pk.filterNot(vals.contains)
     require(missingPk.isEmpty,
       s"INSERT column list must assign every ON-clause key column; " +
         s"missing: ${missingPk.mkString(", ")}")
     source.alias("s").select(fields.map { f =>
-      vals.getOrElse(f.name, lit(null)).cast(f.dataType).as(f.name)
+      vals.getOrElse(f.name, lit(null)).cast(MergeStore.nullableForm(f.dataType)).as(f.name)
     }.toIndexedSeq: _*)
   }
 
   /** Rewrite a MERGE expression's column qualifiers onto the verb's
-    * own `t` (target) / `s` (source) aliases. A bare column stays bare —
-    * the verb's join resolves it, or names the ambiguity. Any other
-    * qualifier refuses loudly. */
+    * own `t` (target) / `s` (source) aliases, preserving struct-field
+    * tails (`tgt.meta.kind` → `t.meta.kind`). A bare column — or a
+    * multi-part reference whose head names a COLUMN of either side
+    * (struct access) — stays as written; the verb's join resolves it,
+    * or names the ambiguity. Any other qualifier refuses loudly. */
   private def mapBoth(e: Expression, tNames: Set[String],
-                      sNames: Set[String]): Column =
+                      sNames: Set[String],
+                      roots: => Set[String]): Column =
     expr(e.transformUp {
       case a: UnresolvedAttribute if a.nameParts.length > 1 =>
-        val q = a.nameParts.init.mkString(".").toLowerCase
-        if (tNames.contains(q)) UnresolvedAttribute(Seq("t", a.nameParts.last))
-        else if (sNames.contains(q))
-          UnresolvedAttribute(Seq("s", a.nameParts.last))
+        val head = a.nameParts.head.toLowerCase
+        if (tNames.contains(head))
+          UnresolvedAttribute("t" +: a.nameParts.tail)
+        else if (sNames.contains(head))
+          UnresolvedAttribute("s" +: a.nameParts.tail)
+        else if (roots.contains(head)) a // struct-field access
         else sys.error(
           s"column reference '${a.nameParts.mkString(".")}' qualifies " +
-            s"by '$q', which is neither the MERGE target nor its source")
+            s"by '${a.nameParts.head}', which is neither the MERGE " +
+            "target nor its source (nor a struct column of either)")
     }.sql)
 
   /** NOT MATCHED BY SOURCE expressions see only the TARGET row: the
     * verb evaluates them over bare target columns, so target-qualified
-    * references strip to bare names and a source-qualified reference
-    * refuses (SQL scope rule — no source row exists for these rows). */
+    * references strip their alias (struct tails preserved) and a
+    * source-qualified reference refuses (SQL scope rule — no source
+    * row exists for these rows). */
   private def mapTargetOnly(e: Expression, tNames: Set[String],
-                            sNames: Set[String]): Column =
+                            sNames: Set[String],
+                            tRoots: => Set[String]): Column =
     expr(e.transformUp {
       case a: UnresolvedAttribute if a.nameParts.length > 1 =>
-        val q = a.nameParts.init.mkString(".").toLowerCase
-        if (tNames.contains(q)) UnresolvedAttribute(Seq(a.nameParts.last))
+        val head = a.nameParts.head.toLowerCase
+        if (tNames.contains(head)) UnresolvedAttribute(a.nameParts.tail)
+        else if (tRoots.contains(head)) a // struct-field access
         else sys.error(
           "NOT MATCHED BY SOURCE expressions may reference only the " +
             s"MERGE target; '${a.nameParts.mkString(".")}' does not")
     }.sql)
 
   /** INSERT VALUES expressions see only the SOURCE row: bare columns
-    * resolve against it, source-qualified references map to `s`, and a
-    * target-qualified reference refuses (SQL scope rule). */
+    * (and bare struct paths) scope to it, source-qualified references
+    * map to `s`, and a target-qualified reference refuses (SQL scope
+    * rule). */
   private def mapSourceOnly(e: Expression, tNames: Set[String],
-                            sNames: Set[String]): Column =
+                            sNames: Set[String],
+                            sRoots: => Set[String]): Column =
     expr(e.transformUp {
       case a: UnresolvedAttribute if a.nameParts.length == 1 =>
         UnresolvedAttribute(Seq("s", a.nameParts.head))
       case a: UnresolvedAttribute =>
-        val q = a.nameParts.init.mkString(".").toLowerCase
-        if (sNames.contains(q)) UnresolvedAttribute(Seq("s", a.nameParts.last))
+        val head = a.nameParts.head.toLowerCase
+        if (sNames.contains(head))
+          UnresolvedAttribute("s" +: a.nameParts.tail)
+        else if (sRoots.contains(head))
+          UnresolvedAttribute("s" +: a.nameParts)
         else sys.error(
           s"INSERT values may reference only the MERGE source; " +
             s"'${a.nameParts.mkString(".")}' does not")
@@ -427,23 +450,35 @@ object SqlVerbs {
     case _ => Set.empty
   }
 
+  /** The table's top-level column names (lowercased) — a multi-part
+    * reference whose head is one of these is STRUCT-FIELD access, not
+    * a table qualifier. */
+  private def columnRoots(spark: SparkSession, path: String): Set[String] =
+    tableFields(spark, path).map(_.name.toLowerCase).toSet
+
   /** Strip the statement's OWN alias/table qualifier from column
-    * references (`t.x` → `x` when `t` names the target), so the
-    * condition round-trips through `Expression.sql` into a frame that
-    * carries no alias. Any OTHER qualifier refuses loudly here — left
-    * alone it would surface later as an unrelated-looking
+    * references (`t.x` → `x`, `t.meta.kind` → `meta.kind` when `t`
+    * names the target), so the condition round-trips through
+    * `Expression.sql` into a frame that carries no alias. A head that
+    * names a table COLUMN is struct-field access and passes through
+    * untouched. Any OTHER qualifier refuses loudly here — left alone
+    * it would surface later as an unrelated-looking
     * unresolved-attribute error deep inside the verb. */
-  private def stripSelfQualifier(self: Set[String])(e: Expression)
+  private def stripSelfQualifier(self: Set[String],
+                                 roots: => Set[String])(e: Expression)
       : Expression = e.transformUp {
     case a: UnresolvedAttribute if a.nameParts.length > 1 =>
-      val qualifier = a.nameParts.init.mkString(".")
-      if (self.contains(qualifier.toLowerCase))
-        UnresolvedAttribute(Seq(a.nameParts.last))
+      val head = a.nameParts.head.toLowerCase
+      if (self.contains(head)) UnresolvedAttribute(a.nameParts.tail)
+      else if (a.nameParts.length > 2 &&
+          self.contains(a.nameParts.take(2).mkString(".").toLowerCase))
+        UnresolvedAttribute(a.nameParts.drop(2))
+      else if (roots.contains(head)) a // struct-field access
       else sys.error(
         s"column reference '${a.nameParts.mkString(".")}' qualifies by " +
-          s"'$qualifier', which is not this statement's target table or " +
-          "alias — UPDATE/DELETE conditions may reference only the " +
-          "target's own columns")
+          s"'${a.nameParts.head}', which is neither this statement's " +
+          "target table/alias nor one of its columns — UPDATE/DELETE " +
+          "conditions may reference only the target's own columns")
   }
 
   private def attrName(e: Expression, self: Set[String]): String = e match {

@@ -65,12 +65,40 @@ class AppendSpec extends SparkSpec {
       MergeStore.append(spark, drifted, t)
     }
     assert(e.getMessage.contains("extra"))
+    // TYPE drift: a STRING id would brick every carried file's read if
+    // its type were recorded as the table schema — refuse loudly. A
+    // loss-free up-cast (INT into the BIGINT id) aligns silently.
+    val typeDrift = batch("d", Seq(2L))
+      .withColumn("id", concat(lit("x"), col("id")))
+    val e2 = intercept[RuntimeException] {
+      MergeStore.append(spark, typeDrift, t)
+    }
+    assert(e2.getMessage.contains("type-drifted"), e2.getMessage)
+    val e3 = intercept[RuntimeException] {
+      MergeStore.merge(spark, typeDrift, t, Seq("id"))
+    }
+    assert(e3.getMessage.contains("type-drifted"), e3.getMessage)
+    val up = MergeStore.append(spark,
+      batch("up", Seq(900000L)).withColumn("id", lit(900000).cast("int")),
+      t)
+    assert(up.rowsInserted == 1)
+    assert(MergeStore.read(spark, t).where($"id" === 900000L).count() == 1)
+    assert(MergeStore.read(spark, t).schema("id").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "an up-cast batch must not narrow the table schema")
+    // An EMPTY batch commits nothing: no version churn for idempotent
+    // rerunners, no empty data file.
+    val vBefore = MergeStore.version(t).get
+    val empty = MergeStore.append(spark, base.where(lit(false)), t)
+    assert(empty.rowsInserted == 0 && empty.filesAdded == 0)
+    assert(MergeStore.version(t).get == vBefore,
+      "empty append must not commit a version")
     MergeStore.addConstraint(spark, t, "grp_pos", "grp >= 0")
     intercept[IllegalStateException] {
       MergeStore.append(spark,
         batch("c", Seq(1L)).withColumn("grp", lit(-5)), t)
     }
-    assert(MergeStore.read(spark, t).count() == N)
+    assert(MergeStore.read(spark, t).count() == N + 1)
   }
 
   test("concurrent appends: every loser rebases, zero recomputes, nothing lost") {

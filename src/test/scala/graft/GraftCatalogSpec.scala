@@ -162,6 +162,14 @@ class GraftCatalogSpec extends SparkSpec {
       "no-op insert-only merge must not rewrite matched files")
     assert(MergeStore.read(spark, t).where($"id" === 105L)
       .select($"payload").as[String].head() == "m-105!")
+    // Insert column list that skips the ON-clause key refuses loudly
+    // (it would land NULL-keyed rows the probes then ignore).
+    val eIns = intercept[Exception] {
+      spark.sql("MERGE INTO graft.db.mrg t USING cat_upd s " +
+        "ON t.id = s.id WHEN NOT MATCHED THEN INSERT (payload) " +
+        "VALUES (s.payload)").collect()
+    }
+    assert(eIns.getMessage.contains("key column"), eIns.getMessage)
   }
 
   test("MERGE ... NOT MATCHED BY SOURCE through spark.sql") {
@@ -250,6 +258,14 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT count(*) AS n FROM graft.db.morred").as[Long].head() ==
       N - 1)
+    // Registering the SAME path under another name (default mor=false)
+    // must not silently disable the established MOR routing.
+    GraftCatalog.register("db.morred_alias", t)
+    val files2 = MergeStore.liveFiles(t).toSet
+    assert(spark.sql("DELETE FROM graft.db.morred_alias WHERE id = 79")
+      .as[Long].head() == 1)
+    assert(MergeStore.liveFiles(t).toSet == files2,
+      "re-registration dropped the MOR routing")
     // Durable MOR policy: CREATE TABLE with 'graft.mor' carries the
     // flag through ordinary verb commits like a constraint — a fresh
     // session (or registration without the flag) still routes MOR.

@@ -130,6 +130,43 @@ class SqlVerbsSpec extends SparkSpec {
     assert(afterUpd.where($"id" >= N.toLong).count() == 0)
   }
 
+  test("struct columns: nested-field references are field access, not table qualifiers") {
+    val t = tmpDir("sqlv-struct") + "/tbl"
+    val df = spark.range(100L).select(col("id"),
+      struct((col("id") % 5).cast("int").as("kind"),
+        lit("m").as("tag")).as("meta"),
+      concat(lit("v-"), col("id")).as("payload"))
+    MergeStore.init(spark, df, t, 4, clusterBy = Seq("id"))
+    val cat = Map("events" -> t)
+    // Bare struct path in WHERE and in a SET value.
+    SqlVerbs.execute(spark,
+      "UPDATE events SET payload = concat('k-', meta.kind) " +
+        "WHERE meta.kind = 3", cat)
+    assert(MergeStore.read(spark, t).where($"id" === 3L)
+      .select($"payload").as[String].head() == "k-3")
+    // Alias-qualified struct path (3-part name): e.meta.kind.
+    SqlVerbs.execute(spark,
+      "DELETE FROM events e WHERE e.meta.kind = 4", cat)
+    assert(MergeStore.read(spark, t).count() == 80)
+    assert(MergeStore.read(spark, t)
+      .where($"meta.kind" === 4).count() == 0)
+    // MERGE conditions traverse struct fields on both sides.
+    MergeStore.read(spark, t).limit(0).unionByName(
+      spark.range(0L, 100L, 5L).select(col("id"),
+        struct(lit(9).cast("int").as("kind"), lit("s").as("tag"))
+          .as("meta"),
+        lit("src").as("payload"))).createOrReplaceTempView("sqlv_struct_src")
+    val r = SqlVerbs.execute(spark,
+      "MERGE INTO events t USING sqlv_struct_src s ON t.id = s.id " +
+        "WHEN MATCHED AND s.meta.kind > t.meta.kind THEN " +
+        "UPDATE SET payload = concat(t.payload, '!'), meta = s.meta",
+      cat)
+    assert(r.asInstanceOf[SqlVerbs.Merged].stats.rowsUpdated ==
+      MergeStore.read(spark, t).where($"id" % 5 === 0).count())
+    assert(MergeStore.read(spark, t).where($"id" === 10L)
+      .select($"meta.kind").as[Int].head() == 9)
+  }
+
   test("refusals are loud: unknown table, unsupported shapes, constraints still gate") {
     val (t, cat) = fresh("sqlv-refuse")
     intercept[RuntimeException] {
