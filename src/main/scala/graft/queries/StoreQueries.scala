@@ -1353,8 +1353,108 @@ object StoreQueries extends QueryFamily {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""))
 
+  private val q133 = QueryDef(
+    "q133_maintenance_call",
+    "Table maintenance through Spark 4's native CALL statement (DSv2 " +
+      "ProcedureCatalog on GraftCatalog): two DELETEs commit v1/v2, " +
+      "then CALL graft.system.restore un-deletes the second slice " +
+      "(a NEW head with v1's content), CALL graft.system.compact " +
+      "Z-orders the table into 4 files, and CALL graft.system.vacuum " +
+      "(retain 1, zero grace) reclaims every pre-compaction file — " +
+      "restore must round-trip the content and compact+vacuum must " +
+      "preserve it exactly, so the oracle is simply orders minus the " +
+      "FIRST delete slice.",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val cols = Seq("o_orderkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice")
+      val target = preparedTable(s, dir, "q133",
+        base = Tables.load(s, dir, "orders").select(cols.map(col): _*),
+        clusterBy = Seq("o_orderkey")) { t =>
+        graft.store.GraftCatalog.register("q133.ord", t)
+        val cat = Map("ord" -> t)
+        graft.store.SqlVerbs.execute(s, "DELETE FROM ord " +
+          "WHERE o_orderstatus = 'F' AND o_orderkey % 5 = 0", cat)
+        graft.store.SqlVerbs.execute(s,
+          "DELETE FROM ord WHERE o_orderkey % 7 = 0", cat)
+        s.sql("CALL graft.system.restore('q133.ord', version => 1)")
+        s.sql("CALL graft.system.compact('q133.ord', " +
+          "target_files => 4, zorder_by => 'o_orderkey,o_totalprice')")
+        s.sql("CALL graft.system.vacuum('q133.ord', " +
+          "retain_versions => 1, grace_millis => 0)")
+      }
+      MergeStore.read(s, target)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast(DecimalType(20, 4)))
+            .cast("double").as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+               AS sum_price
+      FROM orders
+      WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""))
+
+  private val q134 = QueryDef(
+    "q134_optimize_small",
+    "Incremental OPTIMIZE (MergeStore.compactSmall, Delta's bin-packing " +
+      "shape) through CALL graft.system.optimize_small: three trickle " +
+      "INSERT INTO appends pile small files onto a table initialized " +
+      "from the orders % 3 = 2 slice, then the procedure bin-packs " +
+      "every file under the byte threshold — rewriting ONLY those, " +
+      "preserving content exactly — so the oracle is simply the base " +
+      "slice plus the appended slices. A MOR delete before the " +
+      "optimize pins that deletion vectors MATERIALIZE through the " +
+      "rewrite (buried rows stay dead).",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val cols = Seq("o_orderkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice")
+      val target = preparedTable(s, dir, "q134",
+        base = Tables.load(s, dir, "orders")
+          .where(col("o_orderkey") % 3 === 2)
+          .select(cols.map(col): _*),
+        clusterBy = Seq("o_orderkey")) { t =>
+        graft.store.GraftCatalog.register("q134.ord", t)
+        Seq(11, 12, 13).foreach { k =>
+          Tables.load(s, dir, "orders")
+            .where(col("o_orderkey") % 1000 === k)
+            .select(cols.map(col): _*)
+            .createOrReplaceTempView(s"q134_src_$k")
+          s.sql(s"INSERT INTO graft.q134.ord SELECT * FROM q134_src_$k")
+        }
+        MergeStore.deleteWhereMor(s, t,
+          col("o_orderstatus") === "F" && col("o_orderkey") % 9 === 0)
+        s.sql("CALL graft.system.optimize_small('q134.ord', " +
+          "small_bytes => 16384)")
+      }
+      MergeStore.read(s, target)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast(DecimalType(20, 4)))
+            .cast("double").as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+               AS sum_price
+      FROM (
+        SELECT o_orderstatus, o_totalprice, o_orderkey FROM orders
+        WHERE o_orderkey % 3 = 2
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice, o_orderkey FROM orders
+        WHERE o_orderkey % 1000 IN (11, 12, 13))
+      WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 9 = 0)
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q91, q92, q96, q97, q98, q101, q107, q109, q110, q111, q112,
       q113, q115, q116, q117, q118, q119, q120, q121, q122, q123, q126,
-      q127, q128, q129, q130, q131, q132)
+      q127, q128, q129, q130, q131, q132, q133, q134)
 }

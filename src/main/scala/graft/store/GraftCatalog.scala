@@ -6,7 +6,9 @@ import java.util.concurrent.ConcurrentHashMap
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.constraints.Check
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.InsertableRelation
@@ -44,7 +46,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `warehouse` option. At 100 TB the catalog itself stays O(1) per
   * lookup — it holds name → path only; all data/metadata scale lives
   * in the manifest machinery behind it. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with ProcedureCatalog {
 
   private var catalogName: String = "graft"
   private var confWarehouse: Option[String] = None
@@ -63,6 +66,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catalogName
 
+  /** CREATE TABLE may declare CHECK constraints in the DDL (the
+    * TableInfo route below); without this capability the analyzer
+    * refuses the statement outright. */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def key(ident: Identifier): String =
     (ident.namespace() :+ ident.name()).mkString(".")
 
@@ -76,6 +87,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def tableExists(ident: Identifier): Boolean =
     pathOf(ident).exists(MergeStore.exists)
+
+  /** Resolve a procedure argument's `'db.t'` spelling to the table's
+    * location — the same registration-then-warehouse order as table
+    * loads. Existence is the caller's contract (a clone DEST must not
+    * exist yet). */
+  private[store] def tablePath(name: String): String = {
+    val parts = name.split('.').filter(_.nonEmpty)
+    require(parts.length >= 2,
+      s"table argument '$name' must be namespaced, e.g. 'db.orders'")
+    val ident = Identifier.of(parts.init, parts.last)
+    pathOf(ident).getOrElse(throw new NoSuchTableException(ident))
+  }
+
+  // --- ProcedureCatalog: CALL graft.system.<proc>(...) ---
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    GraftProcedures.load(this, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(namespace)
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val ns = namespace.mkString(".")
@@ -169,11 +200,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           "nested RENAME COLUMN is not supported")
         MergeStore.renameColumn(spark, t.path, ren.fieldNames()(0),
           ren.newName()): Unit
+      case ac: TableChange.AddConstraint => ac.constraint() match {
+        case c: Check =>
+          MergeStore.addConstraint(spark, t.path, c.name(),
+            c.predicateSql()): Unit
+        case other => throw new UnsupportedOperationException(
+          s"constraint ${other.toDDL} is not supported — MergeStore " +
+            "enforces CHECK constraints; PRIMARY KEY/UNIQUE are the " +
+            "merge verbs' pk contract, FOREIGN KEY is unenforced")
+      }
+      case dc: TableChange.DropConstraint =>
+        if (!dc.ifExists() ||
+            MergeStore.constraints(t.path).contains(dc.name()))
+          MergeStore.dropConstraint(spark, t.path, dc.name()): Unit
+      case sp: TableChange.SetProperty =>
+        MergeStore.setPolicy(t.path, sp.property(),
+          Some(sp.value())): Unit
+      case rp: TableChange.RemoveProperty =>
+        MergeStore.setPolicy(t.path, rp.property(), None): Unit
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change ${other.getClass.getSimpleName} is not " +
-          "supported — constraints and layout go through the Scala API")
+          "supported — layout changes go through the Scala API " +
+          "(MergeStore.compact clusterBy/zorderBy)")
     }
     loadTable(ident)
+  }
+
+  /** CREATE TABLE with in-DDL constraints (`CONSTRAINT ck CHECK (...)`)
+    * — Spark 4.1's TableInfo route. The table is empty at creation, so
+    * the add-constraint validation scan is trivially clean. */
+  override def createTable(ident: Identifier,
+                           info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : Table = {
+    val t = createTable(ident, info.schema(), info.partitions(),
+      info.properties())
+    val spark = SparkSession.active
+    info.constraints().foreach {
+      case c: Check =>
+        MergeStore.addConstraint(spark,
+          t.asInstanceOf[GraftTable].path, c.name(), c.predicateSql()): Unit
+      case other => throw new UnsupportedOperationException(
+        s"constraint ${other.toDDL} is not supported — MergeStore " +
+          "enforces CHECK constraints only")
+    }
+    t
   }
 
   override def dropTable(ident: Identifier): Boolean =

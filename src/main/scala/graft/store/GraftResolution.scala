@@ -78,6 +78,21 @@ final case class GraftResolution(spark: SparkSession)
       case m: MergeIntoTable
           if m.resolved && graftOf(m.targetTable).isDefined =>
         toMergeCommand(m)
+      // ALTER TABLE ... ADD CONSTRAINT name CHECK (cond): Spark's own
+      // exec would validate via the child scan then call
+      // catalog.alterTable — but its session-catalog V1 check crashes
+      // on a LogicalRelation without a catalogTable (the shape this
+      // rule's read swap produces). MergeStore.addConstraint already
+      // validates the existing rows (over the same skipping read) and
+      // publishes the policy commit, so dispatch it directly and drop
+      // the scan child.
+      case a: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint
+          if a.child.exists(p => graftOf(p).isDefined) =>
+        val t = a.child.collect {
+          case p if graftOf(p).isDefined => graftOf(p).get._2
+        }.head
+        GraftAddConstraintCommand(t.path, a.checkConstraint.name,
+          a.checkConstraint.condition)
     }
     // Write targets keep their v2 relation (the V1 fallback writer and
     // un-resolved DML need it); everything else Graft-backed is a read.
@@ -240,6 +255,20 @@ class GraftSqlExtensions
   override def apply(
       e: org.apache.spark.sql.SparkSessionExtensions): Unit =
     e.injectResolutionRule(GraftResolution.apply)
+}
+
+/** `ALTER TABLE ... ADD CONSTRAINT name CHECK (cond)` at execution
+  * time: [[MergeStore.addConstraint]] validates the EXISTING rows (one
+  * scan over the skipping read, Delta's add-constraint contract) and
+  * publishes the policy as a metadata-only commit. */
+final case class GraftAddConstraintCommand(path: String, name: String,
+                                           condition: String)
+  extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    MergeStore.addConstraint(spark, path, name, condition): Unit
+    Seq.empty
+  }
 }
 
 /** `UPDATE graft.db.t SET ... WHERE ...` at execution time. */

@@ -3470,6 +3470,54 @@ object MergeStore {
         (s"$ConstraintPrefix$name" -> check))
   }
 
+  /** ALTER TABLE SET/UNSET TBLPROPERTIES as a metadata-only policy
+    * commit. Supported properties: `graft.mor` (route SQL
+    * UPDATE/DELETE through deletion vectors — same durable policy
+    * CREATE TABLE declares), `graft.stats.cols` / `graft.bloom.cols` /
+    * `graft.bloom.fpp` (skip-index policy for FUTURE writes; one
+    * [[compact]] backfills existing files). `value = None` unsets.
+    * Unknown properties refuse loudly — a silently-dropped policy
+    * would read as applied. Column lists validate against the
+    * table's recorded schema. */
+  def setPolicy(target: String, property: String,
+                value: Option[String]): Int = {
+    val parentV = currentVersion(target)
+      .getOrElse(sys.error(s"no committed version at $target"))
+    val key = property match {
+      case "graft.mor" => MorKey
+      case "graft.stats.cols" => StatsColsKey
+      case "graft.bloom.cols" => BloomColsKey
+      case "graft.bloom.fpp" => BloomFppKey
+      case other => throw new UnsupportedOperationException(
+        s"table property '$other' is not a graft policy — supported: " +
+          "graft.mor, graft.stats.cols, graft.bloom.cols, graft.bloom.fpp")
+    }
+    value.foreach { v =>
+      key match {
+        case MorKey => require(v == "true" || v == "false",
+          s"graft.mor wants 'true' or 'false', got '$v'")
+        case BloomFppKey =>
+          val d = try v.toDouble catch {
+            case _: NumberFormatException =>
+              sys.error(s"graft.bloom.fpp wants a double in (0,1), got '$v'")
+          }
+          require(d > 0 && d < 1,
+            s"graft.bloom.fpp wants a double in (0,1), got '$v'")
+        case _ =>
+          manifestSchema(target, parentV).foreach { schema =>
+            val missing = v.split(',').map(_.trim).filter(_.nonEmpty)
+              .filterNot(schema.fieldNames.contains)
+            require(missing.isEmpty,
+              s"$property names column(s) not in the table's schema: " +
+                missing.mkString(", "))
+          }
+      }
+    }
+    val meta = manifestMeta(target, Some(parentV))
+    commit(target, liveFiles(target, Some(parentV)), parentV,
+      value.fold(meta - key)(v => meta + (key -> v)))
+  }
+
   /** Drop a named CHECK constraint (metadata-only commit). */
   def dropConstraint(spark: SparkSession, target: String,
                      name: String): Int = {
@@ -4135,6 +4183,93 @@ object MergeStore {
     val files = writeFiles(toPhysical(arranged, recorded), target)
     commitWithStats(spark, target, files, parentV, meta, files, sCols,
       recorded, bCols, fpp)
+  }
+
+  final case class CompactStats(version: Int, compacted: Int,
+                                produced: Int, rebases: Int = 0,
+                                recomputes: Int = 0)
+
+  /** Incremental OPTIMIZE (Delta's bin-packing shape): rewrite ONLY the
+    * live files smaller than `smallBytes` into ~`targetFileBytes`-sized
+    * files, leaving every right-sized file untouched — the maintenance
+    * verb a trickle-ingested table needs at scale, where [[compact]]'s
+    * whole-table rewrite pays O(table) to fix a tail of tiny files.
+    * Deletion vectors on the rewritten files MATERIALIZE (buried rows
+    * drop for good; the sidecar lines retire with the file names);
+    * stats/bloom lines recompute for the new files and carry untouched
+    * for the rest. Fewer than 2 small files is a no-op — nothing
+    * commits, the head version returns unchanged.
+    *
+    * Concurrency: the read set is exactly the small files, so a lost
+    * CAS REBASES (zero data IO) whenever they are all still live with
+    * unchanged DV lines and table policy at the new head — a rival
+    * APPEND never forces a recompute; its new small files simply wait
+    * for the next pass. A rival that rewrote or DV-buried a candidate
+    * recomputes (`maxRetries`), exactly the row-level verbs' contract.
+    *
+    * File sizes come from the data directory (one size-stat per live
+    * file — a maintenance-time cost; an object-store deployment would
+    * record sizes as manifest lines, Delta's choice). */
+  def compactSmall(spark: SparkSession, target: String, smallBytes: Long,
+                   targetFileBytes: Long = 128L << 20,
+                   maxRetries: Int = 0,
+                   snapshotVersion: Option[Int] = None): CompactStats =
+    try compactSmallOnce(spark, target, smallBytes, targetFileBytes,
+      snapshotVersion)
+    catch {
+      case _: java.util.ConcurrentModificationException
+          if maxRetries > 0 =>
+        val st = compactSmall(spark, target, smallBytes, targetFileBytes,
+          maxRetries - 1, None)
+        st.copy(recomputes = st.recomputes + 1)
+    }
+
+  private def compactSmallOnce(spark: SparkSession, target: String,
+                               smallBytes: Long, targetFileBytes: Long,
+                               snapshotVersion: Option[Int])
+      : CompactStats = {
+    require(smallBytes > 0 && targetFileBytes > 0,
+      "compactSmall wants positive byte thresholds")
+    val parentV = snapshotVersion.orElse(currentVersion(target))
+      .getOrElse(sys.error(s"no committed version at $target"))
+    val before = liveFiles(target, Some(parentV))
+    val sized = before.map { f =>
+      f -> (try Files.size(dataDir(target).resolve(f))
+      catch { case _: java.io.IOException => Long.MaxValue })
+    }
+    val small = sized.filter(_._2 < smallBytes)
+    if (small.size < 2) return CompactStats(parentV, 0, 0)
+    val smallNames = small.map(_._1)
+    val smallSet = smallNames.toSet
+    def full = read(spark, target, Some(parentV))
+    val df = readSubset(spark, target, parentV, full, smallNames)
+    val nOut = math.max(1, math.ceil(
+      small.map(_._2).sum.toDouble / targetFileBytes).toInt)
+    val recorded = withMapping(df.schema, manifestSchema(target, parentV))
+    val newFiles = writeFiles(
+      toPhysical(df.repartition(nOut), recorded), target)
+    val sCols = statsColumns(target, Some(parentV)).filter(c =>
+      df.schema.fields.exists(f =>
+        f.name == c && tagOf(f.dataType).isDefined))
+    val (inhB, fpp) = inheritedBloom(target, parentV)
+    // Stats precompute ONCE; a rebase re-commits the same lines against
+    // the moved head with zero data IO.
+    val (fresh, blooms) = freshStatsAndBlooms(spark, target, newFiles,
+      sCols, inhB, fpp, recorded)
+    var committed = parentV
+    val rebases = commitWithRebase(target, parentV, smallNames, smallSet,
+      // The affected-still-live and DV-line checks carry the real
+      // equivalence argument; the candidate set re-derivation is
+      // identity (a rival's NEW small files don't invalidate this
+      // rewrite — they wait for the next pass).
+      (_, headFiles) => smallNames.filter(headFiles.toSet),
+      attemptAt = head => {
+        val headLive = liveFiles(target, Some(head))
+        committed = assembleAndCommit(spark, target,
+          headLive.filterNot(smallSet) ++ newFiles, head, Map.empty,
+          fresh, blooms, sCols, recorded, inhB, fpp, Map.empty)
+      }).getOrElse(0)
+    CompactStats(committed, small.size, newFiles.size, rebases = rebases)
   }
 
   /** Delete data files outside the retention window: anything not
