@@ -535,6 +535,57 @@ object ScaleProbe {
     * by manifest-only REBASE (zero recomputes asserted) — the number
     * SCALE.md's multi-writer story quotes is landed commits/sec and
     * the rebase count at each N. */
+  /** Incremental OPTIMIZE vs whole-table compaction as the table grows:
+    * init `bigFiles` right-sized files, zero-copy clone a twin, trickle
+    * the SAME 64 one-row appends into both, then bin-pack the small
+    * tail on one ([[MergeStore.compactSmall]]) and rewrite the whole
+    * table on the other ([[MergeStore.compact]]). The claim under test:
+    * optimize cost tracks the TAIL (flat as bigFiles grows) while the
+    * full rewrite tracks the TABLE. Equality of the two results is
+    * asserted in-pass. */
+  private def optimizeCostProbe(spark: SparkSession,
+                                bigCounts: Seq[Int]): Unit = {
+    val trickles = 64
+    bigCounts.foreach { bigFiles =>
+      val dir = java.nio.file.Files.createTempDirectory("optcost")
+      val t = s"$dir/tbl"
+      val twin = s"$dir/twin"
+      val rows = bigFiles * 8000L
+      MergeStore.init(spark,
+        spark.range(rows).select(col("id"),
+          (col("id") % 97).cast("int").as("grp"),
+          concat(lit("p-"), col("id")).as("payload")),
+        t, numFiles = bigFiles, clusterBy = Seq("id"))
+      MergeStore.cloneTable(spark, t, twin)
+      Seq(t, twin).foreach { tbl =>
+        (0 until trickles).foreach { i =>
+          MergeStore.append(spark,
+            spark.range(rows + i, rows + i + 1).select(col("id"),
+              lit(1).cast("int").as("grp"),
+              concat(lit("tiny-"), col("id")).as("payload")),
+            tbl): Unit
+        }
+      }
+      val (stOpt, optWall) = time {
+        MergeStore.compactSmall(spark, t, smallBytes = 16 << 10)
+      }
+      val (_, fullWall) = time {
+        MergeStore.compact(spark, twin, targetFiles = bigFiles)
+      }
+      require(stOpt.compacted == trickles,
+        s"expected the $trickles-file tail to pack, got $stOpt")
+      require(MergeStore.liveFiles(t).size == bigFiles + stOpt.produced)
+      require(MergeStore.read(spark, t).count() ==
+        MergeStore.read(spark, twin).count(),
+        "optimize and full compact must preserve identical content")
+      println(s"""{"metric":"optimize_cost","big_files":$bigFiles,""" +
+        s""""trickle_files":$trickles,""" +
+        s""""optimize_sec":${f"$optWall%.3f"},""" +
+        s""""full_compact_sec":${f"$fullWall%.3f"},""" +
+        s""""ratio":${f"${fullWall / optWall}%.2f"}}""")
+    }
+  }
+
   private def rebaseContentionProbe(spark: SparkSession,
                                     writerCounts: Seq[Int],
                                     commitsPer: Int): Unit = {
@@ -1075,6 +1126,14 @@ object ScaleProbe {
       val counts = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
         else Seq(4096, 16384, 65536, 262144)
       ckptCostProbe(spark, counts)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("optimize-cost")) {
+      val spark = GraftSession.local(32)
+      val counts = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+        else Seq(64, 256, 1024)
+      optimizeCostProbe(spark, counts)
       spark.stop()
       return
     }

@@ -1316,6 +1316,21 @@ object MergeStore {
     * their relative names. Files are born under a unique staging name and
     * moved in — a crashed writer never leaves a half-written file behind
     * a name a manifest could reference. */
+  /** Files under this size get a footer row-count probe in
+    * [[writeFiles]] — an empty-partition parquet file is footer-only
+    * (hundreds of bytes), so the gate keeps the probe off every
+    * right-sized file while catching zero-row output exactly. */
+  private val EmptyFileProbeBytes = 16L << 10
+
+  private def stagedRowCount(p: Path): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toString),
+      new org.apache.hadoop.conf.Configuration()))
+    try r.getRecordCount finally r.close()
+  }
+
   private def writeFiles(df: DataFrame, target: String): Seq[String] = {
     Files.createDirectories(Paths.get(target)) // fresh warehouse: parent may not exist
     val stage = Files.createTempDirectory(
@@ -1323,8 +1338,14 @@ object MergeStore {
     df.write.mode("overwrite").parquet(stage.toString)
     Files.createDirectories(dataDir(target))
     val batch = java.util.UUID.randomUUID().toString.take(8)
+    // Zero-row task outputs (empty partitions of a sparse batch) never
+    // commit: at trickle-ingest scale an empty twin per append DOUBLES
+    // the live file count for pure manifest/stats overhead. Cheap by
+    // construction — only footer-sized files get the row-count probe.
     val parts = Files.list(stage).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+      .filterNot(p => Files.size(p) < EmptyFileProbeBytes &&
+        stagedRowCount(p) == 0L)
     val named = parts.zipWithIndex.map { case (p, i) =>
       val name = s"part-$batch-$i.parquet"
       Files.move(p, dataDir(target).resolve(name))

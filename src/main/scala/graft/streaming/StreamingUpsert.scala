@@ -32,14 +32,27 @@ object StreamingUpsert {
   /** Start landing `source` into `target` keyed on `pk`. Rows where
     * `deleteCol` (optional) is TRUE are deletes-by-key; everything
     * else upserts (delete-then-upsert composition within one batch is
-    * applyChanges' defined semantics). AvailableNow by default. */
+    * applyChanges' defined semantics). AvailableNow by default.
+    *
+    * `optimizeEvery > 0` runs [[MergeStore.compactSmall]] after every
+    * N-th batch (the BM25 index's `maintainEvery` idiom, on the table
+    * itself): a trickle sink is exactly where sub-`optimizeSmallBytes`
+    * files pile up, and the incremental bin-pack bounds the live file
+    * count at O(table/target + N) instead of O(batches). Maintenance
+    * needs no marker of its own — the rewrite is content-preserving
+    * (the change feed nets it to zero rows, followers are pinned
+    * across compactions), and a crash-redelivered pass finds the
+    * already-packed file and no-ops. */
   def exactlyOnce(source: DataFrame, target: String, pk: Seq[String],
                   checkpoint: String,
                   appId: String = "graft-stream-upsert",
                   deleteCol: Option[String] = None,
                   trigger: Trigger = Trigger.AvailableNow(),
                   initFiles: Int = 8,
-                  maxRetries: Int = 3): StreamingQuery = {
+                  maxRetries: Int = 3,
+                  optimizeEvery: Int = 0,
+                  optimizeSmallBytes: Long = 32L << 20,
+                  optimizeTargetBytes: Long = 128L << 20): StreamingQuery = {
     require(pk.nonEmpty, "StreamingUpsert needs key columns")
     val key = s"stream.$appId"
     source.writeStream
@@ -68,6 +81,9 @@ object StreamingUpsert {
             guard = Some(MergeStore.MarkerGuard(key, id,
               expected = if (id == 0) None else Some(id - 1))))
         }
+        if (optimizeEvery > 0 && id % optimizeEvery == optimizeEvery - 1)
+          MergeStore.compactSmall(s, target, optimizeSmallBytes,
+            optimizeTargetBytes, maxRetries = maxRetries): Unit
         ()
       }
       .start()

@@ -212,4 +212,18 @@ class AppendSpec extends SparkSpec {
       SqlVerbs.execute(spark, "INSERT INTO events VALUES (1, 2)", cat)
     }
   }
+
+  test("empty partitions of a sparse batch never commit files") {
+    val t = fresh("app-sparse")
+    val before = MergeStore.liveFiles(t).toSet
+    // spark.range over one row plans many partitions, all but one
+    // empty; a trickle producer shaped like this must add exactly ONE
+    // file per call, not an empty footer-only twin per partition.
+    val st = MergeStore.append(spark,
+      spark.range(N.toLong, N + 1L).select(col("id"),
+        lit(1).cast("int").as("grp"), lit("one").as("payload")), t)
+    assert(st.filesAdded == 1, st.toString)
+    assert((MergeStore.liveFiles(t).toSet -- before).size == 1)
+    assert(MergeStore.read(spark, t).count() == N + 1)
+  }
 }

@@ -73,4 +73,36 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(failed, "violating batch must fail the stream loudly")
     assert(MergeStore.read(spark, t).count() == 1) // nothing landed
   }
+
+  test("optimizeEvery bounds the trickle sink's file count; invisible to marker and feed") {
+    val base = tmpDir("stream-opt")
+    val t = s"$base/tbl"
+    val ms = MemoryStream[(Long, String, Boolean)]
+    def run(): Unit = {
+      val q = StreamingUpsert.exactlyOnce(
+        ms.toDF().toDF("id", "payload", "is_delete"),
+        t, pk = Seq("id"), checkpoint = s"$base/ck", appId = "opt",
+        deleteCol = Some("is_delete"), initFiles = 1,
+        optimizeEvery = 4, optimizeSmallBytes = 1L << 20)
+      q.awaitTermination()
+    }
+    // 12 one-row batches: without maintenance the live set grows a file
+    // per batch; every 4th batch bin-packs the small tail.
+    (0 until 12).foreach { i =>
+      ms.addData((100L + i, s"p-$i", false)); run()
+    }
+    assert(MergeStore.read(spark, t).count() == 12)
+    assert(MergeStore.liveFiles(t).size <= 4,
+      s"auto-optimize must bound the file count, got " +
+        s"${MergeStore.liveFiles(t).size}")
+    // The batch marker survives the interleaved maintenance commits.
+    assert(MergeStore.markerValue(t, "stream.opt").contains("11"))
+    // The post-birth history nets to exactly the 11 later inserts
+    // (the span (0, head] excludes v0's init content): maintenance
+    // commits are invisible to the change feed.
+    val feed = MergeStore.changes(spark, t, 0,
+      MergeStore.version(t).get, pk = Seq("id"))
+    assert(feed.where(col("_change_type") === "insert").count() == 11)
+    assert(feed.where(col("_change_type") =!= "insert").count() == 0)
+  }
 }
