@@ -404,8 +404,23 @@ final case class GraftTable(ident: String, path: String,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER)
 
-  override def properties(): java.util.Map[String, String] =
-    Map("provider" -> "graft", "location" -> path).asJava
+  /** Surfaces in DESCRIBE TABLE EXTENDED: the table's head version and
+    * carried policies, read from the (memoized) manifest state. */
+  override def properties(): java.util.Map[String, String] = {
+    val head = pinnedVersion.orElse(MergeStore.version(path))
+    val policies = head.map { v =>
+      val meta = MergeStore.manifestMeta(path, Some(v))
+      Map("graft.version" -> v.toString) ++
+        meta.get(MergeStore.MorKey).map("graft.mor" -> _) ++
+        (if (MergeStore.constraints(path, Some(v)).isEmpty) Map.empty
+         else Map("graft.constraints" -> MergeStore
+           .constraints(path, Some(v)).keys.toSeq.sorted.mkString(","))) ++
+        (if (MergeStore.statsColumns(path, Some(v)).isEmpty) Map.empty
+         else Map("graft.stats.cols" -> MergeStore
+           .statsColumns(path, Some(v)).mkString(",")))
+    }.getOrElse(Map.empty[String, String])
+    (Map("provider" -> "graft", "location" -> path) ++ policies).asJava
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,

@@ -17,12 +17,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * `system` procedures:
   *
   *   - `CALL graft.system.history(table => 'db.t')` — the commit log
-  *     as rows (version, commit_time), oldest first.
+  *     as rows with per-commit manifest encoding and file deltas
+  *     ([[MergeStore.historyDetail]]), oldest first.
+  *   - `CALL graft.system.details('db.t')` — one-row table summary
+  *     (version, files, bytes, metadata-exact rows, DVs, policies).
   *   - `CALL graft.system.vacuum('db.t', retain_versions => 7)` —
   *     [[MergeStore.vacuum]]; returns the deleted-data-file count.
   *   - `CALL graft.system.compact('db.t', target_files => 8,
   *     zorder_by => 'a,b')` — [[MergeStore.compact]] bin-packing with
   *     optional Z-order / range clustering; returns the new version.
+  *   - `CALL graft.system.optimize_small('db.t', small_bytes => n)` —
+  *     [[MergeStore.compactSmall]], the incremental OPTIMIZE: only the
+  *     small files rewrite; concurrent appends rebase.
   *   - `CALL graft.system.restore('db.t', version => 3)` —
   *     [[MergeStore.restore]]; commits a new head whose content is the
   *     old version's (time travel stays intact).
@@ -48,13 +54,14 @@ object GraftProcedures {
 
   private def all(catalog: GraftCatalog): Seq[GraftProcedure] = Seq(
     new HistoryProcedure(catalog),
+    new DetailsProcedure(catalog),
     new VacuumProcedure(catalog),
     new CompactProcedure(catalog),
     new OptimizeSmallProcedure(catalog),
     new RestoreProcedure(catalog),
     new CloneProcedure(catalog))
 
-  private val names = Seq("history", "vacuum", "compact",
+  private val names = Seq("history", "details", "vacuum", "compact",
     "optimize_small", "restore", "clone_table")
 
   def list(namespace: Array[String]): Array[Identifier] =
@@ -124,18 +131,71 @@ object GraftProcedures {
       extends GraftProcedure(catalog) {
     override def name: String = "history"
     override def description: String =
-      "commit log of a MergeStore table: (version, commit_time), " +
-        "oldest first, retained versions only"
+      "commit log of a MergeStore table, oldest first, retained " +
+        "versions only: commit time, manifest encoding (full/delta), " +
+        "per-commit added/removed file counts (delta) or the live-file " +
+        "count (full) — read off the manifest bodies, never " +
+        "reconstructed"
     override def parameters(): Array[ProcedureParameter] =
       Array(in("table", StringType))
     override def call(input: InternalRow): JIterator[Scan] = {
       val p = existingPath(str(input, 0, "table"))
       result(
-        StructType(Seq(StructField("version", IntegerType, nullable = false),
-          StructField("commit_time", TimestampType, nullable = false))),
-        MergeStore.history(p).map { case (v, millis) =>
-          row(v, millis * 1000L)
+        StructType(Seq(
+          StructField("version", IntegerType, nullable = false),
+          StructField("commit_time", TimestampType, nullable = false),
+          StructField("format", StringType, nullable = false),
+          StructField("added_files", IntegerType),
+          StructField("removed_files", IntegerType),
+          StructField("live_files", IntegerType))),
+        MergeStore.historyDetail(p).map { ci =>
+          row(ci.version, ci.commitTimeMs * 1000L,
+            UTF8String.fromString(ci.format),
+            ci.addedFiles.map(Int.box).orNull,
+            ci.removedFiles.map(Int.box).orNull,
+            ci.liveFiles.map(Int.box).orNull)
         })
+    }
+  }
+
+  private final class DetailsProcedure(catalog: GraftCatalog)
+      extends GraftProcedure(catalog) {
+    override def name: String = "details"
+    override def description: String =
+      "one-row table summary: head version, live files and bytes, " +
+        "metadata-exact row count (NULL on stats-less legacy tables), " +
+        "deletion-vector count, MOR routing, constraint count, " +
+        "skip-index policy"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val p = existingPath(str(input, 0, "table"))
+      val spark = SparkSession.active
+      val v = MergeStore.version(p).get
+      val files = MergeStore.liveFiles(p, Some(v))
+      val bytes = files.map { f =>
+        try java.nio.file.Files.size(
+          java.nio.file.Paths.get(p, "data", f))
+        catch { case _: java.io.IOException => 0L }
+      }.sum
+      result(
+        StructType(Seq(
+          StructField("version", IntegerType, nullable = false),
+          StructField("live_files", IntegerType, nullable = false),
+          StructField("total_bytes", LongType, nullable = false),
+          StructField("row_count", LongType),
+          StructField("deletion_vectors", IntegerType, nullable = false),
+          StructField("mor", BooleanType, nullable = false),
+          StructField("constraints", IntegerType, nullable = false),
+          StructField("stats_cols", StringType))),
+        Seq(row(v, files.size, bytes,
+          MergeStore.rowCount(spark, p).map(Long.box).orNull,
+          MergeStore.dvMeta(p).size,
+          GraftCatalog.isMor(p),
+          MergeStore.constraints(p).size,
+          Option(MergeStore.statsColumns(p))
+            .filter(_.nonEmpty)
+            .map(cs => UTF8String.fromString(cs.mkString(","))).orNull)))
     }
   }
 

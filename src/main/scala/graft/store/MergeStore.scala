@@ -1415,6 +1415,29 @@ object MergeStore {
       }.toSeq.sortBy(_._1)
   }
 
+  final case class CommitInfo(version: Int, commitTimeMs: Long,
+                              format: String, addedFiles: Option[Int],
+                              removedFiles: Option[Int],
+                              liveFiles: Option[Int])
+
+  /** [[history]] enriched from the manifest BODIES without any state
+    * reconstruction — O(manifest bytes) per version, never O(live
+    * files): a delta commit reports added/removed counts straight off
+    * its `+`/`-` lines, a full snapshot its live-file count. The
+    * DESCRIBE-HISTORY-shaped surface `CALL graft.system.history`
+    * serves. */
+  def historyDetail(target: String): Seq[CommitInfo] =
+    history(target).map { case (v, ms) =>
+      val lines = readManifestLines(listPath(target, v))
+      if (lines.headOption.contains(DeltaMarkerLine))
+        CommitInfo(v, ms, "delta",
+          Some(lines.count(_.startsWith("+"))),
+          Some(lines.count(_.startsWith("-"))), None)
+      else
+        CommitInfo(v, ms, "full", None, None,
+          Some(lines.count(l => l.nonEmpty && !l.startsWith("#"))))
+    }
+
   /** The newest version committed AT OR BEFORE `timestampMillis`
     * (Delta's TIMESTAMP AS OF): None when the table's earliest
     * retained commit is later. */

@@ -90,6 +90,20 @@ class CatalogPolicySpec extends SparkSpec {
       .as[Long].head() == N - 2)
   }
 
+  test("DESCRIBE TABLE EXTENDED surfaces version and carried policies") {
+    val t = fresh("desc")
+    spark.sql("ALTER TABLE graft.db.desc ADD CONSTRAINT pos CHECK (id >= 0)")
+    spark.sql(
+      "ALTER TABLE graft.db.desc SET TBLPROPERTIES ('graft.mor'='true')")
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED graft.db.desc")
+      .collect().map(r => s"${r.getString(0)}|${r.getString(1)}")
+      .mkString("\n")
+    assert(desc.contains("graft.version"), desc)
+    assert(desc.contains("graft.mor") && desc.contains("true"), desc)
+    assert(desc.contains("graft.constraints") && desc.contains("pos"), desc)
+    assert(desc.contains("graft.stats.cols") && desc.contains("id"), desc)
+  }
+
   test("SET TBLPROPERTIES('graft.stats.cols') governs future writes") {
     val t = tmpDir("pol-stats") + "/tbl"
     // No stats at init (legacy-style table).

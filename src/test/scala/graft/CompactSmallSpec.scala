@@ -101,6 +101,21 @@ class CompactSmallSpec extends SparkSpec {
       "the recomputed pass must respect the rival's delete")
   }
 
+  test("column-mapped (renamed) tables bin-pack under the mapping") {
+    val t = trickled("ren", 4)
+    MergeStore.renameColumn(spark, t, "payload", "body")
+    val before = MergeStore.read(spark, t).orderBy("id").collect().toSeq
+    val st = MergeStore.compactSmall(spark, t, smallBytes = 4096)
+    assert(st.compacted == 4)
+    assert(MergeStore.read(spark, t).orderBy("id").collect().toSeq ==
+      before, "rewrite must round-trip through the physical names")
+    // The packed file still serves the renamed column and the key probe.
+    assert(MergeStore.read(spark, t).where($"id" === (N + 1).toLong)
+      .select($"body").as[String].head() == "tiny-1")
+    assert(MergeStore.candidateFiles(spark, t, "id",
+      Some(N + 1L), Some(N + 4L)).size == 1)
+  }
+
   test("CALL graft.system.optimize_small drives the verb") {
     val t = trickled("sql", 5)
     GraftCatalog.register("db.opts", t)

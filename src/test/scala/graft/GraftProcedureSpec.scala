@@ -25,16 +25,40 @@ class GraftProcedureSpec extends SparkSpec {
     t
   }
 
-  test("history: the commit log as rows, oldest first") {
+  test("history: the commit log as rows, oldest first, with per-commit file deltas") {
     val t = fresh("hist")
     MergeStore.deleteWhere(spark, t, $"id" < 100L) // v1
     MergeStore.deleteWhere(spark, t, $"id" < 200L) // v2
     val h = spark.sql("CALL graft.system.history(table => 'db.hist')")
-      .select($"version", $"commit_time".cast("long"))
-      .as[(Int, Long)].collect().toSeq
-    assert(h.map(_._1) == Seq(0, 1, 2), s"got $h")
-    assert(h.map(_._2).sorted == h.map(_._2), "commit times must ascend")
-    assert(h.forall(_._2 > 0))
+      .select($"version", $"commit_time".cast("long"), $"format",
+        $"added_files", $"removed_files", $"live_files")
+      .collect().toSeq
+    assert(h.map(_.getInt(0)) == Seq(0, 1, 2), s"got $h")
+    val times = h.map(_.getLong(1))
+    assert(times.sorted == times && times.forall(_ > 0))
+    // v0 is a full snapshot (fresh table): live-file count, no deltas.
+    assert(h.head.getString(2) == "full" && h.head.getInt(5) == 8)
+    assert(h.head.isNullAt(3) && h.head.isNullAt(4))
+    // The deletes are delta commits: rewritten files counted off the
+    // manifest's +/- lines, never reconstructed.
+    h.tail.foreach { r =>
+      assert(r.getString(2) == "delta")
+      assert(r.getInt(3) >= 1 && r.getInt(4) >= 1 && r.isNullAt(5), r)
+    }
+  }
+
+  test("details: one-row table summary") {
+    val t = fresh("det")
+    MergeStore.deleteWhereMor(spark, t, $"id" === 3L)
+    val r = spark.sql("CALL graft.system.details('db.det')").collect().head
+    assert(r.getInt(0) == 1, "head version after the MOR delete")
+    assert(r.getInt(1) == 8, "live files")
+    assert(r.getLong(2) > 0, "bytes")
+    assert(r.getLong(3) == N - 1, "metadata-exact row count nets the DV")
+    assert(r.getInt(4) == 1, "one deletion vector")
+    assert(!r.getBoolean(5), "no MOR routing policy set")
+    assert(r.getInt(6) == 0, "no constraints")
+    assert(r.getString(7) == "id", "clustered init records stats policy")
   }
 
   test("compact: positional + named args, Z-order layout, semantics preserved") {
@@ -104,8 +128,9 @@ class GraftProcedureSpec extends SparkSpec {
   test("SHOW PROCEDURES and DESCRIBE PROCEDURE surface the registry") {
     val shown = spark.sql("SHOW PROCEDURES IN graft.system")
       .select("procedure_name").as[String].collect().toSet
-    assert(Set("history", "vacuum", "compact", "restore",
-      "clone_table").subsetOf(shown), s"got $shown")
+    assert(Set("history", "details", "vacuum", "compact",
+      "optimize_small", "restore", "clone_table").subsetOf(shown),
+      s"got $shown")
     val desc = spark.sql("DESCRIBE PROCEDURE graft.system.vacuum")
       .as[String].collect().mkString("\n")
     assert(desc.contains("vacuum"), desc)
