@@ -232,17 +232,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier,
                            info: org.apache.spark.sql.connector.catalog.TableInfo)
       : Table = {
-    val t = createTable(ident, info.schema(), info.partitions(),
-      info.properties())
-    val spark = SparkSession.active
-    info.constraints().foreach {
-      case c: Check =>
-        MergeStore.addConstraint(spark,
-          t.asInstanceOf[GraftTable].path, c.name(), c.predicateSql()): Unit
+    // Validate constraint KINDS before anything commits: a refusal
+    // after the 4-arg create would leave a table behind whose CREATE
+    // reportedly failed (the retry then hits TableAlreadyExists).
+    val checks = info.constraints().map {
+      case c: Check => c
       case other => throw new UnsupportedOperationException(
         s"constraint ${other.toDDL} is not supported — MergeStore " +
           "enforces CHECK constraints only")
     }
+    val t = createTable(ident, info.schema(), info.partitions(),
+      info.properties())
+    val spark = SparkSession.active
+    checks.foreach(c => MergeStore.addConstraint(spark,
+      t.asInstanceOf[GraftTable].path, c.name(), c.predicateSql()): Unit)
     t
   }
 
@@ -410,14 +413,14 @@ final case class GraftTable(ident: String, path: String,
     val head = pinnedVersion.orElse(MergeStore.version(path))
     val policies = head.map { v =>
       val meta = MergeStore.manifestMeta(path, Some(v))
+      val cons = MergeStore.constraints(path, Some(v))
+      val stats = MergeStore.statsColumns(path, Some(v))
       Map("graft.version" -> v.toString) ++
         meta.get(MergeStore.MorKey).map("graft.mor" -> _) ++
-        (if (MergeStore.constraints(path, Some(v)).isEmpty) Map.empty
-         else Map("graft.constraints" -> MergeStore
-           .constraints(path, Some(v)).keys.toSeq.sorted.mkString(","))) ++
-        (if (MergeStore.statsColumns(path, Some(v)).isEmpty) Map.empty
-         else Map("graft.stats.cols" -> MergeStore
-           .statsColumns(path, Some(v)).mkString(",")))
+        (if (cons.isEmpty) Map.empty
+         else Map("graft.constraints" -> cons.keys.toSeq.sorted.mkString(","))) ++
+        (if (stats.isEmpty) Map.empty
+         else Map("graft.stats.cols" -> stats.mkString(",")))
     }.getOrElse(Map.empty[String, String])
     (Map("provider" -> "graft", "location" -> path) ++ policies).asJava
   }

@@ -188,12 +188,14 @@ object GraftProcedures {
           StructField("mor", BooleanType, nullable = false),
           StructField("constraints", IntegerType, nullable = false),
           StructField("stats_cols", StringType))),
+        // Every accessor pinned at v — a rival committing mid-call must
+        // not mix two versions into one "summary" row.
         Seq(row(v, files.size, bytes,
-          MergeStore.rowCount(spark, p).map(Long.box).orNull,
-          MergeStore.dvMeta(p).size,
+          MergeStore.rowCount(spark, p, Some(v)).map(Long.box).orNull,
+          MergeStore.dvMeta(p, Some(v)).size,
           GraftCatalog.isMor(p),
-          MergeStore.constraints(p).size,
-          Option(MergeStore.statsColumns(p))
+          MergeStore.constraints(p, Some(v)).size,
+          Option(MergeStore.statsColumns(p, Some(v)))
             .filter(_.nonEmpty)
             .map(cs => UTF8String.fromString(cs.mkString(","))).orNull)))
     }

@@ -1340,11 +1340,16 @@ object MergeStore {
     val batch = java.util.UUID.randomUUID().toString.take(8)
     // Zero-row task outputs (empty partitions of a sparse batch) never
     // commit: at trickle-ingest scale an empty twin per append DOUBLES
-    // the live file count for pure manifest/stats overhead. Cheap by
-    // construction — only footer-sized files get the row-count probe.
-    val parts = Files.list(stage).iterator().asScala
+    // the live file count for pure manifest/stats overhead. Small
+    // batches (the trickle shape, where empties actually bite) probe
+    // every file so a wide schema's >16 KB empty footer can't slip
+    // through; large rewrites apply the size gate, bounding the
+    // driver-side footer reads.
+    val staged = Files.list(stage).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
-      .filterNot(p => Files.size(p) < EmptyFileProbeBytes &&
+    val probeAll = staged.size <= 64
+    val parts = staged.filterNot(p =>
+      (probeAll || Files.size(p) < EmptyFileProbeBytes) &&
         stagedRowCount(p) == 0L)
     val named = parts.zipWithIndex.map { case (p, i) =>
       val name = s"part-$batch-$i.parquet"
@@ -3291,13 +3296,13 @@ object MergeStore {
         k == BloomFppKey || isDvKey(k) ||
         ((isStatsKey(k) || isBloomKey(k) || isNullsKey(k)) && files.contains(statsKeyFile(k)))
     }
-    // Constraints are current POLICY, not versioned data: the head's
-    // constraint set survives the rollback (restore does not
+    // Constraints and MOR routing are current POLICY, not versioned
+    // data: the head's set survives the rollback (restore does not
     // re-validate restored rows — constraints gate WRITES; a restore
     // below an addConstraint can surface pre-constraint rows, exactly
     // like Delta).
     val policy = manifestMeta(target, Some(head))
-      .filter { case (k, _) => isConstraintKey(k) }
+      .filter { case (k, _) => isConstraintKey(k) || k == MorKey }
     commit(target, files, head, policy ++ carried ++ meta)
   }
 
@@ -3335,7 +3340,7 @@ object MergeStore {
     }
     val carried = meta.filter { case (k, _) =>
       k == StatsColsKey || k == SchemaKey || k == BloomColsKey ||
-        k == BloomFppKey || isConstraintKey(k) ||
+        k == BloomFppKey || isConstraintKey(k) || k == MorKey ||
         (isDvKey(k) && files.contains(k.stripPrefix(DvPrefix))) ||
         ((isStatsKey(k) || isBloomKey(k) || isNullsKey(k)) && files.contains(statsKeyFile(k)))
     }

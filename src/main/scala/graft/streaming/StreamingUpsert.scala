@@ -82,8 +82,17 @@ object StreamingUpsert {
               expected = if (id == 0) None else Some(id - 1))))
         }
         if (optimizeEvery > 0 && id % optimizeEvery == optimizeEvery - 1)
-          MergeStore.compactSmall(s, target, optimizeSmallBytes,
+          // Maintenance is best-effort: the batch's rows and marker are
+          // already committed, so a bin-pack that loses every OCC retry
+          // to a hot rival must not kill the stream — the tail just
+          // waits for the next pass.
+          try MergeStore.compactSmall(s, target, optimizeSmallBytes,
             optimizeTargetBytes, maxRetries = maxRetries): Unit
+          catch {
+            case e: java.util.ConcurrentModificationException =>
+              System.err.println(s"[graft-stream-upsert] optimize pass " +
+                s"skipped at batch $id (contended): ${e.getMessage}")
+          }
         ()
       }
       .start()

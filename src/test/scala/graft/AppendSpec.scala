@@ -213,6 +213,20 @@ class AppendSpec extends SparkSpec {
     }
   }
 
+  test("wide schemas: empty partitions still never commit (probe is not size-gated on small batches)") {
+    // ~300 columns push a footer-only parquet file past the 16 KB size
+    // gate — the small-batch path must probe row counts regardless.
+    val wideCols = (1 to 300).map(i => lit(s"v$i").as(s"c$i"))
+    val wide = spark.range(0L, 50L).select(col("id") +: wideCols: _*)
+    val t = tmpDir("app-wide") + "/tbl"
+    MergeStore.init(spark, wide, t, 2)
+    val st = MergeStore.append(spark,
+      spark.range(50L, 51L).select(col("id") +: wideCols: _*), t)
+    assert(st.filesAdded == 1,
+      s"wide-schema empty twin slipped through: $st")
+    assert(MergeStore.read(spark, t).count() == 51)
+  }
+
   test("empty partitions of a sparse batch never commit files") {
     val t = fresh("app-sparse")
     val before = MergeStore.liveFiles(t).toSet

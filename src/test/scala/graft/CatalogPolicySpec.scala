@@ -90,6 +90,43 @@ class CatalogPolicySpec extends SparkSpec {
       .as[Long].head() == N - 2)
   }
 
+  test("durable MOR policy survives restore and clone") {
+    val t = fresh("morsurv")
+    spark.sql(
+      "ALTER TABLE graft.db.morsurv SET TBLPROPERTIES ('graft.mor'='true')")
+    spark.sql("DELETE FROM graft.db.morsurv WHERE id = 1") // v2, via DV
+    spark.sql("CALL graft.system.restore('db.morsurv', version => 1)")
+    assert(MergeStore.manifestMeta(t).get("graft.mor").contains("true"),
+      "restore must carry the MOR policy like constraints")
+    val files = MergeStore.liveFiles(t).toSet
+    spark.sql("DELETE FROM graft.db.morsurv WHERE id = 2")
+    assert(MergeStore.liveFiles(t).toSet == files,
+      "post-restore DML must still route through deletion vectors")
+    // Clones inherit the policy too.
+    GraftCatalog.register("db.morsurv2", tmpDir("pol-morsurv2") + "/tbl")
+    spark.sql("CALL graft.system.clone_table('db.morsurv', 'db.morsurv2')")
+    val p2 = spark.sql("CALL graft.system.details('db.morsurv2')")
+      .collect().head
+    assert(p2.getBoolean(5), "clone must carry the durable MOR policy")
+  }
+
+  test("CREATE TABLE with an unsupported constraint kind leaves nothing behind") {
+    System.setProperty("graft.catalog.warehouse", tmpDir("pol-badcon"))
+    try {
+      val e = intercept[Exception] {
+        spark.sql("CREATE TABLE graft.wh.badcon (id BIGINT, " +
+          "CONSTRAINT pk_bad PRIMARY KEY (id))")
+      }
+      assert(e.getMessage.contains("CHECK constraints only"), e.getMessage)
+      assert(!spark.catalog.tableExists("graft.wh.badcon"),
+        "a refused CREATE must not leave a created table")
+      // The corrected statement now succeeds instead of AlreadyExists.
+      spark.sql("CREATE TABLE graft.wh.badcon (id BIGINT, " +
+        "CONSTRAINT pos CHECK (id > 0))")
+      assert(spark.catalog.tableExists("graft.wh.badcon"))
+    } finally System.clearProperty("graft.catalog.warehouse")
+  }
+
   test("DESCRIBE TABLE EXTENDED surfaces version and carried policies") {
     val t = fresh("desc")
     spark.sql("ALTER TABLE graft.db.desc ADD CONSTRAINT pos CHECK (id >= 0)")
