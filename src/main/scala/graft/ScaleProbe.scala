@@ -566,9 +566,16 @@ object ScaleProbe {
             tbl): Unit
         }
       }
+      // Sizes must come from the manifest's z: lines — a maintenance
+      // pass on a size-lined table does ZERO data-directory stat calls
+      // (at 10⁵–10⁶ files on an object store, each stat is a HEAD).
+      MergeStore.sizeStatFallbacks.set(0L)
       val (stOpt, optWall) = time {
         MergeStore.compactSmall(spark, t, smallBytes = 16 << 10)
       }
+      require(MergeStore.sizeStatFallbacks.get() == 0L,
+        s"compactSmall statted ${MergeStore.sizeStatFallbacks.get()} " +
+          "data files on a size-lined table — z: lines must serve sizes")
       val (_, fullWall) = time {
         MergeStore.compact(spark, twin, targetFiles = bigFiles)
       }
@@ -583,6 +590,66 @@ object ScaleProbe {
         s""""optimize_sec":${f"$optWall%.3f"},""" +
         s""""full_compact_sec":${f"$fullWall%.3f"},""" +
         s""""ratio":${f"${fullWall / optWall}%.2f"}}""")
+    }
+  }
+
+  /** The analyzer-rule tax on NON-Graft queries: the session extension
+    * injects [[graft.store.GraftResolution]] into every query's
+    * analysis fixpoint, so a plan with no Graft table anywhere must
+    * pay only the rule's cheap bail-out (one read-only traversal per
+    * iteration), not its transform passes. Measures parse+analyze wall
+    * for a representative agg query, `iters` times, in the Graft
+    * session (extension + bail-out) vs a vanilla session on the SAME
+    * SparkContext with NO extensions — the r13 VERDICT's prescribed
+    * separation of rule tax from box drift. */
+  private def ruleTaxProbe(spark: SparkSession, iters: Int): Unit = {
+    import org.apache.spark.sql.SparkSession
+    val q = "SELECT grp, count(*) AS n, sum(id) AS s FROM ruletax_src " +
+      "WHERE id % 3 = 0 GROUP BY grp ORDER BY grp"
+    def fixture(s: SparkSession): Unit =
+      s.range(100000L).select(col("id"),
+        (col("id") % 13).cast("int").as("grp"))
+        .createOrReplaceTempView("ruletax_src")
+    def analyzeLoop(s: SparkSession): Double = time {
+      var i = 0
+      while (i < iters) { s.sql(q).queryExecution.analyzed; i += 1 }
+    }._2
+    fixture(spark)
+    // A second session on the same context, extensions cleared: the
+    // no-rule baseline. Active/default session restore afterwards.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val vanilla = SparkSession.builder()
+      .config("spark.sql.extensions", "")
+      .config("spark.sql.shuffle.partitions", "32")
+      .getOrCreate()
+    try {
+      fixture(vanilla)
+      // Alternate A/B rounds and take each side's MIN: a sequential
+      // A-then-B layout hands B all of A's JIT warmup and reads as a
+      // phantom rule tax several times the rule's true cost.
+      analyzeLoop(spark); analyzeLoop(vanilla) // joint warm
+      val (withS, without) = (1 to 3).map { _ =>
+        (analyzeLoop(spark), analyzeLoop(vanilla))
+      }.unzip match { case (a, b) => (a.min, b.min) }
+      // The rule's own cost, isolated: apply it to the analyzed plan
+      // directly (the bail-out path — no Graft relation anywhere).
+      val analyzed = spark.sql(q).queryExecution.analyzed
+      val rule = graft.store.GraftResolution(spark)
+      rule.apply(analyzed): Unit
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 100000) { rule.apply(analyzed): Unit; i += 1 }
+      val ruleUs = (System.nanoTime() - t0) / 1e3 / 100000
+      println(s"""{"metric":"rule_tax","iters":$iters,""" +
+        s""""with_extension_sec":${f"$withS%.3f"},""" +
+        s""""without_extension_sec":${f"$without%.3f"},""" +
+        s""""per_query_overhead_us":${
+          f"${(withS - without) / iters * 1e6}%.1f"},""" +
+        s""""rule_apply_us":${f"$ruleUs%.2f"}}""")
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
     }
   }
 
@@ -1134,6 +1201,13 @@ object ScaleProbe {
       val counts = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
         else Seq(64, 256, 1024)
       optimizeCostProbe(spark, counts)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("rule-tax")) {
+      val spark = GraftSession.local(32)
+      val iters = if (args.length > 1) args(1).toInt else 1000
+      ruleTaxProbe(spark, iters)
       spark.stop()
       return
     }

@@ -1453,8 +1453,210 @@ object StoreQueries extends QueryFamily {
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus"""))
 
+  private val q135 = QueryDef(
+    "q135_merge_multi_action",
+    "Multi-clause MERGE — the canonical CDC-apply statement Delta " +
+      "users write for change ingestion, as ONE SQL statement: WHEN " +
+      "MATCHED AND s.del THEN DELETE / WHEN MATCHED THEN UPDATE SET " +
+      "... / WHEN NOT MATCHED AND <cond> THEN INSERT (cols). Clauses " +
+      "run per matched row in declaration order, first true condition " +
+      "wins; the insert condition is source-only scope. Source: the " +
+      "orders %5 slice with del = (status F) and doubled price, plus " +
+      "shifted %1000=9 keys as insert candidates gated on price > " +
+      "150000. The oracle replays delete+update+conditional-insert " +
+      "algebra from scratch.",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val cols = Seq("o_orderkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice")
+      val target = preparedTable(s, dir, "q135",
+        base = Tables.load(s, dir, "orders").select(cols.map(col): _*),
+        clusterBy = Seq("o_orderkey")) { t =>
+        val docs = Tables.load(s, dir, "orders")
+        docs.where(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"),
+            (col("o_orderstatus") === "F").as("del"),
+            (col("o_totalprice") * 2).as("o_totalprice"))
+          .unionByName(docs.where(col("o_orderkey") % 1000 === 9)
+            .select((col("o_orderkey") + 10000000000L).as("o_orderkey"),
+              lit(false).as("del"), col("o_totalprice")))
+          .createOrReplaceTempView("q135_src")
+        graft.store.SqlVerbs.execute(s,
+          "MERGE INTO ord t USING q135_src s " +
+            "ON t.o_orderkey = s.o_orderkey " +
+            "WHEN MATCHED AND s.del THEN DELETE " +
+            "WHEN MATCHED THEN UPDATE SET " +
+            "o_orderpriority = 'M-CDC', o_totalprice = s.o_totalprice " +
+            "WHEN NOT MATCHED AND s.o_totalprice > 150000 THEN INSERT " +
+            "(o_orderkey, o_orderpriority, o_totalprice) " +
+            "VALUES (s.o_orderkey, 'I-CDC', s.o_totalprice)",
+          Map("ord" -> t))
+      }
+      MergeStore.read(s, target)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(when(col("o_orderstatus").isNull, 1)), lit(0))
+            .cast("long").as("null_status"),
+          sum(col("o_totalprice").cast(DecimalType(20, 4)))
+            .cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(coalesce(sum(CASE WHEN o_orderstatus IS NULL THEN 1
+                                    END), 0) AS BIGINT) AS null_status,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+               AS sum_price
+      FROM (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderkey % 5 = 0 THEN 'M-CDC'
+                    ELSE o_orderpriority END AS o_orderpriority,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE NOT (o_orderkey % 5 = 0 AND o_orderstatus = 'F')
+        UNION ALL
+        SELECT CAST(NULL AS VARCHAR), 'I-CDC', o_totalprice
+        FROM orders
+        WHERE o_orderkey % 1000 = 9 AND o_totalprice > 150000)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  private val q136 = QueryDef(
+    "q136_table_changes_sql",
+    "The change feed spoken entirely in SQL: a replica catches up to " +
+      "its primary with ONE statement — MERGE INTO rep USING (SELECT * " +
+      "FROM table_changes('q136.ord', 1)) with delete/update/" +
+      "conditional-insert clauses keyed on _change_type. table_changes " +
+      "is the injected TVF (Delta's CDF spelling): its result is the " +
+      "per-commit typed feed's LOGICAL PLAN (file-pruned scans, " +
+      "_commit_version/_commit_timestamp attribution), composing with " +
+      "MERGE like any subquery. Primary takes an UPDATE, a disjoint " +
+      "DELETE, and an INSERT through SQL; the oracle replays the net " +
+      "algebra — replica == primary == the replay.",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val cols = Seq("o_orderkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice")
+      val target = preparedTable(s, dir, "q136",
+        base = Tables.load(s, dir, "orders").select(cols.map(col): _*),
+        clusterBy = Seq("o_orderkey")) { t =>
+        // The replica: an identical twin born from the same base.
+        val rep = java.nio.file.Files
+          .createTempDirectory("graft-q136-rep").toString + "/tbl"
+        MergeStore.cloneTable(s, t, rep)
+        graft.store.GraftCatalog.register("q136.ord", t)
+        graft.store.GraftCatalog.register("q136.rep", rep)
+        // Three SQL commits on the primary (disjoint key sets, so the
+        // feed holds one change per key).
+        s.sql("UPDATE graft.q136.ord SET o_orderpriority = 'U-TC' " +
+          "WHERE o_orderkey % 9 = 0") // v1
+        s.sql("DELETE FROM graft.q136.ord WHERE o_orderkey % 11 = 0 " +
+          "AND o_orderkey % 9 <> 0 AND o_orderstatus = 'F'") // v2
+        Tables.load(s, dir, "orders")
+          .where(col("o_orderkey") % 1000 === 21)
+          .select((col("o_orderkey") + 10000000000L).as("o_orderkey"),
+            col("o_orderstatus"), lit("N-TC").as("o_orderpriority"),
+            col("o_totalprice"))
+          .createOrReplaceTempView("q136_ins")
+        s.sql("INSERT INTO graft.q136.ord SELECT * FROM q136_ins") // v3
+        // Replica catch-up: one SQL statement, keys from the TVF arg.
+        s.sql("MERGE INTO graft.q136.rep t USING " +
+          "(SELECT * FROM table_changes('q136.ord', 1, 3, 'o_orderkey')) s " +
+          "ON t.o_orderkey = s.o_orderkey " +
+          "WHEN MATCHED AND s._change_type = 'delete' THEN DELETE " +
+          "WHEN MATCHED THEN UPDATE SET " +
+          "o_orderstatus = s.o_orderstatus, " +
+          "o_orderpriority = s.o_orderpriority, " +
+          "o_totalprice = s.o_totalprice " +
+          "WHEN NOT MATCHED AND s._change_type <> 'delete' THEN INSERT " +
+          "(o_orderkey, o_orderstatus, o_orderpriority, o_totalprice) " +
+          "VALUES (s.o_orderkey, s.o_orderstatus, s.o_orderpriority, " +
+          "s.o_totalprice)")
+        // Convergence is part of the contract the oracle checks — the
+        // replica IS the query result below.
+        ()
+      }
+      require(MergeStore.exists(target)) // primary cached by preparedTable
+      // The replica was registered during mutation; the registry is
+      // JVM-global, so bench reruns re-resolve it by name.
+      val rep = graft.store.GraftCatalog.resolvePath(s, "q136.rep")
+      MergeStore.read(s, rep)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast(DecimalType(20, 4)))
+            .cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+               AS sum_price
+      FROM (
+        SELECT CASE WHEN o_orderkey % 9 = 0 THEN 'U-TC'
+                    ELSE o_orderpriority END AS o_orderpriority,
+               o_totalprice
+        FROM orders
+        WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey % 9 <> 0
+                   AND o_orderstatus = 'F')
+        UNION ALL
+        SELECT 'N-TC', o_totalprice FROM orders
+        WHERE o_orderkey % 1000 = 21)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  private val q137 = QueryDef(
+    "q137_partitioned_create",
+    "CREATE TABLE ... PARTITIONED BY (yr) maps onto the manifest skip " +
+      "index (identity partition columns join the stats cols) — " +
+      "year-batched INSERT INTO gives each file a tight yr range, so " +
+      "the final year probe prunes files exactly the way a Hive " +
+      "partition prunes directories, without per-value small files. " +
+      "All DDL and DML are plain spark.sql through the catalog. The " +
+      "oracle replays the derived-year filter from orders.",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val target = tableCache.computeIfAbsent(s"$dir#q137", _ => {
+        val t = java.nio.file.Files
+          .createTempDirectory("graft-q137").toString + "/tbl"
+        graft.store.GraftCatalog.register("q137.part", t)
+        s.sql("CREATE TABLE graft.q137.part (o_orderkey BIGINT, yr INT, " +
+          "o_totalprice DOUBLE) PARTITIONED BY (yr)")
+        (1992 to 1995).foreach { y =>
+          Tables.load(s, dir, "orders")
+            .select(col("o_orderkey"),
+              (lit(1992) + col("o_orderkey") % 4).cast("int").as("yr"),
+              col("o_totalprice"))
+            .where(col("yr") === y)
+            .createOrReplaceTempView(s"q137_src_$y")
+          s.sql(s"INSERT INTO graft.q137.part SELECT * FROM q137_src_$y")
+        }
+        t
+      })
+      graft.store.GraftCatalog.register("q137.part", target)
+      s.sql("""
+        SELECT yr, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                 AS sum_price
+        FROM graft.q137.part
+        WHERE yr IN (1993, 1995)
+        GROUP BY yr
+        ORDER BY yr""")
+    },
+    Some("""
+      SELECT yr, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+               AS sum_price
+      FROM (
+        SELECT CAST(1992 + o_orderkey % 4 AS INTEGER) AS yr,
+               o_totalprice
+        FROM orders)
+      WHERE yr IN (1993, 1995)
+      GROUP BY yr
+      ORDER BY yr"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q91, q92, q96, q97, q98, q101, q107, q109, q110, q111, q112,
       q113, q115, q116, q117, q118, q119, q120, q121, q122, q123, q126,
-      q127, q128, q129, q130, q131, q132, q133, q134)
+      q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137)
 }

@@ -158,10 +158,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String])
       : Table = {
-    require(partitions.isEmpty,
-      "PARTITIONED BY is not supported — MergeStore tables cluster by " +
-        "file layout (TBLPROPERTIES 'graft.stats.cols' declares the " +
-        "skip-index columns)")
+    // PARTITIONED BY (col, ...): identity transforms map onto the
+    // format's own pruning machinery — the columns join the manifest
+    // skip index (stats cols), so `WHERE year = 2024` prunes files the
+    // way a Hive partition would prune directories, without the
+    // small-file explosion per partition value. Non-identity
+    // transforms (bucket, days, ...) keep the loud refusal: the format
+    // has no directory layout to apply them to.
+    val partitionCols = partitions.map {
+      case t if t.name == "identity" && t.references().length == 1 =>
+        t.references()(0).fieldNames().mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"PARTITIONED BY transform '$other' is not supported — " +
+          "MergeStore tables prune by the manifest skip index; plain " +
+          "PARTITIONED BY (col) maps onto it, transforms do not")
+    }.toSeq
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val p = pathOf(ident).getOrElse(throw new IllegalStateException(
       s"no location for ${key(ident)}: configure " +
@@ -169,15 +180,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         "table path explicitly (GraftCatalog.register)"))
     val props = properties.asScala
     MergeStore.create(p, schema,
-      statsCols = props.get("graft.stats.cols").toSeq
-        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+      statsCols = (props.get("graft.stats.cols").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty) ++
+        partitionCols).distinct,
       bloomCols = props.get("graft.bloom.cols").toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
       bloomFpp = props.get("graft.bloom.fpp").map(_.toDouble)
         .getOrElse(0.01),
-      // TBLPROPERTIES('graft.mor'='true'): durable policy — carried
-      // like constraints through every verb commit.
-      mor = props.get("graft.mor").exists(_.toBoolean))
+      // TBLPROPERTIES('graft.mor'/'graft.pk'): durable policy —
+      // carried like constraints through every verb commit.
+      mor = props.get("graft.mor").exists(_.toBoolean),
+      pk = props.get("graft.pk").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
     GraftTable(key(ident), p, None)
   }
 
@@ -371,11 +385,48 @@ object GraftCatalog {
 
   def unregister(name: String): Unit = { registry.remove(name): Unit }
 
+  /** Resolve `'db.t'` (or `'graft.db.t'`) to its MergeStore location
+    * WITHOUT a catalog instance — explicit [[register]] entry first,
+    * then the catalog warehouse (session conf
+    * `spark.sql.catalog.graft.warehouse`, else the
+    * `graft.catalog.warehouse` system property): the same order the
+    * catalog's own lookups use. The library-side route for surfaces
+    * that speak table names outside the analyzer — the streaming
+    * sink/source helpers and the `table_changes` TVF.
+    * `mustExist = false` returns the would-be location for a table
+    * about to be born (a streaming sink's first batch creates it). */
+  def resolvePath(spark: org.apache.spark.sql.SparkSession, name: String,
+                  mustExist: Boolean = true): String = {
+    val parts = name.split('.').filter(_.nonEmpty).toSeq
+    val rest =
+      if (parts.length >= 3 && parts.head == "graft") parts.tail
+      else parts
+    require(rest.length >= 2,
+      s"expected a namespaced table name, e.g. 'db.orders'; got '$name'")
+    val key = rest.mkString(".")
+    val p = Option(registry.get(key))
+      .orElse(Option(spark.conf
+          .get("spark.sql.catalog.graft.warehouse", null))
+        .orElse(Option(System.getProperty("graft.catalog.warehouse")))
+        .map(w => Paths.get(w, rest: _*).toString))
+      .getOrElse(sys.error(
+        s"no location for table '$name' — register it " +
+          "(GraftCatalog.register) or configure " +
+          "spark.sql.catalog.graft.warehouse"))
+    require(!mustExist || MergeStore.exists(p),
+      s"no committed MergeStore table at '$name' ($p)")
+    p
+  }
+
   /** MOR routing policy: the session-scope registration flag OR the
-    * table's own durable `graft.mor` manifest policy. */
-  private[store] def isMor(path: String): Boolean =
+    * table's own durable `graft.mor` manifest policy. `version` pins
+    * the manifest read — a caller assembling a multi-column summary at
+    * one version (CALL details) must not let a rival SET TBLPROPERTIES
+    * mix a newer head's flag into the row. */
+  private[store] def isMor(path: String,
+                           version: Option[Int] = None): Boolean =
     morPaths.contains(Paths.get(path).toAbsolutePath.normalize.toString) ||
-      MergeStore.manifestMeta(path).get(MergeStore.MorKey)
+      MergeStore.manifestMeta(path, version).get(MergeStore.MorKey)
         .exists(_.toBoolean)
 }
 
@@ -417,6 +468,7 @@ final case class GraftTable(ident: String, path: String,
       val stats = MergeStore.statsColumns(path, Some(v))
       Map("graft.version" -> v.toString) ++
         meta.get(MergeStore.MorKey).map("graft.mor" -> _) ++
+        meta.get(MergeStore.PkKey).map("graft.pk" -> _) ++
         (if (cons.isEmpty) Map.empty
          else Map("graft.constraints" -> cons.keys.toSeq.sorted.mkString(","))) ++
         (if (stats.isEmpty) Map.empty

@@ -173,11 +173,10 @@ object GraftProcedures {
       val spark = SparkSession.active
       val v = MergeStore.version(p).get
       val files = MergeStore.liveFiles(p, Some(v))
-      val bytes = files.map { f =>
-        try java.nio.file.Files.size(
-          java.nio.file.Paths.get(p, "data", f))
-        catch { case _: java.io.IOException => 0L }
-      }.sum
+      // Sizes come from the manifest's z: lines — zero data-dir stat
+      // calls on a size-lined table; unknown legacy sizes count as 0.
+      val bytes = MergeStore.fileSizes(p, Some(v))
+        .map { case (_, s) => math.max(0L, s) }.sum
       result(
         StructType(Seq(
           StructField("version", IntegerType, nullable = false),
@@ -193,7 +192,7 @@ object GraftProcedures {
         Seq(row(v, files.size, bytes,
           MergeStore.rowCount(spark, p, Some(v)).map(Long.box).orNull,
           MergeStore.dvMeta(p, Some(v)).size,
-          GraftCatalog.isMor(p),
+          GraftCatalog.isMor(p, Some(v)),
           MergeStore.constraints(p, Some(v)).size,
           Option(MergeStore.statsColumns(p, Some(v)))
             .filter(_.nonEmpty)
@@ -314,9 +313,12 @@ object GraftProcedures {
     override def call(input: InternalRow): JIterator[Scan] = {
       val src = existingPath(str(input, 0, "source"))
       val dest = catalog.tablePath(str(input, 1, "dest"))
-      val pinned = if (input.isNullAt(2)) None else Some(input.getInt(2))
-      MergeStore.cloneTable(SparkSession.active, src, dest, pinned)
-      val v = pinned.orElse(MergeStore.version(src)).get
+      // Resolve the head ONCE and clone at that pinned version — a
+      // rival commit to the source mid-call must not make the reported
+      // cloned_version diverge from the version actually cloned.
+      val v = (if (input.isNullAt(2)) None else Some(input.getInt(2)))
+        .orElse(MergeStore.version(src)).get
+      MergeStore.cloneTable(SparkSession.active, src, dest, Some(v))
       result(
         StructType(Seq(
           StructField("cloned_version", IntegerType, nullable = false),

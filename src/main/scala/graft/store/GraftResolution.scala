@@ -47,6 +47,23 @@ final case class GraftResolution(spark: SparkSession)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    // Cheap bail-out: the extension is injected into EVERY session
+    // query's analyzer fixpoint (including each streaming micro-batch's
+    // re-analysis), so a plan with no Graft relation anywhere must pay
+    // ONE read-only traversal, not two transform passes + a collect.
+    // Subquery expressions analyze through their own nested analyzer
+    // execution (which re-enters this rule), so the main-plan probe
+    // never misses a Graft relation a subquery holds. V2 write
+    // commands are UNARY (their `table` relation is a field, not a
+    // child), so the probe checks those fields explicitly.
+    if (!plan.exists {
+      case r: DataSourceV2Relation => r.table.isInstanceOf[GraftTable]
+      case a: AppendData => graftOf(a.table).isDefined
+      case o: OverwriteByExpression => graftOf(o.table).isDefined
+      case o: org.apache.spark.sql.catalyst.plans.logical
+          .OverwritePartitionsDynamic => graftOf(o.table).isDefined
+      case _ => false
+    }) return plan
     val afterDml = plan.resolveOperatorsDown {
       // INSERT OVERWRITE under the session's dynamic
       // partitionOverwriteMode plans OverwritePartitionsDynamic, which
@@ -199,27 +216,38 @@ final case class GraftResolution(spark: SparkSession)
         "WHEN NOT MATCHED BY SOURCE supports one DELETE or UPDATE SET " +
           s"action; got $other")
     }
-    val (mCond, mAssign) = m.matchedActions match {
-      case Seq() => (None, None)
-      case Seq(u: UpdateAction) =>
-        (u.condition.map(sideSql), Some(assignMap(u.assignments, sideSql)))
+    // Sole unconditioned WHEN MATCHED DELETE = key-set removal — the
+    // cheaper dedicated verb (no pair build at all).
+    m.matchedActions match {
       case Seq(DeleteAction(None))
           if m.notMatchedActions.isEmpty && bySource.isEmpty =>
         return GraftMergeDeleteCommand(table.path, m.sourceTable, pk)
-      case other => sys.error(
-        "MERGE supports one WHEN MATCHED action: UPDATE [AND cond] " +
-          s"SET ... or an unconditioned sole DELETE; got $other")
+      case _ => ()
     }
-    val (doInsert, insertVals) = m.notMatchedActions match {
-      case Seq() => (false, None)
-      case Seq(ia: InsertAction) if ia.condition.isEmpty =>
-        (true, Some(assignMap(ia.assignments, sourceOnlySql)))
+    // The full matched-clause family, in declaration order (first true
+    // condition wins — the verb enforces all-but-last-conditioned):
+    // UPDATE [AND cond] SET ... and DELETE [AND cond], any mix.
+    val matched: Seq[MergeMatchedSpec] = m.matchedActions.map {
+      case u: UpdateAction => MatchedUpdateSpec(u.condition.map(sideSql),
+        Some(assignMap(u.assignments, sideSql)))
+      case DeleteAction(c) => MatchedDeleteSpec(c.map(sideSql))
       case other => sys.error(
-        "MERGE supports one unconditioned WHEN NOT MATCHED INSERT " +
+        s"unsupported WHEN MATCHED action: $other — MERGE supports " +
+          "UPDATE [AND cond] SET ... and DELETE [AND cond]")
+    }
+    val (doInsert, insertCond, insertVals) = m.notMatchedActions match {
+      case Seq() => (false, None, None)
+      case Seq(ia: InsertAction) =>
+        // A not-matched row HAS no target side — the condition may
+        // reference only the source (sourceOnlySql refuses the rest).
+        (true, ia.condition.map(sourceOnlySql),
+          Some(assignMap(ia.assignments, sourceOnlySql)))
+      case other => sys.error(
+        "MERGE supports one WHEN NOT MATCHED [AND cond] INSERT " +
           s"action; got $other")
     }
-    GraftMergeCommand(table.path, m.sourceTable, pk, mCond, mAssign,
-      doInsert, insertVals, bySource)
+    GraftMergeCommand(table.path, m.sourceTable, pk, matched,
+      doInsert, insertCond, insertVals, bySource)
   }
 
   /** ON-clause key columns of a RESOLVED merge condition: a conjunction
@@ -245,7 +273,8 @@ final case class GraftResolution(spark: SparkSession)
   }
 }
 
-/** Session extension wiring ONLY the catalog's analysis rule —
+/** Session extension wiring the catalog's analysis rule and the
+  * `table_changes` TVF —
   * `spark.sql.extensions = graft.store.GraftSqlExtensions` (GraftSession
   * sets it). The optional latest-per-key optimizer rewrite stays in
   * `graft.plans.GraftExtensions`, opt-in, so plans without the catalog
@@ -253,8 +282,10 @@ final case class GraftResolution(spark: SparkSession)
 class GraftSqlExtensions
   extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(
-      e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+      e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectResolutionRule(GraftResolution.apply)
+    e.injectTableFunction(GraftTableChanges.registration)
+  }
 }
 
 /** `ALTER TABLE ... ADD CONSTRAINT name CHECK (cond)` at execution
@@ -329,16 +360,27 @@ final case class GraftMergeDeleteCommand(path: String,
   }
 }
 
+/** One `WHEN MATCHED` clause, spelled as re-resolvable SQL strings (the
+  * command is a leaf; expressions re-resolve inside the verb's own
+  * t/s-aliased plan). `assign = None` on an update is `SET *`. */
+sealed trait MergeMatchedSpec { def cond: Option[String] }
+final case class MatchedUpdateSpec(cond: Option[String],
+                                   assign: Option[Seq[(String, String)]])
+  extends MergeMatchedSpec
+final case class MatchedDeleteSpec(cond: Option[String])
+  extends MergeMatchedSpec
+
 /** `MERGE INTO` general form. The canonical full-star upsert (every
   * column assigned `c = s.c`, no condition, star insert) dispatches the
   * cheaper [[MergeStore.merge]] / filtered-merge paths; anything
-  * conditioned or column-listed goes to
-  * [[MergeStore.mergeConditional]]. */
+  * conditioned, column-listed, or multi-clause goes to
+  * [[MergeStore.mergeConditional]] (matched clauses in declaration
+  * order, first true condition wins — the CDC-apply family). */
 final case class GraftMergeCommand(path: String, source: LogicalPlan,
                                    pk: Seq[String],
-                                   matchedCond: Option[String],
-                                   matchedAssign: Option[Seq[(String, String)]],
+                                   matched: Seq[MergeMatchedSpec],
                                    doInsert: Boolean,
+                                   insertCond: Option[String],
                                    insertVals: Option[Seq[(String, String)]],
                                    bySource: Option[(Option[String],
                                      Option[Seq[(String, String)]])] = None)
@@ -366,11 +408,17 @@ final case class GraftMergeCommand(path: String, source: LogicalPlan,
     val cols = fields.map(_.name)
     def asMap(s: Seq[(String, String)]) =
       s.map { case (k, sql) => k -> expr(sql) }.toMap
-    val st = (matchedAssign, matchedCond, doInsert) match {
+    val st = matched match {
       // INSERT-only: matched target rows stay untouched — the filtered
       // merge (anti-join against the statement snapshot) avoids
-      // rewriting the matched files at all.
-      case (None, None, true) if bySource.isEmpty =>
+      // rewriting the matched files at all. A conditional INSERT
+      // pre-filters the source (the condition is source-only by
+      // construction), which is the same algebra.
+      case Seq() if doInsert && bySource.isEmpty =>
+        val conditioned = insertCond.map(c => src.where(expr(c))) match {
+          case Some(f) => f
+          case None => src
+        }
         val aligned = insertVals match {
           case Some(vals) if !isStarMap(vals, cols) =>
             // A column list that skips a key column would insert
@@ -381,38 +429,38 @@ final case class GraftMergeCommand(path: String, source: LogicalPlan,
               s"INSERT column list must assign every ON-clause key " +
                 s"column; missing: ${missingPk.mkString(", ")}")
             val m = asMap(vals)
-            src.alias("s").select(fields.map { f =>
+            conditioned.alias("s").select(fields.map { f =>
               m.getOrElse(f.name, lit(null)).cast(MergeStore.nullableForm(f.dataType)).as(f.name)
             }.toIndexedSeq: _*)
-          case _ => src.select(cols.map(
+          case _ => conditioned.select(cols.map(
             org.apache.spark.sql.functions.col): _*)
         }
         SqlVerbs.mergeFiltered(spark, path, aligned, pk, "left_anti", 3)
       // Canonical upsert: star update + star insert, unconditioned.
-      case (Some(ma), None, true)
-          if bySource.isEmpty && isStarMap(ma, cols) &&
-            insertVals.forall(isStarMap(_, cols)) =>
+      case Seq(MatchedUpdateSpec(None, Some(ma)))
+          if doInsert && insertCond.isEmpty && bySource.isEmpty &&
+            isStarMap(ma, cols) && insertVals.forall(isStarMap(_, cols)) =>
         MergeStore.merge(spark, src.select(cols.map(
           org.apache.spark.sql.functions.col): _*), path, pk,
           maxRetries = 3)
-      // Conditional / column-list / update-only / by-source family.
+      // Conditional / column-list / multi-clause / update-only /
+      // by-source family — one generalized verb call.
       case _ =>
-        // With a bySource action and NO matched action, matched rows
-        // must stay untouched (SQL scope: the statement said nothing
-        // about them) — an always-false matched condition.
-        val mc =
-          if (bySource.isDefined && matchedAssign.isEmpty &&
-              matchedCond.isEmpty) Some(lit(false))
-          else matchedCond.map(expr)
+        val actions: Seq[MergeStore.MatchedAction] = matched.map {
+          case MatchedUpdateSpec(c, a) =>
+            MergeStore.MatchedUpdate(c.map(expr), a.map(asMap))
+          case MatchedDeleteSpec(c) =>
+            MergeStore.MatchedDelete(c.map(expr))
+        }
         MergeStore.mergeConditional(spark, src, path, pk,
-          matchedCondition = mc,
-          matchedAssignments = matchedAssign.map(asMap),
           insert = doInsert,
           insertValues = insertVals.map(asMap),
           notMatchedBySource = bySource.map { case (c, a) =>
             MergeStore.BySourceAction(c.map(expr), a.map(asMap))
           },
-          maxRetries = 3)
+          maxRetries = 3,
+          matchedActions = Some(actions),
+          insertCondition = insertCond.map(expr))
     }
     Seq(Row(st.rowsUpdated, st.rowsInserted))
   }

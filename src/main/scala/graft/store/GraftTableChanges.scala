@@ -1,0 +1,113 @@
+package graft.store
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions.broadcast
+
+import graft.streaming.MergeStoreCdc
+
+/** The change feed as a SQL table-valued function — Delta's
+  * `table_changes('t', from, to)` spelling (reference consumers are
+  * pure SQL, `architecture.md:152-158`), registered by
+  * [[GraftSqlExtensions]] through `injectTableFunction`:
+  *
+  * {{{
+  *   SELECT * FROM table_changes('db.t', 2)          -- v2..head
+  *   SELECT * FROM table_changes('db.t', 2, 5)       -- v2..v5 inclusive
+  *   SELECT * FROM table_changes('db.t', 2, 5, 'id') -- explicit keys
+  * }}}
+  *
+  * Rows are [[MergeStoreCdc.changesByCommit]]'s typed feed — the table
+  * columns plus `_change_type` (insert/update/delete), `_commit_version`
+  * (exact per-commit attribution), and `_commit_timestamp` (Delta's CDF
+  * shape, joined from the commit log — a metadata-sized broadcast).
+  * Version bounds are INCLUSIVE on both ends, Delta's contract.
+  *
+  * This is a TVF, not a `CALL` procedure, deliberately: procedures
+  * return driver-materialized `LocalScan` rows (right for maintenance
+  * results, wrong for data), while the TVF returns the feed's LOGICAL
+  * PLAN — Catalyst plans the per-commit file-pruned scans, so tailing a
+  * trickle-merged 100 TB table costs the trickle, and the result
+  * composes with any downstream SQL (joins, aggregation, MERGE USING).
+  *
+  * Key columns come from the table's durable `graft.pk` policy
+  * (`CREATE TABLE ... TBLPROPERTIES('graft.pk'='id')` or
+  * `ALTER TABLE ... SET TBLPROPERTIES`), overridable by the optional
+  * 4th argument — the feed classifies insert/update/delete against
+  * them, exactly like the Scala `changeFeed` API. */
+object GraftTableChanges {
+
+  /** Registration triple for `SparkSessionExtensions.injectTableFunction`. */
+  private[store] val registration: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("table_changes"),
+    new ExpressionInfo(GraftTableChanges.getClass.getName,
+      "table_changes"),
+    (args: Seq[Expression]) => plan(args))
+
+  private def evalLit(args: Seq[Expression], i: Int, what: String): Any = {
+    val e = args(i)
+    require(e.foldable,
+      s"table_changes: $what must be a literal; got ${e.sql}")
+    val v = e.eval()
+    require(v != null, s"table_changes: $what must not be NULL")
+    v
+  }
+
+  private def strArg(args: Seq[Expression], i: Int, what: String): String =
+    evalLit(args, i, what).toString
+
+  private def intArg(args: Seq[Expression], i: Int, what: String): Int =
+    evalLit(args, i, what) match {
+      case n: Int => n
+      case n: Long => n.toInt
+      case n: Short => n.toInt
+      case n: Byte => n.toInt
+      case other => sys.error(
+        s"table_changes: $what must be an integer version; got $other")
+    }
+
+  private[store] def plan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 2 && args.length <= 4,
+      "table_changes(table, from_version[, to_version[, 'pk,cols']])")
+    val spark = SparkSession.active
+    val path = GraftCatalog.resolvePath(spark, strArg(args, 0, "table"))
+    val head = MergeStore.version(path)
+      .getOrElse(sys.error(s"no committed version at $path"))
+    val from = intArg(args, 1, "from_version")
+    val to = if (args.length >= 3) intArg(args, 2, "to_version") else head
+    require(from >= 1,
+      "table_changes: from_version must be >= 1 — v0 is the initial " +
+        "snapshot (read it with VERSION AS OF 0), commits after it are " +
+        "the feed")
+    require(to >= from,
+      s"table_changes: empty span [$from, $to]")
+    require(to <= head,
+      s"table_changes: to_version $to is past the head ($head)")
+    val pk =
+      if (args.length >= 4)
+        strArg(args, 3, "pk").split(',').toSeq.map(_.trim)
+          .filter(_.nonEmpty)
+      else MergeStore.tablePk(path)
+    require(pk.nonEmpty,
+      "table_changes needs the table's key columns — declare " +
+        "TBLPROPERTIES('graft.pk'='...') on the table or pass them as " +
+        "the 4th argument")
+    val feed = MergeStoreCdc.changesByCommit(spark, path, pk,
+      includePreimages = false, from - 1, to)
+    // _commit_timestamp from the commit log: one row per version in
+    // the span — metadata-sized by construction, broadcast.
+    val times = MergeStore.history(path)
+      .filter { case (v, _) => v >= from && v <= to }
+      .map { case (v, ms) => (v.toLong, new java.sql.Timestamp(ms)) }
+    val lookup = spark.createDataFrame(times)
+      .toDF(MergeStoreCdc.CommitVersionCol, "_commit_timestamp")
+    feed.join(broadcast(lookup),
+        Seq(MergeStoreCdc.CommitVersionCol), "left")
+      .select((feed.columns :+ "_commit_timestamp")
+        .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      .queryExecution.logical
+  }
+}

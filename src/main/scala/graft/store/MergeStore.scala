@@ -455,6 +455,43 @@ object MergeStore {
   private def isNullsKey(k: String): Boolean = k.startsWith("n:")
   private def nullsKey(file: String, column: String) = s"n:$file:$column"
 
+  /** Per-file byte-size lines `z:<file>=<bytes>` — recorded at commit
+    * time (O(new files) local stats, right after writeFiles moved them
+    * in) so every size consumer — [[compactSmall]]'s small-file tail,
+    * `CALL details`' total bytes, the trickle sink's auto-OPTIMIZE
+    * trigger — reads the MANIFEST instead of statting the data
+    * directory: at 10⁵–10⁶ files on an object store, a per-pass
+    * Files.size sweep is one HEAD request per live file (Delta records
+    * `size` in its add actions for exactly this reason). Legacy
+    * manifests self-heal: the first commit after upgrade stats the
+    * un-lined survivors once and the lines carry from then on. */
+  private def isSizeKey(k: String): Boolean = k.startsWith("z:")
+  private def sizeKey(file: String) = s"z:$file"
+
+  /** Files.size fallbacks taken for size-unlined files — a probe hook
+    * letting the scale suite assert a size-lined table's maintenance
+    * does ZERO data-directory stat calls. */
+  private[graft] val sizeStatFallbacks =
+    new java.util.concurrent.atomic.AtomicLong()
+
+  /** Live files with byte sizes at `version`: manifest `z:` lines when
+    * recorded, a counted Files.size fallback for legacy files. Unknown
+    * (unlined AND unstattable) sizes report -1 — consumers decide
+    * (compactSmall treats them as not-small, details as zero bytes). */
+  def fileSizes(target: String, version: Option[Int] = None)
+      : Seq[(String, Long)] = {
+    val v = version.orElse(currentVersion(target))
+      .getOrElse(sys.error(s"no committed version at $target"))
+    val meta = manifestMeta(target, Some(v))
+    liveFiles(target, Some(v)).map { f =>
+      f -> meta.get(sizeKey(f)).flatMap(_.toLongOption).getOrElse {
+        sizeStatFallbacks.incrementAndGet()
+        try Files.size(dataDir(target).resolve(f))
+        catch { case _: java.io.IOException => -1L }
+      }
+    }
+  }
+
   // ------------------------------------------------------------------
   // Column mapping: RENAME COLUMN without rewriting a byte (Delta's
   // column-mapping mode / Iceberg's field-id indirection, expressed in
@@ -653,7 +690,8 @@ object MergeStore {
                        version: Option[Int] = None): Map[String, String] =
     manifestMeta(target, version).filterNot { case (k, _) =>
       k == StatsColsKey || k == SchemaKey || k == BloomColsKey ||
-        k == BloomFppKey || isStatsKey(k) || isBloomKey(k) || isNullsKey(k)
+        k == BloomFppKey || isStatsKey(k) || isBloomKey(k) ||
+        isNullsKey(k) || isSizeKey(k)
     }
 
   /** The table's stats columns at a version (empty = no stats kept —
@@ -1023,11 +1061,26 @@ object MergeStore {
     require(!userMeta.keys.exists(k =>
         k == StatsColsKey || k == SchemaKey || k == BloomColsKey ||
           k == BloomFppKey || isStatsKey(k) || isBloomKey(k) ||
-          isNullsKey(k) || isConstraintKey(k) || isDvKey(k)),
+          isNullsKey(k) || isConstraintKey(k) || isDvKey(k) ||
+          isSizeKey(k)),
       s"manifest metadata keys '$StatsColsKey', '$SchemaKey', " +
-        s"'$BloomColsKey', '$BloomFppKey', 's:*', 'b:*', 'n:*', '$DvPrefix*' " +
-        s"and '$ConstraintPrefix*' are reserved")
+        s"'$BloomColsKey', '$BloomFppKey', 's:*', 'b:*', 'n:*', 'z:*', " +
+        s"'$DvPrefix*' and '$ConstraintPrefix*' are reserved")
     val fileSet = files.toSet
+    // Every live file gets a `z:` size line: carried from the parent
+    // when already recorded, statted ONCE otherwise (a new file just
+    // moved in by writeFiles; a legacy file on its first post-upgrade
+    // commit). Delta encoding makes carried lines free — only the new
+    // files' lines hit the commit bytes.
+    val parentMeta =
+      if (parent < 0) Map.empty[String, String]
+      else manifestMeta(target, Some(parent))
+    val sizes: Map[String, String] = files.flatMap { f =>
+      val k = sizeKey(f)
+      parentMeta.get(k).map(k -> _).orElse(
+        try Some(k -> Files.size(dataDir(target).resolve(f)).toString)
+        catch { case _: java.io.IOException => None })
+    }.toMap
     // Constraints are table POLICY, not per-commit state: they carry
     // through every verb commit until an explicit dropConstraint, the
     // same way the schema does. WAP branch markers are policy too — a
@@ -1040,7 +1093,7 @@ object MergeStore {
       if (parent < 0) Map.empty[String, String]
       else manifestMeta(target, Some(parent)).filter { case (k, _) =>
         isConstraintKey(k) || k == WapSourceKey || k == WapBaseKey ||
-          k == MorKey ||
+          k == MorKey || k == PkKey ||
           (isDvKey(k) && fileSet.contains(k.stripPrefix(DvPrefix)))
       }
     // The schema rides EVERY commit, stats or not: a stats-less table
@@ -1049,14 +1102,13 @@ object MergeStore {
     // schema-planned read skips per-file footer inference either way.
     if (sCols.isEmpty && bCols.isEmpty)
       commit(target, files, parent,
-        policyCarry ++ dvUpdates ++ userMeta + (SchemaKey -> schema.json))
+        policyCarry ++ dvUpdates ++ sizes ++ userMeta +
+          (SchemaKey -> schema.json))
     else {
-      val carried =
-        if (parent < 0) Map.empty[String, String]
-        else manifestMeta(target, Some(parent)).filter { case (k, _) =>
-          (isStatsKey(k) || isBloomKey(k) || isNullsKey(k)) &&
-            fileSet.contains(statsKeyFile(k))
-        }
+      val carried = parentMeta.filter { case (k, _) =>
+        (isStatsKey(k) || isBloomKey(k) || isNullsKey(k)) &&
+          fileSet.contains(statsKeyFile(k))
+      }
       val props = Map(SchemaKey -> schema.json) ++
         (if (sCols.nonEmpty) Map(StatsColsKey -> sCols.mkString(","))
          else Map.empty) ++
@@ -1064,8 +1116,8 @@ object MergeStore {
           BloomFppKey -> bloomFpp.toString)
          else Map.empty)
       commit(target, files, parent,
-        policyCarry ++ dvUpdates ++ userMeta ++ carried ++ fresh ++
-          blooms ++ props)
+        policyCarry ++ dvUpdates ++ sizes ++ userMeta ++ carried ++
+          fresh ++ blooms ++ props)
     }
   }
 
@@ -1316,12 +1368,6 @@ object MergeStore {
     * their relative names. Files are born under a unique staging name and
     * moved in — a crashed writer never leaves a half-written file behind
     * a name a manifest could reference. */
-  /** Files under this size get a footer row-count probe in
-    * [[writeFiles]] — an empty-partition parquet file is footer-only
-    * (hundreds of bytes), so the gate keeps the probe off every
-    * right-sized file while catching zero-row output exactly. */
-  private val EmptyFileProbeBytes = 16L << 10
-
   private def stagedRowCount(p: Path): Long = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -1340,17 +1386,28 @@ object MergeStore {
     val batch = java.util.UUID.randomUUID().toString.take(8)
     // Zero-row task outputs (empty partitions of a sparse batch) never
     // commit: at trickle-ingest scale an empty twin per append DOUBLES
-    // the live file count for pure manifest/stats overhead. Small
-    // batches (the trickle shape, where empties actually bite) probe
-    // every file so a wide schema's >16 KB empty footer can't slip
-    // through; large rewrites apply the size gate, bounding the
-    // driver-side footer reads.
+    // the live file count for pure manifest/stats overhead. The probe
+    // is schema-adaptive, not a byte constant: a zero-row parquet file
+    // is footer-only, and a non-empty twin of the SAME schema is
+    // strictly larger (same footer plus row-group metadata plus data
+    // pages) — so probing ascending by size, the first file with rows
+    // bounds the search and every strictly larger file skips its probe.
+    // Worst-case footer reads = empties + ties + 1, whatever the schema
+    // width or batch size (a >16 KB wide-schema empty footer can't
+    // slip through a large rewrite, the r13 gap).
     val staged = Files.list(stage).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
-    val probeAll = staged.size <= 64
-    val parts = staged.filterNot(p =>
-      (probeAll || Files.size(p) < EmptyFileProbeBytes) &&
-        stagedRowCount(p) == 0L)
+    val sized = staged.map(p => p -> Files.size(p))
+      .sortBy { case (p, s) => (s, p.toString) }
+    var stopSize = Long.MaxValue // smallest size proven non-empty
+    val empty = sized.iterator.filter { case (p, s) =>
+      s <= stopSize && { // ties with a non-empty size still probe
+        val isEmpty = stagedRowCount(p) == 0L
+        if (!isEmpty) stopSize = math.min(stopSize, s)
+        isEmpty
+      }
+    }.map(_._1).toSet
+    val parts = staged.filterNot(empty)
     val named = parts.zipWithIndex.map { case (p, i) =>
       val name = s"part-$batch-$i.parquet"
       Files.move(p, dataDir(target).resolve(name))
@@ -1464,14 +1521,30 @@ object MergeStore {
     * [[GraftCatalog.register]]'s session override. */
   private[store] val MorKey = "graft.mor"
 
+  /** Table policy: the table's declared key columns (comma-separated),
+    * the Delta `delta.primaryKey`-style convention this engine spells
+    * `graft.pk`. NOT enforced on writes (the merge verbs take pk
+    * explicitly — the enforced contract); it exists so SQL-only
+    * consumers can ask for key-dependent derivations —
+    * `table_changes(...)` computes its change feed against it without
+    * a pk argument. Carried like constraints and MOR. */
+  private[store] val PkKey = "graft.pk"
+
+  /** The table's declared `graft.pk` key columns (empty when unset). */
+  def tablePk(target: String, version: Option[Int] = None): Seq[String] =
+    manifestMeta(target, version).get(PkKey)
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
+
   /** Create an EMPTY table: commit v0 with zero files and the schema
-    * (plus optional stats/bloom/MOR policy) as manifest metadata — the
-    * DSv2 catalog's CREATE TABLE. The first [[append]]/[[merge]]
+    * (plus optional stats/bloom/MOR/pk policy) as manifest metadata —
+    * the DSv2 catalog's CREATE TABLE. The first [[append]]/[[merge]]
     * against it already writes skip-indexed files under the declared
     * policy. */
   def create(target: String, schema: org.apache.spark.sql.types.StructType,
              statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
-             bloomFpp: Double = 0.01, mor: Boolean = false): Unit = {
+             bloomFpp: Double = 0.01, mor: Boolean = false,
+             pk: Seq[String] = Nil): Unit = {
     require(currentVersion(target).isEmpty,
       s"table already exists at $target")
     Files.createDirectories(dataDir(target))
@@ -1481,7 +1554,8 @@ object MergeStore {
       (if (bloomCols.nonEmpty) Map(BloomColsKey -> bloomCols.mkString(","),
         BloomFppKey -> bloomFpp.toString)
        else Map.empty) ++
-      (if (mor) Map(MorKey -> "true") else Map.empty)
+      (if (mor) Map(MorKey -> "true") else Map.empty) ++
+      (if (pk.nonEmpty) Map(PkKey -> pk.mkString(",")) else Map.empty)
     commit(target, Nil, -1, props): Unit
   }
 
@@ -2565,18 +2639,24 @@ object MergeStore {
     * row as `s.<col>` (`functions.expr("s.ts > t.ts")`) — the SQL
     * route maps the statement's own aliases onto t/s.
     *
-    * Semantics (SQL MERGE, one matched + one not-matched action):
-    *   - matched (pk in both) and `matchedCondition` TRUE (false/NULL
-    *     keeps): new row is per column `matchedAssignments(c)` when
-    *     assigned, else the TARGET's value (`SET c = e` leaves
-    *     unassigned columns untouched); `matchedAssignments = None`
-    *     means `UPDATE SET *` (source row wins whole).
-    *   - matched, condition false/NULL: target row survives UNCHANGED
-    *     and the source row is discarded.
-    *   - unmatched source: inserted when `insert` — per column
+    * Semantics (SQL MERGE):
+    *   - matched (pk in both): the FIRST `matchedActions` clause whose
+    *     condition holds (false/NULL falls through) applies, in
+    *     declaration order — [[MatchedUpdate]] rewrites per its
+    *     assignments (`None` = `UPDATE SET *`; unassigned columns keep
+    *     the target value), [[MatchedDelete]] removes the row. A
+    *     matched row no clause claims survives UNCHANGED. The
+    *     multi-clause form is the canonical CDC-apply statement
+    *     (`WHEN MATCHED AND s.del THEN DELETE WHEN MATCHED THEN
+    *     UPDATE SET *`). The legacy single-action parameters
+    *     (`matchedCondition` / `matchedAssignments`) remain as the
+    *     one-clause shorthand; `matchedActions` (when given) wins.
+    *   - unmatched source: inserted when `insert` AND
+    *     `insertCondition` (if any) holds — per column
     *     `insertValues(c)` when assigned, else NULL
     *     (`insertValues = None` means `INSERT *`); dropped when
-    *     `insert = false` (UPDATE-only statements).
+    *     `insert = false` (UPDATE-only statements) or the condition
+    *     is false/NULL.
     *   - unmatched target rows: untouched — unless a
     *     `notMatchedBySource` action is given (SQL's `WHEN NOT MATCHED
     *     BY SOURCE [AND cond] THEN DELETE | UPDATE SET ...`): target
@@ -2606,15 +2686,21 @@ object MergeStore {
                        notMatchedBySource: Option[BySourceAction] = None,
                        ordCols: Seq[String] = Nil,
                        maxRetries: Int = 0,
-                       snapshotVersion: Option[Int] = None): MergeStats =
-    try mergeConditionalOnce(spark, source, target, pk, matchedCondition,
-      matchedAssignments, insert, insertValues, notMatchedBySource,
+                       snapshotVersion: Option[Int] = None,
+                       matchedActions: Option[Seq[MatchedAction]] = None,
+                       insertCondition: Option[org.apache.spark.sql.Column] = None): MergeStats =
+    try mergeConditionalOnce(spark, source, target, pk,
+      matchedActions.getOrElse(
+        Seq(MatchedUpdate(matchedCondition, matchedAssignments))),
+      insert, insertValues, insertCondition, notMatchedBySource,
       ordCols, snapshotVersion)
     catch {
       case _: java.util.ConcurrentModificationException if maxRetries > 0 =>
         val st = mergeConditional(spark, source, target, pk,
           matchedCondition, matchedAssignments, insert, insertValues,
-          notMatchedBySource, ordCols, maxRetries - 1)
+          notMatchedBySource, ordCols, maxRetries - 1,
+          matchedActions = matchedActions,
+          insertCondition = insertCondition)
         st.copy(recomputes = st.recomputes + 1)
     }
 
@@ -2625,15 +2711,46 @@ object MergeStore {
       condition: Option[org.apache.spark.sql.Column],
       assignments: Option[Map[String, org.apache.spark.sql.Column]])
 
+  /** One `WHEN MATCHED [AND condition] THEN ...` clause. Clauses are
+    * evaluated IN ORDER per matched row — the first whose condition
+    * holds (false/NULL falls through) applies; a row no clause claims
+    * keeps its target version. All but the last clause must carry a
+    * condition (later clauses would be unreachable) — the Delta MERGE
+    * contract. Expressions reference the pair through the `t` / `s`
+    * aliases. */
+  sealed trait MatchedAction {
+    def condition: Option[org.apache.spark.sql.Column]
+  }
+  /** `UPDATE SET c = e, ...`; `assignments = None` is `UPDATE SET *`
+    * (every column takes `s.<c>`); unassigned columns keep the target
+    * value. */
+  final case class MatchedUpdate(
+      condition: Option[org.apache.spark.sql.Column],
+      assignments: Option[Map[String, org.apache.spark.sql.Column]])
+    extends MatchedAction
+  /** `DELETE` — the matched target row is removed. */
+  final case class MatchedDelete(
+      condition: Option[org.apache.spark.sql.Column])
+    extends MatchedAction
+
   private def mergeConditionalOnce(spark: SparkSession, source: DataFrame,
       target: String, pk: Seq[String],
-      matchedCondition: Option[org.apache.spark.sql.Column],
-      matchedAssignments: Option[Map[String, org.apache.spark.sql.Column]],
+      actions: Seq[MatchedAction],
       insert: Boolean,
       insertValues: Option[Map[String, org.apache.spark.sql.Column]],
+      insertCondition: Option[org.apache.spark.sql.Column],
       notMatchedBySource: Option[BySourceAction],
       ordCols: Seq[String],
       snapshotVersion: Option[Int]): MergeStats = {
+    // Delta's multi-clause contract: clauses run in order, first true
+    // condition wins, so an unconditioned clause anywhere but last
+    // makes its successors unreachable — refuse the statement.
+    actions.dropRight(1).zipWithIndex.foreach { case (a, i) =>
+      require(a.condition.isDefined,
+        s"WHEN MATCHED action ${i + 1} of ${actions.size} carries no " +
+          "condition — every matched action but the last needs one " +
+          "(later actions would be unreachable)")
+    }
     val parentV = snapshotVersion.orElse(currentVersion(target))
       .getOrElse(sys.error(s"no committed version at $target"))
     val before = liveFiles(target, Some(parentV))
@@ -2646,7 +2763,8 @@ object MergeStore {
     def toTableType(c: org.apache.spark.sql.Column, name: String) =
       fields.find(_._1 == name).flatMap(_._2)
         .map(t => c.cast(nullableForm(t))).getOrElse(c).as(name)
-    (matchedAssignments.toSeq ++ insertValues.toSeq ++
+    (actions.collect { case MatchedUpdate(_, Some(m)) => m } ++
+        insertValues.toSeq ++
         notMatchedBySource.flatMap(_.assignments).toSeq).flatten(_.keys)
       .foreach { c => require(tableCols.contains(c),
         s"assignment target '$c' is not a column of $target " +
@@ -2667,13 +2785,18 @@ object MergeStore {
     val src = deduped.cache()
     try {
       // Affected-file probe — the matched side reads like [[merge]].
+      // With NO matched action (insert/bySource-only statements) the
+      // matched files never change, so they never enter the rewrite
+      // set; liveKeys still feeds the insert anti-join.
       val keyCandidates = pruneByKeyBounds(target, parentV, before,
         src.select(pk.map(col): _*), pk)
       val liveKeys = probeScan(spark, target, parentV, snapshot,
         keyCandidates, pk)
-      val matchAffected = liveKeys.join(src, pk, "left_semi")
-        .select("__file").distinct()
-        .collect().map(_.getString(0)).toSet
+      val matchAffected =
+        if (actions.isEmpty) Set.empty[String]
+        else liveKeys.join(src, pk, "left_semi")
+          .select("__file").distinct()
+          .collect().map(_.getString(0)).toSet
       // BySource side: its condition stats-prunes the candidate files
       // (an unconditioned action reads the whole table — inherent),
       // but the REWRITE set is only the files holding a row the action
@@ -2706,42 +2829,54 @@ object MergeStore {
       val pairs = affectedRows.alias("t").join(src.alias("s"),
         pk.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
         "inner")
-      val condTrue = matchedCondition
-        .map(c => coalesce(c, lit(false))).getOrElse(lit(true))
-      val updated = pairs.where(condTrue).select(tableCols.map { c =>
-        toTableType(matchedAssignments match {
-          case None => col(s"s.$c") // UPDATE SET *
-          case Some(m) => m.getOrElse(c, col(s"t.$c"))
-        }, c)
-      }.toIndexedSeq: _*)
-      val keptMatched = pairs.where(!condTrue)
+      // Per matched pair: the index of the FIRST action whose
+      // condition holds (false/NULL falls through), -1 = no action
+      // claims the row (it keeps its target version). One expression,
+      // evaluated once per row — clause order is Delta's contract.
+      val hit = actions.map(a =>
+        a.condition.map(c => coalesce(c, lit(false))).getOrElse(lit(true)))
+      val actIdx = hit.zipWithIndex.foldRight(lit(-1)) {
+        case ((h, i), els) => when(h, lit(i)).otherwise(els)
+      }
+      val pairsAct = pairs.withColumn("__act", actIdx)
+      val updatedFrames = actions.zipWithIndex.collect {
+        case (MatchedUpdate(_, assign), i) =>
+          pairsAct.where(col("__act") === i).select(tableCols.map { c =>
+            toTableType(assign match {
+              case None => col(s"s.$c") // UPDATE SET *
+              case Some(m) => m.getOrElse(c, col(s"t.$c"))
+            }, c)
+          }.toIndexedSeq: _*)
+      }
+      // Rows a MatchedDelete claims simply never enter the replacement.
+      val keptMatched = pairsAct.where(col("__act") === -1)
         .select(tableCols.map(c => col(s"t.$c").as(c)).toIndexedSeq: _*)
       val unmatchedRaw = affectedRows.join(src, pk, "left_anti")
       // WHEN NOT MATCHED BY SOURCE: delete or update the unmatched
       // target rows its condition hits; the rest carry unchanged.
-      val (unmatchedTarget, rowsDeletedBs, updatedBsOpt) =
+      val (unmatchedTarget, updatedBsOpt) =
         notMatchedBySource match {
-          case None => (unmatchedRaw, 0L, None)
+          case None => (unmatchedRaw, None)
           case Some(a) =>
             val kept = unmatchedRaw.where(!bsHit.get)
               .select(tableCols.map(col).toIndexedSeq: _*)
             a.assignments match {
-              case None => // DELETE
-                (kept, unmatchedRaw.where(bsHit.get).count(), None)
+              case None => (kept, None) // DELETE
               case Some(m) =>
                 val updatedBs = unmatchedRaw.alias("t").where(bsHit.get)
                   .select(tableCols.map(c =>
                     toTableType(m.getOrElse(c, col(s"t.$c")), c))
                     .toIndexedSeq: _*)
-                (kept.unionByName(updatedBs), 0L, Some(updatedBs))
+                (kept.unionByName(updatedBs), Some(updatedBs))
             }
         }
-      val rowsUpdatedBs = updatedBsOpt.map(_.count()).getOrElse(0L)
       val srcCols = src.columns.toSet
+      val insHit = insertCondition
+        .map(c => coalesce(c, lit(false))).getOrElse(lit(true))
       val inserted =
         if (!insert) affectedRows.limit(0)
           .select(tableCols.map(col).toIndexedSeq: _*)
-        else src.alias("s").join(liveKeys, pk, "left_anti")
+        else src.alias("s").join(liveKeys, pk, "left_anti").where(insHit)
           .select(tableCols.map { c =>
             toTableType(insertValues match {
               case None =>
@@ -2752,14 +2887,35 @@ object MergeStore {
               case Some(m) => m.getOrElse(c, lit(null))
             }, c)
           }.toIndexedSeq: _*)
-      val rowsUpdated = pairs.where(condTrue).count() + rowsUpdatedBs
-      val rowsInserted = inserted.count()
+      // ONE tagged-count job for every stat the verb reports — matched
+      // rows per action, bySource hits, inserts — instead of a count
+      // job per frame re-reading the affected-file subset each time.
+      val mTags = pairsAct.where(col("__act") =!= -1)
+        .select(concat(lit("m"), col("__act").cast("string")).as("__tag"))
+      val bsTags = notMatchedBySource.map(a => unmatchedRaw
+        .where(bsHit.get)
+        .select(lit(if (a.assignments.isEmpty) "bd" else "bu")
+          .as("__tag")))
+      val iTags = inserted.select(lit("i").as("__tag"))
+      val counts: Map[String, Long] =
+        (Seq(mTags) ++ bsTags.toSeq :+ iTags).reduce(_.unionByName(_))
+          .groupBy("__tag").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      def actCount(p: MatchedAction => Boolean): Long =
+        actions.zipWithIndex.collect { case (a, i) if p(a) =>
+          counts.getOrElse(s"m$i", 0L) }.sum
+      val rowsUpdated = actCount(_.isInstanceOf[MatchedUpdate]) +
+        counts.getOrElse("bu", 0L)
+      val rowsDeleted = actCount(_.isInstanceOf[MatchedDelete]) +
+        counts.getOrElse("bd", 0L)
+      val rowsInserted = counts.getOrElse("i", 0L)
       enforceConstraints(spark, target, parentV,
-        updatedBsOpt.foldLeft(updated.unionByName(inserted))(
-          _.unionByName(_)), "mergeConditional")
+        (updatedFrames ++ updatedBsOpt.toSeq :+ inserted)
+          .reduce(_.unionByName(_)), "mergeConditional")
 
-      val replacement = unmatchedTarget.unionByName(keptMatched)
-        .unionByName(updated).unionByName(inserted)
+      val replacement =
+        (Seq(unmatchedTarget, keptMatched) ++ updatedFrames :+ inserted)
+          .reduce(_.unionByName(_))
       val recorded = withMapping(
         unionNullability(replacement.schema, tableSchema), tableSchema)
       // True no-op: nothing matched, nothing to insert → no commit.
@@ -2785,7 +2941,7 @@ object MergeStore {
           head, Map.empty, fresh, blooms, sCols, recorded, bCols, fpp,
           Map.empty): Unit).get
       MergeStats(before.size, affected.size, rowsInserted, rowsUpdated,
-        rowsDeleted = rowsDeletedBs, rebases = rebases)
+        rowsDeleted = rowsDeleted, rebases = rebases)
     } finally src.unpersist()
   }
 
@@ -3294,6 +3450,7 @@ object MergeStore {
     val carried = manifestMeta(target, Some(toVersion)).filter { case (k, _) =>
       k == StatsColsKey || k == SchemaKey || k == BloomColsKey ||
         k == BloomFppKey || isDvKey(k) ||
+        (isSizeKey(k) && files.contains(k.drop(2))) ||
         ((isStatsKey(k) || isBloomKey(k) || isNullsKey(k)) && files.contains(statsKeyFile(k)))
     }
     // Constraints and MOR routing are current POLICY, not versioned
@@ -3302,7 +3459,9 @@ object MergeStore {
     // below an addConstraint can surface pre-constraint rows, exactly
     // like Delta).
     val policy = manifestMeta(target, Some(head))
-      .filter { case (k, _) => isConstraintKey(k) || k == MorKey }
+      .filter { case (k, _) =>
+        isConstraintKey(k) || k == MorKey || k == PkKey
+      }
     commit(target, files, head, policy ++ carried ++ meta)
   }
 
@@ -3341,7 +3500,9 @@ object MergeStore {
     val carried = meta.filter { case (k, _) =>
       k == StatsColsKey || k == SchemaKey || k == BloomColsKey ||
         k == BloomFppKey || isConstraintKey(k) || k == MorKey ||
+        k == PkKey ||
         (isDvKey(k) && files.contains(k.stripPrefix(DvPrefix))) ||
+        (isSizeKey(k) && files.contains(k.drop(2))) ||
         ((isStatsKey(k) || isBloomKey(k) || isNullsKey(k)) && files.contains(statsKeyFile(k)))
     }
     carried.foreach { case (k, sidecar) =>
@@ -3534,12 +3695,14 @@ object MergeStore {
       .getOrElse(sys.error(s"no committed version at $target"))
     val key = property match {
       case "graft.mor" => MorKey
+      case "graft.pk" => PkKey
       case "graft.stats.cols" => StatsColsKey
       case "graft.bloom.cols" => BloomColsKey
       case "graft.bloom.fpp" => BloomFppKey
       case other => throw new UnsupportedOperationException(
         s"table property '$other' is not a graft policy — supported: " +
-          "graft.mor, graft.stats.cols, graft.bloom.cols, graft.bloom.fpp")
+          "graft.mor, graft.pk, graft.stats.cols, graft.bloom.cols, " +
+          "graft.bloom.fpp")
     }
     value.foreach { v =>
       key match {
@@ -4256,9 +4419,9 @@ object MergeStore {
     * for the next pass. A rival that rewrote or DV-buried a candidate
     * recomputes (`maxRetries`), exactly the row-level verbs' contract.
     *
-    * File sizes come from the data directory (one size-stat per live
-    * file — a maintenance-time cost; an object-store deployment would
-    * record sizes as manifest lines, Delta's choice). */
+    * File sizes come from the manifest's `z:` lines ([[fileSizes]]) —
+    * zero data-directory stat calls on any table committed since the
+    * lines landed; legacy files fall back to one counted Files.size. */
   def compactSmall(spark: SparkSession, target: String, smallBytes: Long,
                    targetFileBytes: Long = 128L << 20,
                    maxRetries: Int = 0,
@@ -4282,11 +4445,10 @@ object MergeStore {
     val parentV = snapshotVersion.orElse(currentVersion(target))
       .getOrElse(sys.error(s"no committed version at $target"))
     val before = liveFiles(target, Some(parentV))
-    val sized = before.map { f =>
-      f -> (try Files.size(dataDir(target).resolve(f))
-      catch { case _: java.io.IOException => Long.MaxValue })
-    }
-    val small = sized.filter(_._2 < smallBytes)
+    // Unknown sizes (-1: unlined legacy file whose stat failed) are
+    // NOT small — never rewrite a file whose size can't be proven.
+    val small = fileSizes(target, Some(parentV))
+      .filter { case (_, s) => s >= 0 && s < smallBytes }
     if (small.size < 2) return CompactStats(parentV, 0, 0)
     val smallNames = small.map(_._1)
     val smallSet = smallNames.toSet

@@ -29,18 +29,20 @@ import org.apache.spark.sql.functions.{col, expr, lit}
   *     [[MergeStore.append]]; `INSERT OVERWRITE` →
   *     [[MergeStore.overwriteTable]]
   *   - `MERGE INTO t USING s ON t.k = s.k [AND ...]` with the full
-  *     action family: `WHEN MATCHED [AND cond] THEN UPDATE SET * |
-  *     SET c = e, ...`, `WHEN NOT MATCHED THEN INSERT * | (cols)
-  *     VALUES (...)`, `WHEN NOT MATCHED BY SOURCE [AND cond] THEN
-  *     DELETE | UPDATE SET ...`, and a sole `WHEN MATCHED THEN
-  *     DELETE`. The canonical star upsert dispatches [[MergeStore
-  *     .merge]]; conditioned/column-list/by-source forms dispatch
+  *     action family: MULTIPLE `WHEN MATCHED [AND cond] THEN UPDATE
+  *     SET * | SET c = e, ... | DELETE` clauses (declaration order,
+  *     first true condition wins, all but the last conditioned —
+  *     Delta's contract, covering the CDC-apply statement `WHEN
+  *     MATCHED AND s.del THEN DELETE WHEN MATCHED THEN UPDATE SET *`),
+  *     `WHEN NOT MATCHED [AND cond] THEN INSERT * | (cols) VALUES
+  *     (...)` (condition is source-only scope), and `WHEN NOT MATCHED
+  *     BY SOURCE [AND cond] THEN DELETE | UPDATE SET ...`. The
+  *     canonical star upsert dispatches [[MergeStore.merge]];
+  *     conditioned/column-list/multi-clause/by-source forms dispatch
   *     [[MergeStore.mergeConditional]]; single-action forms keep SQL
   *     semantics (UPDATE-only ignores unmatched source rows,
   *     INSERT-only leaves matched target rows untouched — source
   *     filtered against the statement's snapshot, [[mergeFiltered]]).
-  *     Conditional INSERT actions and multiple actions per clause
-  *     remain refusals.
   *
   * Concurrency, constraints, stats upkeep, and the change feed are the
   * dispatched verb's own — SQL is a spelling, not a second engine.
@@ -189,113 +191,86 @@ object SqlVerbs {
           "WHEN NOT MATCHED BY SOURCE supports one DELETE or UPDATE " +
             s"SET action; got $other")
       }
-    if (bySource.isDefined) {
-      // The bySource family always routes through the conditional verb.
-      val (mCond, mAssign, refusal) = m.matchedActions match {
-        case Seq() => (Some(lit(false)), None, None)
-        case Seq(UpdateStarAction(c)) =>
-          (Some(c.map(e => mapBoth(e, tNames, sNames, bothRoots)).getOrElse(lit(true))),
-            None, None)
-        case Seq(u: UpdateAction) =>
-          (Some(u.condition.map(e => mapBoth(e, tNames, sNames, bothRoots))
-            .getOrElse(lit(true))),
-            Some(u.assignments.map { case Assignment(k, v) =>
-              attrName(k, tNames) -> mapBoth(v, tNames, sNames, bothRoots)
-            }.toMap), None)
-        case other => (None, None, Some(other))
+    // Matched clauses, in declaration order: UPDATE [AND cond] SET
+    // (star or column-list) and DELETE [AND cond], any mix — the verb
+    // runs the first clause whose condition holds per row and enforces
+    // all-but-last-conditioned (Delta's multi-clause contract; `WHEN
+    // MATCHED AND s.del THEN DELETE WHEN MATCHED THEN UPDATE SET *` is
+    // the canonical CDC-apply statement).
+    def matchedActions: Seq[MergeStore.MatchedAction] =
+      m.matchedActions.map {
+        case UpdateStarAction(c) => MergeStore.MatchedUpdate(
+          c.map(e => mapBoth(e, tNames, sNames, bothRoots)), None)
+        case u: UpdateAction => MergeStore.MatchedUpdate(
+          u.condition.map(e => mapBoth(e, tNames, sNames, bothRoots)),
+          Some(u.assignments.map { case Assignment(k, v) =>
+            attrName(k, tNames) -> mapBoth(v, tNames, sNames, bothRoots)
+          }.toMap))
+        case DeleteAction(c) => MergeStore.MatchedDelete(
+          c.map(e => mapBoth(e, tNames, sNames, bothRoots)))
+        case other => sys.error(
+          s"unsupported WHEN MATCHED action: $other — MERGE supports " +
+            "UPDATE [AND cond] SET ... and DELETE [AND cond]")
       }
-      refusal.foreach(o => sys.error(
-        "with WHEN NOT MATCHED BY SOURCE, the matched action must be " +
-          s"a single UPDATE (or absent); got $o"))
-      val (doInsert, insertVals) = m.notMatchedActions match {
-        case Seq() => (false, None)
-        case Seq(InsertStarAction(None)) => (true, None)
-        case Seq(ia: InsertAction) if ia.condition.isEmpty =>
-          (true, Some(ia.assignments.map { case Assignment(k, v) =>
+    // Not-matched: at most one INSERT, optionally conditioned. A
+    // not-matched row has no target side, so the condition is
+    // source-only scope (mapSourceOnly refuses target references).
+    val (doInsert, insertCond, insertVals) = m.notMatchedActions match {
+      case Seq() => (false, None, None)
+      case Seq(InsertStarAction(c)) =>
+        (true, c.map(e => mapSourceOnly(e, tNames, sNames, sRoots)), None)
+      case Seq(ia: InsertAction) =>
+        (true,
+          ia.condition.map(e => mapSourceOnly(e, tNames, sNames, sRoots)),
+          Some(ia.assignments.map { case Assignment(k, v) =>
             attrName(k, tNames) -> mapSourceOnly(v, tNames, sNames, sRoots)
           }.toMap))
-        case other => sys.error(
-          s"unsupported WHEN NOT MATCHED action(s): $other")
-      }
-      return Merged(MergeStore.mergeConditional(spark, source, path, pk,
-        matchedCondition = mCond, matchedAssignments = mAssign,
-        insert = doInsert, insertValues = insertVals,
-        notMatchedBySource = bySource, maxRetries = maxRetries))
+      case other => sys.error(
+        "MERGE supports one WHEN NOT MATCHED [AND cond] THEN INSERT " +
+          s"action; got $other")
     }
     (m.matchedActions, m.notMatchedActions) match {
       // The canonical upsert: UPDATE SET * + INSERT *.
-      case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
+      case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)))
+          if bySource.isEmpty =>
         Merged(MergeStore.merge(spark, source, path, pk,
           maxRetries = maxRetries))
       // UPDATE-only: SQL says unmatched source rows are IGNORED, so
       // the source filters to keys PRESENT in the statement's snapshot
       // before the upsert verb runs (a bare merge would insert them).
-      case (Seq(UpdateStarAction(None)), Seq()) =>
+      case (Seq(UpdateStarAction(None)), Seq()) if bySource.isEmpty =>
         Merged(mergeFiltered(spark, path, source, pk, "left_semi",
           maxRetries))
       // INSERT-only: matched target rows must stay UNTOUCHED, so the
-      // source filters to keys ABSENT from the snapshot. A column list
-      // aligns the source onto the table first (unlisted columns NULL).
-      case (Seq(), Seq(InsertStarAction(None))) =>
-        Merged(mergeFiltered(spark, path, source, pk, "left_anti",
+      // source filters to keys ABSENT from the snapshot. A condition
+      // pre-filters the source (same algebra — it is source-only); a
+      // column list aligns the source onto the table first (unlisted
+      // columns NULL).
+      case (Seq(), Seq(notMatched)) if bySource.isEmpty =>
+        val conditioned = insertCond
+          .map(c => source.alias("s").where(c)).getOrElse(source)
+        val aligned = notMatched match {
+          case InsertStarAction(_) => conditioned
+          case ia: InsertAction =>
+            alignInsertSource(spark, path, conditioned, ia, sNames, pk)
+          case other => sys.error(s"unreachable action shape: $other")
+        }
+        Merged(mergeFiltered(spark, path, aligned, pk, "left_anti",
           maxRetries))
-      case (Seq(), Seq(ia: InsertAction)) if ia.condition.isEmpty =>
-        Merged(mergeFiltered(spark, path,
-          alignInsertSource(spark, path, source, ia, sNames, pk), pk,
-          "left_anti", maxRetries))
-      // Sole WHEN MATCHED THEN DELETE: key-set removal.
-      case (Seq(DeleteAction(None)), Seq()) =>
+      // Sole unconditioned WHEN MATCHED THEN DELETE: key-set removal —
+      // the dedicated verb, no pair build at all.
+      case (Seq(DeleteAction(None)), Seq()) if bySource.isEmpty =>
         Deleted(MergeStore.delete(spark, path, source, pk,
           maxRetries = maxRetries))
-      // Conditional and/or column-list family →
-      // [[MergeStore.mergeConditional]]: one matched UPDATE action
-      // (optionally conditioned, star or column-list) plus at most one
-      // unconditioned not-matched INSERT (star or column-list).
-      case (Seq(matched), notMatched)
-          if isUpdateShape(matched) && notMatched.size <= 1 &&
-            notMatched.forall(isPlainInsertShape) =>
-        val (mCond, mAssign) = matched match {
-          case UpdateStarAction(c) =>
-            (c.map(e => mapBoth(e, tNames, sNames, bothRoots)), None)
-          case u: UpdateAction =>
-            (u.condition.map(e => mapBoth(e, tNames, sNames, bothRoots)),
-              Some(u.assignments.map { case Assignment(k, v) =>
-                attrName(k, tNames) -> mapBoth(v, tNames, sNames, bothRoots)
-              }.toMap))
-          case other => sys.error(s"unreachable action shape: $other")
-        }
-        val (doInsert, insertVals) = notMatched match {
-          case Seq(InsertStarAction(None)) => (true, None)
-          case Seq(ia: InsertAction) =>
-            (true, Some(ia.assignments.map { case Assignment(k, v) =>
-              attrName(k, tNames) -> mapSourceOnly(v, tNames, sNames, sRoots)
-            }.toMap))
-          case Seq() => (false, None)
-          case other => sys.error(s"unreachable action shape: $other")
-        }
+      // Conditional / column-list / multi-clause / by-source family —
+      // one generalized verb call.
+      case _ =>
         Merged(MergeStore.mergeConditional(spark, source, path, pk,
-          matchedCondition = mCond, matchedAssignments = mAssign,
           insert = doInsert, insertValues = insertVals,
-          maxRetries = maxRetries))
-      case _ => sys.error(
-        "MERGE supports WHEN MATCHED [AND cond] THEN UPDATE SET * | " +
-          "SET c = e, ... plus WHEN NOT MATCHED THEN INSERT * | " +
-          "(cols) VALUES (...), or a sole WHEN MATCHED THEN DELETE — " +
-          "conditional INSERT/DELETE actions and multiple actions per " +
-          "clause are not supported")
+          notMatchedBySource = bySource, maxRetries = maxRetries,
+          matchedActions = Some(matchedActions),
+          insertCondition = insertCond))
     }
-  }
-
-  private def isUpdateShape(a: MergeAction): Boolean = a match {
-    case UpdateStarAction(_) => true
-    case _: UpdateAction => true
-    case _ => false
-  }
-
-  private def isPlainInsertShape(a: MergeAction): Boolean = a match {
-    case InsertStarAction(None) => true
-    case ia: InsertAction => ia.condition.isEmpty
-    case _ => false
   }
 
   /** Column-list INSERT-only MERGE: align the source onto the table's

@@ -111,6 +111,27 @@ object MergeStoreCdc {
     fromVersion.foreach(v => r.option("fromVersion", v.toString))
     r.load()
   }
+
+  /** [[readStream]] addressed by CATALOG TABLE NAME — the follower
+    * route spelled entirely with names: the table resolves through
+    * [[graft.store.GraftCatalog.resolvePath]] and the key columns
+    * default to its durable `graft.pk` policy, so
+    * `readStreamTable(spark, "db.t")` is the whole incantation.
+    * Equivalently via options:
+    * `spark.readStream.format("graft-cdc").option("table", "db.t")`. */
+  def readStreamTable(spark: SparkSession, table: String,
+                      pk: Seq[String] = Nil,
+                      includePreimages: Boolean = false,
+                      fromVersion: Option[Int] = None,
+                      maxVersionsPerBatch: Int = 0): DataFrame = {
+    val path = graft.store.GraftCatalog.resolvePath(spark, table)
+    val keys = if (pk.nonEmpty) pk else MergeStore.tablePk(path)
+    require(keys.nonEmpty,
+      s"no key columns for the change stream of '$table' — pass pk, " +
+        "or declare TBLPROPERTIES('graft.pk'='...') on the table")
+    readStream(spark, path, keys, includePreimages, fromVersion,
+      maxVersionsPerBatch)
+  }
 }
 
 /** v1 source provider; registered in META-INF services as `graft-cdc`. */
@@ -119,9 +140,15 @@ class MergeStoreCdcProvider extends StreamSourceProvider with DataSourceRegister
 
   override def shortName(): String = "graft-cdc"
 
+  /** `path` (a table directory) or `table` (a catalog name, resolved
+    * through the registration-then-warehouse order). */
   private def path(parameters: Map[String, String]): String =
-    parameters.getOrElse("path",
-      sys.error("graft-cdc needs option 'path' (a MergeStore table)"))
+    parameters.get("path")
+      .orElse(parameters.get("table").map(t =>
+        graft.store.GraftCatalog.resolvePath(SparkSession.active, t)))
+      .getOrElse(sys.error(
+        "graft-cdc needs option 'path' (a MergeStore table directory) " +
+          "or 'table' (a catalog table name, e.g. 'db.orders')"))
 
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType], providerName: String,
@@ -131,10 +158,17 @@ class MergeStoreCdcProvider extends StreamSourceProvider with DataSourceRegister
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source = {
-    val pk = parameters.getOrElse("pk",
-        sys.error("graft-cdc needs option 'pk' (comma-separated key columns)"))
-      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    new MergeStoreCdcSource(sqlContext.sparkSession, path(parameters), pk,
+    val p = path(parameters)
+    // Key columns: the 'pk' option, else the table's durable graft.pk
+    // policy — a SQL-declared table streams with no option at all.
+    val pk = parameters.get("pk")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+      .orElse(Some(MergeStore.tablePk(p)).filter(_.nonEmpty))
+      .getOrElse(sys.error(
+        "graft-cdc needs option 'pk' (comma-separated key columns) — " +
+          "or declare TBLPROPERTIES('graft.pk'='...') on the table"))
+    new MergeStoreCdcSource(sqlContext.sparkSession, p, pk,
       parameters.get("includePreimages").exists(_.toBoolean),
       parameters.get("fromVersion").map(_.toInt), metadataPath,
       parameters.get("maxVersionsPerBatch").map(_.toInt).getOrElse(0))

@@ -29,6 +29,41 @@ import graft.store.MergeStore
   */
 object StreamingUpsert {
 
+  /** [[exactlyOnce]] addressed by CATALOG TABLE NAME instead of path —
+    * `writeStream`-into-`graft.db.t` for the library route (the
+    * foreachBatch-installing shape; a DSv2 streaming write would
+    * re-implement parquet task writers outside the verbs' OCC). The
+    * name resolves through [[graft.store.GraftCatalog.resolvePath]]
+    * (registration first, then the warehouse), `mustExist = false` —
+    * the first batch births the table, exactly like the path route.
+    * `pk = Nil` reads the table's durable `graft.pk` policy (declared
+    * at CREATE TABLE or SET TBLPROPERTIES), so a SQL-declared table
+    * needs no Scala-side key repetition. */
+  def toTable(source: DataFrame, table: String, checkpoint: String,
+              pk: Seq[String] = Nil,
+              appId: String = "graft-stream-upsert",
+              deleteCol: Option[String] = None,
+              trigger: Trigger = Trigger.AvailableNow(),
+              initFiles: Int = 8,
+              maxRetries: Int = 3,
+              optimizeEvery: Int = 0,
+              optimizeSmallFiles: Int = 0,
+              optimizeSmallBytes: Long = 32L << 20,
+              optimizeTargetBytes: Long = 128L << 20): StreamingQuery = {
+    val path = graft.store.GraftCatalog.resolvePath(
+      source.sparkSession, table, mustExist = false)
+    val keys =
+      if (pk.nonEmpty) pk
+      else if (MergeStore.exists(path)) MergeStore.tablePk(path)
+      else Nil
+    require(keys.nonEmpty,
+      s"no key columns for streaming upsert into '$table' — pass pk, " +
+        "or declare TBLPROPERTIES('graft.pk'='...') on the table")
+    exactlyOnce(source, path, keys, checkpoint, appId, deleteCol,
+      trigger, initFiles, maxRetries, optimizeEvery, optimizeSmallFiles,
+      optimizeSmallBytes, optimizeTargetBytes)
+  }
+
   /** Start landing `source` into `target` keyed on `pk`. Rows where
     * `deleteCol` (optional) is TRUE are deletes-by-key; everything
     * else upserts (delete-then-upsert composition within one batch is
@@ -38,11 +73,15 @@ object StreamingUpsert {
     * N-th batch (the BM25 index's `maintainEvery` idiom, on the table
     * itself): a trickle sink is exactly where sub-`optimizeSmallBytes`
     * files pile up, and the incremental bin-pack bounds the live file
-    * count at O(table/target + N) instead of O(batches). Maintenance
-    * needs no marker of its own — the rewrite is content-preserving
-    * (the change feed nets it to zero rows, followers are pinned
-    * across compactions), and a crash-redelivered pass finds the
-    * already-packed file and no-ops. */
+    * count at O(table/target + N) instead of O(batches).
+    * `optimizeSmallFiles > 0` triggers by STATE instead of cadence:
+    * the pass runs when the manifest's live small-file count crosses
+    * the threshold — bursty batch sizes need no N tuning, and the
+    * check is a manifest `z:`-line read ([[MergeStore.fileSizes]]),
+    * zero data-directory stats. Maintenance needs no marker of its
+    * own — the rewrite is content-preserving (the change feed nets it
+    * to zero rows, followers are pinned across compactions), and a
+    * crash-redelivered pass finds the already-packed file and no-ops. */
   def exactlyOnce(source: DataFrame, target: String, pk: Seq[String],
                   checkpoint: String,
                   appId: String = "graft-stream-upsert",
@@ -51,6 +90,7 @@ object StreamingUpsert {
                   initFiles: Int = 8,
                   maxRetries: Int = 3,
                   optimizeEvery: Int = 0,
+                  optimizeSmallFiles: Int = 0,
                   optimizeSmallBytes: Long = 32L << 20,
                   optimizeTargetBytes: Long = 128L << 20): StreamingQuery = {
     require(pk.nonEmpty, "StreamingUpsert needs key columns")
@@ -81,7 +121,13 @@ object StreamingUpsert {
             guard = Some(MergeStore.MarkerGuard(key, id,
               expected = if (id == 0) None else Some(id - 1))))
         }
-        if (optimizeEvery > 0 && id % optimizeEvery == optimizeEvery - 1)
+        val due =
+          (optimizeEvery > 0 && id % optimizeEvery == optimizeEvery - 1) ||
+            (optimizeSmallFiles > 0 &&
+              MergeStore.fileSizes(target).count { case (_, sz) =>
+                sz >= 0 && sz < optimizeSmallBytes
+              } >= optimizeSmallFiles)
+        if (due)
           // Maintenance is best-effort: the batch's rows and marker are
           // already committed, so a bin-pack that loses every OCC retry
           // to a hot rival must not kill the stream — the tail just

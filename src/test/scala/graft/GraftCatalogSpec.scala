@@ -222,6 +222,37 @@ class GraftCatalogSpec extends SparkSpec {
     } finally System.clearProperty("graft.catalog.warehouse")
   }
 
+  test("CREATE TABLE PARTITIONED BY maps onto the skip index: pruning on the partition column") {
+    System.setProperty("graft.catalog.warehouse", tmpDir("cat-part-wh"))
+    try {
+      spark.sql("CREATE TABLE graft.wh.part (id BIGINT, year INT, " +
+        "v STRING) PARTITIONED BY (year)")
+      val p = System.getProperty("graft.catalog.warehouse") + "/wh/part"
+      // The partition column joined the manifest skip index.
+      assert(MergeStore.statsColumns(p).contains("year"))
+      // Year-batched inserts (the natural ingest shape) give each file
+      // a tight year range — a year probe must prune to that batch.
+      Seq(2022, 2023, 2024).foreach { y =>
+        spark.sql(s"INSERT INTO graft.wh.part SELECT id, $y, " +
+          s"concat('r-', id) FROM range(${(y - 2022) * 100}, " +
+          s"${(y - 2022) * 100 + 100})")
+      }
+      val probe = spark.sql(
+        "SELECT id, v FROM graft.wh.part WHERE year = 2023")
+      assert(probe.count() == 100)
+      val planned = plannedFiles(probe)
+      assert(planned.size < MergeStore.liveFiles(p).size,
+        s"year probe must prune: planned ${planned.size} of " +
+          s"${MergeStore.liveFiles(p).size}")
+      // A non-identity transform keeps the loud refusal.
+      val e = intercept[Exception] {
+        spark.sql("CREATE TABLE graft.wh.bad (id BIGINT, ts TIMESTAMP) " +
+          "PARTITIONED BY (days(ts))")
+      }
+      assert(e.getMessage.contains("not supported"))
+    } finally System.clearProperty("graft.catalog.warehouse")
+  }
+
   test("ALTER TABLE: ADD / RENAME / DROP COLUMN route to schema evolution") {
     val t = fresh("alt")
     spark.sql("ALTER TABLE graft.db.alt ADD COLUMN score DOUBLE")

@@ -175,10 +175,11 @@ class SqlVerbsSpec extends SparkSpec {
     intercept[RuntimeException] {
       SqlVerbs.execute(spark, "SELECT * FROM events", cat)
     }
-    intercept[RuntimeException] { // conditional action unsupported
+    intercept[RuntimeException] { // >1 NOT MATCHED clause unsupported
       SqlVerbs.execute(spark,
         "MERGE INTO events t USING events s ON t.id = s.id " +
-          "WHEN MATCHED AND s.grp = 1 THEN DELETE", cat)
+          "WHEN NOT MATCHED AND s.grp = 1 THEN INSERT * " +
+          "WHEN NOT MATCHED THEN INSERT *", cat)
     }
     // The dispatched verb's own constraint gate still fires from SQL.
     MergeStore.addConstraint(spark, t, "grp_pos", "grp >= 0")

@@ -339,6 +339,60 @@ class StreamingCdcSpec extends SparkSpec {
     assert(byType == Map("update_postimage" -> 1L, "update_preimage" -> 1L))
   }
 
+  test("table_changes TVF == changesByCommit across a rename and a MOR delete; graft.pk drives it") {
+    val t = tmpDir("cdc-tvf") + "/tbl"
+    MergeStore.init(spark, rows(0, 500, "v1"), t, numFiles = 4,
+      clusterBy = Seq("id")) // v0
+    graft.store.GraftCatalog.register("cdcdb.tvf", t)
+    // Declare the key AS SQL — the TVF (and the streaming helpers)
+    // read it back; the policy must survive the verb commits below.
+    spark.sql(
+      "ALTER TABLE graft.cdcdb.tvf SET TBLPROPERTIES ('graft.pk'='id')") // v1
+    MergeStore.merge(spark, rows(50, 60, "v2"), t, pk = Seq("id")) // v2
+    MergeStore.renameColumn(spark, t, "payload", "text") // v3
+    MergeStore.deleteWhereMor(spark, t, col("id") >= 480) // v4: DV only
+    assert(MergeStore.tablePk(t) == Seq("id"), "graft.pk must carry")
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"text", $"_change_type", $"_commit_version")
+        .as[(Long, String, String, Long)].collect().toSet
+    val viaSql = spark.sql("SELECT * FROM table_changes('cdcdb.tvf', 1, 4)")
+    assert(viaSql.columns.contains("_commit_timestamp"))
+    assert(shape(viaSql) == shape(MergeStoreCdc.changesByCommit(spark, t,
+      Seq("id"), includePreimages = false, fromVersion = 0, toVersion = 4)))
+    // to_version defaults to the head; the feed composes with SQL.
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM table_changes('cdcdb.tvf', 4) " +
+        "WHERE _change_type = 'delete'").as[Long].head() == 20L)
+    // Bounds validate loudly.
+    assert(intercept[Exception](spark.sql(
+      "SELECT * FROM table_changes('cdcdb.tvf', 1, 99)").collect())
+      .getMessage.contains("past the head"))
+    graft.store.GraftCatalog.unregister("cdcdb.tvf")
+  }
+
+  test("follower spelled entirely with table names: readStreamTable + graft.pk") {
+    val base = tmpDir("cdc-names")
+    val t = s"$base/tbl"
+    MergeStore.init(spark, rows(0, 100, "v1"), t, numFiles = 2,
+      clusterBy = Seq("id")) // v0
+    MergeStore.setPolicy(t, "graft.pk", Some("id")) // v1
+    MergeStore.merge(spark, rows(5, 9, "v2"), t, pk = Seq("id")) // v2
+    graft.store.GraftCatalog.register("cdcdb.names", t)
+    val q = MergeStoreCdc.readStreamTable(spark, "cdcdb.names",
+        fromVersion = Some(0))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(sinkRows(s"$base/out") == batchRows(t, 0, 2))
+    // The raw-options route resolves 'table' + policy pk too.
+    val viaOptions = spark.readStream.format("graft-cdc")
+      .option("table", "cdcdb.names").option("fromVersion", "0").load()
+    assert(viaOptions.schema.fieldNames.contains("_change_type"))
+    graft.store.GraftCatalog.unregister("cdcdb.names")
+  }
+
   test("a merge-on-read delete streams as delete changes, same as batch") {
     val base = tmpDir("cdc-mor")
     val t = s"$base/tbl"

@@ -74,6 +74,66 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(MergeStore.read(spark, t).count() == 1) // nothing landed
   }
 
+  test("toTable: the sink spelled with a catalog name; graft.pk supplies the keys; exactly-once intact") {
+    val base = tmpDir("stream-upsert-table")
+    val t = s"$base/tbl"
+    // Declared AS SQL policy: the sink reads the key from the table.
+    MergeStore.create(t, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.StringType))), pk = Seq("id"))
+    graft.store.GraftCatalog.register("updb.sink", t)
+    val ms = MemoryStream[(Long, String)]
+    def run(): Unit = {
+      val q = StreamingUpsert.toTable(ms.toDF().toDF("id", "payload"),
+        "updb.sink", checkpoint = s"$base/ck", appId = "spec-table")
+      q.awaitTermination()
+    }
+    ms.addData((1L, "a"), (2L, "b"))
+    run() // batch 0
+    ms.addData((2L, "b2"), (3L, "c"))
+    run() // batch 1
+    val got = MergeStore.read(spark, t)
+      .select($"id", $"payload").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    // Same txn markers as the path route — replay still drops.
+    assert(MergeStore.markerValue(t, "stream.spec-table").contains("1"))
+    run() // empty catch-up: clean no-op
+    assert(MergeStore.read(spark, t).count() == 3)
+    // Without pk anywhere, the refusal is loud and names the fix.
+    val t2 = s"$base/tbl2"
+    graft.store.GraftCatalog.register("updb.sink2", t2)
+    val e = intercept[IllegalArgumentException] {
+      StreamingUpsert.toTable(ms.toDF().toDF("id", "payload"),
+        "updb.sink2", checkpoint = s"$base/ck2")
+    }
+    assert(e.getMessage.contains("graft.pk"))
+    graft.store.GraftCatalog.unregister("updb.sink")
+    graft.store.GraftCatalog.unregister("updb.sink2")
+  }
+
+  test("optimizeSmallFiles triggers by live small-file count, no cadence tuning") {
+    val base = tmpDir("stream-opt-count")
+    val t = s"$base/tbl"
+    val ms = MemoryStream[(Long, String)]
+    def run(): Unit = {
+      val q = StreamingUpsert.exactlyOnce(ms.toDF().toDF("id", "payload"),
+        t, pk = Seq("id"), checkpoint = s"$base/ck", appId = "optc",
+        initFiles = 1,
+        optimizeSmallFiles = 4, optimizeSmallBytes = 1L << 20)
+      q.awaitTermination()
+    }
+    // Bursty one-row batches: the pass fires whenever the manifest
+    // says >= 4 small files live — no optimizeEvery to mis-tune.
+    (0 until 10).foreach { i => ms.addData((200L + i, s"p-$i")); run() }
+    assert(MergeStore.read(spark, t).count() == 10)
+    assert(MergeStore.liveFiles(t).size <= 4,
+      s"count-triggered optimize must bound the file count, got " +
+        s"${MergeStore.liveFiles(t).size}")
+    assert(MergeStore.markerValue(t, "stream.optc").contains("9"))
+  }
+
   test("optimizeEvery bounds the trickle sink's file count; invisible to marker and feed") {
     val base = tmpDir("stream-opt")
     val t = s"$base/tbl"
