@@ -173,9 +173,6 @@ final case class GraftResolution(spark: SparkSession)
     * membership (target vs source output), then spelled onto the verb's
     * `t` / `s` aliases. */
   private def toMergeCommand(m: MergeIntoTable): LogicalPlan = {
-    require(!m.withSchemaEvolution,
-      "MERGE WITH SCHEMA EVOLUTION is not supported through the " +
-        "catalog — use MergeStore.merge(allowSchemaEvolution = true)")
     val (_, table) = graftOf(m.targetTable).get
     val tOut = m.targetTable.outputSet
     val sOut = m.sourceTable.outputSet
@@ -207,6 +204,37 @@ final case class GraftResolution(spark: SparkSession)
         targetColName(k) -> spell(v)
       }
 
+    // Every assignment is `c = s.c` over the same name — the analyzer's
+    // expansion of SET * / INSERT * (over the EVOLVED column set when
+    // WITH SCHEMA EVOLUTION added source columns to the target).
+    def isStarAssign(assignments: Seq[Assignment]): Boolean =
+      assignments.nonEmpty && assignments.forall {
+        case Assignment(k, v: AttributeReference) =>
+          sOut.contains(v) &&
+            v.name.equalsIgnoreCase(targetColName(k))
+        case _ => false
+      }
+
+    // MERGE WITH SCHEMA EVOLUTION: only the canonical star upsert can
+    // evolve (a conditioned or column-listed clause over new columns
+    // has no defined value for carried rows) — route it to the merge
+    // verb's own evolution (batch-only columns append, carried files
+    // null-fill), refuse anything else loudly.
+    if (m.withSchemaEvolution) {
+      (m.matchedActions, m.notMatchedActions,
+          m.notMatchedBySourceActions) match {
+        case (Seq(u: UpdateAction), Seq(ia: InsertAction), Seq())
+            if u.condition.isEmpty && ia.condition.isEmpty &&
+              isStarAssign(u.assignments) && isStarAssign(ia.assignments) =>
+          return GraftMergeEvolveCommand(table.path, m.sourceTable, pk)
+        case _ => sys.error(
+          "MERGE WITH SCHEMA EVOLUTION supports the canonical star " +
+            "upsert only (WHEN MATCHED THEN UPDATE SET * WHEN NOT " +
+            "MATCHED THEN INSERT *) — a conditioned or column-listed " +
+            "clause cannot define the evolved columns' carried values")
+      }
+    }
+
     val bySource = m.notMatchedBySourceActions match {
       case Seq() => None
       case Seq(DeleteAction(c)) => Some((c.map(targetOnlySql), None))
@@ -235,19 +263,20 @@ final case class GraftResolution(spark: SparkSession)
         s"unsupported WHEN MATCHED action: $other — MERGE supports " +
           "UPDATE [AND cond] SET ... and DELETE [AND cond]")
     }
-    val (doInsert, insertCond, insertVals) = m.notMatchedActions match {
-      case Seq() => (false, None, None)
-      case Seq(ia: InsertAction) =>
-        // A not-matched row HAS no target side — the condition may
-        // reference only the source (sourceOnlySql refuses the rest).
-        (true, ia.condition.map(sourceOnlySql),
+    // Not-matched clauses, in declaration order (first true condition
+    // claims the unmatched source row). A not-matched row HAS no
+    // target side — conditions and values may reference only the
+    // source (sourceOnlySql refuses the rest).
+    val inserts: Seq[InsertSpec] = m.notMatchedActions.map {
+      case ia: InsertAction =>
+        InsertSpec(ia.condition.map(sourceOnlySql),
           Some(assignMap(ia.assignments, sourceOnlySql)))
       case other => sys.error(
-        "MERGE supports one WHEN NOT MATCHED [AND cond] INSERT " +
-          s"action; got $other")
+        s"unsupported WHEN NOT MATCHED action: $other — only INSERT " +
+          "is defined for unmatched source rows")
     }
     GraftMergeCommand(table.path, m.sourceTable, pk, matched,
-      doInsert, insertCond, insertVals, bySource)
+      inserts, bySource)
   }
 
   /** ON-clause key columns of a RESOLVED merge condition: a conjunction
@@ -370,6 +399,33 @@ final case class MatchedUpdateSpec(cond: Option[String],
 final case class MatchedDeleteSpec(cond: Option[String])
   extends MergeMatchedSpec
 
+/** One `WHEN NOT MATCHED [AND cond] THEN INSERT` clause (source-only
+  * scope), same spelling contract as [[MergeMatchedSpec]]. */
+final case class InsertSpec(cond: Option[String],
+                            vals: Option[Seq[(String, String)]])
+
+/** `MERGE WITH SCHEMA EVOLUTION` — canonical star upsert only, routed
+  * to the merge verb's own evolution: batch-only columns APPEND to the
+  * table schema, carried files null-fill them on read (Delta's
+  * mergeSchema shape), everything else is the ordinary file-granular
+  * COW upsert with OCC. */
+final case class GraftMergeEvolveCommand(path: String,
+                                         source: LogicalPlan,
+                                         pk: Seq[String])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("rows_updated", LongType)(),
+      AttributeReference("rows_inserted", LongType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.graftshim.PlanFrames.ofRows(spark, source)
+    val st = MergeStore.merge(spark, src, path, pk, maxRetries = 3,
+      allowSchemaEvolution = true)
+    Seq(Row(st.rowsUpdated, st.rowsInserted))
+  }
+}
+
 /** `MERGE INTO` general form. The canonical full-star upsert (every
   * column assigned `c = s.c`, no condition, star insert) dispatches the
   * cheaper [[MergeStore.merge]] / filtered-merge paths; anything
@@ -379,9 +435,7 @@ final case class MatchedDeleteSpec(cond: Option[String])
 final case class GraftMergeCommand(path: String, source: LogicalPlan,
                                    pk: Seq[String],
                                    matched: Seq[MergeMatchedSpec],
-                                   doInsert: Boolean,
-                                   insertCond: Option[String],
-                                   insertVals: Option[Seq[(String, String)]],
+                                   inserts: Seq[InsertSpec],
                                    bySource: Option[(Option[String],
                                      Option[Seq[(String, String)]])] = None)
   extends LeafRunnableCommand {
@@ -408,13 +462,14 @@ final case class GraftMergeCommand(path: String, source: LogicalPlan,
     val cols = fields.map(_.name)
     def asMap(s: Seq[(String, String)]) =
       s.map { case (k, sql) => k -> expr(sql) }.toMap
-    val st = matched match {
-      // INSERT-only: matched target rows stay untouched — the filtered
-      // merge (anti-join against the statement snapshot) avoids
-      // rewriting the matched files at all. A conditional INSERT
-      // pre-filters the source (the condition is source-only by
-      // construction), which is the same algebra.
-      case Seq() if doInsert && bySource.isEmpty =>
+    val st = (matched, inserts) match {
+      // INSERT-only, single clause: matched target rows stay untouched
+      // — the filtered merge (anti-join against the statement
+      // snapshot) avoids rewriting the matched files at all. A
+      // conditional INSERT pre-filters the source (the condition is
+      // source-only by construction), which is the same algebra.
+      case (Seq(), Seq(InsertSpec(insertCond, insertVals)))
+          if bySource.isEmpty =>
         val conditioned = insertCond.map(c => src.where(expr(c))) match {
           case Some(f) => f
           case None => src
@@ -437,9 +492,10 @@ final case class GraftMergeCommand(path: String, source: LogicalPlan,
         }
         SqlVerbs.mergeFiltered(spark, path, aligned, pk, "left_anti", 3)
       // Canonical upsert: star update + star insert, unconditioned.
-      case Seq(MatchedUpdateSpec(None, Some(ma)))
-          if doInsert && insertCond.isEmpty && bySource.isEmpty &&
-            isStarMap(ma, cols) && insertVals.forall(isStarMap(_, cols)) =>
+      case (Seq(MatchedUpdateSpec(None, Some(ma))),
+            Seq(InsertSpec(None, iv)))
+          if bySource.isEmpty && isStarMap(ma, cols) &&
+            iv.forall(isStarMap(_, cols)) =>
         MergeStore.merge(spark, src.select(cols.map(
           org.apache.spark.sql.functions.col): _*), path, pk,
           maxRetries = 3)
@@ -453,14 +509,14 @@ final case class GraftMergeCommand(path: String, source: LogicalPlan,
             MergeStore.MatchedDelete(c.map(expr))
         }
         MergeStore.mergeConditional(spark, src, path, pk,
-          insert = doInsert,
-          insertValues = insertVals.map(asMap),
           notMatchedBySource = bySource.map { case (c, a) =>
             MergeStore.BySourceAction(c.map(expr), a.map(asMap))
           },
           maxRetries = 3,
           matchedActions = Some(actions),
-          insertCondition = insertCond.map(expr))
+          insertClauses = Some(inserts.map { case InsertSpec(c, v) =>
+            MergeStore.InsertClause(c.map(expr), v.map(asMap))
+          }))
     }
     Seq(Row(st.rowsUpdated, st.rowsInserted))
   }

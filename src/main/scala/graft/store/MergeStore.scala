@@ -2651,12 +2651,13 @@ object MergeStore {
     *     UPDATE SET *`). The legacy single-action parameters
     *     (`matchedCondition` / `matchedAssignments`) remain as the
     *     one-clause shorthand; `matchedActions` (when given) wins.
-    *   - unmatched source: inserted when `insert` AND
-    *     `insertCondition` (if any) holds — per column
-    *     `insertValues(c)` when assigned, else NULL
-    *     (`insertValues = None` means `INSERT *`); dropped when
-    *     `insert = false` (UPDATE-only statements) or the condition
-    *     is false/NULL.
+    *   - unmatched source: routed to the FIRST `insertClauses` entry
+    *     whose condition holds (same order contract), inserting per
+    *     its values map (`None` = `INSERT *`, unassigned columns
+    *     NULL); a row no clause claims is dropped. The legacy
+    *     single-clause parameters (`insert` / `insertValues` /
+    *     `insertCondition`) remain as shorthand; `insertClauses`
+    *     (when given) wins.
     *   - unmatched target rows: untouched — unless a
     *     `notMatchedBySource` action is given (SQL's `WHEN NOT MATCHED
     *     BY SOURCE [AND cond] THEN DELETE | UPDATE SET ...`): target
@@ -2688,19 +2689,23 @@ object MergeStore {
                        maxRetries: Int = 0,
                        snapshotVersion: Option[Int] = None,
                        matchedActions: Option[Seq[MatchedAction]] = None,
-                       insertCondition: Option[org.apache.spark.sql.Column] = None): MergeStats =
+                       insertCondition: Option[org.apache.spark.sql.Column] = None,
+                       insertClauses: Option[Seq[InsertClause]] = None): MergeStats =
     try mergeConditionalOnce(spark, source, target, pk,
       matchedActions.getOrElse(
         Seq(MatchedUpdate(matchedCondition, matchedAssignments))),
-      insert, insertValues, insertCondition, notMatchedBySource,
-      ordCols, snapshotVersion)
+      insertClauses.getOrElse(
+        if (insert) Seq(InsertClause(insertCondition, insertValues))
+        else Nil),
+      notMatchedBySource, ordCols, snapshotVersion)
     catch {
       case _: java.util.ConcurrentModificationException if maxRetries > 0 =>
         val st = mergeConditional(spark, source, target, pk,
           matchedCondition, matchedAssignments, insert, insertValues,
           notMatchedBySource, ordCols, maxRetries - 1,
           matchedActions = matchedActions,
-          insertCondition = insertCondition)
+          insertCondition = insertCondition,
+          insertClauses = insertClauses)
         st.copy(recomputes = st.recomputes + 1)
     }
 
@@ -2733,12 +2738,20 @@ object MergeStore {
       condition: Option[org.apache.spark.sql.Column])
     extends MatchedAction
 
+  /** One `WHEN NOT MATCHED [AND condition] THEN INSERT ...` clause —
+    * same order contract as the matched clauses (first true condition
+    * wins per unmatched source row; all but the last clause must be
+    * conditioned). `values = None` is `INSERT *`; a values map
+    * NULL-fills unassigned columns. Conditions and values reference
+    * the source row (`s.<col>` or bare names). */
+  final case class InsertClause(
+      condition: Option[org.apache.spark.sql.Column],
+      values: Option[Map[String, org.apache.spark.sql.Column]])
+
   private def mergeConditionalOnce(spark: SparkSession, source: DataFrame,
       target: String, pk: Seq[String],
       actions: Seq[MatchedAction],
-      insert: Boolean,
-      insertValues: Option[Map[String, org.apache.spark.sql.Column]],
-      insertCondition: Option[org.apache.spark.sql.Column],
+      inserts: Seq[InsertClause],
       notMatchedBySource: Option[BySourceAction],
       ordCols: Seq[String],
       snapshotVersion: Option[Int]): MergeStats = {
@@ -2750,6 +2763,12 @@ object MergeStore {
         s"WHEN MATCHED action ${i + 1} of ${actions.size} carries no " +
           "condition — every matched action but the last needs one " +
           "(later actions would be unreachable)")
+    }
+    inserts.dropRight(1).zipWithIndex.foreach { case (c, i) =>
+      require(c.condition.isDefined,
+        s"WHEN NOT MATCHED action ${i + 1} of ${inserts.size} carries " +
+          "no condition — every insert clause but the last needs one " +
+          "(later clauses would be unreachable)")
     }
     val parentV = snapshotVersion.orElse(currentVersion(target))
       .getOrElse(sys.error(s"no committed version at $target"))
@@ -2764,7 +2783,7 @@ object MergeStore {
       fields.find(_._1 == name).flatMap(_._2)
         .map(t => c.cast(nullableForm(t))).getOrElse(c).as(name)
     (actions.collect { case MatchedUpdate(_, Some(m)) => m } ++
-        insertValues.toSeq ++
+        inserts.flatMap(_.values) ++
         notMatchedBySource.flatMap(_.assignments).toSeq).flatten(_.keys)
       .foreach { c => require(tableCols.contains(c),
         s"assignment target '$c' is not a column of $target " +
@@ -2772,7 +2791,7 @@ object MergeStore {
     // An insert column list that skips a key column would land
     // NULL-keyed rows (which every key-probing verb then ignores) —
     // refuse instead of silently inserting unreachable rows.
-    if (insert) insertValues.foreach { m =>
+    inserts.flatMap(_.values).foreach { m =>
       val missingPk = pk.filterNot(m.contains)
       require(missingPk.isEmpty,
         s"INSERT column list must assign every key column; missing: " +
@@ -2871,22 +2890,35 @@ object MergeStore {
             }
         }
       val srcCols = src.columns.toSet
-      val insHit = insertCondition
-        .map(c => coalesce(c, lit(false))).getOrElse(lit(true))
+      // Unmatched source rows route to the FIRST insert clause whose
+      // condition holds (same clause-order contract as the matched
+      // side); a row no clause claims is dropped.
       val inserted =
-        if (!insert) affectedRows.limit(0)
+        if (inserts.isEmpty) affectedRows.limit(0)
           .select(tableCols.map(col).toIndexedSeq: _*)
-        else src.alias("s").join(liveKeys, pk, "left_anti").where(insHit)
-          .select(tableCols.map { c =>
-            toTableType(insertValues match {
-              case None =>
-                require(srcCols.contains(c),
-                  s"INSERT * needs source column '$c' (absent from the " +
-                    "batch) — use insertValues to assign a subset")
-                col(s"s.$c")
-              case Some(m) => m.getOrElse(c, lit(null))
-            }, c)
-          }.toIndexedSeq: _*)
+        else {
+          val insHit = inserts.map(c =>
+            c.condition.map(x => coalesce(x, lit(false)))
+              .getOrElse(lit(true)))
+          val insIdx = insHit.zipWithIndex.foldRight(lit(-1)) {
+            case ((h, i), els) => when(h, lit(i)).otherwise(els)
+          }
+          val unmatchedSrc = src.alias("s")
+            .join(liveKeys, pk, "left_anti").withColumn("__ins", insIdx)
+          inserts.zipWithIndex.map { case (cl, i) =>
+            unmatchedSrc.where(col("__ins") === i)
+              .select(tableCols.map { c =>
+                toTableType(cl.values match {
+                  case None =>
+                    require(srcCols.contains(c),
+                      s"INSERT * needs source column '$c' (absent from " +
+                        "the batch) — use a values map to assign a subset")
+                    col(s"s.$c")
+                  case Some(m) => m.getOrElse(c, lit(null))
+                }, c)
+              }.toIndexedSeq: _*)
+          }.reduce(_.unionByName(_))
+        }
       // ONE tagged-count job for every stat the verb reports — matched
       // rows per action, bySource hits, inserts — instead of a count
       // job per frame re-reading the affected-file subset each time.

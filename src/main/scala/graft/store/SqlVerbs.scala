@@ -212,22 +212,40 @@ object SqlVerbs {
           s"unsupported WHEN MATCHED action: $other — MERGE supports " +
             "UPDATE [AND cond] SET ... and DELETE [AND cond]")
       }
-    // Not-matched: at most one INSERT, optionally conditioned. A
-    // not-matched row has no target side, so the condition is
-    // source-only scope (mapSourceOnly refuses target references).
-    val (doInsert, insertCond, insertVals) = m.notMatchedActions match {
-      case Seq() => (false, None, None)
-      case Seq(InsertStarAction(c)) =>
-        (true, c.map(e => mapSourceOnly(e, tNames, sNames, sRoots)), None)
-      case Seq(ia: InsertAction) =>
-        (true,
+    // Not-matched clauses, in declaration order (first true condition
+    // claims the unmatched source row). A not-matched row has no
+    // target side, so conditions and values are source-only scope
+    // (mapSourceOnly refuses target references).
+    def insertClauses: Seq[MergeStore.InsertClause] =
+      m.notMatchedActions.map {
+        case InsertStarAction(c) => MergeStore.InsertClause(
+          c.map(e => mapSourceOnly(e, tNames, sNames, sRoots)), None)
+        case ia: InsertAction => MergeStore.InsertClause(
           ia.condition.map(e => mapSourceOnly(e, tNames, sNames, sRoots)),
           Some(ia.assignments.map { case Assignment(k, v) =>
             attrName(k, tNames) -> mapSourceOnly(v, tNames, sNames, sRoots)
           }.toMap))
-      case other => sys.error(
-        "MERGE supports one WHEN NOT MATCHED [AND cond] THEN INSERT " +
-          s"action; got $other")
+        case other => sys.error(
+          s"unsupported WHEN NOT MATCHED action: $other — only INSERT " +
+            "is defined for unmatched source rows")
+      }
+    // MERGE WITH SCHEMA EVOLUTION: only the canonical star upsert can
+    // evolve — the merge verb's own evolution appends batch-only
+    // columns and null-fills carried files; any conditioned or
+    // column-listed clause has no defined value for the new columns.
+    if (m.withSchemaEvolution) {
+      (m.matchedActions, m.notMatchedActions,
+          m.notMatchedBySourceActions) match {
+        case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)),
+              Seq()) =>
+          return Merged(MergeStore.merge(spark, source, path, pk,
+            maxRetries = maxRetries, allowSchemaEvolution = true))
+        case _ => sys.error(
+          "MERGE WITH SCHEMA EVOLUTION supports the canonical star " +
+            "upsert only (WHEN MATCHED THEN UPDATE SET * WHEN NOT " +
+            "MATCHED THEN INSERT *) — a conditioned or column-listed " +
+            "clause cannot define the evolved columns' carried values")
+      }
     }
     (m.matchedActions, m.notMatchedActions) match {
       // The canonical upsert: UPDATE SET * + INSERT *.
@@ -241,12 +259,13 @@ object SqlVerbs {
       case (Seq(UpdateStarAction(None)), Seq()) if bySource.isEmpty =>
         Merged(mergeFiltered(spark, path, source, pk, "left_semi",
           maxRetries))
-      // INSERT-only: matched target rows must stay UNTOUCHED, so the
-      // source filters to keys ABSENT from the snapshot. A condition
-      // pre-filters the source (same algebra — it is source-only); a
-      // column list aligns the source onto the table first (unlisted
-      // columns NULL).
+      // INSERT-only, single clause: matched target rows must stay
+      // UNTOUCHED, so the source filters to keys ABSENT from the
+      // snapshot. A condition pre-filters the source (same algebra —
+      // it is source-only); a column list aligns the source onto the
+      // table first (unlisted columns NULL).
       case (Seq(), Seq(notMatched)) if bySource.isEmpty =>
+        val insertCond = insertClauses.head.condition
         val conditioned = insertCond
           .map(c => source.alias("s").where(c)).getOrElse(source)
         val aligned = notMatched match {
@@ -266,10 +285,9 @@ object SqlVerbs {
       // one generalized verb call.
       case _ =>
         Merged(MergeStore.mergeConditional(spark, source, path, pk,
-          insert = doInsert, insertValues = insertVals,
           notMatchedBySource = bySource, maxRetries = maxRetries,
           matchedActions = Some(matchedActions),
-          insertCondition = insertCond))
+          insertClauses = Some(insertClauses)))
     }
   }
 

@@ -365,14 +365,37 @@ class ConditionalMergeSpec extends SparkSpec {
     assert(MergeStore.read(spark, t).where($"id" >= N.toLong).count() == 5)
     assert(MergeStore.read(spark, t)
       .where($"id" >= N.toLong && $"id" % 2 =!= 0).count() == 0)
-    // More than one WHEN NOT MATCHED clause stays a loud refusal.
-    val e1 = intercept[RuntimeException] {
+    // Multiple NOT MATCHED clauses on a fresh table: first true
+    // condition claims the row — even new ids take the column-list
+    // clause (grp = 100), the rest fall through to INSERT * (grp = 8).
+    val t2 = fresh("cm-refuse2")
+    val r2 = SqlVerbs.execute(spark,
+      "MERGE INTO events t USING cm_src3 s ON t.id = s.id " +
+        "WHEN NOT MATCHED AND s.id % 2 = 0 THEN INSERT " +
+        "(id, ts, grp, payload) VALUES (s.id, s.ts, 100, s.payload) " +
+        "WHEN NOT MATCHED THEN INSERT *", Map("events" -> t2))
+    assert(r2.asInstanceOf[SqlVerbs.Merged].stats.rowsInserted == 10)
+    val newRows = MergeStore.read(spark, t2).where($"id" >= N.toLong)
+    assert(newRows.where($"id" % 2 === 0 && $"grp" =!= 100).count() == 0)
+    assert(newRows.where($"id" % 2 =!= 0 && $"grp" =!= 8).count() == 0)
+    // An unconditioned insert clause anywhere but last refuses loudly —
+    // Spark's parser enforces it for SQL; the verb enforces the same
+    // contract for the Scala API.
+    val e1 = intercept[Exception] {
       SqlVerbs.execute(spark,
         "MERGE INTO events t USING cm_src3 s ON t.id = s.id " +
-          "WHEN NOT MATCHED AND s.grp = 8 THEN INSERT * " +
-          "WHEN NOT MATCHED THEN INSERT *", cat)
+          "WHEN NOT MATCHED THEN INSERT * " +
+          "WHEN NOT MATCHED AND s.grp = 8 THEN INSERT *", cat)
     }
-    assert(e1.getMessage.contains("one WHEN NOT MATCHED"))
+    assert(e1.getMessage.toLowerCase.contains("condition"))
+    val e1b = intercept[IllegalArgumentException] {
+      MergeStore.mergeConditional(spark, source, t, Seq("id"),
+        matchedActions = Some(Nil),
+        insertClauses = Some(Seq(
+          MergeStore.InsertClause(None, None),
+          MergeStore.InsertClause(Some(expr("grp = 8")), None))))
+    }
+    assert(e1b.getMessage.contains("unreachable"))
     val e2 = intercept[RuntimeException] {
       SqlVerbs.execute(spark,
         "MERGE INTO events t USING cm_src3 s ON t.id = s.id " +

@@ -192,6 +192,54 @@ class GraftCatalogSpec extends SparkSpec {
       "unmatched rows must survive")
   }
 
+  test("multi-clause MERGE through spark.sql: CDC-apply + conditional insert") {
+    val t = fresh("cdcm")
+    base.where($"id" < 300)
+      .select($"id", ($"grp" + 100).cast("int").as("grp"), $"payload",
+        ($"id" % 3 === 0).as("del"))
+      .unionByName(spark.range(N.toLong, N + 10L)
+        .select(col("id"), lit(7).cast("int").as("grp"),
+          concat(lit("new-"), col("id")).as("payload"),
+          (col("id") % 2 === 0).as("del")))
+      .createOrReplaceTempView("cat_cdcm_src")
+    val st = spark.sql("MERGE INTO graft.db.cdcm t USING cat_cdcm_src s " +
+      "ON t.id = s.id " +
+      "WHEN MATCHED AND s.del THEN DELETE " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED AND NOT s.del THEN INSERT " +
+      "(id, grp, payload) VALUES (s.id, s.grp, s.payload)")
+      .collect().head
+    assert(st.getLong(0) == 200) // 300 matched - 100 del-flagged
+    assert(st.getLong(1) == 5)   // 10 unmatched, half del-filtered
+    val after = MergeStore.read(spark, t)
+    assert(after.count() == N - 100 + 5)
+    assert(after.where($"id" < 300 && $"id" % 3 === 0).count() == 0)
+    assert(after.where($"id" === 5L).select($"grp").as[Int].head() == 105)
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION through spark.sql: star upsert evolves") {
+    val t = fresh("evo")
+    base.where($"id" < 10)
+      .unionByName(spark.range(N.toLong, N + 5L)
+        .select(col("id"), lit(3).cast("int").as("grp"),
+          concat(lit("new-"), col("id")).as("payload")))
+      .withColumn("score", col("id").cast("double") / 2)
+      .createOrReplaceTempView("cat_evo_src")
+    val st = spark.sql(
+      "MERGE WITH SCHEMA EVOLUTION INTO graft.db.evo t " +
+        "USING cat_evo_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *").collect().head
+    assert(st.getLong(0) == 10 && st.getLong(1) == 5)
+    val after = MergeStore.read(spark, t)
+    assert(after.columns.contains("score"), "schema must evolve")
+    assert(after.where($"score".isNotNull).count() == 15)
+    assert(after.count() == N + 5)
+    // The evolved column is queryable through the catalog read too.
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.evo " +
+      "WHERE score IS NOT NULL").as[Long].head() == 15)
+  }
+
   test("CREATE TABLE, append into it, CTAS, SHOW TABLES, DROP") {
     System.setProperty("graft.catalog.warehouse", tmpDir("cat-wh"))
     try {

@@ -167,6 +167,30 @@ class SqlVerbsSpec extends SparkSpec {
       .select($"meta.kind").as[Int].head() == 9)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: the star upsert appends batch-only columns") {
+    val (t, cat) = fresh("sqlv-evolve")
+    base.where($"id" < 10)
+      .unionByName(spark.range(N.toLong, N + 5L)
+        .select(col("id"), lit(3).cast("int").as("grp"),
+          concat(lit("new-"), col("id")).as("payload")))
+      .withColumn("score", col("id").cast("double") / 2)
+      .createOrReplaceTempView("sqlv_evo_src")
+    val r = SqlVerbs.execute(spark,
+      "MERGE WITH SCHEMA EVOLUTION INTO events t USING sqlv_evo_src s " +
+        "ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *", cat)
+    val st = r.asInstanceOf[SqlVerbs.Merged].stats
+    assert(st.rowsUpdated == 10 && st.rowsInserted == 5)
+    val after = MergeStore.read(spark, t)
+    assert(after.columns.contains("score"), "schema must evolve")
+    // Touched rows carry the new column; carried rows null-fill.
+    assert(after.where($"id" === 4L).select($"score").as[Double]
+      .head() == 2.0)
+    assert(after.where($"score".isNotNull).count() == 15)
+    assert(after.count() == N + 5)
+  }
+
   test("refusals are loud: unknown table, unsupported shapes, constraints still gate") {
     val (t, cat) = fresh("sqlv-refuse")
     intercept[RuntimeException] {
@@ -175,11 +199,11 @@ class SqlVerbsSpec extends SparkSpec {
     intercept[RuntimeException] {
       SqlVerbs.execute(spark, "SELECT * FROM events", cat)
     }
-    intercept[RuntimeException] { // >1 NOT MATCHED clause unsupported
+    intercept[RuntimeException] { // evolution is star-upsert-only
       SqlVerbs.execute(spark,
-        "MERGE INTO events t USING events s ON t.id = s.id " +
-          "WHEN NOT MATCHED AND s.grp = 1 THEN INSERT * " +
-          "WHEN NOT MATCHED THEN INSERT *", cat)
+        "MERGE WITH SCHEMA EVOLUTION INTO events t USING events s " +
+          "ON t.id = s.id " +
+          "WHEN MATCHED AND s.grp = 1 THEN UPDATE SET *", cat)
     }
     // The dispatched verb's own constraint gate still fires from SQL.
     MergeStore.addConstraint(spark, t, "grp_pos", "grp >= 0")
