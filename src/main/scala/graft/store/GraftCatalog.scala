@@ -218,10 +218,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case c: Check =>
           MergeStore.addConstraint(spark, t.path, c.name(),
             c.predicateSql()): Unit
+        case p: org.apache.spark.sql.connector.catalog.constraints.PrimaryKey =>
+          // Informational key policy (Delta's shape): records graft.pk
+          // for table_changes / streaming helpers; NOT uniqueness-
+          // enforced — the merge verbs' pk argument is the contract.
+          MergeStore.setPolicy(t.path, "graft.pk",
+            Some(p.columns().map(_.fieldNames().mkString("."))
+              .mkString(","))): Unit
         case other => throw new UnsupportedOperationException(
           s"constraint ${other.toDDL} is not supported — MergeStore " +
-            "enforces CHECK constraints; PRIMARY KEY/UNIQUE are the " +
-            "merge verbs' pk contract, FOREIGN KEY is unenforced")
+            "enforces CHECK constraints and records PRIMARY KEY as the " +
+            "graft.pk key policy; FOREIGN KEY/UNIQUE are unenforced")
       }
       case dc: TableChange.DropConstraint =>
         if (!dc.ifExists() ||
@@ -240,23 +247,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
-  /** CREATE TABLE with in-DDL constraints (`CONSTRAINT ck CHECK (...)`)
-    * — Spark 4.1's TableInfo route. The table is empty at creation, so
-    * the add-constraint validation scan is trivially clean. */
+  /** CREATE TABLE with in-DDL constraints — Spark 4.1's TableInfo
+    * route. `CONSTRAINT ck CHECK (...)` becomes an enforced policy
+    * (the table is empty at creation, so the add-constraint validation
+    * scan is trivially clean); `PRIMARY KEY (cols)` becomes the
+    * durable `graft.pk` key policy — informational, like Delta's, NOT
+    * uniqueness-enforced (the merge verbs' pk argument is the enforced
+    * contract) — which feeds `table_changes` and the streaming
+    * helpers. FOREIGN KEY / UNIQUE refuse loudly. */
   override def createTable(ident: Identifier,
                            info: org.apache.spark.sql.connector.catalog.TableInfo)
       : Table = {
     // Validate constraint KINDS before anything commits: a refusal
     // after the 4-arg create would leave a table behind whose CREATE
     // reportedly failed (the retry then hits TableAlreadyExists).
-    val checks = info.constraints().map {
-      case c: Check => c
+    val checks = info.constraints().collect { case c: Check => c }
+    val pks = info.constraints().collect {
+      case p: org.apache.spark.sql.connector.catalog.constraints.PrimaryKey =>
+        p.columns().map(_.fieldNames().mkString(".")).toSeq
+    }
+    info.constraints().foreach {
+      case _: Check => ()
+      case _: org.apache.spark.sql.connector.catalog.constraints.PrimaryKey => ()
       case other => throw new UnsupportedOperationException(
         s"constraint ${other.toDDL} is not supported — MergeStore " +
-          "enforces CHECK constraints only")
+          "enforces CHECK constraints; PRIMARY KEY records the " +
+          "graft.pk key policy; FOREIGN KEY/UNIQUE are unenforced")
     }
-    val t = createTable(ident, info.schema(), info.partitions(),
-      info.properties())
+    require(pks.length <= 1,
+      "at most one PRIMARY KEY constraint per table")
+    val props = new java.util.HashMap[String, String](info.properties())
+    pks.headOption.foreach { cols =>
+      if (!props.containsKey("graft.pk"))
+        props.put("graft.pk", cols.mkString(",")): Unit
+    }
+    val t = createTable(ident, info.schema(), info.partitions(), props)
     val spark = SparkSession.active
     checks.foreach(c => MergeStore.addConstraint(spark,
       t.asInstanceOf[GraftTable].path, c.name(), c.predicateSql()): Unit)

@@ -115,15 +115,38 @@ class CatalogPolicySpec extends SparkSpec {
     try {
       val e = intercept[Exception] {
         spark.sql("CREATE TABLE graft.wh.badcon (id BIGINT, " +
-          "CONSTRAINT pk_bad PRIMARY KEY (id))")
+          "CONSTRAINT u_bad UNIQUE (id))")
       }
-      assert(e.getMessage.contains("CHECK constraints only"), e.getMessage)
+      assert(e.getMessage.contains("not supported"), e.getMessage)
       assert(!spark.catalog.tableExists("graft.wh.badcon"),
         "a refused CREATE must not leave a created table")
       // The corrected statement now succeeds instead of AlreadyExists.
       spark.sql("CREATE TABLE graft.wh.badcon (id BIGINT, " +
         "CONSTRAINT pos CHECK (id > 0))")
       assert(spark.catalog.tableExists("graft.wh.badcon"))
+    } finally System.clearProperty("graft.catalog.warehouse")
+  }
+
+  test("PRIMARY KEY constraints record the graft.pk key policy (informational)") {
+    System.setProperty("graft.catalog.warehouse", tmpDir("pol-pk"))
+    try {
+      spark.sql("CREATE TABLE graft.wh.pkt (id BIGINT, v STRING, " +
+        "CONSTRAINT pk PRIMARY KEY (id))")
+      val p = System.getProperty("graft.catalog.warehouse") + "/wh/pkt"
+      assert(MergeStore.tablePk(p) == Seq("id"))
+      // The policy feeds the SQL-only consumers: table_changes needs
+      // no pk argument, and it survives verb commits.
+      spark.sql("INSERT INTO graft.wh.pkt VALUES (1, 'a'), (2, 'b')") // v1
+      spark.sql("UPDATE graft.wh.pkt SET v = 'a2' WHERE id = 1") // v2
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM table_changes('wh.pkt', 2) " +
+          "WHERE _change_type = 'update_postimage'")
+        .as[Long].head() == 1L)
+      // ALTER TABLE ADD CONSTRAINT ... PRIMARY KEY sets it too.
+      val t2 = fresh("pkalter")
+      spark.sql("ALTER TABLE graft.db.pkalter ADD CONSTRAINT pk2 " +
+        "PRIMARY KEY (id)")
+      assert(MergeStore.tablePk(t2) == Seq("id"))
     } finally System.clearProperty("graft.catalog.warehouse")
   }
 
