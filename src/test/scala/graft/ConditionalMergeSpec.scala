@@ -200,6 +200,28 @@ class ConditionalMergeSpec extends SparkSpec {
         "still win with ts=1000")
   }
 
+  test("bySource-ONLY statement: matched rows stay untouched (SQL said nothing about them)") {
+    // No WHEN MATCHED clause at all: the statement's scope is only the
+    // unmatched target rows — matched rows must survive byte-identical
+    // even though their keys appear in the source.
+    val t = fresh("cm-bys-only")
+    val r = SqlVerbs.execute(spark,
+      "MERGE INTO events t USING cm_bys_only_src s ON t.id = s.id " +
+        "WHEN NOT MATCHED BY SOURCE AND t.grp >= 90 THEN DELETE",
+      Map("events" -> {
+        source.createOrReplaceTempView("cm_bys_only_src"); t
+      }))
+    val expectedDeleted = base.where($"id" >= 200 && $"grp" >= 90).count()
+    assert(r.asInstanceOf[SqlVerbs.Merged].stats.rowsDeleted ==
+      expectedDeleted)
+    val after = MergeStore.read(spark, t)
+    assert(after.count() == N - expectedDeleted)
+    // Matched rows (ids < 200) carry UNCHANGED — still v1 payloads.
+    assert(after.where($"id" < 200 && !$"payload".startsWith("v1-"))
+      .count() == 0)
+    assert(after.where($"id" < 200).count() == 200)
+  }
+
   test("NOT MATCHED BY SOURCE: conditional delete and update, via Scala and SQL") {
     val t = fresh("cm-bys")
     // Source covers ids 0..199 (+10 new); bySource DELETE removes
