@@ -470,7 +470,10 @@ final case class GraftMergeCommand(path: String, source: LogicalPlan,
       // source-only by construction), which is the same algebra.
       case (Seq(), Seq(InsertSpec(insertCond, insertVals)))
           if bySource.isEmpty =>
-        val conditioned = insertCond.map(c => src.where(expr(c))) match {
+        // sourceOnlySql spells the condition over the verb's `s` alias —
+        // re-alias here (the statement's own source alias is arbitrary).
+        val conditioned = insertCond.map(c =>
+            src.alias("s").where(expr(c))) match {
           case Some(f) => f
           case None => src
         }

@@ -62,7 +62,10 @@ object GraftTableChanges {
   private def intArg(args: Seq[Expression], i: Int, what: String): Int =
     evalLit(args, i, what) match {
       case n: Int => n
-      case n: Long => n.toInt
+      case n: Long =>
+        require(n == n.toInt,
+          s"table_changes: $what $n does not fit in an Int version")
+        n.toInt
       case n: Short => n.toInt
       case n: Byte => n.toInt
       case other => sys.error(

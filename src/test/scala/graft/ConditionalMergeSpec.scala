@@ -288,7 +288,7 @@ class ConditionalMergeSpec extends SparkSpec {
       override def onJobStart(
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         if (js.stageInfos.exists(si =>
-            si.name.startsWith("collect") &&
+            (si.name.startsWith("collect") || si.name.startsWith("count")) &&
               si.details.contains("mergeConditionalOnce")))
           collects.incrementAndGet(): Unit
     }
@@ -299,9 +299,9 @@ class ConditionalMergeSpec extends SparkSpec {
         Seq("id"), matchedCondition = Some(expr("s.ts > t.ts")),
         notMatchedBySource = Some(MergeStore.BySourceAction(
           Some(expr("grp = 96")), None)))
-      // Listener bus is async — give it a beat before asserting (the
-      // public API has no drain; the bound has headroom either way).
-      Thread.sleep(2000)
+      // Listener bus is async — drain it deterministically before
+      // asserting (no fixed sleep: slow boxes would flake either way).
+      org.apache.spark.graftshim.TestListenerBus.drain(spark.sparkContext)
       info(s"driver collects inside the verb: ${collects.get()}")
       // Measured baseline on this shape: the probes/stats collects run
       // on broadcast worker threads (different call-site details), so

@@ -172,6 +172,26 @@ class GraftCatalogSpec extends SparkSpec {
     assert(eIns.getMessage.contains("key column"), eIns.getMessage)
   }
 
+  test("conditional INSERT-only MERGE with a non-'s' source alias") {
+    // The verb spells the insert condition over its own `s` alias; the
+    // statement's source alias is arbitrary — `u` here. Regression for
+    // the catalog route forgetting to re-alias before the filter.
+    val t = fresh("insalias")
+    spark.range(N.toLong, N + 10L)
+      .select(col("id"), lit(9).cast("int").as("grp"),
+        concat(lit("new-"), col("id")).as("payload"))
+      .createOrReplaceTempView("cat_insalias")
+    val st = spark.sql("MERGE INTO graft.db.insalias tgt " +
+      "USING cat_insalias u ON tgt.id = u.id " +
+      "WHEN NOT MATCHED AND u.grp = 9 AND u.id % 2 = 0 THEN INSERT *")
+      .collect().head
+    assert(st.getLong(0) == 0 && st.getLong(1) == 5, st.toString)
+    assert(MergeStore.read(spark, t).where($"id" >= N).count() == 5)
+    assert(MergeStore.read(spark, t)
+      .where($"id" >= N && $"id" % 2 =!= 0).count() == 0,
+      "condition-false unmatched rows must be filtered, not inserted")
+  }
+
   test("MERGE ... NOT MATCHED BY SOURCE through spark.sql") {
     val t = fresh("bys")
     // Source keeps ids < 1000 (grp bumped); everything else with an odd

@@ -367,6 +367,11 @@ class StreamingCdcSpec extends SparkSpec {
     assert(intercept[Exception](spark.sql(
       "SELECT * FROM table_changes('cdcdb.tvf', 1, 99)").collect())
       .getMessage.contains("past the head"))
+    // A BIGINT version that overflows Int refuses, never wraps (the
+    // literal 4294967297 truncated to Int would be version 1).
+    assert(intercept[Exception](spark.sql(
+      "SELECT * FROM table_changes('cdcdb.tvf', 4294967297)").collect())
+      .getMessage.contains("does not fit"))
     graft.store.GraftCatalog.unregister("cdcdb.tvf")
   }
 
