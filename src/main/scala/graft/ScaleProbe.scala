@@ -526,6 +526,58 @@ object ScaleProbe {
         s""""reconstruct_text_sec":${f"$txtWall%.3f"},""" +
         s""""reconstruct_gz_sec":${f"$gzWall%.3f"},""" +
         s""""delta_bytes_text":$txtDelta,"delta_bytes_gz":$gzDelta}""")
+
+      // Parquet-checkpoint arm (graft.ckpt.format=parquet): same
+      // synthetic state, measuring (a) columnar snapshot bytes,
+      // (b) full-state cold reconstruction, and (c) the COLD PRUNED
+      // PROBE — a selective candidateFiles range served by a
+      // column-pruned, row-group-filtered checkpoint read instead of
+      // any reconstruction — against the same probe on the gzip-text
+      // table (which must reconstruct everything first).
+      val probeLo = (files / 2) * 50L
+      val probeHi = probeLo + 499L // ~10 of `files` ranges overlap
+      def coldProbe(t: String): (Seq[String], Double) = {
+        MergeStore.clearStateCacheForProbe()
+        time(MergeStore.candidateFiles(spark, t, "id",
+          Some(probeLo), Some(probeHi)))
+      }
+      def runPq(): (Long, Double, Double) = {
+        val dir = java.nio.file.Files.createTempDirectory("ckptcost")
+        val t = s"$dir/tbl"
+        System.setProperty("graft.manifest.compress.threshold", "1")
+        try {
+          MergeStore.commitForProbe(t, names, -1,
+            meta + ("ckpt.format" -> "parquet"))
+          val stored = java.nio.file.Files.size(
+            java.nio.file.Paths.get(t, "_manifest", "v0.list"))
+          MergeStore.clearStateCacheForProbe()
+          val (live, wall) = time(MergeStore.liveFiles(t))
+          require(live.size == files, "parquet reconstruction drifted")
+          val hitsBefore = MergeStore.coldProbeHits.get()
+          val (cand, probeWall) = coldProbe(t)
+          require(MergeStore.coldProbeHits.get() > hitsBefore,
+            "parquet cold probe did not engage")
+          require(cand.size >= 10 && cand.size <= 12,
+            s"selective probe shape drifted: ${cand.size}")
+          (stored, wall, probeWall)
+        } finally System.clearProperty(
+          "graft.manifest.compress.threshold")
+      }
+      val (pqBytes, pqWall, pqProbe) = runPq()
+      // The same cold probe against the gzip table: full reconstruct
+      // then driver-side interval tests.
+      val gzDir = java.nio.file.Files.createTempDirectory("ckptcost")
+      val gzT = s"$gzDir/tbl"
+      System.setProperty("graft.manifest.compress.threshold", "1")
+      val gzProbe = try {
+        MergeStore.commitForProbe(gzT, names, -1, meta)
+        coldProbe(gzT)._2
+      } finally System.clearProperty("graft.manifest.compress.threshold")
+      println(s"""{"metric":"ckpt_cost_parquet","files":$files,""" +
+        s""""snapshot_pq_bytes":$pqBytes,""" +
+        s""""reconstruct_pq_sec":${f"$pqWall%.3f"},""" +
+        s""""cold_probe_pq_sec":${f"$pqProbe%.4f"},""" +
+        s""""cold_probe_gz_sec":${f"$gzProbe%.4f"}}""")
     }
   }
 

@@ -1655,8 +1655,86 @@ object StoreQueries extends QueryFamily {
       GROUP BY yr
       ORDER BY yr"""))
 
+  private val q138 = QueryDef(
+    "q138_parquet_ckpt",
+    "The full verb chain THROUGH a parquet manifest checkpoint " +
+      "(graft.ckpt.format=parquet, the columnar predicate-readable " +
+      "snapshot encoding — Delta's checkpoint design): update merge, " +
+      "predicate delete, insert merge landing ON the interval-th " +
+      "commit (so the snapshot itself encodes as parquet), then a " +
+      "trickle delta on top. The head read plans through the " +
+      "parquet-decoded state via catalog SQL, and the v4_format " +
+      "column comes from historyDetail at runtime — the oracle's " +
+      "constant 'parquet' fails the hash if the snapshot silently " +
+      "fell back to text. The oracle replays the update/delete/" +
+      "insert/update algebra from orders.",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val cols = Seq("o_orderkey", "o_orderstatus", "o_totalprice")
+      val target = preparedTable(s, dir, "q138",
+        base = Tables.load(s, dir, "orders").select(cols.map(col): _*),
+        clusterBy = Seq("o_orderkey")) { t =>
+        // Interval 4 puts the insert merge on the full-snapshot slot;
+        // threshold 1 makes the policy decide the encoding, not size.
+        System.setProperty("graft.manifest.checkpoint.interval", "4")
+        System.setProperty("graft.manifest.compress.threshold", "1")
+        try {
+          val docs = Tables.load(s, dir, "orders").select(cols.map(col): _*)
+          val priceT = docs.schema("o_totalprice").dataType
+          MergeStore.setPolicy(t, "graft.ckpt.format", Some("parquet")) // v1
+          MergeStore.merge(s, docs.where(col("o_orderkey") % 7 === 0)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              (col("o_totalprice") * 3).cast(priceT).as("o_totalprice")),
+            t, Seq("o_orderkey")) // v2
+          MergeStore.deleteWhere(s, t, col("o_orderkey") % 11 === 0) // v3
+          MergeStore.merge(s, docs.where(col("o_orderkey") % 1000 === 3)
+            .select((col("o_orderkey") + 10000000000L).as("o_orderkey"),
+              lit("N").as("o_orderstatus"), col("o_totalprice")),
+            t, Seq("o_orderkey")) // v4: parquet full snapshot
+          MergeStore.merge(s, docs.where(col("o_orderkey") % 13 === 0 &&
+              col("o_orderkey") % 11 =!= 0)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              (col("o_totalprice") + 1).cast(priceT).as("o_totalprice")),
+            t, Seq("o_orderkey")) // v5: delta on the parquet base
+        } finally {
+          System.clearProperty("graft.manifest.checkpoint.interval")
+          System.clearProperty("graft.manifest.compress.threshold")
+        }
+      }
+      val fmt = MergeStore.historyDetail(target)
+        .find(_.version == 4).map(_.format).getOrElse("missing")
+      graft.store.GraftCatalog.register("q138.ord", target)
+      s.sql(s"""
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                 AS sum_price,
+               '$fmt' AS v4_format
+        FROM graft.q138.ord
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(price AS DECIMAL(20,4))) AS DOUBLE)
+               AS sum_price,
+             'parquet' AS v4_format
+      FROM (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1
+                    WHEN o_orderkey % 7 = 0 THEN o_totalprice * 3
+                    ELSE o_totalprice END AS price
+        FROM orders
+        WHERE o_orderkey % 11 <> 0
+        UNION ALL
+        SELECT 'N' AS o_orderstatus, o_totalprice AS price
+        FROM orders
+        WHERE o_orderkey % 1000 = 3)
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q91, q92, q96, q97, q98, q101, q107, q109, q110, q111, q112,
       q113, q115, q116, q117, q118, q119, q120, q121, q122, q123, q126,
-      q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137)
+      q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
+      q138)
 }

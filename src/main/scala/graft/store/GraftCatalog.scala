@@ -191,7 +191,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // carried like constraints through every verb commit.
       mor = props.get("graft.mor").exists(_.toBoolean),
       pk = props.get("graft.pk").toSeq
-        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+      ckptFormat = props.get("graft.ckpt.format"))
     GraftTable(key(ident), p, None)
   }
 
@@ -410,10 +411,27 @@ object GraftCatalog {
 
   def unregister(name: String): Unit = { registry.remove(name): Unit }
 
-  /** Resolve `'db.t'` (or `'graft.db.t'`) to its MergeStore location
+  /** Catalog names the session has bound to [[GraftCatalog]] — every
+    * `spark.sql.catalog.<name> = graft.store.GraftCatalog` entry. The
+    * usual answer is Seq("graft") (GraftSession's registration), but
+    * nothing stops a user registering the class under another name;
+    * name-addressed surfaces (resolvePath) must recognize them all. */
+  private def catalogNames(
+      spark: org.apache.spark.sql.SparkSession): Seq[String] = {
+    val cls = classOf[GraftCatalog].getName
+    val prefix = "spark.sql.catalog."
+    spark.conf.getAll.iterator.collect {
+      case (k, v) if k.startsWith(prefix) && v == cls &&
+          !k.stripPrefix(prefix).contains('.') =>
+        k.stripPrefix(prefix)
+    }.toSeq.sorted
+  }
+
+  /** Resolve `'db.t'` (or `'<catalog>.db.t'` for any catalog name the
+    * session has bound to GraftCatalog) to its MergeStore location
     * WITHOUT a catalog instance — explicit [[register]] entry first,
-    * then the catalog warehouse (session conf
-    * `spark.sql.catalog.graft.warehouse`, else the
+    * then the named catalog's warehouse (session conf
+    * `spark.sql.catalog.<name>.warehouse`, else the
     * `graft.catalog.warehouse` system property): the same order the
     * catalog's own lookups use. The library-side route for surfaces
     * that speak table names outside the analyzer — the streaming
@@ -422,22 +440,27 @@ object GraftCatalog {
     * about to be born (a streaming sink's first batch creates it). */
   def resolvePath(spark: org.apache.spark.sql.SparkSession, name: String,
                   mustExist: Boolean = true): String = {
+    val bound = catalogNames(spark) match {
+      case Seq() => Seq("graft") // extension not installed: the default
+      case cs => cs
+    }
     val parts = name.split('.').filter(_.nonEmpty).toSeq
-    val rest =
-      if (parts.length >= 3 && parts.head == "graft") parts.tail
-      else parts
+    val (catalog, rest) =
+      if (parts.length >= 3 && bound.contains(parts.head))
+        (parts.head, parts.tail)
+      else (bound.head, parts)
     require(rest.length >= 2,
       s"expected a namespaced table name, e.g. 'db.orders'; got '$name'")
     val key = rest.mkString(".")
     val p = Option(registry.get(key))
       .orElse(Option(spark.conf
-          .get("spark.sql.catalog.graft.warehouse", null))
+          .get(s"spark.sql.catalog.$catalog.warehouse", null))
         .orElse(Option(System.getProperty("graft.catalog.warehouse")))
         .map(w => Paths.get(w, rest: _*).toString))
       .getOrElse(sys.error(
         s"no location for table '$name' — register it " +
           "(GraftCatalog.register) or configure " +
-          "spark.sql.catalog.graft.warehouse"))
+          s"spark.sql.catalog.$catalog.warehouse"))
     require(!mustExist || MergeStore.exists(p),
       s"no committed MergeStore table at '$name' ($p)")
     p
@@ -494,6 +517,7 @@ final case class GraftTable(ident: String, path: String,
       Map("graft.version" -> v.toString) ++
         meta.get(MergeStore.MorKey).map("graft.mor" -> _) ++
         meta.get(MergeStore.PkKey).map("graft.pk" -> _) ++
+        meta.get(MergeStore.CkptFormatKey).map("graft.ckpt.format" -> _) ++
         (if (cons.isEmpty) Map.empty
          else Map("graft.constraints" -> cons.keys.toSeq.sorted.mkString(","))) ++
         (if (stats.isEmpty) Map.empty

@@ -39,16 +39,26 @@ final class GraftFileIndex(spark: SparkSession, target: String,
 
   private val files: Seq[String] = MergeStore.liveFiles(target, Some(version))
 
-  // One local stat per live file at construction (object-store variant
-  // would carry sizes in the manifest; this is the only per-file
-  // metadata call, and it is NOT on the per-query path — the index is
-  // reusable across queries of the same version).
-  private val statuses: Map[String, FileStatusWithMetadata] = files.map { f =>
-    val p = MergeStore.dataDir(target).resolve(f)
-    f -> FileStatusWithMetadata(new FileStatus(
-      Files.size(p), false, 1, 128L * 1024 * 1024,
-      Files.getLastModifiedTime(p).toMillis, new HadoopPath(p.toUri)))
-  }.toMap
+  // File lengths come from the manifest's `z:` size lines
+  // ([[MergeStore.fileSizes]] — exact, recorded at commit), so building
+  // the index makes ZERO data-directory metadata calls on a size-lined
+  // table; legacy unlined files take one counted Files.size fallback
+  // each. Lengths must be exact (split planning reads up to them) —
+  // the z: lines are post-move stats, so they are. Modification time
+  // is not manifest state; it is reported as the COMMIT time of the
+  // pinned version (`_metadata.file_modification_time` on a skipping
+  // read reflects the snapshot, not per-file mtimes).
+  private val statuses: Map[String, FileStatusWithMetadata] = {
+    val commitMs = MergeStore.history(target)
+      .collectFirst { case (v, ms) if v == version => ms }.getOrElse(0L)
+    MergeStore.fileSizes(target, Some(version)).map { case (f, sz) =>
+      val p = MergeStore.dataDir(target).resolve(f)
+      val len = if (sz >= 0) sz else Files.size(p)
+      f -> FileStatusWithMetadata(new FileStatus(
+        len, false, 1, 128L * 1024 * 1024,
+        commitMs, new HadoopPath(p.toUri)))
+    }.toMap
+  }
 
   /** Files the LAST `listFiles` call planned — a plan-audit hook for
     * specs and the scale probe (the FileSourceScanExec `numFiles`

@@ -59,10 +59,11 @@ object GraftProcedures {
     new CompactProcedure(catalog),
     new OptimizeSmallProcedure(catalog),
     new RestoreProcedure(catalog),
-    new CloneProcedure(catalog))
+    new CloneProcedure(catalog),
+    new CheckpointProcedure(catalog))
 
   private val names = Seq("history", "details", "vacuum", "compact",
-    "optimize_small", "restore", "clone_table")
+    "optimize_small", "restore", "clone_table", "checkpoint")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Namespace) || namespace.isEmpty)
@@ -324,6 +325,35 @@ object GraftProcedures {
           StructField("cloned_version", IntegerType, nullable = false),
           StructField("dest_path", StringType, nullable = false))),
         Seq(row(v, UTF8String.fromString(dest))))
+    }
+  }
+
+  private final class CheckpointProcedure(catalog: GraftCatalog)
+      extends GraftProcedure(catalog) {
+    override def name: String = "checkpoint"
+    override def description: String =
+      "materialize a version (head by default) as a .ckpt sidecar, " +
+        "bounding every reader's reconstruction walk there without " +
+        "waiting for the interval-th commit; honors the table's " +
+        "graft.ckpt.format policy (parquet = columnar, " +
+        "predicate-readable); no-op when already bounded"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      in("version", IntegerType, "NULL"))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val p = existingPath(str(input, 0, "table"))
+      val v = MergeStore.checkpoint(p,
+        if (input.isNullAt(1)) None else Some(input.getInt(1)))
+      val ckpt = java.nio.file.Paths.get(p, "_manifest", s"v$v.ckpt")
+      val format =
+        if (!java.nio.file.Files.exists(ckpt)) "already-full"
+        else if (ParquetCkpt.isParquetFile(ckpt)) "parquet"
+        else "text"
+      result(
+        StructType(Seq(
+          StructField("version", IntegerType, nullable = false),
+          StructField("format", StringType, nullable = false))),
+        Seq(row(v, UTF8String.fromString(format))))
     }
   }
 }

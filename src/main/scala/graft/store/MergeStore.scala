@@ -146,6 +146,15 @@ object MergeStore {
   /** Reserved metadata key backing the delta marker line. */
   private[store] val FormatKey = "graft.manifest"
 
+  /** Checkpoint-encoding policy (`graft.ckpt.format` TBLPROPERTY):
+    * `parquet` writes interval-th full snapshots and vacuum `.ckpt`
+    * floors as parquet checkpoints ([[ParquetCkpt]] — columnar,
+    * predicate-readable, Delta's design); unset/`text` keeps the
+    * line format (gzipped past the size threshold). Deltas are never
+    * parquet — they are already O(changes) bytes and the per-commit
+    * encoder must stay a driver-local write. */
+  private[store] val CkptFormatKey = "ckpt.format"
+
   /** Commits between full-snapshot manifests — the reconstruction walk
     * is bounded by this. Overridable for the ScaleProbe commit-cost
     * arm and checkpoint-boundary specs; clamped to ≥ 1 so a zero or
@@ -329,7 +338,13 @@ object MergeStore {
       val key = cacheKey(target, cur, backing)
       val cached = stateCache.get(key)
       if (cached != null) state = cached
-      else {
+      else if (ParquetCkpt.isParquetFile(backing)) {
+        // Parquet checkpoints are always FULL snapshots — decode to
+        // the identical (files, meta) the text encoding would carry.
+        val (fs, m) = ParquetCkpt.readState(backing)
+        state = ManifestState(fs.sorted, m)
+        stateCache.put(key, state)
+      } else {
         val lines = readManifestLines(backing)
         val isDelta = backing.getFileName.toString.endsWith(".list") &&
           lines.headOption.contains(DeltaMarkerLine)
@@ -482,6 +497,10 @@ object MergeStore {
       : Seq[(String, Long)] = {
     val v = version.orElse(currentVersion(target))
       .getOrElse(sys.error(s"no committed version at $target"))
+    coldSizes(target, v) match {
+      case Some(cold) => coldProbeHits.incrementAndGet(); return cold
+      case None => ()
+    }
     val meta = manifestMeta(target, Some(v))
     liveFiles(target, Some(v)).map { f =>
       f -> meta.get(sizeKey(f)).flatMap(_.toLongOption).getOrElse {
@@ -1093,7 +1112,7 @@ object MergeStore {
       if (parent < 0) Map.empty[String, String]
       else manifestMeta(target, Some(parent)).filter { case (k, _) =>
         isConstraintKey(k) || k == WapSourceKey || k == WapBaseKey ||
-          k == MorKey || k == PkKey ||
+          k == MorKey || k == PkKey || k == CkptFormatKey ||
           (isDvKey(k) && fileSet.contains(k.stripPrefix(DvPrefix)))
       }
     // The schema rides EVERY commit, stats or not: a stats-less table
@@ -1348,11 +1367,16 @@ object MergeStore {
       }
     val tmp = dir.resolve(
       s".v$next-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    // Full snapshots past the size threshold compress; deltas and small
-    // snapshots stay plain text ([[snapshotBytes]]).
-    Files.write(tmp,
-      if (isFull) snapshotBytes(body.mkString("\n"))
-      else body.mkString("\n").getBytes("UTF-8"))
+    // Full snapshots encode per the table's checkpoint policy: parquet
+    // (columnar, predicate-readable) when `graft.ckpt.format=parquet`
+    // and the state is past the size threshold; otherwise text, gzipped
+    // past the same threshold ([[snapshotBytes]]). Deltas stay text.
+    val text = body.mkString("\n")
+    if (isFull && meta.get(CkptFormatKey).contains("parquet") &&
+        text.getBytes("UTF-8").length >= compressThreshold)
+      ParquetCkpt.write(tmp, files.sorted, meta)
+    else Files.write(tmp,
+      if (isFull) snapshotBytes(text) else text.getBytes("UTF-8")): Unit
     try {
       Files.createLink(dir.resolve(s"v$next.list"), tmp)
       next
@@ -1490,6 +1514,10 @@ object MergeStore {
     * serves. */
   def historyDetail(target: String): Seq[CommitInfo] =
     history(target).map { case (v, ms) =>
+      if (ParquetCkpt.isParquetFile(listPath(target, v)))
+        CommitInfo(v, ms, "parquet", None, None,
+          ParquetCkpt.liveFileCount(listPath(target, v)))
+      else {
       val lines = readManifestLines(listPath(target, v))
       if (lines.headOption.contains(DeltaMarkerLine))
         CommitInfo(v, ms, "delta",
@@ -1498,6 +1526,7 @@ object MergeStore {
       else
         CommitInfo(v, ms, "full", None, None,
           Some(lines.count(l => l.nonEmpty && !l.startsWith("#"))))
+      }
     }
 
   /** The newest version committed AT OR BEFORE `timestampMillis`
@@ -1544,9 +1573,11 @@ object MergeStore {
   def create(target: String, schema: org.apache.spark.sql.types.StructType,
              statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
              bloomFpp: Double = 0.01, mor: Boolean = false,
-             pk: Seq[String] = Nil): Unit = {
+             pk: Seq[String] = Nil, ckptFormat: Option[String] = None): Unit = {
     require(currentVersion(target).isEmpty,
       s"table already exists at $target")
+    ckptFormat.foreach(f => require(f == "text" || f == "parquet",
+      s"graft.ckpt.format wants 'text' or 'parquet', got '$f'"))
     Files.createDirectories(dataDir(target))
     val props = Map(SchemaKey -> schema.json) ++
       (if (statsCols.nonEmpty) Map(StatsColsKey -> statsCols.mkString(","))
@@ -1555,7 +1586,8 @@ object MergeStore {
         BloomFppKey -> bloomFpp.toString)
        else Map.empty) ++
       (if (mor) Map(MorKey -> "true") else Map.empty) ++
-      (if (pk.nonEmpty) Map(PkKey -> pk.mkString(",")) else Map.empty)
+      (if (pk.nonEmpty) Map(PkKey -> pk.mkString(",")) else Map.empty) ++
+      ckptFormat.map(CkptFormatKey -> _)
     commit(target, Nil, -1, props): Unit
   }
 
@@ -2113,6 +2145,218 @@ object MergeStore {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Cold probes against a parquet checkpoint: when a version's chain
+  // bottoms out at a [[ParquetCkpt]] snapshot and nothing is memoized
+  // yet, a range probe or a size sweep reads ONLY the checkpoint
+  // columns it needs (with the range pushed into the parquet read as a
+  // row-group filter) plus the O(changes) delta lines on top — instead
+  // of materializing the full 10⁵–10⁶-line state into driver strings.
+  // Every surprise in the delta fold (a policy/schema change that could
+  // re-key stats lines, a per-file line for a file of unknown liveness)
+  // bails to the normal memoized reconstruction, which is always
+  // correct — the cold path is an optimization with a proof burden,
+  // never a second source of truth.
+  // ------------------------------------------------------------------
+
+  /** Cold parquet probes actually served (vs fallen back) — the spec/
+    * probe hook proving the pruned path engaged, the [[sizeStatFallbacks]]
+    * pattern. */
+  private[graft] val coldProbeHits =
+    new java.util.concurrent.atomic.AtomicLong()
+
+  /** One delta manifest's actions, parsed without a base state. */
+  private final case class DeltaActs(sets: Map[String, String],
+                                     unsets: Set[String],
+                                     adds: Set[String],
+                                     removes: Set[String])
+
+  private def parseDeltaActs(lines: Seq[String]): DeltaActs = {
+    val sets = Map.newBuilder[String, String]
+    val unsets = Set.newBuilder[String]
+    val adds = Set.newBuilder[String]
+    val removes = Set.newBuilder[String]
+    lines.iterator.drop(1).foreach { l =>
+      if (l.isEmpty) ()
+      else if (l.startsWith("#")) {
+        val kv = l.stripPrefix("#"); val i = kv.indexOf('=')
+        if (i > 0) sets += (kv.take(i) -> kv.drop(i + 1))
+      } else if (l.startsWith("~")) unsets += l.stripPrefix("~")
+      else if (l.startsWith("+")) adds += l.stripPrefix("+")
+      else if (l.startsWith("-")) removes += l.stripPrefix("-")
+    }
+    DeltaActs(sets.result(), unsets.result(), adds.result(),
+      removes.result())
+  }
+
+  /** The chain from `v` down to its nearest full base, ONLY when that
+    * base is a parquet checkpoint and no intermediate state is already
+    * memoized: Some((checkpoint, delta actions oldest-first)). */
+  private def coldParquetChain(target: String, v: Int)
+      : Option[(Path, List[DeltaActs])] = {
+    var pending = List.empty[DeltaActs]
+    var cur = v
+    while (cur >= 0) {
+      val backing = backingOf(target, cur).getOrElse(return None)
+      if (stateCache.get(cacheKey(target, cur, backing)) != null)
+        return None // memoized state is at least as cheap
+      if (ParquetCkpt.isParquetFile(backing))
+        return Some((backing, pending))
+      val lines = readManifestLines(backing)
+      if (!lines.headOption.contains(DeltaMarkerLine)) return None
+      pending ::= parseDeltaActs(lines)
+      cur -= 1
+    }
+    None
+  }
+
+  /** [[candidateFiles]] served cold off a parquet checkpoint — the
+    * range predicate pushes INTO the checkpoint read (file/min/max
+    * columns only, row-group filtered), then the deltas fold on top.
+    * None = use the normal reconstruction (not applicable, or a fold
+    * surprise). The result may be a SUPERSET of the normal path's by
+    * one double ULP on numeric tags (conservative typed bounds) —
+    * pruning is a superset contract everywhere. */
+  private def prunedColdCandidates(target: String, v: Int,
+                                   colName: String, lo: Option[Any],
+                                   hi: Option[Any]): Option[Seq[String]] = {
+    val (base, deltas) = coldParquetChain(target, v).getOrElse(return None)
+    // stats.cols / schema changes can re-key or re-type stats lines —
+    // bail to the normal path on any.
+    if (deltas.exists(d => d.sets.contains(StatsColsKey) ||
+        d.sets.contains(SchemaKey) || d.unsets.contains(StatsColsKey) ||
+        d.unsets.contains(SchemaKey))) return None
+    if (!ParquetCkpt.statsColsOf(base).contains(colName)) return None
+    val statPrefix = "s:"
+    def statColOf(k: String): Option[(String, String)] = // (file, value key)
+      if (!k.startsWith(statPrefix)) None
+      else {
+        val rest = k.drop(2); val f = rest.take(rest.indexOf(':'))
+        if (f.nonEmpty && rest.drop(f.length + 1) == colName) Some((f, k))
+        else None
+      }
+    // One tag must describe the column across base AND deltas — the
+    // normal path's per-column tag discovery, reproduced off the
+    // footer map + the delta lines (mixed tags = no pruning there;
+    // bail = the same result via reconstruction).
+    val deltaTags = deltas.iterator.flatMap(_.sets.iterator).flatMap {
+      case (k, value) => statColOf(k).map(_ =>
+        value.split(" ", 3).headOption.getOrElse(""))
+    }.toSet
+    val footerTags = ParquetCkpt.colTags(base).getOrElse(colName, Nil)
+    val effTag = (footerTags ++ deltaTags).distinct.toList match {
+      case Nil =>
+        // The column has no stats line anywhere: every live file is a
+        // candidate — fold adds/removes over the plain file column.
+        val all = scala.collection.mutable.LinkedHashSet.empty[String]
+        all ++= ParquetCkpt.allFiles(base)
+        deltas.foreach { d =>
+          d.removes.foreach { f => all -= f; () }
+          d.adds.foreach { f => all += f; () }
+        }
+        return Some(all.toSeq.sorted)
+      case t :: Nil => t
+      case _ => return None
+    }
+    val basePruned = ParquetCkpt.prunedFiles(base, colName, effTag,
+      lo.map(x => rawBound(effTag, x)), hi.map(x => rawBound(effTag, x)))
+      .getOrElse(return None)
+    def overlaps(lineValue: String): Option[Boolean] =
+      lineValue.split(" ", 3) match {
+        case Array(t, mnE, mxE) =>
+          if (t != effTag) None // tag drift mid-chain: bail
+          else {
+            val dec = (x: String) =>
+              if (t == "s") java.net.URLDecoder.decode(x, "UTF-8") else x
+            val (mn, mx) = (dec(mnE), dec(mxE))
+            val l = lo.map(x => rawBound(t, x))
+            val h = hi.map(x => rawBound(t, x))
+            Some(try !(h.exists(b => statLt(t, b, mn)) ||
+              l.exists(b => statLt(t, mx, b)))
+            catch { case _: NumberFormatException => true })
+          }
+        case _ => Some(true) // malformed: candidate
+      }
+    val cand = scala.collection.mutable.LinkedHashSet.empty[String]
+    cand ++= basePruned
+    val prunedKnown = scala.collection.mutable.HashSet.empty[String]
+    deltas.foreach { d =>
+      d.removes.foreach { f => cand -= f; prunedKnown -= f; () }
+      d.adds.foreach { f =>
+        d.sets.get(s"s:$f:$colName") match {
+          case Some(line) => overlaps(line) match {
+            case Some(true) => cand += f
+            case Some(false) => prunedKnown += f
+            case None => return None
+          }
+          case None => cand += f
+        }
+        ()
+      }
+      d.sets.foreach { case (k, line) =>
+        statColOf(k) match {
+          case Some((f, _)) if !d.adds.contains(f) =>
+            overlaps(line) match {
+              case Some(ov) =>
+                if (cand.contains(f)) {
+                  if (!ov) { cand -= f; prunedKnown += f }
+                } else if (prunedKnown.contains(f)) {
+                  if (ov) { prunedKnown -= f; cand += f }
+                } else return None // liveness unknown
+              case None => return None
+            }
+          case _ => ()
+        }
+      }
+      d.unsets.foreach { k =>
+        statColOf(k) match {
+          case Some((f, _)) if !d.removes.contains(f) =>
+            // Stats gone, file live: must be a candidate.
+            if (prunedKnown.contains(f)) { prunedKnown -= f; cand += f }
+            else if (!cand.contains(f)) return None
+          case _ => ()
+        }
+      }
+    }
+    Some(cand.toSeq.sorted)
+  }
+
+  /** [[fileSizes]] served cold off a parquet checkpoint: (file, size)
+    * columns only, plus the deltas' own `z:` lines. */
+  private def coldSizes(target: String, v: Int)
+      : Option[Seq[(String, Long)]] = {
+    val (base, deltas) = coldParquetChain(target, v).getOrElse(return None)
+    val sizes = scala.collection.mutable.LinkedHashMap.empty[
+      String, Option[Long]]
+    ParquetCkpt.sizes(base).foreach { case (f, s) => sizes(f) = s }
+    deltas.foreach { d =>
+      d.removes.foreach { f => sizes.remove(f); () }
+      d.adds.foreach { f =>
+        sizes(f) = d.sets.get(sizeKey(f)).flatMap(_.toLongOption)
+      }
+      d.sets.foreach { case (k, value) =>
+        if (isSizeKey(k)) {
+          val f = k.drop(2)
+          if (!sizes.contains(f)) return None // liveness unknown
+          sizes(f) = value.toLongOption
+        }
+      }
+      d.unsets.foreach { k =>
+        if (isSizeKey(k)) {
+          val f = k.drop(2)
+          if (sizes.contains(f)) sizes(f) = None
+        }
+      }
+    }
+    Some(sizes.iterator.map { case (f, s) =>
+      f -> s.getOrElse {
+        sizeStatFallbacks.incrementAndGet()
+        try Files.size(dataDir(target).resolve(f))
+        catch { case _: java.io.IOException => -1L }
+      }
+    }.toSeq.sortBy(_._1))
+  }
+
   /** The manifest-pruned candidate file list for a one-column range
     * probe — exposed for specs and the ScaleProbe skip audit. Bounds
     * are inclusive; None = unbounded side. */
@@ -2121,6 +2365,10 @@ object MergeStore {
                      version: Option[Int] = None): Seq[String] = {
     val v = version.orElse(currentVersion(target))
       .getOrElse(sys.error(s"no committed version at $target"))
+    prunedColdCandidates(target, v, colName, lo, hi) match {
+      case Some(cold) => coldProbeHits.incrementAndGet(); return cold
+      case None => ()
+    }
     val files = liveFiles(target, Some(v))
     if (!statsColumns(target, Some(v)).contains(colName)) files
     else {
@@ -3492,7 +3740,8 @@ object MergeStore {
     // like Delta).
     val policy = manifestMeta(target, Some(head))
       .filter { case (k, _) =>
-        isConstraintKey(k) || k == MorKey || k == PkKey
+        isConstraintKey(k) || k == MorKey || k == PkKey ||
+          k == CkptFormatKey
       }
     commit(target, files, head, policy ++ carried ++ meta)
   }
@@ -3532,7 +3781,7 @@ object MergeStore {
     val carried = meta.filter { case (k, _) =>
       k == StatsColsKey || k == SchemaKey || k == BloomColsKey ||
         k == BloomFppKey || isConstraintKey(k) || k == MorKey ||
-        k == PkKey ||
+        k == PkKey || k == CkptFormatKey ||
         (isDvKey(k) && files.contains(k.stripPrefix(DvPrefix))) ||
         (isSizeKey(k) && files.contains(k.drop(2))) ||
         ((isStatsKey(k) || isBloomKey(k) || isNullsKey(k)) && files.contains(statsKeyFile(k)))
@@ -3731,15 +3980,18 @@ object MergeStore {
       case "graft.stats.cols" => StatsColsKey
       case "graft.bloom.cols" => BloomColsKey
       case "graft.bloom.fpp" => BloomFppKey
+      case "graft.ckpt.format" => CkptFormatKey
       case other => throw new UnsupportedOperationException(
         s"table property '$other' is not a graft policy — supported: " +
           "graft.mor, graft.pk, graft.stats.cols, graft.bloom.cols, " +
-          "graft.bloom.fpp")
+          "graft.bloom.fpp, graft.ckpt.format")
     }
     value.foreach { v =>
       key match {
         case MorKey => require(v == "true" || v == "false",
           s"graft.mor wants 'true' or 'false', got '$v'")
+        case CkptFormatKey => require(v == "text" || v == "parquet",
+          s"graft.ckpt.format wants 'text' or 'parquet', got '$v'")
         case BloomFppKey =>
           val d = try v.toDouble catch {
             case _: NumberFormatException =>
@@ -4535,6 +4787,41 @@ object MergeStore {
     * than the window, so a concurrent vacuum can never delete files a
     * soon-to-win commit will reference. Pass 0 only when no writer can be
     * mid-merge (single-writer maintenance windows, tests). */
+  /** Materialize version `v` (head by default) as a `.ckpt` sidecar —
+    * Delta's explicit `checkpoint()`: bounds every reader's
+    * reconstruction walk at `v` without waiting for the interval-th
+    * commit (a follower tailing a long delta run, or a planner about
+    * to go cold, calls this after a burst). No-op when `v` is already
+    * a full snapshot or already has a sidecar; idempotent under races
+    * (two writers produce the same content; temp + atomic move).
+    * Honors the table's `graft.ckpt.format` policy, so a parquet-
+    * policy table gets the columnar predicate-readable encoding.
+    * Returns the version checkpointed. */
+  def checkpoint(target: String, version: Option[Int] = None): Int = {
+    val v = version.orElse(currentVersion(target))
+      .getOrElse(sys.error(s"no committed version at $target"))
+    if (Files.exists(ckptPath(target, v))) return v
+    val backing = listPath(target, v)
+    val isDeltaBacking = Files.exists(backing) &&
+      !ParquetCkpt.isParquetFile(backing) &&
+      readManifestLines(backing).headOption.contains(DeltaMarkerLine)
+    if (!isDeltaBacking) return v // walk already bounded at v
+    stateOpt(target, v).foreach { st =>
+      val tmp = manifestDir(target).resolve(
+        s".v$v-${java.util.UUID.randomUUID().toString.take(8)}.ckpt.tmp")
+      val text = (st.meta.toSeq.sorted.map { case (k, value) =>
+        s"#$k=$value" } ++ st.files).mkString("\n")
+      if (st.meta.get(CkptFormatKey).contains("parquet") &&
+          text.getBytes("UTF-8").length >= compressThreshold)
+        ParquetCkpt.write(tmp, st.files, st.meta)
+      else Files.write(tmp, snapshotBytes(text)): Unit
+      Files.move(tmp, ckptPath(target, v),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    v
+  }
+
   def vacuum(target: String, retainVersions: Int = 1,
              graceMillis: Long = DefaultVacuumGraceMillis): Int = {
     require(retainVersions >= 1, "must retain at least the head version")
@@ -4551,23 +4838,7 @@ object MergeStore {
     // manifests are gone: if its own manifest is a delta, materialize
     // the full state as a `.ckpt` sidecar FIRST (idempotent content —
     // a concurrent vacuum writes the same bytes; temp + atomic move).
-    if (floor > 0 && !Files.exists(ckptPath(target, floor))) {
-      val floorList = listPath(target, floor)
-      if (Files.exists(floorList) &&
-          readManifestLines(floorList).headOption
-            .contains(DeltaMarkerLine)) {
-        stateOpt(target, floor).foreach { st =>
-          val tmp = manifestDir(target).resolve(
-            s".v$floor-${java.util.UUID.randomUUID().toString.take(8)}.ckpt.tmp")
-          Files.write(tmp, snapshotBytes(
-            (st.meta.toSeq.sorted.map { case (k, v) => s"#$k=$v" } ++
-              st.files).mkString("\n")))
-          Files.move(tmp, ckptPath(target, floor),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        }
-      }
-    }
+    if (floor > 0) checkpoint(target, Some(floor)): Unit
     // Manifests below the retention floor reference vanished files —
     // remove them so a stale time travel fails at manifest lookup (a
     // clear error) instead of at mid-scan file-not-found. Checkpoint

@@ -188,4 +188,32 @@ class CatalogPolicySpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("not a graft policy"), e2.getMessage)
   }
+
+  test("resolvePath recognizes GraftCatalog bound under any catalog name") {
+    // Register the class under a second name with its own warehouse —
+    // name-addressed surfaces (table_changes, streaming helpers) must
+    // resolve 'lake.db.t' through THAT warehouse, not assume 'graft'.
+    val wh = tmpDir("pol-lake-wh")
+    spark.conf.set("spark.sql.catalog.lake",
+      classOf[graft.store.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lake.warehouse", wh)
+    try {
+      val p = wh + "/db/lk"
+      MergeStore.init(spark, base, p, 2, clusterBy = Seq("id"))
+      assert(GraftCatalog.resolvePath(spark, "lake.db.lk") ==
+        java.nio.file.Paths.get(wh, "db", "lk").toString)
+      // SQL through the second catalog name works end to end.
+      assert(spark.sql("SELECT count(*) AS n FROM lake.db.lk")
+        .as[Long].head() == N)
+      // An unbound prefix is treated as a db name, not a catalog.
+      val e = intercept[Exception] {
+        GraftCatalog.resolvePath(spark, "nope.db.lk")
+      }
+      assert(e.getMessage.contains("no committed MergeStore table") ||
+        e.getMessage.contains("no location for table"), e.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lake.warehouse")
+      spark.conf.unset("spark.sql.catalog.lake")
+    }
+  }
 }
