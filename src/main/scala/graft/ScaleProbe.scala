@@ -541,13 +541,13 @@ object ScaleProbe {
         time(MergeStore.candidateFiles(spark, t, "id",
           Some(probeLo), Some(probeHi)))
       }
-      def runPq(): (Long, Double, Double) = {
+      def runPq(): (Long, Double, Double, Double) = {
         val dir = java.nio.file.Files.createTempDirectory("ckptcost")
         val t = s"$dir/tbl"
         System.setProperty("graft.manifest.compress.threshold", "1")
         try {
-          MergeStore.commitForProbe(t, names, -1,
-            meta + ("ckpt.format" -> "parquet"))
+          val (_, writeWall) = time(MergeStore.commitForProbe(t, names, -1,
+            meta + ("ckpt.format" -> "parquet")))
           val stored = java.nio.file.Files.size(
             java.nio.file.Paths.get(t, "_manifest", "v0.list"))
           MergeStore.clearStateCacheForProbe()
@@ -559,11 +559,11 @@ object ScaleProbe {
             "parquet cold probe did not engage")
           require(cand.size >= 10 && cand.size <= 12,
             s"selective probe shape drifted: ${cand.size}")
-          (stored, wall, probeWall)
+          (stored, wall, probeWall, writeWall)
         } finally System.clearProperty(
           "graft.manifest.compress.threshold")
       }
-      val (pqBytes, pqWall, pqProbe) = runPq()
+      val (pqBytes, pqWall, pqProbe, pqWrite) = runPq()
       // The same cold probe against the gzip table: full reconstruct
       // then driver-side interval tests.
       val gzDir = java.nio.file.Files.createTempDirectory("ckptcost")
@@ -575,6 +575,7 @@ object ScaleProbe {
       } finally System.clearProperty("graft.manifest.compress.threshold")
       println(s"""{"metric":"ckpt_cost_parquet","files":$files,""" +
         s""""snapshot_pq_bytes":$pqBytes,""" +
+        s""""commit_write_pq_sec":${f"$pqWrite%.3f"},""" +
         s""""reconstruct_pq_sec":${f"$pqWall%.3f"},""" +
         s""""cold_probe_pq_sec":${f"$pqProbe%.4f"},""" +
         s""""cold_probe_gz_sec":${f"$gzProbe%.4f"}}""")
