@@ -192,7 +192,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       mor = props.get("graft.mor").exists(_.toBoolean),
       pk = props.get("graft.pk").toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
-      ckptFormat = props.get("graft.ckpt.format"))
+      ckptFormat = props.get("graft.ckpt.format"),
+      ckptInterval = props.get("graft.ckpt.interval").map(_.toInt))
     GraftTable(key(ident), p, None)
   }
 
@@ -518,6 +519,8 @@ final case class GraftTable(ident: String, path: String,
         meta.get(MergeStore.MorKey).map("graft.mor" -> _) ++
         meta.get(MergeStore.PkKey).map("graft.pk" -> _) ++
         meta.get(MergeStore.CkptFormatKey).map("graft.ckpt.format" -> _) ++
+        meta.get(MergeStore.CkptIntervalKey)
+          .map("graft.ckpt.interval" -> _) ++
         (if (cons.isEmpty) Map.empty
          else Map("graft.constraints" -> cons.keys.toSeq.sorted.mkString(","))) ++
         (if (stats.isEmpty) Map.empty

@@ -162,6 +162,59 @@ object MergeStore {
   private[store] def checkpointInterval: Int = math.max(1,
     Integer.getInteger("graft.manifest.checkpoint.interval", 16).intValue())
 
+  /** Per-table full-snapshot cadence (`graft.ckpt.interval`
+    * TBLPROPERTY): a trickle-heavy table can checkpoint less often
+    * (cheaper commits, longer walks), a cold-probed one more often —
+    * without a process-wide property. Falls back to the
+    * [[checkpointInterval]] system default; clamped to ≥ 1. */
+  private def checkpointIntervalFor(meta: Map[String, String]): Int =
+    math.max(1, meta.get(CkptIntervalKey).flatMap(_.toIntOption)
+      .getOrElse(checkpointInterval))
+
+  /** Manifest key behind the `graft.ckpt.interval` TBLPROPERTY. */
+  private[store] val CkptIntervalKey = "ckpt.interval"
+
+  // ------------------------------------------------------------------
+  // In-commit timestamps (Delta's ICT, a public design): the commit
+  // instant rides INSIDE the manifest as a `#graft.ts=<millis>` line
+  // stamped by commit() itself — monotonic by construction
+  // (max(now, parent_ts + 1)). File mtimes are NOT durable commit
+  // state: a backup/restore, an rsync, or an object-store migration
+  // rewrites them, silently corrupting TIMESTAMP AS OF and the change
+  // feed's _commit_timestamp. [[history]] prefers the in-commit line
+  // and falls back to mtime only for legacy manifests written before
+  // it; a mixed chain stays monotonic because the first stamped commit
+  // seeds from its parent's mtime.
+  // ------------------------------------------------------------------
+
+  /** Manifest meta key holding the commit's own timestamp (millis).
+    * Stamped by [[commit]] on every version; caller-supplied values
+    * are overwritten (the commit is the only authority on its time). */
+  private[store] val TsKey = "graft.ts"
+
+  /** (path, size, mtime) -> parsed in-commit ts; manifests are
+    * immutable once linked, so entries never go stale. Bounded by a
+    * dumb clear past 4096 entries (a history() walk re-fills what it
+    * needs; correctness never depends on the cache). */
+  private val tsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+      Option[Long]]()
+
+  /** The in-commit timestamp recorded in the manifest at `p`, if its
+    * writer stamped one — O(manifest bytes), memoized, no state
+    * reconstruction. */
+  private def inCommitTs(p: Path): Option[Long] = {
+    val key = (p.toAbsolutePath.toString, Files.size(p),
+      Files.getLastModifiedTime(p).toMillis)
+    if (tsCache.size() > 4096) tsCache.clear()
+    tsCache.computeIfAbsent(key, _ =>
+      if (ParquetCkpt.isParquetFile(p)) ParquetCkpt.commitTsOf(p)
+      else readManifestLines(p).collectFirst {
+        case l if l.startsWith(s"#$TsKey=") =>
+          l.stripPrefix(s"#$TsKey=")
+      }.flatMap(_.toLongOption))
+  }
+
   private final case class ManifestState(files: Vector[String],
                                          meta: Map[String, String])
 
@@ -709,7 +762,8 @@ object MergeStore {
                        version: Option[Int] = None): Map[String, String] =
     manifestMeta(target, version).filterNot { case (k, _) =>
       k == StatsColsKey || k == SchemaKey || k == BloomColsKey ||
-        k == BloomFppKey || isStatsKey(k) || isBloomKey(k) ||
+        k == BloomFppKey || k == TsKey || k == CkptFormatKey ||
+        k == CkptIntervalKey || isStatsKey(k) || isBloomKey(k) ||
         isNullsKey(k) || isSizeKey(k)
     }
 
@@ -1113,6 +1167,7 @@ object MergeStore {
       else manifestMeta(target, Some(parent)).filter { case (k, _) =>
         isConstraintKey(k) || k == WapSourceKey || k == WapBaseKey ||
           k == MorKey || k == PkKey || k == CkptFormatKey ||
+          k == CkptIntervalKey ||
           (isDvKey(k) && fileSet.contains(k.stripPrefix(DvPrefix)))
       }
     // The schema rides EVERY commit, stats or not: a stats-less table
@@ -1342,24 +1397,36 @@ object MergeStore {
     }
     require(!meta.contains(FormatKey),
       s"manifest metadata key '$FormatKey' is reserved (delta marker)")
+    // In-commit timestamp: stamped HERE, monotonic vs the parent's
+    // (whose own stamp — or its manifest mtime, for a legacy parent —
+    // seeds the floor). CAS losers recompute against the fresh parent.
+    val parentState = if (parent < 0) None else stateOpt(target, parent)
+    val parentTs: Long =
+      if (parent < 0) 0L
+      else parentState.flatMap(_.meta.get(TsKey)).flatMap(_.toLongOption)
+        .orElse(backingOf(target, parent)
+          .map(p => Files.getLastModifiedTime(p).toMillis))
+        .getOrElse(0L)
+    val stamped = meta +
+      (TsKey -> math.max(System.currentTimeMillis(), parentTs + 1).toString)
     // Callers still pass the FULL file list and FULL metadata map — the
     // commit decides the ENCODING: a delta (only the changes vs the
     // parent — O(changes) bytes however many files are live) on ordinary
     // commits, a full snapshot on every interval-th version and on every
     // fresh table (parent < 0), bounding the reconstruction walk.
-    val isFull = parent < 0 || next % checkpointInterval == 0 ||
-      stateOpt(target, parent).isEmpty
+    val isFull = parent < 0 ||
+      next % checkpointIntervalFor(stamped) == 0 || parentState.isEmpty
     val body: Seq[String] =
       if (isFull)
-        meta.toSeq.sorted.map { case (k, v) => s"#$k=$v" } ++ files.sorted
+        stamped.toSeq.sorted.map { case (k, v) => s"#$k=$v" } ++ files.sorted
       else {
-        val base = stateOpt(target, parent).get
+        val base = parentState.get
         val baseFiles = base.files.toSet
         val nextFiles = files.toSet
-        val sets = meta.toSeq
+        val sets = stamped.toSeq
           .filter { case (k, v) => !base.meta.get(k).contains(v) }
           .sorted.map { case (k, v) => s"#$k=$v" }
-        val unsets = (base.meta.keySet -- meta.keySet).toSeq.sorted
+        val unsets = (base.meta.keySet -- stamped.keySet).toSeq.sorted
           .map("~" + _)
         val adds = (nextFiles -- baseFiles).toSeq.sorted.map("+" + _)
         val removes = (baseFiles -- nextFiles).toSeq.sorted.map("-" + _)
@@ -1372,9 +1439,9 @@ object MergeStore {
     // and the state is past the size threshold; otherwise text, gzipped
     // past the same threshold ([[snapshotBytes]]). Deltas stay text.
     val text = body.mkString("\n")
-    if (isFull && meta.get(CkptFormatKey).contains("parquet") &&
+    if (isFull && stamped.get(CkptFormatKey).contains("parquet") &&
         text.getBytes("UTF-8").length >= compressThreshold)
-      ParquetCkpt.write(tmp, files.sorted, meta)
+      ParquetCkpt.write(tmp, files.sorted, stamped)
     else Files.write(tmp,
       if (isFull) snapshotBytes(text) else text.getBytes("UTF-8")): Unit
     try {
@@ -1484,10 +1551,14 @@ object MergeStore {
 
   /** Commit history: (version, commit time millis), oldest first, for
     * versions still inside the retention window. The commit time is
-    * the immutable manifest's own mtime (the OSS Delta convention —
-    * the link lands at CAS win, so mtime IS the commit instant); an
-    * object-store deployment would record an in-commit timestamp
-    * line instead. */
+    * the IN-COMMIT `#graft.ts=` line the commit stamped (monotonic by
+    * construction, durable under backup/restore/rsync/object-store
+    * migration — Delta's in-commit-timestamps design); legacy
+    * manifests written before the stamp fall back to the manifest's
+    * mtime (the OSS Delta convention: the link lands at CAS win). A
+    * mixed chain stays monotonic because the first stamped commit
+    * seeds from its parent's mtime. O(manifest bytes) per version,
+    * memoized per immutable manifest — never a state reconstruction. */
   def history(target: String): Seq[(Int, Long)] = {
     val dir = manifestDir(target)
     if (!Files.isDirectory(dir)) return Nil
@@ -1496,7 +1567,8 @@ object MergeStore {
         val n = p.getFileName.toString
         if (n.startsWith("v") && n.endsWith(".list"))
           Some(n.stripPrefix("v").stripSuffix(".list").toInt ->
-            Files.getLastModifiedTime(p).toMillis)
+            inCommitTs(p).getOrElse(
+              Files.getLastModifiedTime(p).toMillis))
         else None
       }.toSeq.sortBy(_._1)
   }
@@ -1573,11 +1645,14 @@ object MergeStore {
   def create(target: String, schema: org.apache.spark.sql.types.StructType,
              statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
              bloomFpp: Double = 0.01, mor: Boolean = false,
-             pk: Seq[String] = Nil, ckptFormat: Option[String] = None): Unit = {
+             pk: Seq[String] = Nil, ckptFormat: Option[String] = None,
+             ckptInterval: Option[Int] = None): Unit = {
     require(currentVersion(target).isEmpty,
       s"table already exists at $target")
     ckptFormat.foreach(f => require(f == "text" || f == "parquet",
       s"graft.ckpt.format wants 'text' or 'parquet', got '$f'"))
+    ckptInterval.foreach(i => require(i >= 1,
+      s"graft.ckpt.interval wants an integer >= 1, got '$i'"))
     Files.createDirectories(dataDir(target))
     val props = Map(SchemaKey -> schema.json) ++
       (if (statsCols.nonEmpty) Map(StatsColsKey -> statsCols.mkString(","))
@@ -1587,7 +1662,8 @@ object MergeStore {
        else Map.empty) ++
       (if (mor) Map(MorKey -> "true") else Map.empty) ++
       (if (pk.nonEmpty) Map(PkKey -> pk.mkString(",")) else Map.empty) ++
-      ckptFormat.map(CkptFormatKey -> _)
+      ckptFormat.map(CkptFormatKey -> _) ++
+      ckptInterval.map(i => CkptIntervalKey -> i.toString)
     commit(target, Nil, -1, props): Unit
   }
 
@@ -3741,7 +3817,7 @@ object MergeStore {
     val policy = manifestMeta(target, Some(head))
       .filter { case (k, _) =>
         isConstraintKey(k) || k == MorKey || k == PkKey ||
-          k == CkptFormatKey
+          k == CkptFormatKey || k == CkptIntervalKey
       }
     commit(target, files, head, policy ++ carried ++ meta)
   }
@@ -3781,7 +3857,7 @@ object MergeStore {
     val carried = meta.filter { case (k, _) =>
       k == StatsColsKey || k == SchemaKey || k == BloomColsKey ||
         k == BloomFppKey || isConstraintKey(k) || k == MorKey ||
-        k == PkKey || k == CkptFormatKey ||
+        k == PkKey || k == CkptFormatKey || k == CkptIntervalKey ||
         (isDvKey(k) && files.contains(k.stripPrefix(DvPrefix))) ||
         (isSizeKey(k) && files.contains(k.drop(2))) ||
         ((isStatsKey(k) || isBloomKey(k) || isNullsKey(k)) && files.contains(statsKeyFile(k)))
@@ -3981,10 +4057,11 @@ object MergeStore {
       case "graft.bloom.cols" => BloomColsKey
       case "graft.bloom.fpp" => BloomFppKey
       case "graft.ckpt.format" => CkptFormatKey
+      case "graft.ckpt.interval" => CkptIntervalKey
       case other => throw new UnsupportedOperationException(
         s"table property '$other' is not a graft policy — supported: " +
           "graft.mor, graft.pk, graft.stats.cols, graft.bloom.cols, " +
-          "graft.bloom.fpp, graft.ckpt.format")
+          "graft.bloom.fpp, graft.ckpt.format, graft.ckpt.interval")
     }
     value.foreach { v =>
       key match {
@@ -3992,6 +4069,9 @@ object MergeStore {
           s"graft.mor wants 'true' or 'false', got '$v'")
         case CkptFormatKey => require(v == "text" || v == "parquet",
           s"graft.ckpt.format wants 'text' or 'parquet', got '$v'")
+        case CkptIntervalKey => require(
+          v.toIntOption.exists(_ >= 1),
+          s"graft.ckpt.interval wants an integer >= 1, got '$v'")
         case BloomFppKey =>
           val d = try v.toDouble catch {
             case _: NumberFormatException =>

@@ -63,6 +63,7 @@ private[graft] object ParquetCkpt {
   private val FilesKey = "graft.ckpt.files"
   private val StatsColsKey = "graft.ckpt.statscols"
   private val ColsKey = "graft.ckpt.cols"
+  private val TsKey = "graft.ckpt.ts"
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -211,6 +212,9 @@ private[graft] object ParquetCkpt {
       VersionKey -> "1",
       FilesKey -> files.size.toString,
       StatsColsKey -> meta.getOrElse("stats.cols", ""),
+      // The in-commit timestamp doubles in the footer so history()
+      // reads it without scanning rows (it is a generic row too).
+      TsKey -> meta.getOrElse(MergeStore.TsKey, ""),
       ColsKey -> (
         statGroups.zipWithIndex.map { case (g, i) =>
           s"s,$i,${enc(g.col)},${g.tag},${g.kind}"
@@ -358,6 +362,11 @@ private[graft] object ParquetCkpt {
     * a parquet snapshot without scanning it. */
   def liveFileCount(p: Path): Option[Int] =
     footerMeta(p).get(FilesKey).flatMap(_.toIntOption)
+
+  /** The in-commit timestamp the snapshot's commit stamped, off the
+    * footer — no row scan. */
+  def commitTsOf(p: Path): Option[Long] =
+    footerMeta(p).get(TsKey).flatMap(_.toLongOption)
 
   /** The `stats.cols` policy recorded at checkpoint time. */
   def statsColsOf(p: Path): Seq[String] =

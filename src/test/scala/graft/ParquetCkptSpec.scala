@@ -80,7 +80,7 @@ class ParquetCkptSpec extends SparkSpec {
       // Equivalent state at every version (file names are UUIDs, so
       // compare per-file metadata as kind/value multisets; exact byte
       // fidelity is pinned by the synthetic round-trip test below).
-      val drop = Set("ckpt.format")
+      val drop = Set("ckpt.format", "graft.ts")
       (0 to 12).foreach { v =>
         assert(MergeStore.liveFiles(tp, Some(v)).size ==
           MergeStore.liveFiles(tt, Some(v)).size,
