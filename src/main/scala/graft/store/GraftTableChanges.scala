@@ -17,7 +17,14 @@ import graft.streaming.MergeStoreCdc
   *   SELECT * FROM table_changes('db.t', 2)          -- v2..head
   *   SELECT * FROM table_changes('db.t', 2, 5)       -- v2..v5 inclusive
   *   SELECT * FROM table_changes('db.t', 2, 5, 'id') -- explicit keys
+  *   SELECT * FROM table_changes('db.t',             -- timestamp bounds
+  *     '2026-08-01 00:00:00', TIMESTAMP'2026-08-16 12:00:00')
   * }}}
+  *
+  * Timestamp bounds (Delta CDF's spelling) resolve against the
+  * IN-COMMIT timestamps the manifest records — a `from` timestamp is
+  * the first commit at or after it, a `to` the last at or before —
+  * so the spans survive mtime-rewriting copies and restores.
   *
   * Rows are [[MergeStoreCdc.changesByCommit]]'s typed feed — the table
   * columns plus `_change_type` (insert/update/delete), `_commit_version`
@@ -72,6 +79,59 @@ object GraftTableChanges {
         s"table_changes: $what must be an integer version; got $other")
     }
 
+  /** A bound argument: an integer VERSION, or — Delta CDF's timestamp
+    * spelling, durable now that commits stamp their own instants — a
+    * TIMESTAMP literal / a timestamp-parseable string. A `from`
+    * timestamp resolves to the FIRST commit at or after it, a `to`
+    * timestamp to the LAST commit at or before it (Delta's contract).
+    * Returns the resolved version. */
+  private def boundArg(args: Seq[Expression], i: Int, what: String,
+                       path: String, isFrom: Boolean): Int = {
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType,
+      StringType}
+    val e = args(i)
+    val v = evalLit(args, i, what)
+    (v, e.dataType) match {
+      case (micros: Long, TimestampType | TimestampNTZType) =>
+        tsVersion(path, micros / 1000L, what, isFrom)
+      case (s: org.apache.spark.unsafe.types.UTF8String, StringType)
+          if s.toString.exists(c => c == '-' || c == ':') =>
+        tsVersion(path, parseTsMillis(s.toString, what), what, isFrom)
+      case _ => intArg(args, i, what)
+    }
+  }
+
+  private def parseTsMillis(s: String, what: String): Long = {
+    val t = s.trim
+    try {
+      if (t.contains("T")) java.time.Instant.parse(
+        if (t.endsWith("Z") || t.contains("+")) t else t + "Z")
+        .toEpochMilli
+      else if (t.contains(":")) java.sql.Timestamp.valueOf(t).getTime
+      else java.sql.Timestamp.valueOf(
+        java.time.LocalDate.parse(t).atStartOfDay()).getTime
+    } catch {
+      case _: RuntimeException => sys.error(
+        s"table_changes: $what '$s' is neither an integer version nor " +
+          "a timestamp ('yyyy-MM-dd[ HH:mm:ss]' or ISO-8601)")
+    }
+  }
+
+  private def tsVersion(path: String, ms: Long, what: String,
+                        isFrom: Boolean): Int = {
+    val h = MergeStore.history(path)
+    require(h.nonEmpty, s"no committed version at $path")
+    if (isFrom)
+      h.collectFirst { case (v, t) if t >= ms && v >= 1 => v }
+        .getOrElse(sys.error(
+          s"table_changes: $what timestamp is after the last commit " +
+            s"(${new java.sql.Timestamp(h.last._2)})"))
+    else
+      h.takeWhile(_._2 <= ms).lastOption.map(_._1).getOrElse(sys.error(
+        s"table_changes: $what timestamp predates the first retained " +
+          s"commit (${new java.sql.Timestamp(h.head._2)})"))
+  }
+
   private[store] def plan(args: Seq[Expression]): LogicalPlan = {
     require(args.length >= 2 && args.length <= 4,
       "table_changes(table, from_version[, to_version[, 'pk,cols']])")
@@ -79,8 +139,9 @@ object GraftTableChanges {
     val path = GraftCatalog.resolvePath(spark, strArg(args, 0, "table"))
     val head = MergeStore.version(path)
       .getOrElse(sys.error(s"no committed version at $path"))
-    val from = intArg(args, 1, "from_version")
-    val to = if (args.length >= 3) intArg(args, 2, "to_version") else head
+    val from = boundArg(args, 1, "from_version", path, isFrom = true)
+    val to = if (args.length >= 3)
+      boundArg(args, 2, "to_version", path, isFrom = false) else head
     require(from >= 1,
       "table_changes: from_version must be >= 1 — v0 is the initial " +
         "snapshot (read it with VERSION AS OF 0), commits after it are " +

@@ -427,6 +427,10 @@ private[graft] object ParquetCkpt {
       case None => // no stats lines for col at all: every file matches
         ("message graft_ckpt { optional binary file (UTF8); }",
           isFileRow)
+      case Some(_) if lo.isEmpty && hi.isEmpty =>
+        // Unbounded probe: every file row matches — no typed filter.
+        ("message graft_ckpt { optional binary file (UTF8); }",
+          isFileRow)
       case Some((g, i)) =>
         val (minName, maxName) = (s"smin_$i", s"smax_$i")
         val overlapOrNull: FilterPredicate = if (g.kind == "f") {

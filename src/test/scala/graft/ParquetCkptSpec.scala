@@ -164,7 +164,7 @@ class ParquetCkptSpec extends SparkSpec {
       val head = MergeStore.version(t).get
       val probes = Seq[(Option[Any], Option[Any])](
         (Some(40L), Some(60L)), (Some(7000L), None), (None, Some(25L)),
-        (Some(3050L), Some(3050L)))
+        (Some(3050L), Some(3050L)), (None, None))
       // Warm first (fills the memo), recording the normal-path answer.
       val warm = probes.map { case (lo, hi) =>
         MergeStore.candidateFiles(spark, t, "id", lo, hi, Some(head)) }

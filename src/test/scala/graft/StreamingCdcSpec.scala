@@ -372,6 +372,22 @@ class StreamingCdcSpec extends SparkSpec {
     assert(intercept[Exception](spark.sql(
       "SELECT * FROM table_changes('cdcdb.tvf', 4294967297)").collect())
       .getMessage.contains("does not fit"))
+    // Timestamp bounds resolve against the IN-COMMIT stamps: a from
+    // timestamp = first commit at or after, to = last at or before —
+    // spanning exactly [v2, v4] here by quoting v2's and v4's own
+    // recorded instants (formatted in the JVM zone, the string form's
+    // parse zone).
+    val hist = MergeStore.history(t).toMap
+    def fmt(ms: Long) = new java.sql.Timestamp(ms).toString
+    val viaTs = spark.sql("SELECT * FROM table_changes('cdcdb.tvf', " +
+      s"'${fmt(hist(2))}', '${fmt(hist(4))}')")
+    assert(shape(viaTs) == shape(MergeStoreCdc.changesByCommit(spark, t,
+      Seq("id"), includePreimages = false, fromVersion = 1,
+      toVersion = 4)))
+    // A from timestamp past the head refuses loudly.
+    assert(intercept[Exception](spark.sql(
+      "SELECT * FROM table_changes('cdcdb.tvf', '2099-01-01')").collect())
+      .getMessage.contains("after the last commit"))
     graft.store.GraftCatalog.unregister("cdcdb.tvf")
   }
 
