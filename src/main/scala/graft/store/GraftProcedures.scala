@@ -211,17 +211,21 @@ object GraftProcedures {
     override def parameters(): Array[ProcedureParameter] = Array(
       in("table", StringType),
       in("retain_versions", IntegerType, "1"),
-      in("grace_millis", LongType, MergeStore.DefaultVacuumGraceMillis.toString))
+      in("grace_millis", LongType, MergeStore.DefaultVacuumGraceMillis.toString),
+      in("dry_run", BooleanType, "false"))
     override def call(input: InternalRow): JIterator[Scan] = {
       val p = existingPath(str(input, 0, "table"))
+      val dryRun = !input.isNullAt(3) && input.getBoolean(3)
       val deleted = MergeStore.vacuum(p,
         retainVersions = if (input.isNullAt(1)) 1 else input.getInt(1),
         graceMillis = if (input.isNullAt(2))
-          MergeStore.DefaultVacuumGraceMillis else input.getLong(2))
+          MergeStore.DefaultVacuumGraceMillis else input.getLong(2),
+        dryRun = dryRun)
       result(
         StructType(Seq(
-          StructField("deleted_files", IntegerType, nullable = false))),
-        Seq(row(deleted)))
+          StructField("deleted_files", IntegerType, nullable = false),
+          StructField("dry_run", BooleanType, nullable = false))),
+        Seq(row(deleted, dryRun)))
     }
   }
 
@@ -287,17 +291,30 @@ object GraftProcedures {
     override def name: String = "restore"
     override def description: String =
       "commit a new head whose content is an old version's (history " +
-        "stays intact); reaches only versions inside vacuum retention"
+        "stays intact); pick the version by number or by timestamp " +
+        "(resolved against the durable in-commit instants); reaches " +
+        "only versions inside vacuum retention"
     override def parameters(): Array[ProcedureParameter] = Array(
-      in("table", StringType), in("version", IntegerType))
+      in("table", StringType), in("version", IntegerType, "NULL"),
+      in("timestamp", StringType, "NULL"))
     override def call(input: InternalRow): JIterator[Scan] = {
       val p = existingPath(str(input, 0, "table"))
-      require(!input.isNullAt(1), "procedure restore: 'version' is required")
-      val v = MergeStore.restore(SparkSession.active, p, input.getInt(1))
+      val target = (input.isNullAt(1), input.isNullAt(2)) match {
+        case (false, true) => input.getInt(1)
+        case (true, false) =>
+          val ts = input.getUTF8String(2).toString
+          MergeStore.versionAt(p, GraftTableChanges.parseTsMillisArg(ts))
+            .getOrElse(sys.error(
+              s"restore: no commit at or before '$ts' is retained"))
+        case _ => sys.error(
+          "procedure restore: exactly one of 'version' and 'timestamp'")
+      }
+      val v = MergeStore.restore(SparkSession.active, p, target)
       result(
         StructType(Seq(
-          StructField("new_version", IntegerType, nullable = false))),
-        Seq(row(v)))
+          StructField("new_version", IntegerType, nullable = false),
+          StructField("restored_version", IntegerType, nullable = false))),
+        Seq(row(v, target)))
     }
   }
 
@@ -310,14 +327,23 @@ object GraftProcedures {
         "the catalog (warehouse or registration) and must be empty"
     override def parameters(): Array[ProcedureParameter] = Array(
       in("source", StringType), in("dest", StringType),
-      in("version", IntegerType, "NULL"))
+      in("version", IntegerType, "NULL"),
+      in("timestamp", StringType, "NULL"))
     override def call(input: InternalRow): JIterator[Scan] = {
       val src = existingPath(str(input, 0, "source"))
       val dest = catalog.tablePath(str(input, 1, "dest"))
+      require(input.isNullAt(2) || input.isNullAt(3),
+        "procedure clone_table: at most one of 'version' and 'timestamp'")
       // Resolve the head ONCE and clone at that pinned version — a
       // rival commit to the source mid-call must not make the reported
       // cloned_version diverge from the version actually cloned.
       val v = (if (input.isNullAt(2)) None else Some(input.getInt(2)))
+        .orElse(if (input.isNullAt(3)) None else {
+          val ts = input.getUTF8String(3).toString
+          Some(MergeStore.versionAt(src,
+            GraftTableChanges.parseTsMillisArg(ts)).getOrElse(sys.error(
+            s"clone_table: no commit at or before '$ts' is retained")))
+        })
         .orElse(MergeStore.version(src)).get
       MergeStore.cloneTable(SparkSession.active, src, dest, Some(v))
       result(

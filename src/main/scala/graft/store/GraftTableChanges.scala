@@ -101,6 +101,11 @@ object GraftTableChanges {
     }
   }
 
+  /** Shared timestamp-literal parse for procedure arguments
+    * (restore/clone by timestamp). */
+  private[store] def parseTsMillisArg(s: String): Long =
+    parseTsMillis(s, "timestamp")
+
   private def parseTsMillis(s: String, what: String): Long = {
     val t = s.trim
     try {

@@ -4903,7 +4903,8 @@ object MergeStore {
   }
 
   def vacuum(target: String, retainVersions: Int = 1,
-             graceMillis: Long = DefaultVacuumGraceMillis): Int = {
+             graceMillis: Long = DefaultVacuumGraceMillis,
+             dryRun: Boolean = false): Int = {
     require(retainVersions >= 1, "must retain at least the head version")
     val head = currentVersion(target)
       .getOrElse(return 0)
@@ -4913,6 +4914,10 @@ object MergeStore {
     val orphans = Files.list(dataDir(target)).iterator().asScala
       .filter(p => !live.contains(p.getFileName.toString) &&
         Files.getLastModifiedTime(p).toMillis <= cutoff).toSeq
+    // DRY RUN: report what a real pass would reclaim, mutate NOTHING —
+    // no deletions, no floor checkpoint, no manifest drops, no debris
+    // sweeps (Delta's VACUUM DRY RUN shape: audit before you reclaim).
+    if (dryRun) return orphans.size
     orphans.foreach(Files.deleteIfExists)
     // The retention FLOOR must stay reconstructable once its base
     // manifests are gone: if its own manifest is a delta, materialize

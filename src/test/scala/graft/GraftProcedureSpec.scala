@@ -92,6 +92,27 @@ class GraftProcedureSpec extends SparkSpec {
       "history stays intact under restore")
   }
 
+  test("restore by timestamp resolves against the in-commit instants") {
+    val t = fresh("rstts")
+    MergeStore.deleteWhere(spark, t, $"id" % 2 === 0) // v1
+    // Quote v0's own recorded instant — the restore target is the
+    // state AT that time, regardless of what mtimes say.
+    val ts0 = new java.sql.Timestamp(MergeStore.history(t).head._2)
+    val r = spark.sql(
+      s"CALL graft.system.restore('db.rstts', timestamp => '$ts0')")
+      .collect().head
+    assert(r.getInt(0) == 2 && r.getInt(1) == 0, r.toString)
+    assert(MergeStore.read(spark, t).count() == N)
+    // Exactly one of version/timestamp.
+    val e = intercept[Exception] { spark.sql(
+      "CALL graft.system.restore('db.rstts', version => 0, " +
+        "timestamp => '2099-01-01')").collect() }
+    assert(e.getMessage.contains("exactly one"), e.getMessage)
+    val e2 = intercept[Exception] { spark.sql(
+      "CALL graft.system.restore('db.rstts')").collect() }
+    assert(e2.getMessage.contains("exactly one"), e2.getMessage)
+  }
+
   test("vacuum: drops files outside retention; old versions stop reading") {
     val t = fresh("vac")
     MergeStore.deleteWhere(spark, t, $"id" < 2500L) // v1 rewrites most files
@@ -107,6 +128,45 @@ class GraftProcedureSpec extends SparkSpec {
     MergeStore.deleteWhere(spark, t, $"id" < 2600L)
     assert(spark.sql("CALL graft.system.vacuum('db.vac')")
       .collect().head.getInt(0) == 0)
+  }
+
+  test("vacuum dry run reports the reclaim set and mutates nothing") {
+    val t = fresh("vacdry")
+    MergeStore.deleteWhere(spark, t, $"id" < 2500L) // v1 rewrites files
+    def dataCount = java.nio.file.Files.list(
+      java.nio.file.Paths.get(t, "data")).count()
+    val dataBefore = dataCount
+    val r = spark.sql(
+      "CALL graft.system.vacuum('db.vacdry', retain_versions => 1, " +
+        "grace_millis => 0, dry_run => true)").collect().head
+    assert(r.getInt(0) > 0 && r.getBoolean(1), r.toString)
+    assert(dataCount == dataBefore,
+      "dry run must delete nothing")
+    assert(MergeStore.read(spark, t, Some(0)).count() == N,
+      "dry run must keep every retained-window read working")
+    // The real pass reclaims exactly what the dry run reported.
+    val real = spark.sql(
+      "CALL graft.system.vacuum('db.vacdry', retain_versions => 1, " +
+        "grace_millis => 0)").collect().head
+    assert(real.getInt(0) == r.getInt(0) && !real.getBoolean(1))
+  }
+
+  test("clone_table by timestamp pins the resolved version") {
+    val t = fresh("clnts")
+    MergeStore.deleteWhere(spark, t, $"id" < 10L) // v1
+    val ts0 = new java.sql.Timestamp(MergeStore.history(t).head._2)
+    val dest = tmpDir("proc-clnts-dest") + "/tbl"
+    GraftCatalog.register("db.clntsd", dest)
+    val r = spark.sql("CALL graft.system.clone_table(" +
+      s"source => 'db.clnts', dest => 'db.clntsd', timestamp => '$ts0')")
+      .collect().head
+    assert(r.getInt(0) == 0, s"timestamp must resolve to v0: $r")
+    assert(MergeStore.read(spark, dest).count() == N)
+    val e = intercept[Exception] { spark.sql(
+      "CALL graft.system.clone_table(source => 'db.clnts', " +
+        "dest => 'db.clntsd', version => 0, timestamp => '2099-01-01')")
+      .collect() }
+    assert(e.getMessage.contains("at most one"), e.getMessage)
   }
 
   test("clone_table: zero-copy clone via CALL; clones evolve independently") {
