@@ -49,8 +49,7 @@ final class GraftFileIndex(spark: SparkSession, target: String,
   // pinned version (`_metadata.file_modification_time` on a skipping
   // read reflects the snapshot, not per-file mtimes).
   private val statuses: Map[String, FileStatusWithMetadata] = {
-    val commitMs = MergeStore.history(target)
-      .collectFirst { case (v, ms) if v == version => ms }.getOrElse(0L)
+    val commitMs = MergeStore.commitTimeOf(target, version).getOrElse(0L)
     MergeStore.fileSizes(target, Some(version)).map { case (f, sz) =>
       val p = MergeStore.dataDir(target).resolve(f)
       val len = if (sz >= 0) sz else Files.size(p)

@@ -1573,6 +1573,13 @@ object MergeStore {
       }.toSeq.sortBy(_._1)
   }
 
+  /** One version's commit instant (in-commit stamp, else manifest
+    * mtime) — the O(1) accessor for consumers that need a single
+    * version's time (the FileIndex), instead of a [[history]] walk. */
+  private[store] def commitTimeOf(target: String, v: Int): Option[Long] =
+    Some(listPath(target, v)).filter(Files.exists(_)).map(p =>
+      inCommitTs(p).getOrElse(Files.getLastModifiedTime(p).toMillis))
+
   final case class CommitInfo(version: Int, commitTimeMs: Long,
                               format: String, addedFiles: Option[Int],
                               removedFiles: Option[Int],
