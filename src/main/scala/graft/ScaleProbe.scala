@@ -541,15 +541,23 @@ object ScaleProbe {
         time(MergeStore.candidateFiles(spark, t, "id",
           Some(probeLo), Some(probeHi)))
       }
-      def runPq(): (Long, Double, Double, Double) = {
+      def runPq(): (Long, Double, Double, Double, Double, Double,
+          Double) = {
         val dir = java.nio.file.Files.createTempDirectory("ckptcost")
         val t = s"$dir/tbl"
         System.setProperty("graft.manifest.compress.threshold", "1")
         try {
-          val (_, writeWall) = time(MergeStore.commitForProbe(t, names, -1,
-            meta + ("ckpt.format" -> "parquet")))
-          val stored = java.nio.file.Files.size(
-            java.nio.file.Paths.get(t, "_manifest", "v0.list"))
+          // v0, fresh table: the SLOT is the cheap gzip text full; the
+          // parquet encode happens OFF the commit path (async sidecar,
+          // drained here to time it and to give the cold probes their
+          // columnar base).
+          val (_, commitWall) = time(MergeStore.commitForProbe(t, names,
+            -1, meta + ("ckpt.format" -> "parquet")))
+          val (_, encodeWall) = time(MergeStore.drainCheckpoints())
+          val sidecar = java.nio.file.Paths.get(t, "_manifest", "v0.ckpt")
+          require(java.nio.file.Files.exists(sidecar),
+            "async parquet sidecar did not land")
+          val stored = java.nio.file.Files.size(sidecar)
           MergeStore.clearStateCacheForProbe()
           val (live, wall) = time(MergeStore.liveFiles(t))
           require(live.size == files, "parquet reconstruction drifted")
@@ -559,11 +567,37 @@ object ScaleProbe {
             "parquet cold probe did not engage")
           require(cand.size >= 10 && cand.size <= 12,
             s"selective probe shape drifted: ${cand.size}")
-          (stored, wall, probeWall, writeWall)
-        } finally System.clearProperty(
-          "graft.manifest.compress.threshold")
+          // Ordinary delta commit (v1, off-interval) as the baseline,
+          // then an interval-SLOT commit (interval 1 makes v2 a slot):
+          // the slot write must cost the SAME — a text delta — with
+          // the columnar encode riding the async sidecar, never the
+          // commit path. (At this synthetic scale the state exceeds
+          // the memo's admission cap, so BOTH pay the parent-state
+          // reconstruction — the honest per-commit cost here.)
+          def extraStat(i: Int) = s"s:part-synth-extra$i.parquet:id" ->
+            s"n ${files * 50L + i} ${files * 50L + 49 + i}"
+          val (_, ordinaryWall) = time(MergeStore.commitForProbe(t,
+            names :+ "part-synth-extra0.parquet", 0,
+            meta + ("ckpt.format" -> "parquet") + extraStat(0)))
+          System.setProperty("graft.manifest.checkpoint.interval", "1")
+          val (_, slotWall) = time(MergeStore.commitForProbe(t,
+            names ++ Seq("part-synth-extra0.parquet",
+              "part-synth-extra1.parquet"), 1,
+            meta + ("ckpt.format" -> "parquet") + extraStat(0) +
+              extraStat(1)))
+          MergeStore.drainCheckpoints()
+          require(java.nio.file.Files.exists(
+            java.nio.file.Paths.get(t, "_manifest", "v2.ckpt")),
+            "slot commit's async sidecar did not land")
+          (stored, wall, probeWall, commitWall, encodeWall,
+            ordinaryWall, slotWall)
+        } finally {
+          System.clearProperty("graft.manifest.compress.threshold")
+          System.clearProperty("graft.manifest.checkpoint.interval")
+        }
       }
-      val (pqBytes, pqWall, pqProbe, pqWrite) = runPq()
+      val (pqBytes, pqWall, pqProbe, pqCommit, pqEncode, pqOrdinary,
+        pqSlot) = runPq()
       // The same cold probe against the gzip table: full reconstruct
       // then driver-side interval tests.
       val gzDir = java.nio.file.Files.createTempDirectory("ckptcost")
@@ -574,8 +608,11 @@ object ScaleProbe {
         coldProbe(gzT)._2
       } finally System.clearProperty("graft.manifest.compress.threshold")
       println(s"""{"metric":"ckpt_cost_parquet","files":$files,""" +
-        s""""snapshot_pq_bytes":$pqBytes,""" +
-        s""""commit_write_pq_sec":${f"$pqWrite%.3f"},""" +
+        s""""sidecar_pq_bytes":$pqBytes,""" +
+        s""""fresh_commit_sec":${f"$pqCommit%.3f"},""" +
+        s""""async_encode_sec":${f"$pqEncode%.3f"},""" +
+        s""""ordinary_commit_sec":${f"$pqOrdinary%.3f"},""" +
+        s""""slot_commit_sec":${f"$pqSlot%.3f"},""" +
         s""""reconstruct_pq_sec":${f"$pqWall%.3f"},""" +
         s""""cold_probe_pq_sec":${f"$pqProbe%.4f"},""" +
         s""""cold_probe_gz_sec":${f"$gzProbe%.4f"}}""")

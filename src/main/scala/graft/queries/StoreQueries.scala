@@ -1661,12 +1661,14 @@ object StoreQueries extends QueryFamily {
       "(graft.ckpt.format=parquet, the columnar predicate-readable " +
       "snapshot encoding — Delta's checkpoint design): update merge, " +
       "predicate delete, insert merge landing ON the interval-th " +
-      "commit (so the snapshot itself encodes as parquet), then a " +
-      "trickle delta on top. The head read plans through the " +
-      "parquet-decoded state via catalog SQL, and the v4_format " +
-      "column comes from historyDetail at runtime — the oracle's " +
-      "constant 'parquet' fails the hash if the snapshot silently " +
-      "fell back to text. The oracle replays the update/delete/" +
+      "commit (whose SLOT stays a cheap text delta while the parquet " +
+      "state materializes post-commit as an async .ckpt sidecar — " +
+      "Delta's actual protocol), then a trickle delta on top. The " +
+      "head read plans through the parquet-decoded state via catalog " +
+      "SQL, and the v4_format column comes from checkpointFormatOf " +
+      "after draining the async checkpointer — the oracle's constant " +
+      "'parquet' fails the hash if the sidecar silently fell back to " +
+      "text or never landed. The oracle replays the update/delete/" +
       "insert/update algebra from orders.",
     (s, dir) => {
       import org.apache.spark.sql.types.DecimalType
@@ -1696,13 +1698,17 @@ object StoreQueries extends QueryFamily {
             .select(col("o_orderkey"), col("o_orderstatus"),
               (col("o_totalprice") + 1).cast(priceT).as("o_totalprice")),
             t, Seq("o_orderkey")) // v5: delta on the parquet base
+          // Drain INSIDE the property scope: the async sidecar encode
+          // re-reads the (test-overridden) size threshold at run time.
+          MergeStore.drainCheckpoints()
         } finally {
           System.clearProperty("graft.manifest.checkpoint.interval")
           System.clearProperty("graft.manifest.compress.threshold")
         }
       }
-      val fmt = MergeStore.historyDetail(target)
-        .find(_.version == 4).map(_.format).getOrElse("missing")
+      MergeStore.drainCheckpoints()
+      val fmt = MergeStore.checkpointFormatOf(target, 4)
+        .getOrElse("missing")
       graft.store.GraftCatalog.register("q138.ord", target)
       s.sql(s"""
         SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,

@@ -1416,9 +1416,32 @@ object MergeStore {
     // fresh table (parent < 0), bounding the reconstruction walk.
     val isFull = parent < 0 ||
       next % checkpointIntervalFor(stamped) == 0 || parentState.isEmpty
+    def fullBody: Seq[String] =
+      stamped.toSeq.sorted.map { case (k, v) => s"#$k=$v" } ++ files.sorted
+    // Parquet checkpoint policy, Delta's ACTUAL commit protocol: the
+    // columnar encode (O(live files) — measured seconds at 10⁵ files)
+    // never rides the commit path. When the interval-th state is
+    // parquet-worthy (policy + past the size threshold) the manifest
+    // SLOT gets the cheap text encoding — a delta when the parent
+    // state is at hand — and the parquet state materializes AFTER the
+    // CAS as a `.ckpt` sidecar ([[enqueueCheckpoint]]: async,
+    // best-effort; a sidecar that never lands only lengthens the walk
+    // until the NEXT interval slot bounds it — self-healing, exactly
+    // the public Delta contract where a missed checkpoint means
+    // replaying more JSON commits, never wrong answers).
+    // Sized by ARITHMETIC, not by building the 10⁵–10⁶-line string:
+    // per-line byte counts summed (order-independent, so no sort) —
+    // a threshold probe must not cost a full-state materialization.
+    def fullTextEstBytes: Long =
+      stamped.iterator.map { case (k, v) =>
+        k.length + v.length + 3L }.sum +
+        files.iterator.map(_.length + 1L).sum
+    val parquetWorthy = isFull &&
+      stamped.get(CkptFormatKey).contains("parquet") &&
+      fullTextEstBytes >= compressThreshold
+    val slotFull = isFull && !(parquetWorthy && parentState.nonEmpty)
     val body: Seq[String] =
-      if (isFull)
-        stamped.toSeq.sorted.map { case (k, v) => s"#$k=$v" } ++ files.sorted
+      if (slotFull) fullBody
       else {
         val base = parentState.get
         val baseFiles = base.files.toSet
@@ -1434,18 +1457,14 @@ object MergeStore {
       }
     val tmp = dir.resolve(
       s".v$next-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    // Full snapshots encode per the table's checkpoint policy: parquet
-    // (columnar, predicate-readable) when `graft.ckpt.format=parquet`
-    // and the state is past the size threshold; otherwise text, gzipped
-    // past the same threshold ([[snapshotBytes]]). Deltas stay text.
+    // Full snapshots gzip past the size threshold ([[snapshotBytes]]);
+    // deltas stay plain text.
     val text = body.mkString("\n")
-    if (isFull && stamped.get(CkptFormatKey).contains("parquet") &&
-        text.getBytes("UTF-8").length >= compressThreshold)
-      ParquetCkpt.write(tmp, files.sorted, stamped)
-    else Files.write(tmp,
-      if (isFull) snapshotBytes(text) else text.getBytes("UTF-8")): Unit
+    Files.write(tmp,
+      if (slotFull) snapshotBytes(text) else text.getBytes("UTF-8")): Unit
     try {
       Files.createLink(dir.resolve(s"v$next.list"), tmp)
+      if (parquetWorthy) enqueueCheckpoint(target, next)
       next
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -1454,6 +1473,48 @@ object MergeStore {
             s"while this merge was reading v$parent — re-read and retry")
     } finally Files.deleteIfExists(tmp)
   }
+
+  /** The post-commit checkpointer: one daemon thread materializing
+    * `.ckpt` sidecars OFF the commit path (Delta writes its parquet
+    * checkpoints the same way — after the commit wins, out of band).
+    * Best-effort by contract: a task that fails (table vacuumed away
+    * under it, disk hiccup) is dropped — the next interval slot
+    * enqueues a fresh one that bounds everything before it. The core
+    * thread times out when idle so batch jobs exit cleanly. */
+  private lazy val ckptExec: java.util.concurrent.ThreadPoolExecutor = {
+    val e = new java.util.concurrent.ThreadPoolExecutor(1, 1, 30,
+      java.util.concurrent.TimeUnit.SECONDS,
+      new java.util.concurrent.LinkedBlockingQueue[Runnable]())
+    e.setThreadFactory { (r: Runnable) =>
+      val t = new Thread(r, "graft-async-ckpt"); t.setDaemon(true); t
+    }
+    e.allowCoreThreadTimeOut(true)
+    e
+  }
+  private val pendingCkpts =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.Future[_]]()
+
+  private def enqueueCheckpoint(target: String, v: Int): Unit = {
+    val key = s"$target#v$v"
+    pendingCkpts.computeIfAbsent(key, _ => ckptExec.submit(new Runnable {
+      def run(): Unit =
+        try checkpoint(target, Some(v)): Unit
+        catch { case scala.util.control.NonFatal(_) => () }
+        finally pendingCkpts.remove(key): Unit
+    })): Unit
+  }
+
+  /** Block until every async checkpoint enqueued SO FAR has finished
+    * (landed or given up) — the deterministic hand-off for tests,
+    * probes, and a maintenance window about to measure or vacuum. */
+  def drainCheckpoints(): Unit =
+    pendingCkpts.values.asScala.toVector.foreach { f =>
+      try f.get(): Unit
+      catch { case _: java.util.concurrent.ExecutionException |
+                   _: java.util.concurrent.CancellationException |
+                   _: InterruptedException => () }
+    }
 
   /** Write `df` as new immutable parquet files under data/, returning
     * their relative names. Files are born under a unique staging name and
@@ -4892,21 +4953,53 @@ object MergeStore {
     val isDeltaBacking = Files.exists(backing) &&
       !ParquetCkpt.isParquetFile(backing) &&
       readManifestLines(backing).headOption.contains(DeltaMarkerLine)
-    if (!isDeltaBacking) return v // walk already bounded at v
+    // A non-delta backing already bounds the walk at v. A sidecar
+    // still pays ONE case: a text-full slot under the parquet policy
+    // (a fresh table's v0, whose commit wrote the cheap gzip text and
+    // enqueued this conversion) — the columnar sidecar is what serves
+    // the cold predicate-pruned probes.
+    if (!isDeltaBacking && (ParquetCkpt.isParquetFile(backing) ||
+        !manifestMeta(target, Some(v)).get(CkptFormatKey)
+          .contains("parquet")))
+      return v
     stateOpt(target, v).foreach { st =>
+      // Size estimate by arithmetic — never build the full-state
+      // string just to compare against the threshold.
+      val estBytes = st.meta.iterator.map { case (k, value) =>
+        k.length + value.length + 3L }.sum +
+        st.files.iterator.map(_.length + 1L).sum
+      val wantsParquet = st.meta.get(CkptFormatKey).contains("parquet") &&
+        estBytes >= compressThreshold
+      // Bounded text-full slot + state below the parquet threshold:
+      // a sidecar would just duplicate the manifest — skip.
+      if (!isDeltaBacking && !wantsParquet) return v
       val tmp = manifestDir(target).resolve(
         s".v$v-${java.util.UUID.randomUUID().toString.take(8)}.ckpt.tmp")
-      val text = (st.meta.toSeq.sorted.map { case (k, value) =>
-        s"#$k=$value" } ++ st.files).mkString("\n")
-      if (st.meta.get(CkptFormatKey).contains("parquet") &&
-          text.getBytes("UTF-8").length >= compressThreshold)
-        ParquetCkpt.write(tmp, st.files, st.meta)
-      else Files.write(tmp, snapshotBytes(text)): Unit
+      if (wantsParquet) ParquetCkpt.write(tmp, st.files, st.meta)
+      else Files.write(tmp, snapshotBytes(
+        (st.meta.toSeq.sorted.map { case (k, value) =>
+          s"#$k=$value" } ++ st.files).mkString("\n"))): Unit
       Files.move(tmp, ckptPath(target, v),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     v
+  }
+
+  /** The encoding that BOUNDS the walk at `v`: the `.ckpt` sidecar's
+    * if one landed, else the manifest slot's own when it is a full
+    * snapshot — Some("parquet"|"text"); None when v is delta-backed
+    * with no sidecar (the async checkpointer hasn't landed yet, or v
+    * is an ordinary between-intervals commit). */
+  def checkpointFormatOf(target: String, v: Int): Option[String] = {
+    def fmt(p: Path): Option[String] =
+      if (ParquetCkpt.isParquetFile(p)) Some("parquet")
+      else if (readManifestLines(p).headOption.contains(DeltaMarkerLine))
+        None
+      else Some("text")
+    Some(ckptPath(target, v)).filter(Files.exists(_)).flatMap(fmt)
+      .orElse(Some(listPath(target, v)).filter(Files.exists(_))
+        .flatMap(fmt))
   }
 
   def vacuum(target: String, retainVersions: Int = 1,

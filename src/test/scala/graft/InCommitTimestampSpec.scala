@@ -92,13 +92,18 @@ class InCommitTimestampSpec extends SparkSpec {
       val t = tmpDir("ict-pq") + "/tbl"
       MergeStore.init(spark, base, t, 4, clusterBy = Seq("id"))
       MergeStore.setPolicy(t, "graft.ckpt.format", Some("parquet")) // v1
-      trickle(t, 1L) // v2: parquet full snapshot
-      assert(graft.store.ParquetCkpt.isParquetFile(
-        Paths.get(t, "_manifest", "v2.list")))
+      trickle(t, 1L) // v2: checkpoint slot (delta + async sidecar)
+      MergeStore.drainCheckpoints()
+      val sidecar = Paths.get(t, "_manifest", "v2.ckpt")
+      assert(graft.store.ParquetCkpt.isParquetFile(sidecar))
       val h = MergeStore.history(t)
       assert(h(2)._2.toString ==
         MergeStore.manifestMeta(t, Some(2))("graft.ts"),
-        "parquet snapshot history must serve the in-commit stamp")
+        "history must serve the in-commit stamp")
+      assert(graft.store.ParquetCkpt.commitTsOf(sidecar)
+        .contains(h(2)._2),
+        "the parquet sidecar's FOOTER must carry the same stamp — the " +
+          "durable instant an object-store migration preserves")
       assert(h.sliding(2).forall { case Seq(a, b) => b._2 > a._2 })
     } finally {
       System.clearProperty("graft.manifest.checkpoint.interval")

@@ -56,7 +56,7 @@ class ParquetCkptSpec extends SparkSpec {
     }
   }
 
-  test("interval snapshots encode as parquet; state round-trips byte-exactly vs a text twin") {
+  test("interval slots stay cheap deltas; parquet checkpoints land as async sidecars; state round-trips vs a text twin") {
     withCkptProps() {
       val tp = tmpDir("pq-twin-p") + "/tbl"
       val tt = tmpDir("pq-twin-t") + "/tbl"
@@ -70,11 +70,22 @@ class ParquetCkptSpec extends SparkSpec {
       MergeStore.deleteWhereMor(spark, tp, col("id") >= 7990) // v9: DVs
       MergeStore.deleteWhereMor(spark, tt, col("id") >= 7990)
       (7L to 9L).foreach { r => trickle(tp, r); trickle(tt, r) } // ..v12
-      // v4, v8, v12 are full snapshots; the policy table's are parquet,
-      // the text table's are gzip (threshold 1).
+      // v4, v8, v12 are the interval slots. The parquet-policy table's
+      // SLOTS stay cheap text deltas (the columnar encode never rides
+      // the commit path — Delta's protocol) and the parquet state
+      // lands post-commit as a .ckpt sidecar; the text twin keeps
+      // inline gzip full snapshots (threshold 1).
+      MergeStore.drainCheckpoints()
       Seq(4, 8, 12).foreach { v =>
-        assert(isParquet(listPath(tp, v)), s"v$v should be parquet")
+        assert(!isParquet(listPath(tp, v)),
+          s"v$v slot must stay a text delta, not an inline parquet")
+        val ck = Paths.get(tp, "_manifest", s"v$v.ckpt")
+        assert(Files.exists(ck) && isParquet(ck),
+          s"v$v parquet sidecar should have landed")
+        assert(MergeStore.checkpointFormatOf(tp, v).contains("parquet"))
         assert(!isParquet(listPath(tt, v)), s"text twin v$v")
+        assert(!Files.exists(Paths.get(tt, "_manifest", s"v$v.ckpt")),
+          "text twin's full slot needs no sidecar")
       }
       assert(!isParquet(listPath(tp, 3)), "deltas stay text")
       // Equivalent state at every version (file names are UUIDs, so
@@ -140,17 +151,39 @@ class ParquetCkptSpec extends SparkSpec {
     }
   }
 
-  test("historyDetail reports parquet snapshots with their live-file count") {
+  test("historyDetail reports delta slots; legacy inline-parquet manifests still read") {
     withCkptProps() {
       val t = tmpDir("pq-hist") + "/tbl"
       MergeStore.init(spark, base, t, FILES, clusterBy = Seq("id"))
       MergeStore.setPolicy(t, "graft.ckpt.format", Some("parquet")) // v1
       (1L to 3L).foreach(trickle(t, _)) // v2..v4
+      MergeStore.drainCheckpoints()
       val h = MergeStore.historyDetail(t)
+      // The interval slot is an ordinary delta commit (added/removed
+      // counts off its +/- lines); the parquet state is the sidecar.
       val v4 = h.find(_.version == 4).get
-      assert(v4.format == "parquet", v4.toString)
-      assert(v4.liveFiles.contains(MergeStore.liveFiles(t, Some(4)).size))
+      assert(v4.format == "delta", v4.toString)
+      assert(v4.addedFiles.exists(_ > 0))
+      assert(MergeStore.checkpointFormatOf(t, 4).contains("parquet"))
       assert(h.find(_.version == 3).get.format == "delta")
+      // LEGACY compat: a manifest SLOT that is itself a parquet file
+      // (written by an earlier engine revision, where the interval-th
+      // commit encoded inline) still reads — historyDetail reports it
+      // with its live-file count, and reconstruction serves it.
+      import graft.store.ParquetCkpt
+      val legacy = tmpDir("pq-hist-legacy") + "/tbl"
+      Files.createDirectories(Paths.get(legacy, "_manifest"))
+      val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))).json
+      ParquetCkpt.write(Paths.get(legacy, "_manifest", "v0.list"),
+        Seq("a.parquet", "b.parquet"),
+        Map("schema" -> schemaJson, "graft.ts" -> "1755000000000"))
+      val lh = MergeStore.historyDetail(legacy)
+      assert(lh.size == 1 && lh.head.format == "parquet")
+      assert(lh.head.liveFiles.contains(2))
+      assert(lh.head.commitTimeMs == 1755000000000L,
+        "legacy parquet slot serves its footer in-commit timestamp")
     }
   }
 
@@ -159,8 +192,9 @@ class ParquetCkptSpec extends SparkSpec {
       val t = tmpDir("pq-cold") + "/tbl"
       MergeStore.init(spark, base, t, FILES, clusterBy = Seq("id"))
       MergeStore.setPolicy(t, "graft.ckpt.format", Some("parquet")) // v1
-      (1L to 5L).foreach(trickle(t, _)) // v2..v6: v4 parquet, v5/v6 deltas
+      (1L to 5L).foreach(trickle(t, _)) // v2..v6: v4 slots the sidecar
       MergeStore.deleteWhere(spark, t, col("id").between(3000, 3100)) // v7
+      MergeStore.drainCheckpoints() // v4's parquet sidecar must land
       val head = MergeStore.version(t).get
       val probes = Seq[(Option[Any], Option[Any])](
         (Some(40L), Some(60L)), (Some(7000L), None), (None, Some(25L)),
@@ -196,6 +230,7 @@ class ParquetCkptSpec extends SparkSpec {
       MergeStore.init(spark, base, t, FILES, clusterBy = Seq("id"))
       MergeStore.setPolicy(t, "graft.ckpt.format", Some("parquet")) // v1
       (1L to 5L).foreach(trickle(t, _))
+      MergeStore.drainCheckpoints() // v4's parquet sidecar must land
       val head = MergeStore.version(t).get
       val warm = MergeStore.fileSizes(t, Some(head)).sortBy(_._1)
       MergeStore.clearStateCacheForProbe()
@@ -221,8 +256,11 @@ class ParquetCkptSpec extends SparkSpec {
       MergeStore.setPolicy(t, "graft.ckpt.format", Some("parquet")) // v1
       MergeStore.merge(spark, spark.range(400L, 410L).select(col("id"),
         concat(lit("k "), lpad(col("id").cast("string"), 4, "0"),
-          lit(" %+é")).as("name")), t, Seq("id")) // v2: parquet full
-      assert(isParquet(listPath(t, 2)))
+          lit(" %+é")).as("name")), t, Seq("id")) // v2: checkpoint slot
+      MergeStore.drainCheckpoints()
+      assert(!isParquet(listPath(t, 2)), "slot stays a text delta")
+      val sidecar = Paths.get(t, "_manifest", "v2.ckpt")
+      assert(Files.exists(sidecar) && isParquet(sidecar))
       // Cold probe over the string column, bounds inside the domain.
       MergeStore.clearStateCacheForProbe()
       val cold = MergeStore.candidateFiles(spark, t, "name",
@@ -311,6 +349,37 @@ class ParquetCkptSpec extends SparkSpec {
         .collect().head
       assert(r0.getString(1) == "already-full", r0.toString)
       graft.store.GraftCatalog.unregister("db.ckp")
+    }
+  }
+
+  test("a sidecar that never lands is harmless; the next interval slot self-heals") {
+    withCkptProps() {
+      val t = tmpDir("pq-heal") + "/tbl"
+      MergeStore.init(spark, base, t, FILES, clusterBy = Seq("id"))
+      MergeStore.setPolicy(t, "graft.ckpt.format", Some("parquet")) // v1
+      (1L to 3L).foreach(trickle(t, _)) // v2..v4 (interval slot)
+      MergeStore.drainCheckpoints()
+      val ck4 = Paths.get(t, "_manifest", "v4.ckpt")
+      assert(Files.exists(ck4), "v4 sidecar should have landed")
+      // Crash simulation: the async checkpointer died before landing.
+      Files.delete(ck4)
+      MergeStore.clearStateCacheForProbe()
+      // Correctness never depended on the sidecar — the walk just
+      // folds the deltas back to v0's full snapshot.
+      assert(MergeStore.read(spark, t).count() == N)
+      assert(MergeStore.read(spark, t).where($"id" === 32L)
+        .select($"payload").as[String].head() == "r3-32")
+      assert(MergeStore.checkpointFormatOf(t, 4).isEmpty,
+        "v4 is delta-backed with no sidecar")
+      // The NEXT interval slot bounds everything before it.
+      (4L to 7L).foreach(trickle(t, _)) // v5..v8 (next slot)
+      MergeStore.drainCheckpoints()
+      assert(MergeStore.checkpointFormatOf(t, 8).contains("parquet"))
+      MergeStore.clearStateCacheForProbe()
+      val before = MergeStore.coldProbeHits.get()
+      MergeStore.candidateFiles(spark, t, "id", Some(40L), Some(60L))
+      assert(MergeStore.coldProbeHits.get() > before,
+        "cold probe should engage off the healed v8 sidecar")
     }
   }
 
