@@ -1738,9 +1738,68 @@ object StoreQueries extends QueryFamily {
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus"""))
 
+  private val q139 = QueryDef(
+    "q139_copy_into",
+    "COPY INTO — idempotent bulk-file ingest (the public Delta COPY " +
+      "INTO design): a table born with one third of orders ingests a " +
+      "2-file source dir carrying the other two thirds via " +
+      "MergeStore.copyInto, whose cp: manifest ledger rides the same " +
+      "CAS commit as the data files. EVERY query pass re-runs the " +
+      "same COPY INTO and surfaces its (files_loaded, files_skipped) " +
+      "as columns the oracle pins to (0, 2) — a re-run that loads " +
+      "anything (broken ledger, double ingest) breaks both the " +
+      "constants and the sums. The oracle replays plain orders.",
+    (s, dir) => {
+      val cols = Seq("o_orderkey", "o_orderstatus", "o_totalprice")
+      def orders = Tables.load(s, dir, "orders").select(cols.map(col): _*)
+      val target = preparedTable(s, dir, "q139",
+        base = orders.where(col("o_orderkey") % 3 === 2),
+        clusterBy = Seq("o_orderkey")) { t =>
+        val src = java.nio.file.Paths.get(
+          t.stripSuffix("/tbl"), "src")
+        def put(name: String,
+                df: org.apache.spark.sql.DataFrame): Unit = {
+          import scala.jdk.CollectionConverters._
+          val stage = java.nio.file.Files
+            .createTempDirectory("q139-stage")
+          df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val one = java.nio.file.Files.list(stage).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          java.nio.file.Files.createDirectories(src)
+          java.nio.file.Files.move(one, src.resolve(name)): Unit
+        }
+        put("orders-a.parquet", orders.where(col("o_orderkey") % 3 === 0))
+        put("orders-b.parquet", orders.where(col("o_orderkey") % 3 === 1))
+        val st = MergeStore.copyInto(s, t, s"$src/*.parquet")
+        require(st.filesLoaded == 2 && st.filesSkipped == 0,
+          s"first COPY INTO must load both source files: $st")
+      }
+      // Re-offered EVERY pass: the ledger must skip both files.
+      val st = MergeStore.copyInto(s, target,
+        target.stripSuffix("/tbl") + "/src/*.parquet")
+      graft.store.GraftCatalog.register("q139.ord", target)
+      s.sql(s"""
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                 AS sum_price,
+               ${st.filesLoaded} AS rerun_loaded,
+               ${st.filesSkipped} AS rerun_skipped
+        FROM graft.q139.ord
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+               AS sum_price,
+             0 AS rerun_loaded, 2 AS rerun_skipped
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q91, q92, q96, q97, q98, q101, q107, q109, q110, q111, q112,
       q113, q115, q116, q117, q118, q119, q120, q121, q122, q123, q126,
       q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
-      q138)
+      q138, q139)
 }

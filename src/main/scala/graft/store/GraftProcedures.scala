@@ -60,10 +60,12 @@ object GraftProcedures {
     new OptimizeSmallProcedure(catalog),
     new RestoreProcedure(catalog),
     new CloneProcedure(catalog),
-    new CheckpointProcedure(catalog))
+    new CheckpointProcedure(catalog),
+    new CopyIntoProcedure(catalog))
 
   private val names = Seq("history", "details", "vacuum", "compact",
-    "optimize_small", "restore", "clone_table", "checkpoint")
+    "optimize_small", "restore", "clone_table", "checkpoint",
+    "copy_into")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Namespace) || namespace.isEmpty)
@@ -380,6 +382,41 @@ object GraftProcedures {
           StructField("version", IntegerType, nullable = false),
           StructField("format", StringType, nullable = false))),
         Seq(row(v, UTF8String.fromString(format))))
+    }
+  }
+
+  private final class CopyIntoProcedure(catalog: GraftCatalog)
+      extends GraftProcedure(catalog) {
+    override def name: String = "copy_into"
+    override def description: String =
+      "idempotent bulk-file ingest (Delta's COPY INTO): load a source " +
+        "path/glob into the table exactly once — re-runs skip files " +
+        "already in the manifest ledger (force => true re-loads); " +
+        "pattern is a regex the file name must fully match; text " +
+        "formats read with the table's recorded schema"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      in("source", StringType),
+      in("format", StringType, "'parquet'"),
+      in("pattern", StringType, "NULL"),
+      in("force", BooleanType, "false"))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val p = existingPath(str(input, 0, "table"))
+      val st = MergeStore.copyInto(SparkSession.active, p,
+        str(input, 1, "source"),
+        format = if (input.isNullAt(2)) "parquet"
+          else input.getUTF8String(2).toString,
+        filePattern = if (input.isNullAt(3)) None
+          else Some(input.getUTF8String(3).toString),
+        force = !input.isNullAt(4) && input.getBoolean(4))
+      result(
+        StructType(Seq(
+          StructField("version", IntegerType, nullable = true),
+          StructField("files_loaded", IntegerType, nullable = false),
+          StructField("files_skipped", IntegerType, nullable = false),
+          StructField("rows_loaded", LongType, nullable = false))),
+        Seq(row(st.version.map(Int.box).orNull, st.filesLoaded,
+          st.filesSkipped, st.rowsLoaded)))
     }
   }
 }

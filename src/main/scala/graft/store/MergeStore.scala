@@ -1167,7 +1167,7 @@ object MergeStore {
       else manifestMeta(target, Some(parent)).filter { case (k, _) =>
         isConstraintKey(k) || k == WapSourceKey || k == WapBaseKey ||
           k == MorKey || k == PkKey || k == CkptFormatKey ||
-          k == CkptIntervalKey ||
+          k == CkptIntervalKey || isCopyKey(k) ||
           (isDvKey(k) && fileSet.contains(k.stripPrefix(DvPrefix)))
       }
     // The schema rides EVERY commit, stats or not: a stats-less table
@@ -2857,6 +2857,148 @@ object MergeStore {
       AppendStats(liveFiles(target, Some(parentV)).size, newFiles.size,
         rowsInserted, rebases = rebases)
     } finally incoming.unpersist()
+  }
+
+  // ------------------------------------------------------------------
+  // COPY INTO: idempotent bulk-file ingest (the public Delta COPY INTO
+  // design). Load a glob of source files into the table EXACTLY ONCE
+  // however many times the command re-runs: the dedup ledger is one
+  // `cp:<url-encoded path>=<bytes> <mtime>` manifest line per ingested
+  // source file, written in the SAME CAS commit as the data files (no
+  // crash window between "rows landed" and "file marked loaded") and
+  // carried like constraints by every later verb. Skipping re-offered
+  // files is a set lookup against the memoized head state — zero
+  // source reads; the ledger costs O(ingested files) manifest lines,
+  // free under delta encoding once written.
+  // ------------------------------------------------------------------
+
+  private[store] val CopyPrefix = "cp:"
+  private def isCopyKey(k: String): Boolean = k.startsWith(CopyPrefix)
+  private def copyKey(path: String): String =
+    CopyPrefix + java.net.URLEncoder.encode(path, "UTF-8")
+
+  final case class CopyStats(filesConsidered: Int, filesLoaded: Int,
+                             filesSkipped: Int, rowsLoaded: Long,
+                             recomputes: Int = 0,
+                             version: Option[Int] = None)
+
+  /** COPY INTO `target` from `source` (a path or glob the table's
+    * Hadoop filesystem understands — works identically against an
+    * object store). Files already in the ledger are SKIPPED (pass
+    * `force = true` to re-load them regardless, Delta's FORCE — rows
+    * then land twice by contract); `filePattern` is a regex the file
+    * NAME must fully match; `format` is any Spark batch source —
+    * self-describing formats (parquet/orc) infer, text formats
+    * (csv/json) read with the table's recorded schema + `options`.
+    * The batch obeys the [[append]] contract: exact column projection,
+    * loss-free type alignment, constraint gate, batch-only stats.
+    *
+    * Concurrency: empty read set like [[append]] — rival appends and
+    * DISJOINT rival copies rebase (ledgers merge in the CAS); a rival
+    * that ingested one of THIS call's files flips the attempt to a
+    * RECOMPUTE, which re-partitions offered files against the new
+    * head's ledger so every source file still lands exactly once. A
+    * source file with zero live rows still ledgers (metadata-only
+    * commit) — "consumed" must advance even when nothing landed. */
+  def copyInto(spark: SparkSession, target: String, source: String,
+               format: String = "parquet",
+               filePattern: Option[String] = None,
+               options: Map[String, String] = Map.empty,
+               numFiles: Int = 0, force: Boolean = false,
+               maxRetries: Int = 3): CopyStats = {
+    val hPath = new org.apache.hadoop.fs.Path(source)
+    val fsys = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val pat = filePattern.map(_.r)
+    val offered = Option(fsys.globStatus(hPath)).map(_.toSeq)
+      .getOrElse(Seq.empty)
+      .flatMap(st => if (st.isDirectory) fsys.listStatus(st.getPath).toSeq
+        else Seq(st))
+      .filter(_.isFile)
+      .filterNot { st =>
+        val n = st.getPath.getName
+        n.startsWith(".") || n.startsWith("_")
+      }
+      .filter(st => pat.forall(_.matches(st.getPath.getName)))
+      .sortBy(_.getPath.toString)
+
+    def attempt(head: Int, recomputes: Int): CopyStats = {
+      val ledger = manifestMeta(target, Some(head))
+      val (skipped, toLoad) = offered.partition(st =>
+        !force && ledger.contains(copyKey(st.getPath.toString)))
+      if (toLoad.isEmpty)
+        return CopyStats(offered.size, 0, skipped.size, 0L, recomputes,
+          Some(head))
+      val tableSchema = manifestSchema(target, head)
+      val tableCols: Seq[String] = tableSchema.map(_.fieldNames.toSeq)
+        .getOrElse(read(spark, target, Some(head)).columns.toSeq)
+      val reader0 = spark.read.format(format).options(options)
+      val reader =
+        if (format == "parquet" || format == "orc") reader0
+        else tableSchema.fold(reader0)(reader0.schema)
+      val raw = reader.load(toLoad.map(_.getPath.toString): _*)
+      val extra = raw.columns.filterNot(tableCols.contains)
+      require(extra.isEmpty,
+        s"COPY INTO batch carries columns absent from the table " +
+          s"(${extra.mkString(", ")}) — fix the source or evolve the " +
+          "schema first")
+      val projected = alignBatchTypes(
+        raw.select(tableCols.map(col).toIndexedSeq: _*), tableSchema,
+        "copyInto")
+      val incoming =
+        (if (numFiles > 0) projected.repartition(numFiles) else projected)
+          .cache()
+      try {
+        enforceConstraints(spark, target, head, incoming, "copyInto")
+        val rowsLoaded = incoming.count()
+        val recorded = withMapping(
+          unionNullability(incoming.schema, tableSchema), tableSchema)
+        val newFiles =
+          if (rowsLoaded == 0L) Seq.empty[String]
+          else writeFiles(toPhysical(incoming, recorded), target)
+        val sCols = statsColumns(target, Some(head))
+        val (bCols, fpp) = inheritedBloom(target, head)
+        val (fresh, blooms) = freshStatsAndBlooms(spark, target,
+          newFiles, sCols, bCols, fpp, recorded)
+        val ledgerLines: Map[String, String] = toLoad.map(st =>
+          copyKey(st.getPath.toString) ->
+            s"${st.getLen} ${st.getModificationTime}").toMap
+        val committed = commitWithRebase(target, head, Nil, Set.empty,
+          (_, _) => Nil,
+          h => assembleAndCommit(spark, target,
+            (liveFiles(target, Some(h)) ++ newFiles).distinct, h,
+            ledgerLines, fresh, blooms, sCols, recorded, bCols, fpp,
+            Map.empty): Unit,
+          staleAt = h => h != head && !force && {
+            val lm = manifestMeta(target, Some(h))
+            toLoad.exists(st =>
+              lm.contains(copyKey(st.getPath.toString)))
+          })
+        committed match {
+          case Some(_) =>
+            CopyStats(offered.size, toLoad.size, skipped.size,
+              rowsLoaded, recomputes, currentVersion(target))
+          case None =>
+            // A rival ingested one of this attempt's files mid-race:
+            // replay the whole plan against the new head's ledger
+            // (this attempt's staged files become vacuum debris).
+            require(recomputes < maxRetries,
+              s"COPY INTO lost $maxRetries ledger races at $target — " +
+                "retry when the rival ingest settles")
+            attempt(currentVersion(target).get, recomputes + 1)
+        }
+      } finally incoming.unpersist()
+    }
+
+    try attempt(currentVersion(target).getOrElse(sys.error(
+      s"no committed version at $target — COPY INTO needs an existing " +
+        "table (CREATE it first)")), 0)
+    catch {
+      case _: java.util.ConcurrentModificationException
+          if maxRetries > 0 =>
+        val st = copyInto(spark, target, source, format, filePattern,
+          options, numFiles, force, maxRetries - 1)
+        st.copy(recomputes = st.recomputes + 1)
+    }
   }
 
   /** MERGE `updates` into the table on `pk` (incoming wins; within the
