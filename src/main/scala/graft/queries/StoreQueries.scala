@@ -1797,9 +1797,72 @@ object StoreQueries extends QueryFamily {
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus"""))
 
+  private val q140 = QueryDef(
+    "q140_column_defaults",
+    "Column DEFAULT values, standard SQL semantics spoken through the " +
+      "catalog (SUPPORT_COLUMN_DEFAULT_VALUE; the defaults live in " +
+      "the manifest-recorded schema's field metadata and Spark's " +
+      "ANALYZER fills them): CREATE TABLE with two DEFAULTed columns, " +
+      "INSERT ... SELECT batches that omit one or both (analyzer " +
+      "fills 'UNKNOWN'/3), then ALTER COLUMN SET DEFAULT 7 + DROP " +
+      "DEFAULT flip the fill for the third batch (future-only — " +
+      "earlier rows keep their stored values). The oracle replays the " +
+      "three fills as constants over customer.",
+    (s, dir) => {
+      val target = tableCache.computeIfAbsent(s"$dir#q140", _ => {
+        val t = java.nio.file.Files
+          .createTempDirectory("graft-q140").toString + "/tbl"
+        graft.store.GraftCatalog.register("q140.cust", t)
+        s.sql("CREATE TABLE graft.q140.cust (c_custkey BIGINT, " +
+          "c_mktsegment STRING DEFAULT 'UNKNOWN', " +
+          "priority INT DEFAULT 3)")
+        def src = Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        src.where(col("c_custkey") % 3 === 0)
+          .createOrReplaceTempView("q140_a")
+        s.sql("INSERT INTO graft.q140.cust (c_custkey, c_mktsegment) " +
+          "SELECT * FROM q140_a") // priority fills 3
+        src.where(col("c_custkey") % 3 === 1).select(col("c_custkey"))
+          .createOrReplaceTempView("q140_b")
+        s.sql("INSERT INTO graft.q140.cust (c_custkey) " +
+          "SELECT * FROM q140_b") // segment fills 'UNKNOWN', priority 3
+        s.sql("ALTER TABLE graft.q140.cust " +
+          "ALTER COLUMN priority SET DEFAULT 7")
+        s.sql("ALTER TABLE graft.q140.cust " +
+          "ALTER COLUMN c_mktsegment DROP DEFAULT")
+        src.where(col("c_custkey") % 3 === 2).select(col("c_custkey"))
+          .createOrReplaceTempView("q140_c")
+        s.sql("INSERT INTO graft.q140.cust (c_custkey) " +
+          "SELECT * FROM q140_c") // segment NULL now, priority 7
+        t
+      })
+      graft.store.GraftCatalog.register("q140.cust", target)
+      s.sql("""
+        SELECT coalesce(c_mktsegment, '(none)') AS seg, priority,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(c_custkey) AS BIGINT) AS sum_key
+        FROM graft.q140.cust
+        GROUP BY seg, priority
+        ORDER BY seg, priority""")
+    },
+    Some("""
+      SELECT seg, priority, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(c_custkey) AS BIGINT) AS sum_key
+      FROM (
+        SELECT c_mktsegment AS seg, 3 AS priority, c_custkey
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT 'UNKNOWN', 3, c_custkey
+        FROM customer WHERE c_custkey % 3 = 1
+        UNION ALL
+        SELECT '(none)', 7, c_custkey
+        FROM customer WHERE c_custkey % 3 = 2)
+      GROUP BY seg, priority
+      ORDER BY seg, priority"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q91, q92, q96, q97, q98, q101, q107, q109, q110, q111, q112,
       q113, q115, q116, q117, q118, q119, q120, q121, q122, q123, q126,
       q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
-      q138, q139)
+      q138, q139, q140)
 }

@@ -66,13 +66,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
-  /** CREATE TABLE may declare CHECK constraints in the DDL (the
-    * TableInfo route below); without this capability the analyzer
-    * refuses the statement outright. */
+  /** CREATE TABLE may declare CHECK constraints and column DEFAULT
+    * values in the DDL (the TableInfo route below); without these
+    * capabilities the analyzer refuses the statements outright.
+    * Defaults ride the schema's field metadata (Spark's
+    * CURRENT_DEFAULT / EXISTS_DEFAULT keys), which the manifest's
+    * recorded schema JSON persists verbatim — the analyzer then fills
+    * omitted columns and the explicit DEFAULT keyword on INSERT. */
   override def capabilities()
       : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private def key(ident: Identifier): String =
     (ident.namespace() :+ ident.name()).mkString(".")
@@ -205,6 +211,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
           "nested ADD COLUMN is not supported")
+        // ADD COLUMN ... DEFAULT refuses (Delta's contract): existing
+        // rows null-fill by the missing-column rule, and a DEFAULT
+        // that old rows silently ignore is a wrong-answer trap. Add
+        // the column, then ALTER COLUMN ... SET DEFAULT — which is
+        // explicit that only FUTURE inserts see it.
+        if (add.defaultValue() != null)
+          throw new UnsupportedOperationException(
+            "ADD COLUMN with DEFAULT is not supported (rows written " +
+              "before the column read NULL, not the default): ADD the " +
+              "column, then ALTER COLUMN ... SET DEFAULT for future " +
+              "inserts")
         MergeStore.addColumn(spark, t.path, add.fieldNames()(0),
           add.dataType()): Unit
       case del: TableChange.DeleteColumn =>
@@ -236,6 +253,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (!dc.ifExists() ||
             MergeStore.constraints(t.path).contains(dc.name()))
           MergeStore.dropConstraint(spark, t.path, dc.name()): Unit
+      case ud: TableChange.UpdateColumnDefaultValue =>
+        require(ud.fieldNames().length == 1,
+          "nested ALTER COLUMN is not supported")
+        MergeStore.setColumnDefault(spark, t.path, ud.fieldNames()(0),
+          Option(ud.newDefaultValue()).filter(_.nonEmpty)): Unit
       case sp: TableChange.SetProperty =>
         MergeStore.setPolicy(t.path, sp.property(),
           Some(sp.value())): Unit
@@ -494,8 +516,18 @@ final case class GraftTable(ident: String, path: String,
     val v = pinnedVersion.orElse(MergeStore.version(path))
       .getOrElse(sys.error(s"no committed version at $path"))
     MergeStore.manifestSchema(path, v)
-      .map(st => StructType(st.fields.map(f =>
-        f.copy(metadata = org.apache.spark.sql.types.Metadata.empty))))
+      .map(st => StructType(st.fields.map { f =>
+        // Strip graft-internal field metadata (column-mapping physical
+        // names) but KEEP Spark's column-default keys — the analyzer
+        // reads CURRENT_DEFAULT to fill omitted INSERT columns and the
+        // explicit DEFAULT keyword.
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        Seq("CURRENT_DEFAULT", "EXISTS_DEFAULT").foreach { k =>
+          if (f.metadata.contains(k))
+            mb.putString(k, f.metadata.getString(k))
+        }
+        f.copy(metadata = mb.build())
+      }))
       .getOrElse(MergeStore.read(SparkSession.active, path, Some(v)).schema)
   }
 

@@ -488,7 +488,8 @@ final case class GraftMergeCommand(path: String, source: LogicalPlan,
                 s"column; missing: ${missingPk.mkString(", ")}")
             val m = asMap(vals)
             conditioned.alias("s").select(fields.map { f =>
-              m.getOrElse(f.name, lit(null)).cast(MergeStore.nullableForm(f.dataType)).as(f.name)
+              m.getOrElse(f.name, MergeStore.defaultFill(f))
+                .cast(MergeStore.nullableForm(f.dataType)).as(f.name)
             }.toIndexedSeq: _*)
           case _ => conditioned.select(cols.map(
             org.apache.spark.sql.functions.col): _*)

@@ -734,21 +734,47 @@ object MergeStore {
       })
   }
 
+  /** The SQL-standard fill for a column an INSERT omits: the declared
+    * DEFAULT (the recorded schema's CURRENT_DEFAULT metadata — a
+    * constant expression the DDL validated) when one exists, else
+    * NULL. Spark's analyzer performs this fill on the catalog INSERT
+    * route; the path-spoken SqlVerbs routes and the MERGE insert
+    * clauses share this helper so every spelling agrees. */
+  private[store] def defaultFill(
+      f: org.apache.spark.sql.types.StructField)
+      : org.apache.spark.sql.Column =
+    if (f.metadata.contains("CURRENT_DEFAULT"))
+      expr(f.metadata.getString("CURRENT_DEFAULT"))
+    else lit(null)
+
+  /** Field-metadata keys that are table POLICY carried by reference
+    * onto every verb's recorded schema (the batch never speaks them):
+    * the column-mapping physical name, and Spark's column-default
+    * keys (CURRENT_DEFAULT fills omitted INSERT columns at analysis;
+    * dropping it on the next merge would silently retire a declared
+    * DEFAULT). */
+  private val CarriedFieldMetaKeys: Seq[String] =
+    Seq(PhysicalNameKey, "CURRENT_DEFAULT", "EXISTS_DEFAULT")
+
   private def withMapping(st: org.apache.spark.sql.types.StructType,
                           table: Option[org.apache.spark.sql.types.StructType])
       : org.apache.spark.sql.types.StructType = table match {
     case None => st
     case Some(ts) =>
-      val phys = ts.fields.iterator
-        .filter(_.metadata.contains(PhysicalNameKey))
-        .map(f => f.name -> f.metadata.getString(PhysicalNameKey)).toMap
-      if (phys.isEmpty) st
+      val carry: Map[String, Seq[(String, String)]] =
+        ts.fields.iterator.map { f =>
+          f.name -> CarriedFieldMetaKeys.flatMap(k =>
+            if (f.metadata.contains(k)) Seq(k -> f.metadata.getString(k))
+            else Nil)
+        }.filter(_._2.nonEmpty).toMap
+      if (carry.isEmpty) st
       else org.apache.spark.sql.types.StructType(st.fields.map { f =>
-        phys.get(f.name) match {
-          case Some(p) =>
+        carry.get(f.name) match {
+          case Some(kvs) =>
             val mb = new org.apache.spark.sql.types.MetadataBuilder()
-              .withMetadata(f.metadata).putString(PhysicalNameKey, p).build()
-            f.copy(metadata = mb)
+              .withMetadata(f.metadata)
+            kvs.foreach { case (k, v) => mb.putString(k, v) }
+            f.copy(metadata = mb.build())
           case None => f
         }
       })
@@ -3448,7 +3474,9 @@ object MergeStore {
                       s"INSERT * needs source column '$c' (absent from " +
                         "the batch) — use a values map to assign a subset")
                     col(s"s.$c")
-                  case Some(m) => m.getOrElse(c, lit(null))
+                  case Some(m) => m.getOrElse(c,
+                    tableSchema.flatMap(_.fields.find(_.name == c))
+                      .map(defaultFill).getOrElse(lit(null)))
                 }, c)
               }.toIndexedSeq: _*)
           }.reduce(_.unionByName(_))
@@ -4493,6 +4521,50 @@ object MergeStore {
     val newSchema = org.apache.spark.sql.types.StructType(
       schema.fields :+ org.apache.spark.sql.types.StructField(
         colName, dataType, nullable = true))
+    commit(target, liveFiles(target, Some(parentV)), parentV,
+      manifestMeta(target, Some(parentV)) + (SchemaKey -> newSchema.json))
+  }
+
+  /** ALTER COLUMN ... SET DEFAULT <sql> / DROP DEFAULT (`default =
+    * None`) — a METADATA-ONLY schema commit, standard SQL semantics:
+    * the default applies to FUTURE inserts that omit the column (or
+    * spell the DEFAULT keyword); existing rows keep their stored
+    * values, and rows written before the column existed keep reading
+    * NULL (the ADD COLUMN null-fill rule — setting a default later
+    * never rewrites or reinterprets data, Delta's contract too). The
+    * default rides the recorded schema's field metadata under Spark's
+    * own CURRENT_DEFAULT key, so the ANALYZER fills it — the engine
+    * never evaluates defaults at scan or write time. */
+  def setColumnDefault(spark: SparkSession, target: String,
+                       colName: String, default: Option[String]): Int = {
+    val parentV = currentVersion(target)
+      .getOrElse(sys.error(s"no committed version at $target"))
+    val schema = manifestSchema(target, parentV).getOrElse(sys.error(
+      s"setColumnDefault at $target needs a manifest-recorded schema — " +
+        "run compact once to record it"))
+    val f = schema.fields.find(_.name == colName).getOrElse(sys.error(
+      s"no column '$colName' at $target — columns: " +
+        schema.fieldNames.mkString(", ")))
+    // Defensive validation (the SQL route pre-analyzes; the Scala
+    // route arrives raw): the default must be a constant expression
+    // loss-free-castable to the column type. One driver-side eval.
+    default.foreach { sql =>
+      try spark.range(1)
+        .select(org.apache.spark.sql.functions.expr(sql)
+          .cast(f.dataType)).collect()
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"DEFAULT ($sql) is not a constant expression castable to " +
+          s"${f.dataType.sql} for column '$colName': ${e.getMessage}") }
+    }
+    val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata)
+    default match {
+      case Some(sql) => mb.putString("CURRENT_DEFAULT", sql): Unit
+      case None => mb.remove("CURRENT_DEFAULT"): Unit
+    }
+    val newSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.map(x =>
+        if (x.name == colName) x.copy(metadata = mb.build()) else x))
     commit(target, liveFiles(target, Some(parentV)), parentV,
       manifestMeta(target, Some(parentV)) + (SchemaKey -> newSchema.json))
   }

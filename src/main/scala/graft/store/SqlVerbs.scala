@@ -139,7 +139,8 @@ object SqlVerbs {
         val named = data.toDF(i.userSpecifiedCols: _*)
         named.select(fields.map { f =>
           (if (named.columns.contains(f.name)) col(f.name)
-           else lit(null)).cast(MergeStore.nullableForm(f.dataType)).as(f.name)
+           else MergeStore.defaultFill(f))
+            .cast(MergeStore.nullableForm(f.dataType)).as(f.name)
         }.toIndexedSeq: _*)
       }
     Appended(
@@ -308,7 +309,8 @@ object SqlVerbs {
       s"INSERT column list must assign every ON-clause key column; " +
         s"missing: ${missingPk.mkString(", ")}")
     source.alias("s").select(fields.map { f =>
-      vals.getOrElse(f.name, lit(null)).cast(MergeStore.nullableForm(f.dataType)).as(f.name)
+      vals.getOrElse(f.name, MergeStore.defaultFill(f))
+        .cast(MergeStore.nullableForm(f.dataType)).as(f.name)
     }.toIndexedSeq: _*)
   }
 
