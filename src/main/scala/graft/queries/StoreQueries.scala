@@ -1860,9 +1860,63 @@ object StoreQueries extends QueryFamily {
       GROUP BY seg, priority
       ORDER BY seg, priority"""))
 
+  private val q141 = QueryDef(
+    "q141_replace_table",
+    "CREATE OR REPLACE TABLE AS SELECT through the staging catalog " +
+      "(StagingTableCatalog): the replace is ONE commit on the " +
+      "existing manifest chain carrying the new definition whole " +
+      "(new schema + content, policies reset), so VERSION AS OF " +
+      "below the replace still reads the OLD table — Delta's " +
+      "REPLACE, not the log-erasing drop+create fallback. The query " +
+      "surfaces the head's aggregate under the REPLACED schema plus " +
+      "the pre-replace version's row count read by time travel; the " +
+      "oracle replays both from orders.",
+    (s, dir) => {
+      val target = tableCache.computeIfAbsent(s"$dir#q141", _ => {
+        val t = java.nio.file.Files
+          .createTempDirectory("graft-q141").toString + "/tbl"
+        graft.store.GraftCatalog.register("q141.rt", t)
+        s.sql("CREATE TABLE graft.q141.rt " +
+          "(o_orderkey BIGINT, o_totalprice DOUBLE)") // v0
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"))
+          .createOrReplaceTempView("q141_src")
+        s.sql("INSERT INTO graft.q141.rt " +
+          "SELECT o_orderkey, o_totalprice FROM q141_src " +
+          "WHERE o_orderkey % 2 = 0") // v1
+        s.sql("CREATE OR REPLACE TABLE graft.q141.rt AS " +
+          "SELECT o_orderkey, o_orderstatus, o_totalprice + 1 AS lifted " +
+          "FROM q141_src WHERE o_orderkey % 5 < 3") // v2: new definition
+        t
+      })
+      graft.store.GraftCatalog.register("q141.rt", target)
+      val preReplaceRows = s.sql(
+        "SELECT CAST(count(*) AS BIGINT) FROM graft.q141.rt VERSION AS OF 1")
+        .collect()(0).getLong(0)
+      s.sql(s"""
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(lifted AS DECIMAL(20,4))) AS DOUBLE)
+                 AS sum_lifted,
+               CAST($preReplaceRows AS BIGINT) AS pre_replace_rows
+        FROM graft.q141.rt
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(o_totalprice + 1 AS DECIMAL(20,4)))
+               AS DOUBLE) AS sum_lifted,
+             (SELECT CAST(count(*) AS BIGINT) FROM orders
+              WHERE o_orderkey % 2 = 0) AS pre_replace_rows
+      FROM orders
+      WHERE o_orderkey % 5 < 3
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""))
+
   override val defs: Seq[QueryDef] =
     Seq(q91, q92, q96, q97, q98, q101, q107, q109, q110, q111, q112,
       q113, q115, q116, q117, q118, q119, q120, q121, q122, q123, q126,
       q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
-      q138, q139, q140)
+      q138, q139, q140, q141)
 }

@@ -47,7 +47,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * lookup — it holds name → path only; all data/metadata scale lives
   * in the manifest machinery behind it. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-  with ProcedureCatalog {
+  with ProcedureCatalog
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = "graft"
   private var confWarehouse: Option[String] = None
@@ -310,6 +311,139 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     checks.foreach(c => MergeStore.addConstraint(spark,
       t.asInstanceOf[GraftTable].path, c.name(), c.predicateSql()): Unit)
     t
+  }
+
+  // --- StagingTableCatalog: atomic CTAS / REPLACE / CREATE OR REPLACE ---
+  //
+  // Spark prefers the staged forms when the catalog offers them; the
+  // payoff here is REPLACE TABLE [AS SELECT] with the format's own
+  // semantics — ONE commit on the existing manifest chain carrying
+  // the new definition whole (schema, content, reset policies), so
+  // time travel below the replace still reads the old table — where
+  // the non-staging fallback would drop+recreate and erase the log.
+  // The staged CREATE writes into the final location only at
+  // commitStagedChanges (an abort leaves nothing behind).
+
+  private def staged(ident: Identifier, schema: StructType,
+                     partitions: Array[Transform],
+                     properties: java.util.Map[String, String],
+                     checks: Seq[Check], pk: Seq[String],
+                     replace: Boolean, orCreate: Boolean): StagedGraftTable = {
+    if (replace && !orCreate && !tableExists(ident))
+      throw new NoSuchTableException(ident)
+    if (!replace && tableExists(ident))
+      throw new TableAlreadyExistsException(ident)
+    val p = pathOf(ident).getOrElse(throw new IllegalStateException(
+      s"no location for ${key(ident)}: configure " +
+        s"spark.sql.catalog.$catalogName.warehouse or register the " +
+        "table path explicitly (GraftCatalog.register)"))
+    new StagedGraftTable(this, ident, p, schema, partitions,
+      properties.asScala.toMap, checks, pk, replace)
+  }
+
+  private def stagedFromInfo(ident: Identifier,
+                             info: org.apache.spark.sql.connector.catalog.TableInfo,
+                             replace: Boolean, orCreate: Boolean)
+      : StagedGraftTable = {
+    val checks = info.constraints().collect { case c: Check => c }.toSeq
+    val pks = info.constraints().collect {
+      case p: org.apache.spark.sql.connector.catalog.constraints.PrimaryKey =>
+        p.columns().map(_.fieldNames().mkString(".")).toSeq
+    }
+    info.constraints().foreach {
+      case _: Check => ()
+      case _: org.apache.spark.sql.connector.catalog.constraints.PrimaryKey => ()
+      case other => throw new UnsupportedOperationException(
+        s"constraint ${other.toDDL} is not supported — MergeStore " +
+          "enforces CHECK constraints; PRIMARY KEY records the " +
+          "graft.pk key policy; FOREIGN KEY/UNIQUE are unenforced")
+    }
+    require(pks.length <= 1, "at most one PRIMARY KEY constraint per table")
+    staged(ident, info.schema(), info.partitions(), info.properties(),
+      checks, pks.headOption.getOrElse(Nil), replace, orCreate)
+  }
+
+  override def stageCreate(ident: Identifier,
+                           info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stagedFromInfo(ident, info, replace = false, orCreate = false)
+
+  override def stageReplace(ident: Identifier,
+                            info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stagedFromInfo(ident, info, replace = true, orCreate = false)
+
+  override def stageCreateOrReplace(ident: Identifier,
+                                    info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stagedFromInfo(ident, info, replace = true, orCreate = true)
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    staged(ident, schema, partitions, properties, Nil, Nil,
+      replace = false, orCreate = false)
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    staged(ident, schema, partitions, properties, Nil, Nil,
+      replace = true, orCreate = false)
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    staged(ident, schema, partitions, properties, Nil, Nil,
+      replace = true, orCreate = true)
+
+  /** The staged commit: runs on the driver at commitStagedChanges. */
+  private[store] def commitStaged(ident: Identifier, path: String,
+                                  schema: StructType,
+                                  partitions: Array[Transform],
+                                  props: Map[String, String],
+                                  checks: Seq[Check], pk: Seq[String],
+                                  replace: Boolean,
+                                  stashed: Option[DataFrame]): Unit = {
+    val spark = SparkSession.active
+    val exists = MergeStore.exists(path)
+    if (replace && exists) {
+      val partitionCols = partitions.map {
+        case t if t.name == "identity" && t.references().length == 1 =>
+          t.references()(0).fieldNames().mkString(".")
+        case other => throw new UnsupportedOperationException(
+          s"PARTITIONED BY transform '$other' is not supported — " +
+            "MergeStore tables prune by the manifest skip index; plain " +
+            "PARTITIONED BY (col) maps onto it, transforms do not")
+      }.toSeq
+      val content = stashed.getOrElse(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+      MergeStore.replaceTable(spark, content, path,
+        statsCols = (props.get("graft.stats.cols").toSeq
+          .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty) ++
+          partitionCols).distinct,
+        bloomCols = props.get("graft.bloom.cols").toSeq
+          .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+        bloomFpp = props.get("graft.bloom.fpp").map(_.toDouble)
+          .getOrElse(0.01),
+        mor = props.get("graft.mor").exists(_.toBoolean),
+        pk = if (pk.nonEmpty) pk else props.get("graft.pk").toSeq
+          .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+        ckptFormat = props.get("graft.ckpt.format"),
+        ckptInterval = props.get("graft.ckpt.interval").map(_.toInt)): Unit
+    } else {
+      val jProps = new java.util.HashMap[String, String](props.asJava)
+      if (pk.nonEmpty && !jProps.containsKey("graft.pk"))
+        jProps.put("graft.pk", pk.mkString(",")): Unit
+      createTable(ident, schema, partitions, jProps): Unit
+      stashed.foreach(df =>
+        MergeStore.append(spark, df, path, maxRetries = 3): Unit)
+    }
+    checks.foreach(c => MergeStore.addConstraint(spark, path,
+      c.name(), c.predicateSql()): Unit)
   }
 
   override def dropTable(ident: Identifier): Boolean =
@@ -595,4 +729,49 @@ final class GraftWriteBuilder(path: String)
         }
       }
   }
+}
+
+/** A staged CREATE / REPLACE / CREATE OR REPLACE: nothing touches the
+  * table location until [[commitStagedChanges]] — the CTAS/RTAS query
+  * writes through the V1 fallback into a STASH (the planned frame,
+  * executed at commit), so an abort or a mid-query failure leaves the
+  * catalog exactly as it was. The commit itself is the format's own
+  * atomicity: one manifest CAS (REPLACE = one more commit on the
+  * existing chain, history intact; CREATE = the birth commit). */
+private[store] final class StagedGraftTable(
+    catalog: GraftCatalog, ident: Identifier, val path: String,
+    schema0: StructType, partitions: Array[Transform],
+    props: Map[String, String], checks: Seq[Check], pk: Seq[String],
+    replace: Boolean)
+  extends org.apache.spark.sql.connector.catalog.StagedTable
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  @volatile private var stashed: Option[DataFrame] = None
+
+  override def name(): String =
+    (ident.namespace() :+ ident.name()).mkString(".")
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame,
+                                overwrite: Boolean): Unit = {
+              stashed = Some(data)
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit =
+    catalog.commitStaged(ident, path, schema0, partitions, props,
+      checks, pk, replace, stashed)
+
+  override def abortStagedChanges(): Unit = { stashed = None }
 }

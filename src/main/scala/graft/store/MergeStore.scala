@@ -2885,6 +2885,67 @@ object MergeStore {
     } finally incoming.unpersist()
   }
 
+  /** REPLACE TABLE [AS SELECT]: the table's NEXT version carries the
+    * new DEFINITION whole — new schema (with any declared column
+    * defaults in its field metadata), content = `df`, and the policy
+    * set RESET to the statement's declarations (constraints, pk, MOR,
+    * stats/bloom config, checkpoint policy, and the COPY-INTO ledger
+    * all start over — SQL REPLACE semantics: nothing of the old
+    * definition leaks through). HISTORY SURVIVES: this is one more
+    * commit on the same manifest chain, so `VERSION AS OF` below the
+    * replace still reads the OLD schema and content — Delta's REPLACE
+    * TABLE, not the drop+create fallback that erases the log. An
+    * empty `df` (plain REPLACE TABLE) truncates under the new schema.
+    * Concurrency: the result is independent of the head (everything
+    * is replaced), so a lost CAS simply re-commits at the new head. */
+  def replaceTable(spark: SparkSession, df: DataFrame, target: String,
+                   numFiles: Int = 0,
+                   statsCols: Seq[String] = Nil,
+                   bloomCols: Seq[String] = Nil,
+                   bloomFpp: Double = 0.01, mor: Boolean = false,
+                   pk: Seq[String] = Nil,
+                   ckptFormat: Option[String] = None,
+                   ckptInterval: Option[Int] = None,
+                   maxRetries: Int = 3): Int = {
+    require(currentVersion(target).nonEmpty,
+      s"no committed version at $target — REPLACE TABLE needs an " +
+        "existing table (CREATE instead)")
+    ckptFormat.foreach(f => require(f == "text" || f == "parquet",
+      s"graft.ckpt.format wants 'text' or 'parquet', got '$f'"))
+    ckptInterval.foreach(i => require(i >= 1,
+      s"graft.ckpt.interval wants an integer >= 1, got '$i'"))
+    val incoming = if (numFiles > 0) df.repartition(numFiles) else df
+    val schema = incoming.schema
+    val sCols = statsCols.filter(c => schema.fields.exists(f =>
+      f.name == c && tagOf(f.dataType).isDefined))
+    val files = writeFiles(incoming, target)
+    val (fresh, blooms) = freshStatsAndBlooms(spark, target, files,
+      sCols, bloomCols, bloomFpp, schema)
+    val sizes: Map[String, String] = files.flatMap { f =>
+      try Some(sizeKey(f) ->
+        Files.size(dataDir(target).resolve(f)).toString)
+      catch { case _: java.io.IOException => None }
+    }.toMap
+    val props = Map(SchemaKey -> schema.json) ++
+      (if (sCols.nonEmpty) Map(StatsColsKey -> sCols.mkString(","))
+       else Map.empty) ++
+      (if (bloomCols.nonEmpty) Map(BloomColsKey -> bloomCols.mkString(","),
+        BloomFppKey -> bloomFpp.toString)
+       else Map.empty) ++
+      (if (mor) Map(MorKey -> "true") else Map.empty) ++
+      (if (pk.nonEmpty) Map(PkKey -> pk.mkString(",")) else Map.empty) ++
+      ckptFormat.map(CkptFormatKey -> _) ++
+      ckptInterval.map(i => CkptIntervalKey -> i.toString)
+    def attempt(retries: Int): Int =
+      try commit(target, files, currentVersion(target).get,
+        props ++ sizes ++ fresh ++ blooms)
+      catch {
+        case _: java.util.ConcurrentModificationException
+            if retries > 0 => attempt(retries - 1)
+      }
+    attempt(maxRetries)
+  }
+
   // ------------------------------------------------------------------
   // COPY INTO: idempotent bulk-file ingest (the public Delta COPY INTO
   // design). Load a glob of source files into the table EXACTLY ONCE
