@@ -34,14 +34,7 @@ object Winnowing {
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 16, w: Int = 8): DataFrame = {
     TextShingleExpressions.register(df.sparkSession)
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val src =
-      if (df.isStreaming) df // partition probing/repartition is batch-only
-      // toRdd (internal rows) probes the partition count without the
-      // encoder-mapped lineage df.rdd would build on every call.
-      else if (df.queryExecution.toRdd.getNumPartitions < par) df.repartition(par)
-      else df
-    src.select(col(idCol),
+    graft.core.Par.widen(df).select(col(idCol),
         explode(call_function("winnow_fingerprints",
           col(textCol), lit(k), lit(w))).as("fingerprint"))
       .distinct()
@@ -59,7 +52,12 @@ object Winnowing {
   def overlapPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 16, w: Int = 8,
                    minOverlap: Double = 0.5): DataFrame = {
-    val fps = fingerprints(df, idCol, textCol, k, w)
+    // Cached: three consumers (sizes + both self-join sides) would
+    // otherwise re-run the winnowing kernel over the whole corpus per
+    // consumer (the Dedup.ngramJaccardPairs lesson — its shingle table
+    // is cached for exactly this reason; at 100 TB materialize once
+    // instead).
+    val fps = fingerprints(df, idCol, textCol, k, w).cache()
     val sizes = fps.groupBy(idCol).agg(count(lit(1)).as("n_fp"))
     val shared = fps.as("a").join(fps.as("b"),
         col("a.fingerprint") === col("b.fingerprint")

@@ -65,24 +65,36 @@ object CorpusLm {
                     broadcastVocab: Boolean = true): DataFrame = {
     def maybeB(df: DataFrame): DataFrame =
       if (broadcastVocab) broadcast(df) else df
-    val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
-    val uni = toks.groupBy("tok").agg(count(lit(1)).as("ucnt"))
+    // Widened + cached like the unigram path: the corpus otherwise
+    // re-tokenizes once per vocabulary consumer (uni feeds the prev
+    // lookup, the cur lookup AND the total; bgs feeds the bigram counts
+    // AND the probe side) — five full corpus passes for two columns.
+    val src = graft.core.Par.widen(docs)
+    val toks = src.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("ucnt")).cache()
     val total = uni.agg(sum("ucnt").cast("double").as("total"))
-    val bgs = docs.select(col(idCol),
+    val bgs = src.select(col(idCol),
         explode(graft.functions.TextAnalysis.bigrams(col(textCol))).as("bg"))
       .withColumn("prev", split(col("bg"), " ").getItem(0))
       .withColumn("cur", split(col("bg"), " ").getItem(1))
+      .cache()
     val bi = bgs.groupBy("prev", "cur").agg(count(lit(1)).as("bcnt"))
-    bgs
-      .join(maybeB(bi), Seq("prev", "cur"))
-      .join(maybeB(uni.select(col("tok").as("prev"), col("ucnt").as("pcnt"))),
-        "prev")
-      .join(maybeB(uni.select(col("tok").as("cur"), col("ucnt").as("ccnt"))),
-        "cur")
+    // p(w|prev) is a function of the bigram TYPE alone, so the unigram
+    // lookups and the total join onto the Heaps-bounded bigram-type
+    // table — the corpus-sized probe side pays ONE broadcast join
+    // instead of three joins plus a cross join. Arithmetic is unchanged
+    // expression-for-expression (same casts, same literal folds), so
+    // the per-position logp values are bit-identical.
+    val lm = bi
+      .join(uni.select(col("tok").as("prev"), col("ucnt").as("pcnt")), "prev")
+      .join(uni.select(col("tok").as("cur"), col("ucnt").as("ccnt")), "cur")
       .crossJoin(broadcast(total))
-      .withColumn("logp", log(
+      .select(col("prev"), col("cur"), log(
         lit(lambda) * (col("bcnt").cast("double") / col("pcnt").cast("double"))
-          + lit(1.0 - lambda) * (col("ccnt").cast("double") / col("total"))))
+          + lit(1.0 - lambda) * (col("ccnt").cast("double") / col("total")))
+        .as("logp"))
+    bgs
+      .join(maybeB(lm), Seq("prev", "cur"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("int").as("n_bigrams"),
         round(avg(col("logp")), 6).as("avg_logp"),

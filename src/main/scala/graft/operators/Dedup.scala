@@ -39,14 +39,7 @@ object Dedup {
     * array lambda that re-split the text per shingle position. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     TextShingleExpressions.register(df.sparkSession)
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val src =
-      if (df.isStreaming) df // partition probing/repartition is batch-only
-      // toRdd (internal rows) probes the partition count without the
-      // encoder-mapped lineage df.rdd would build on every call.
-      else if (df.queryExecution.toRdd.getNumPartitions < par) df.repartition(par)
-      else df
-    src.select(col(idCol),
+    graft.core.Par.widen(df).select(col(idCol),
         explode(call_function("word_shingles", col(textCol), lit(n)))
           .as("shingle"))
       .distinct()
@@ -394,7 +387,10 @@ object Dedup {
     // (sizes + intersection join).
     val sh = shingles(df, idCol, textCol, n).cache()
     val sigs = minhashSignatures(df, idCol, textCol, n, numHashes, seed)
-    val bands = bandKeys(sigs, idCol, numBands, rowsPerBand)
+    // Cached: both sides of the band self-join consume it, and uncached
+    // each side re-runs the fused shingle+minhash kernel over the whole
+    // corpus. Slim rows (id, band, key) — numBands per doc.
+    val bands = bandKeys(sigs, idCol, numBands, rowsPerBand).cache()
 
     val candidates = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key")
@@ -493,7 +489,8 @@ object Dedup {
     // groupBy shuffled every token to compute it. The filter preserves
     // that pipeline's contract: docs with no non-empty token (null or
     // all-space text) produced no rows then, so they produce none now.
-    df.where(trim(col(textCol).cast(StringType)) =!= "")
+    graft.core.Par.widen(df)
+      .where(trim(col(textCol).cast(StringType)) =!= "")
       .select(col(idCol),
         call_function("simhash64_doc", col(textCol)).as("simhash"))
   }
@@ -521,7 +518,11 @@ object Dedup {
     val width = 64 / numBands
     def bandKey(h: Column, b: Int): Column =
       shiftright(h, b * width).bitwiseAND((1L << width) - 1)
-    val bands = hashes.select(
+    // Widened: signature tables are slim (often one file), and the band
+    // self-join's probe side evaluates the in-join hamming filter over
+    // every raw bucket collision — on clustered corpora the dominant
+    // cost — in ITS scan partitions (graft.core.Par scaladoc).
+    val bands = graft.core.Par.widen(hashes).select(
       (Seq(col(idCol), col(hashCol)) ++ alsoOn.map(col) :+ posexplode(
         array((0 until numBands).map(bandKey(col(hashCol), _)): _*))
         .as(Seq("band", "key"))): _*)

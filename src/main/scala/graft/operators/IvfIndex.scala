@@ -324,10 +324,16 @@ object IvfIndex {
   def knnGraphApprox(spark: SparkSession, df: DataFrame, idCol: String,
                      vecCol: String, model: Model, k: Int, nprobe: Int,
                      roundTo: Int = 6, maxClusterSize: Int = 0): DataFrame = {
-    val assigned = assign(spark, df, vecCol, model)
+    // Widened ONCE, feeding BOTH join sides: the exact rescore of every
+    // probed candidate pair runs on whichever side the planner streams
+    // (it broadcasts the other), so both must carry the scan-parallelism
+    // fix — widening only one side just flips the build side onto the
+    // remaining single-partition scan (graft.core.Par scaladoc).
+    val src = graft.core.Par.widen(df)
+    val assigned = assign(spark, src, vecCol, model)
       .select(col(idCol).as("dst"), col(vecCol).as("__vd"),
         col("ivf_cluster"))
-    val probed = probeLists(spark, df, vecCol, model, nprobe)
+    val probed = probeLists(spark, src, vecCol, model, nprobe)
       .select(col(idCol).as("src"), col(vecCol).as("__vq"),
         explode(col("ivf_probes")).as("__probe"))
     probeTopK(probed, assigned, excludeSelf = true, k, roundTo,
@@ -348,10 +354,12 @@ object IvfIndex {
                     corpus: DataFrame, cIdCol: String, vecCol: String,
                     model: Model, k: Int, nprobe: Int,
                     roundTo: Int = 6, maxClusterSize: Int = 0): DataFrame = {
-    val assigned = assign(spark, corpus, vecCol, model)
+    // Both sides widened — knnGraphApprox's rationale.
+    val assigned = assign(spark, graft.core.Par.widen(corpus), vecCol, model)
       .select(col(cIdCol).as("dst"), col(vecCol).as("__vd"),
         col("ivf_cluster"))
-    val probed = probeLists(spark, queries, vecCol, model, nprobe)
+    val probed = probeLists(spark, graft.core.Par.widen(queries), vecCol,
+        model, nprobe)
       .select(col(qIdCol).as("src"), col(vecCol).as("__vq"),
         explode(col("ivf_probes")).as("__probe"))
     probeTopK(probed, assigned, excludeSelf = false, k, roundTo,

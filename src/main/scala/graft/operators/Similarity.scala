@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.core.Par
 import graft.expressions.{QuantizeExpressions, VectorExpressions}
 
 /** Similarity search over an embedding column (ARRAY<FLOAT>).
@@ -70,7 +71,10 @@ object Similarity {
   def cosineNearDupPairs(spark: SparkSession, df: DataFrame, idCol: String,
                          vecCol: String, threshold: Double,
                          roundTo: Int = 6): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    // The probe (stream) side of the nested-loop pair join does ALL the
+    // n²/2 cosine work in its own partitions; a one-file corpus would
+    // run it on a single task (Par.widen scaladoc).
+    val a = Par.widen(df).select(col(idCol).as("id_a"), col(vecCol).as("__va"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cosine", round(cos(spark, "__va", "__vb"), roundTo))
@@ -97,7 +101,10 @@ object Similarity {
                             margin: Double = 0.05,
                             roundTo: Int = 6): DataFrame = {
     QuantizeExpressions.register(spark)
-    val q = df.select(col(idCol),
+    // Widened for the same single-task-probe reason as cosineNearDupPairs
+    // (the int8 prefilter evaluates inside the pair join, on q's
+    // partitioning).
+    val q = Par.widen(df).select(col(idCol),
       call_function("quantize_int8", col(vecCol)).as("__q"))
     val a = q.select(col(idCol).as("id_a"), col("__q").as("__qa"))
     val b = q.select(col(idCol).as("id_b"), col("__q").as("__qb"))
@@ -143,7 +150,9 @@ object Similarity {
     require(blocks >= 1)
     QuantizeExpressions.register(spark)
     val b = lit(blocks)
-    val q = df.select(col(idCol).as("__id"),
+    // Widened: when the planner broadcasts one grid side, the cell join
+    // and its in-join prefilter run on the OTHER side's scan partitions.
+    val q = Par.widen(df).select(col(idCol).as("__id"),
         call_function("quantize_int8", col(vecCol)).as("__q"))
       .withColumn("__blk", pmod(hash(col("__id")), b))
     // Left side of cell (i, j): rows of block i, for every j in [i, blocks).
@@ -215,6 +224,9 @@ object Similarity {
     // shuffle the FULL directed-edge stream (2 rows per scored pair);
     // sort-merge shuffles only the n*(blocks+1) replicated inputs by
     // __cell, and the window below then reuses that partitioning freely.
+    // (A shuffle_hash hint was MEASURED here in the r15 optimization
+    // pass and lost ~25%: the per-cell hash-map build over float-array
+    // rows costs more than SMJ's two input sorts buy back.)
     val pairs = lhs.as("x").join(rhs.as("y").hint("merge"),
         col("x.__cell") === col("y.__cell")
           && (col("x.__blk") < col("y.__blk")
@@ -356,7 +368,11 @@ object Similarity {
       when(call_function("dot_product", col(vecCol), planeLit) >= 0, 1)
         .otherwise(0).as(s"__bit$i")
     }
-    val withBits = df.select((col(idCol) +: col(vecCol) +: planeCols.toSeq): _*)
+    // Widened: the band self-join's probe side evaluates the quantized
+    // prefilter over every raw bucket collision in ITS partitions — the
+    // dominant cost at moderate thresholds (see scaladoc).
+    val withBits = Par.widen(df)
+      .select((col(idCol) +: col(vecCol) +: planeCols.toSeq): _*)
 
     // Bands travel WITHOUT the float vectors (a 64-float payload through
     // a numBands-way explode + self-join would multiply the dominant

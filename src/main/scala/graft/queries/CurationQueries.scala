@@ -238,7 +238,8 @@ object CurationQueries extends QueryFamily {
             n = 3, threshold = 0.8),
           "id_a", "id_b")
         .select(col("id").as("doc_id"), col("comp"))
-      d.select(col("doc_id"), col("lang"),
+      // Widened for the same single-task quality-kernel reason as q63.
+      graft.core.Par.widen(d).select(col("doc_id"), col("lang"),
           TextAnalysis.qualityScore(col("text")).as("quality"))
         .join(clusters, Seq("doc_id"), "left")
         .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))

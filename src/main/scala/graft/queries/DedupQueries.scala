@@ -206,7 +206,10 @@ object DedupQueries extends QueryFamily {
           Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.8),
           "id_a", "id_b")
         .select(col("id").as("doc_id"), col("comp"))
-      val labeled = d.select(col("doc_id"),
+      // Widened: the quality kernel otherwise runs on the one-file scan's
+      // single task (graft.core.Par scaladoc); the cluster join below is
+      // broadcast-sized, so nothing re-spreads it before the window.
+      val labeled = graft.core.Par.widen(d).select(col("doc_id"),
           graft.functions.TextAnalysis.qualityScore(col("text")).as("quality"))
         .join(clusters, Seq("doc_id"), "left")
         .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))

@@ -123,8 +123,10 @@ object StreamMultimodalQueries extends QueryFamily {
     (s, dir) => {
       val spark = s
       import spark.implicits._
-      val payloads = Tables.load(s, dir, "documents")
-        .select(col("doc_id")).as[Long]
+      // Widened before the synth map: one-file scan = one synth task
+      // otherwise (graft.core.Par scaladoc).
+      val payloads = graft.core.Par.widen(
+          Tables.load(s, dir, "documents").select(col("doc_id"))).as[Long]
         .map(id => (id, q90Wav(id))).toDF("doc_id", "bytes")
       val media = Multimodal.attach(payloads,
         "doc_id", "bytes", kind = "audio", mime = "audio/wav")
@@ -184,8 +186,9 @@ object StreamMultimodalQueries extends QueryFamily {
     (s, dir) => {
       val spark = s
       import spark.implicits._
-      val payloads = Tables.load(s, dir, "documents")
-        .select(col("doc_id")).as[Long]
+      // Widened before the synth map (q90's rationale).
+      val payloads = graft.core.Par.widen(
+          Tables.load(s, dir, "documents").select(col("doc_id"))).as[Long]
         .map(id => (id, q95Video(id))).toDF("doc_id", "bytes")
       val media = Multimodal.attach(payloads,
         "doc_id", "bytes", kind = "video", mime = "video/x-graft-frames")
@@ -348,7 +351,10 @@ object StreamMultimodalQueries extends QueryFamily {
       import s.implicits._
       val root = java.nio.file.Files
         .createTempDirectory("graft-media-sigs").toString
-      val ids = Tables.load(s, dir, "documents").select(col("doc_id"))
+      // Widened: the three signature passes below are synth+decode+hash
+      // kernels over every payload — one-file scan = one task otherwise.
+      val ids = graft.core.Par.widen(
+        Tables.load(s, dir, "documents").select(col("doc_id")))
       ids.map(r => (r.getLong(0),
           Multimodal.DHashCodec.dhash(q100Png(r.getLong(0)))))
         .toDF("media_id", "dhash")

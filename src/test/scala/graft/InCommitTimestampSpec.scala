@@ -71,6 +71,15 @@ class InCommitTimestampSpec extends SparkSpec {
         .mkString("\n")
       Files.write(p, stripped.getBytes("UTF-8"))
     }
+    // Pre-ICT manifests report raw mtimes, and two back-to-back commits
+    // on a loaded box can share a millisecond — the engine cannot (and
+    // does not claim to) repair LEGACY-to-legacy ordering. Pin distinct
+    // mtimes so the fixture tests the documented contract (mtime
+    // fallback + stamped seeding), not the filesystem's timer.
+    Files.setLastModifiedTime(Paths.get(t, "_manifest", "v0.list"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(Paths.get(t, "_manifest", "v1.list"))
+          .toMillis - 10))
     val legacy = MergeStore.history(t)
     val mt1 = Files.getLastModifiedTime(
       Paths.get(t, "_manifest", "v1.list")).toMillis
