@@ -54,9 +54,15 @@ object EventsStreaming {
     * shuffle partition for the life of the query and AQE cannot coalesce
     * them — 32 stores for a bounded replay is pure overhead. The partition
     * count is fixed at stream start, sized to the workload (a production
-    * always-on pipeline with large keyspaces would size it UP instead). */
+    * always-on pipeline with large keyspaces would size it UP instead).
+    * Sized by MEASUREMENT, not core count: every micro-batch (data and
+    * watermark-advancing no-data alike) commits every store with real
+    * fsyncs, so the store count is the bounded replay's dominant fixed
+    * cost — 8→4 cut the stream-stream joins 27–34% and these windowed
+    * aggs 13–17% at sf0.1, while 4→2 was flat (the join work itself
+    * starts to matter), so 4 is the knee. */
   def runWindowedAggAvailableNow(spark: SparkSession, sfDir: String,
-                                 statePartitions: Int = 8): DataFrame = {
+                                 statePartitions: Int = 4): DataFrame = {
     val stream = spark.readStream
       .schema(eventsFileSchema(spark, s"$sfDir/events.parquet"))
       .option("pathGlobFilter", "events.parquet")
@@ -97,7 +103,7 @@ object EventsStreaming {
     * closed windows (window end <= max event time − delay). */
   def runWindowedAggAppend(spark: SparkSession, sfDir: String,
                            outDir: String, checkpointDir: String,
-                           statePartitions: Int = 8): DataFrame = {
+                           statePartitions: Int = 4): DataFrame = {
     val stream = spark.readStream
       .schema(eventsFileSchema(spark, s"$sfDir/events.parquet"))
       .option("pathGlobFilter", "events.parquet")

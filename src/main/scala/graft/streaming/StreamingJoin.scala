@@ -162,7 +162,7 @@ object StreamingJoin {
   def runAttributionAvailableNow(spark: SparkSession, sfDir: String,
                                  windowMinutes: Int = 30,
                                  delay: String = "2 hours",
-                                 statePartitions: Int = 8): DataFrame = {
+                                 statePartitions: Int = 4): DataFrame = {
     val stream = spark.readStream
       .schema(EventsStreaming.eventsFileSchema(spark,
         s"$sfDir/events.parquet"))
@@ -198,7 +198,7 @@ object StreamingJoin {
   def runAttributionOuterAvailableNow(spark: SparkSession, sfDir: String,
                                       windowMinutes: Int = 30,
                                       delay: String = "10 minutes",
-                                      statePartitions: Int = 8): DataFrame = {
+                                      statePartitions: Int = 4): DataFrame = {
     val stream = spark.readStream
       .schema(EventsStreaming.eventsFileSchema(spark,
         s"$sfDir/events.parquet"))
