@@ -227,7 +227,18 @@ object Similarity {
     // (A shuffle_hash hint was MEASURED here in the r15 optimization
     // pass and lost ~25%: the per-cell hash-map build over float-array
     // rows costs more than SMJ's two input sorts buy back.)
-    val pairs = lhs.as("x").join(rhs.as("y").hint("merge"),
+    //
+    // The explicit repartition(par, __cell) pins the exchange width: AQE
+    // coalesces shuffles by BYTES, and the replicated grid inputs are
+    // tiny (n·(blocks+1) slim rows) while each joined row fans out into
+    // a |block|² cosine workload — measured at sf0.1, AQE coalesced this
+    // join to 4 partitions and the n²/2 scoring ran on 4 of 32 cores.
+    // A keyed repartition with an explicit count is exempt from AQE
+    // coalescing and scales with the session (defaultParallelism), not
+    // with a constant.
+    val par = spark.sparkContext.defaultParallelism
+    val pairs = lhs.repartition(par, col("__cell")).as("x")
+      .join(rhs.repartition(par, col("__cell")).as("y").hint("merge"),
         col("x.__cell") === col("y.__cell")
           && (col("x.__blk") < col("y.__blk")
             || col("x.__id") < col("y.__id")))
