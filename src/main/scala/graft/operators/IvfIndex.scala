@@ -354,12 +354,15 @@ object IvfIndex {
                     corpus: DataFrame, cIdCol: String, vecCol: String,
                     model: Model, k: Int, nprobe: Int,
                     roundTo: Int = 6, maxClusterSize: Int = 0): DataFrame = {
-    // Both sides widened — knnGraphApprox's rationale.
-    val assigned = assign(spark, graft.core.Par.widen(corpus), vecCol, model)
+    // NOT widened (unlike knnGraphApprox): measured at sf0.1, widening
+    // either side here only added exchanges (q73 1.40 s -> 1.84 s) — the
+    // query side is small by the operator's own shape (the big-query-set
+    // retrieval join), so the pair scoring lands on the corpus-side
+    // partitioning that the cluster equi-join already spreads.
+    val assigned = assign(spark, corpus, vecCol, model)
       .select(col(cIdCol).as("dst"), col(vecCol).as("__vd"),
         col("ivf_cluster"))
-    val probed = probeLists(spark, graft.core.Par.widen(queries), vecCol,
-        model, nprobe)
+    val probed = probeLists(spark, queries, vecCol, model, nprobe)
       .select(col(qIdCol).as("src"), col(vecCol).as("__vq"),
         explode(col("ivf_probes")).as("__probe"))
     probeTopK(probed, assigned, excludeSelf = false, k, roundTo,
