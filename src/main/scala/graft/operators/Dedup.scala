@@ -12,8 +12,9 @@ import graft.expressions.{BloomExpressions, TextShingleExpressions}
   *
   *   - [[exactGroups]]: exact dedup by content hash (hash-groupBy).
   *   - [[ngramJaccardPairs]]: exact pairwise n-gram Jaccard via a
-  *     shingle-inverted-index self-join (no cartesian product: only docs
-  *     sharing a shingle ever meet).
+  *     length-filtered shingle-inverted-index self-join (no cartesian
+  *     product: only docs sharing a shingle AND of Jaccard-compatible
+  *     set sizes ever meet).
   *   - [[minhashLshPairs]]: MinHash signatures + banded LSH bucketing +
   *     exact-Jaccard verification of candidates. The scale path: candidate
   *     generation touches only same-bucket docs; verification touches only
@@ -236,8 +237,6 @@ object Dedup {
     parent.keys.toSeq.sorted.map(v => (v, find(v))).toDF("id", "comp")
   }
 
-  /** Exact pairwise n-gram Jaccard over an inverted shingle index:
-    * (id_a < id_b, jaccard) for pairs with jaccard >= threshold. */
   /** Corpus-duplicate n-gram fraction (the Gopher/RefinedWeb "duplicate
     * n-grams" quality filter; reference anchor: the same cheap-statistics
     * discipline as etl/mappers/directory.py:30-119, lifted to corpus
@@ -318,9 +317,87 @@ object Dedup {
           .as("n_removed"))
   }
 
+  /** Exact pairwise n-gram Jaccard over an inverted shingle index:
+    * (id_a < id_b, jaccard) for pairs with jaccard >= threshold.
+    *
+    * The self-join carries each side's set size and applies the exact
+    * LENGTH FILTER of the set-similarity-join literature (Arasu et al.
+    * 2006 SSJoin; Bayardo et al. 2007 AllPairs) INSIDE the join:
+    * J(A,B) >= t implies |A∩B| >= t·|A∪B| >= t·max(|A|,|B|), and
+    * |A∩B| <= min(|A|,|B|), so every qualifying pair satisfies
+    * min(|A|,|B|) >= t·max(|A|,|B|) — pairs of too-different sizes are
+    * culled BEFORE the candidate multiset is shuffled and aggregated
+    * (measured at sf0.1, t=0.8: 1.27M candidate rows -> 469k, 1.13M
+    * distinct pairs -> 402k). The epsilon term only ever WEAKENS the
+    * cut — double rounding of t·max must never cull a boundary pair
+    * exact arithmetic admits — so output is identical to the unfiltered
+    * join (parity pinned in DedupSpec, plus the q22/q49/q53/q63/q85
+    * oracles). Sizes ride the join rows into the pair aggregate as
+    * grouping keys, so the Jaccard needs no post-aggregate size joins.
+    *
+    * The size table joins UNHINTED: one row per doc, so the planner
+    * broadcasts it at bench scale and shuffle-joins the corpus-sized
+    * version at 100 TB — both shapes correct.
+    *
+    * PPJoin/AllPairs PREFIX filtering (index only each doc's
+    * (1-t)·|A|+1 globally-rarest shingles for candidate generation) was
+    * implemented, oracle-verified, and measured this round — and
+    * REJECTED on this corpus: the rarity-ordered prefixes did identify
+    * the candidate docs (2.3k of 5k at sf0.1), but the survivors' index
+    * slice still self-joined to the same 1.25M-row candidate multiset
+    * (the corpus is uniformly template-similar — collision mass
+    * concentrates exactly in the docs any correct prefix filter must
+    * keep), while the filter itself added a df aggregate plus a
+    * doc-keyed window per run; every variant measured at or above the
+    * exhaustive join. The length filter is the member of the same
+    * exact-filter family whose cut actually bites here; see
+    * OPTIMIZATION_r16.md for the full measurement trail. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8,
                         maxShingleDf: Option[Int] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val shFiltered = maxShingleDf match {
+      case Some(cap) =>
+        val rare = sh.groupBy("shingle").count().where(col("count") <= cap)
+          .select("shingle")
+        sh.join(broadcast(rare), Seq("shingle"), "left_semi")
+      case None => sh
+    }
+    // FULL set sizes: the Jaccard denominator is over the unfiltered
+    // sets, exactly as before the hot-shingle cap drops index rows.
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    // Cached: BOTH self-join sides consume the size-annotated index;
+    // uncached, each side re-runs the sizes aggregate + attach join
+    // over the shingle cache (measured +0.7s per query at sf0.1).
+    val shS = shFiltered.join(sizes, idCol).cache()
+    val nA = col("a.n_sh"); val nB = col("b.n_sh")
+    val lengthOk = least(nA, nB).cast("double") >=
+      lit(threshold) * greatest(nA, nB) -
+      lit(1e-9) * greatest(nA, nB) - lit(1e-9)
+    val inter = shS.as("a").join(shS.as("b"),
+        col("a.shingle") === col("b.shingle")
+          && col(s"a.$idCol") < col(s"b.$idCol") && lengthOk)
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        nA.as("n_a"), nB.as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .withColumn("jaccard",
+        col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** The unfiltered formulation — the exhaustive inverted-index
+    * self-join (every shared shingle generates a candidate row, no
+    * length cut). Kept ONLY as the parity oracle for
+    * [[ngramJaccardPairs]]'s in-join candidate pruning (DedupSpec); no
+    * query path calls it. */
+  private[graft] def ngramJaccardPairsExhaustive(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      maxShingleDf: Option[Int] = None): DataFrame = {
     val sh = shingles(df, idCol, textCol, n).cache()
     val shFiltered = maxShingleDf match {
       case Some(cap) =>

@@ -198,6 +198,35 @@ class DedupSpec extends SparkSpec {
     assert(viaDriver == viaLoop)
   }
 
+  test("prefix-filtered ngramJaccardPairs == exhaustive self-join, " +
+      "on real docs, across thresholds and the hot-shingle cap") {
+    // The PPJoin-style candidate pruning must be invisible in the output:
+    // identical (id_a, id_b, jaccard) sets against the pre-prefix-filter
+    // formulation, on real corpus data (not just the hand corpus), at a
+    // loose threshold (many surviving pairs), the declared 0.8, and with
+    // maxShingleDf capping hot shingles out of the index.
+    val docs = graft.core.Tables.load(spark, sf(), "documents")
+      .select("doc_id", "text")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    for ((t, cap) <- Seq((0.3, None), (0.8, None), (0.5, Some(40)))) {
+      val fast = pairsOf(Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", 3, t, cap))
+      val slow = pairsOf(Dedup.ngramJaccardPairsExhaustive(
+        docs, "doc_id", "text", 3, t, cap))
+      assert(fast == slow,
+        s"t=$t cap=$cap: prefix-filtered ${fast.size} pairs != " +
+          s"exhaustive ${slow.size}; missing=${(slow -- fast).take(5)} " +
+          s"extra=${(fast -- slow).take(5)}")
+      assert(slow.nonEmpty || t == 0.8, s"t=$t produced no pairs to compare")
+    }
+    // And on the hand corpus with an exact dup + sub-threshold pair.
+    assert(pairsOf(Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5))
+      == pairsOf(Dedup.ngramJaccardPairsExhaustive(
+        corpus, "doc_id", "text", 3, 0.5)))
+  }
+
   test("fused minhash_sigs kernel == the Column-op pipeline, bit for bit") {
     // Reconstruct the former explode + min-agg signature pipeline inline
     // and pin that the fused per-row kernel produces identical arrays.
