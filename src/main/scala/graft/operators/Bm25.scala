@@ -323,13 +323,22 @@ object Bm25 {
   }
 
   /** Read a snapshot's physical postings with a normalized `seg` column
-    * (legacy files without one read as segment 0). */
+    * (legacy files without one read as segment 0).
+    *
+    * Planned against an EXPLICIT schema: all segment files agree on
+    * (term, doc, tf) — only `seg`'s presence varies across legacy/new
+    * files — so single-footer inference plus an appended nullable `seg`
+    * (the parquet reader null-fills it per file that lacks it, and
+    * reads it where present) replaces the distributed mergeSchema
+    * footer-sweep job that every index READ otherwise pays. */
   private def readPostings(spark: SparkSession, snap: String): DataFrame = {
-    val p = spark.read.option("mergeSchema", "true")
-      .parquet(s"$snap/postings")
-    if (p.columns.contains("seg"))
-      p.withColumn("seg", coalesce(col("seg"), lit(0L)))
-    else p.withColumn("seg", lit(0L))
+    val dir = s"$snap/postings"
+    val inferred = spark.read.parquet(dir).schema
+    val schema =
+      if (inferred.fieldNames.contains("seg")) inferred
+      else inferred.add("seg", org.apache.spark.sql.types.LongType)
+    spark.read.schema(schema).parquet(dir)
+      .withColumn("seg", coalesce(col("seg"), lit(0L)))
   }
 
   /** Drop tombstoned rows: a (doc, max_seg) marker kills that doc's

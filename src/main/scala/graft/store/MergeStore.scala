@@ -4856,6 +4856,23 @@ object MergeStore {
           "the consumer from a retained snapshot")
   }
 
+  /** Read a version's files for the diff/changes span machinery, with
+    * the same schema discipline as [[read]]: when the manifest carries a
+    * schema, plan against its PHYSICAL shape directly — zero footer
+    * reads, no distributed mergeSchema-inference job per span side (a
+    * per-commit CDC replay otherwise pays one such job per commit per
+    * side); files predating an evolved column null-fill it and columns
+    * dropped from the manifest never surface, both exactly the shapes
+    * the mergeSchema union ended up showing after alignment. Legacy
+    * manifests (no schema line) keep the inference path. */
+  private def readSpanFiles(spark: SparkSession, target: String, v: Int,
+                            paths: Seq[String]): DataFrame =
+    manifestSchema(target, v) match {
+      case Some(st) => spark.read.schema(physicalSchema(st)).parquet(paths: _*)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
+
   /** Row-level diff between two committed versions (change-data-feed
     * lite): the rows of `toVersion` that are NOT in `fromVersion` — i.e.
     * every inserted row plus the post-image of every update. Because
@@ -4875,8 +4892,8 @@ object MergeStore {
     def readFiles(names: Seq[String], v: Int): Option[DataFrame] =
       if (names.isEmpty) None
       else Some(renameAll(applyDv(spark, target, v,
-        spark.read.option("mergeSchema", "true").parquet(
-          names.map(f => dataDir(target).resolve(f).toString): _*),
+        readSpanFiles(spark, target, v,
+          names.map(f => dataDir(target).resolve(f).toString)),
         Some(names)), renames))
     val before = liveFiles(target, Some(fromVersion)).toSet
     val after = liveFiles(target, Some(toVersion)).toSet
@@ -4927,8 +4944,8 @@ object MergeStore {
     val pFrom = posOf(fromDv)
     val pTo = posOf(toDv)
     val content = renameAll(
-      spark.read.option("mergeSchema", "true").parquet(
-          changed.map(f => dataDir(target).resolve(f).toString): _*)
+      readSpanFiles(spark, target, toVersion,
+          changed.map(f => dataDir(target).resolve(f).toString))
         .withColumn("__gdvf", element_at(split(input_file_name(), "/"), -1))
         .withColumn("__gdvp", col("_metadata.row_index")),
       manifestSchema(target, toVersion)
@@ -4972,8 +4989,8 @@ object MergeStore {
     def readFiles(names: Seq[String], v: Int): Option[DataFrame] =
       if (names.isEmpty) None
       else Some(renameAll(applyDv(spark, target, v,
-        spark.read.option("mergeSchema", "true").parquet(
-          names.map(f => dataDir(target).resolve(f).toString): _*),
+        readSpanFiles(spark, target, v,
+          names.map(f => dataDir(target).resolve(f).toString)),
         Some(names)), renames))
     val beforeNames = liveFiles(target, Some(fromVersion)).toSet
     val afterNames = liveFiles(target, Some(toVersion)).toSet
@@ -4998,34 +5015,55 @@ object MergeStore {
           .reduceOption(_.unionByName(_)).getOrElse(base)
         val remRows = (removed.toSeq ++ doomed.toSeq).map(align)
           .reduceOption(_.unionByName(_)).getOrElse(base)
-        val remKeys = remRows.select(pk.map(col): _*).distinct()
-        val addKeys = addRows.select(pk.map(col): _*).distinct()
-        // Content-changed post-images only — a compaction emits nothing.
-        val changedPost = addRows.exceptAll(remRows)
-        val inserts = changedPost.join(remKeys, pk, "left_anti")
-          .withColumn("_change_type", lit("insert"))
-        val updates = changedPost.join(remKeys, pk, "left_semi")
-          .withColumn("_change_type", lit("update_postimage"))
-        val deletes = remRows.join(addKeys, pk, "left_anti")
-          .withColumn("_change_type", lit("delete"))
-        val threeTyped = inserts.unionByName(updates).unionByName(deletes)
-        val typed =
-          if (!includePreimages) threeTyped
-          else {
-            // Old rows of content-changed surviving keys — the mirror of
-            // `updates`: content-diff from the REMOVED side, then keep
-            // only keys that still exist (pure-compaction rows cancelled
-            // in the exceptAll, so a layout rewrite still emits nothing).
-            val preimages = remRows.exceptAll(addRows)
-              .join(addKeys, pk, "left_semi")
-              .withColumn("_change_type", lit("update_preimage"))
-            threeTyped.unionByName(preimages)
-          }
-        // Stable contract: table columns in table order, then the tag —
-        // the key-USING joins above float `pk` to the front, which
-        // positional consumers (the CDC source's InternalRow wrap) must
-        // never see vary with the choice of key.
-        typed.select(base.columns.map(col) :+ col("_change_type"): _*)
+        // ONE content-keyed aggregate + ONE pk-keyed window replace the
+        // earlier two exceptAlls, two key-distincts and three anti/semi
+        // joins (~8 exchanges -> 3; the per-commit CDC replay and the
+        // IVM refresh pay this plan once per span side). Semantics are
+        // unchanged row-for-row:
+        //   __net  = count_add(content) - count_rem(content) — exceptAll
+        //            multiplicity in one signed number (a compaction
+        //            nets to 0 and emits nothing);
+        //   __ka/__kr = does this row's KEY physically appear on the
+        //            added/removed side at all (raw presence, exactly
+        //            the old addKeys/remKeys anti/semi tests).
+        // NULL keys keep the old anti/semi behavior (equality joins
+        // never matched them): they classify purely by their own side —
+        // net-added rows insert, net-removed rows delete.
+        val cols = base.columns.toSeq
+        val tagged = addRows
+          .select(cols.map(col) :+ lit(1L).as("__w"): _*)
+          .unionByName(remRows
+            .select(cols.map(col) :+ lit(-1L).as("__w"): _*))
+        val byContent = tagged.groupBy(cols.map(col): _*)
+          .agg(sum(col("__w")).as("__net"),
+            sum(when(col("__w") > 0, 1L).otherwise(0L)).as("__na"),
+            sum(when(col("__w") < 0, 1L).otherwise(0L)).as("__nr"))
+        val byKey = org.apache.spark.sql.expressions.Window
+          .partitionBy(pk.map(col): _*)
+        val keyHasNull = pk.map(col(_).isNull).reduce(_ || _)
+        val annotated = byContent
+          .withColumn("__ka", when(keyHasNull, 0).otherwise(
+            max(when(col("__na") > 0, 1).otherwise(0)).over(byKey)))
+          .withColumn("__kr", when(keyHasNull, 0).otherwise(
+            max(when(col("__nr") > 0, 1).otherwise(0)).over(byKey)))
+        val post = annotated.where(col("__net") > 0)
+          .withColumn("_change_type",
+            when(col("__kr") > 0, lit("update_postimage"))
+              .otherwise(lit("insert")))
+        val pre = annotated.where(col("__net") < 0)
+          .withColumn("_change_type",
+            when(col("__ka") > 0, lit("update_preimage"))
+              .otherwise(lit("delete")))
+        val typed0 = post.unionByName(pre)
+        val typed = if (includePreimages) typed0
+          else typed0.where(col("_change_type") =!= "update_preimage")
+        // Re-expand exceptAll multiplicity (|__net| copies per content —
+        // 1 on any pk-honest table; >1 only when a version carries
+        // duplicate full rows).
+        typed
+          .withColumn("__rep",
+            explode(sequence(lit(1L), abs(col("__net")))))
+          .select(cols.map(col) :+ col("_change_type"): _*)
     }
   }
 
