@@ -1269,7 +1269,54 @@ object ScaleProbe {
     }
   }
 
+  /** Cache-vs-recompute curve for the CORPUS-SIZED cached intermediate
+    * (CorpusLm.bigramLogProb's `bgs` — one row per bigram occurrence,
+    * the largest .cache() the operators take): times the full scoring
+    * pass at growing corpus multiples under (a) the default
+    * MEMORY_AND_DISK cache, (b) DISK_ONLY, and (c) NO cache (the two
+    * consumers re-tokenize). The 100 TB question this answers: at what
+    * corpus-to-memory ratio does materializing the exploded intermediate
+    * stop paying for the one recompute pass it saves? Row counts are
+    * asserted equal across arms. Numbers land in SCALE.md §LM-CACHE. */
+  private def lmCacheProbe(spark: SparkSession, sfDir: String,
+                           multiples: Seq[Int]): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val base = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text", "lang")
+    multiples.foreach { m =>
+      val docs = replicate(base, m).localCheckpoint(true)
+      val n = docs.count()
+      def run(tag: String, lvl: Option[StorageLevel]): (Long, Double) = {
+        spark.catalog.clearCache() // isolate arms: no cross-arm reuse
+        val (rows, t) = time {
+          graft.operators.CorpusLm.bigramLogProb(
+            docs, "doc_id", "text", bgsStorage = lvl).count()
+        }
+        (rows, t)
+      }
+      val (rMem, tMem) = run("mem", Some(StorageLevel.MEMORY_AND_DISK))
+      val (rDisk, tDisk) = run("disk", Some(StorageLevel.DISK_ONLY))
+      val (rNone, tNone) = run("none", None)
+      require(rMem == rDisk && rDisk == rNone,
+        s"cache level changed the answer: $rMem/$rDisk/$rNone")
+      spark.catalog.clearCache()
+      println(s"""{"metric":"lm_cache","multiple":$m,"docs":$n,""" +
+        s""""rows":$rMem,"mem_and_disk_sec":${f"$tMem%.2f"},""" +
+        s""""disk_only_sec":${f"$tDisk%.2f"},""" +
+        s""""no_cache_sec":${f"$tNone%.2f"}}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("lm-cache")) {
+      val spark = GraftSession.local(32)
+      val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+      val multiples = if (args.length > 2) args.drop(2).map(_.toInt).toSeq
+        else Seq(1, 10, 40)
+      lmCacheProbe(spark, sfDir, multiples)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("commit-cost")) {
       val spark = GraftSession.local(32)
       val counts = if (args.length > 1) args.drop(1).map(_.toInt).toSeq

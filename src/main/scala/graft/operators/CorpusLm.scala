@@ -60,9 +60,30 @@ object CorpusLm {
     * default with the `broadcastVocab = false` escape hatch; the
     * corpus-side joins stay map-local. λ = 0.75 (and its 1−λ twin) is
     * exact in binary, so engine and oracle literals agree bitwise. */
+  /** CACHE POLICY (the corpus-sized-intermediate rule, applied across
+    * the operators): intermediates cached for multiple consumers fall
+    * in two classes. SLIM derived tables — vocabularies, signatures,
+    * band keys, per-doc sizes, pair lists — are orders of magnitude
+    * smaller than the corpus and cache at the default MEMORY_AND_DISK;
+    * their recompute saving is measured per site and they die with the
+    * session. CORPUS-SIZED exploded intermediates (`bgs` here: one row
+    * per bigram OCCURRENCE) are the hazard: at 100 TB a MEMORY_AND_DISK
+    * cache materializes a corpus-scale copy to executor storage, which
+    * can cost more than the one recompute pass it saves. `bgsStorage`
+    * makes that choice explicit and measurable — the ScaleProbe
+    * `lm-cache` arm times MEMORY_AND_DISK vs DISK_ONLY vs no cache at
+    * growing corpus multiples (numbers in SCALE.md §LM-CACHE). The
+    * DEFAULT is DISK_ONLY, the measured winner at every probed scale
+    * (columnar in-memory encoding of the exploded strings costs more
+    * CPU than it saves, and at 100 TB it would also evict working
+    * memory); pass None where even one serialized spill of the corpus
+    * is worse than re-running the tokenize kernel. */
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
                     lambda: Double = 0.75,
-                    broadcastVocab: Boolean = true): DataFrame = {
+                    broadcastVocab: Boolean = true,
+                    bgsStorage: Option[org.apache.spark.storage.StorageLevel] =
+                      Some(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+      : DataFrame = {
     def maybeB(df: DataFrame): DataFrame =
       if (broadcastVocab) broadcast(df) else df
     // Widened + cached like the unigram path: the corpus otherwise
@@ -73,11 +94,11 @@ object CorpusLm {
     val toks = src.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
     val uni = toks.groupBy("tok").agg(count(lit(1)).as("ucnt")).cache()
     val total = uni.agg(sum("ucnt").cast("double").as("total"))
-    val bgs = src.select(col(idCol),
+    val bgs0 = src.select(col(idCol),
         explode(graft.functions.TextAnalysis.bigrams(col(textCol))).as("bg"))
       .withColumn("prev", split(col("bg"), " ").getItem(0))
       .withColumn("cur", split(col("bg"), " ").getItem(1))
-      .cache()
+    val bgs = bgsStorage.map(bgs0.persist).getOrElse(bgs0)
     val bi = bgs.groupBy("prev", "cur").agg(count(lit(1)).as("bcnt"))
     // p(w|prev) is a function of the bigram TYPE alone, so the unigram
     // lookups and the total join onto the Heaps-bounded bigram-type
