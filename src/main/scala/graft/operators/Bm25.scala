@@ -500,13 +500,19 @@ object Bm25 {
     // directories come from the same atomic publish, so a concurrent
     // append can never mix this query's postings with newer df/stats.
     val snap = resolveSnapshot(indexDir, version)
-    val qterms0 = queries
+    // ONE driver roundtrip serves both the pushed IN-list and the
+    // in-plan query-term table: the (query, term) set is QUERY-sized
+    // (tiny — this method already collected the term list), and folding
+    // the collected pairs back in as a literal local relation removes
+    // the per-run distinct exchange the main plan otherwise
+    // materializes as its own AQE stage job.
+    val qtPlan = queries
       .select(col(queryIdCol), explode(split(col(queryTextCol), " ")).as("term"))
       .distinct()
-    // The driver-side term list is QUERY-sized (tiny); as a pushed IN
-    // filter it prunes postings/df row groups before any join runs.
-    val termList = qterms0.select("term").distinct()
-      .collect().map(_.getString(0)).toSeq
+    val qtRows = qtPlan.collect()
+    val qterms0 = spark.createDataFrame(
+      java.util.Arrays.asList(qtRows: _*), qtPlan.schema)
+    val termList = qtRows.map(_.getString(1)).distinct.toSeq
     // Tombstoned (doc, segment) rows (deleteFromIndex/upsertToIndex)
     // are dead postings still physically present in the carried files;
     // the anti-join applies AFTER the term pruning, so it costs the
